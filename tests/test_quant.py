@@ -1,0 +1,105 @@
+"""Quantization format tests: pack/unpack, dequant parity with the
+reference's dequant formula, quantization error bounds."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from uzu_tpu.quant.format import (
+    dequantize,
+    from_disk_tensors,
+    pack_codes,
+    quantize_reference,
+    unpack_codes,
+)
+
+
+def reference_dequant(parts, method, bits, group_size, n, k):
+    """Scalar reimplementation of the reference dequant
+    (cpu/kernel/matmul/kernel.rs:226-275) for cross-checking."""
+    pack = 8 // bits
+    out = np.zeros((n, k), np.float32)
+    codes = parts["weights"]
+    scales = np.asarray(parts["scales"], np.float32)
+    for row in range(n):
+        for col in range(k):
+            byte = codes[row, col // pack]
+            code = (byte >> ((col % pack) * bits)) & ((1 << bits) - 1)
+            g = col // group_size
+            scale = scales[row, g]
+            if method == "scale_zero_point":
+                zp_arr = parts["zero_points"]
+                if bits == 4:
+                    b = zp_arr[row, g // 2]
+                    zp = (b & 0xF) if g % 2 == 0 else (b >> 4) & 0xF
+                else:
+                    zp = zp_arr[row, g]
+                bias = -scale * float(zp)
+            elif method == "scale_bias":
+                bias = float(np.asarray(parts["biases"], np.float32)[row, g])
+            else:
+                bias = -scale * float(1 << (bits - 1))
+            out[row, col] = scale * float(code) + bias
+    return out
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_pack_unpack_roundtrip(bits, rng):
+    codes = rng.integers(0, 1 << bits, size=(4, 64), dtype=np.uint8)
+    packed = pack_codes(codes, bits)
+    unpacked = np.asarray(unpack_codes(jnp.asarray(packed), bits))
+    np.testing.assert_array_equal(unpacked, codes)
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+@pytest.mark.parametrize("method", ["scale_symmetric", "scale_bias", "scale_zero_point"])
+def test_dequant_matches_reference_formula(bits, method, rng):
+    n, k, g = 6, 64, 32
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    parts = quantize_reference(w, bits, g, method, dtype=np.float32)
+    ref = reference_dequant(parts, method, bits, g, n, k)
+    qt = from_disk_tensors(
+        method,
+        parts["weights"],
+        parts["scales"],
+        bits,
+        g,
+        zero_points=parts.get("zero_points"),
+        biases=parts.get("biases"),
+        dtype=jnp.float32,
+    )
+    ours = np.asarray(dequantize(qt, dtype=jnp.float32))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("bits,method,tol", [
+    (8, "scale_symmetric", 0.05),
+    (8, "scale_bias", 0.02),
+    (4, "scale_symmetric", 0.6),
+    (4, "scale_zero_point", 0.3),
+])
+def test_quantization_error_bounded(bits, method, tol, rng):
+    n, k, g = 8, 128, 32
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    parts = quantize_reference(w, bits, g, method, dtype=np.float32)
+    qt = from_disk_tensors(
+        method, parts["weights"], parts["scales"], bits, g,
+        zero_points=parts.get("zero_points"), biases=parts.get("biases"), dtype=jnp.float32,
+    )
+    wd = np.asarray(dequantize(qt, dtype=jnp.float32))
+    err = np.abs(wd - w).max()
+    assert err < tol, f"max quantization error {err}"
+
+
+def test_quant_matmul_matches_dequant_matmul(rng):
+    from uzu_tpu.ops.linear import linear_apply
+
+    n, k, g = 32, 128, 32
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    x = rng.standard_normal((3, k)).astype(np.float32)
+    parts = quantize_reference(w, 4, g, "scale_symmetric", dtype=np.float32)
+    qt = from_disk_tensors("scale_symmetric", parts["weights"], parts["scales"], 4, g, dtype=jnp.float32)
+    y_quant = np.asarray(linear_apply(qt, jnp.asarray(x)))
+    wd = np.asarray(dequantize(qt, dtype=jnp.float32))
+    y_ref = x @ wd.T
+    np.testing.assert_allclose(y_quant, y_ref, rtol=1e-4, atol=1e-4)

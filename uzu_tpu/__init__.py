@@ -1,0 +1,13 @@
+"""uzu_tpu: a TPU-native quantized LLM inference engine.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of trymirai/uzu
+(config-driven transformer, INT4/INT8 weight-only quantization, fused
+sampling, speculative decoding, chat sessions) plus multi-chip execution the
+reference lacks (GSPMD tensor parallelism, continuous batching).
+"""
+
+__version__ = "0.1.0"
+
+from .config import LanguageModelConfig, load_language_model_config  # noqa: F401
+from .engine.engine import LanguageModel, StreamMetrics  # noqa: F401
+from .engine.sampling import SamplingParams  # noqa: F401

@@ -1,0 +1,237 @@
+"""The inference engine: model load, jitted prefill/decode, token stream.
+
+Role parity with the reference's Engine + LanguageModelStream
+(crates/backend-uzu/src/engine/language_model/{mod.rs,stream/stream.rs}),
+redesigned for XLA's compile-once execution model:
+
+- prefill runs in fixed-size chunks; ragged tails pad up to a small bucket
+  set (one compiled program per bucket) — padding lands in future cache
+  slots the causal mask hides, so no masking plumbing is needed;
+- the decode step is one jitted function (forward + sampling fused) whose
+  state buffers are donated, so the KV update is in-place in HBM;
+- the host loop never blocks on the current token before enqueuing the next
+  step: the sampled token stays on device and feeds the next step directly
+  (JAX async dispatch ≈ the reference's chain_copy GPU-side token forwarding,
+  stream.rs:580-609).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LanguageModelConfig, load_language_model_config
+from ..models.decoder import decoder_forward
+from ..models.loader import load_decoder
+from ..models.state import init_state
+from ..params.tree import ParameterLoader
+from .sampling import SamplingParams, push_ring, sample
+
+DEFAULT_PREFILL_BUCKETS = (16, 64, 256)
+
+
+class ContextOverflowError(RuntimeError):
+    """Prompt + generated tokens exceed the state's max context
+    (parity with the reference's overflow check, stream.rs:141-146)."""
+
+
+@dataclasses.dataclass
+class StreamMetrics:
+    """Parity with shoji TokenStreamMetrics (chat_token.rs:15-22)."""
+
+    num_forward_passes: int = 0
+    num_tokens_prefilled: int = 0
+    num_tokens_generated: int = 0
+    prefill_seconds: float = 0.0
+    decode_seconds: float = 0.0
+
+    @property
+    def prefill_tokens_per_second(self) -> float:
+        return self.num_tokens_prefilled / self.prefill_seconds if self.prefill_seconds else 0.0
+
+    @property
+    def decode_tokens_per_second(self) -> float:
+        return self.num_tokens_generated / self.decode_seconds if self.decode_seconds else 0.0
+
+
+class LanguageModel:
+    def __init__(
+        self,
+        config: LanguageModelConfig,
+        params,
+        *,
+        max_context: int = 4096,
+        prefill_buckets=DEFAULT_PREFILL_BUCKETS,
+        shard_fn=None,
+    ):
+        self.config = config
+        self.decoder_config = config.decoder_config
+        self.max_context = max_context
+        self.prefill_buckets = tuple(sorted(prefill_buckets))
+        self.params = shard_fn(params) if shard_fn is not None else params
+        self._prefill_jit = {}
+        self._decode_jit = {}
+
+    # -- loading ---------------------------------------------------------
+
+    @classmethod
+    def from_dir(cls, model_dir: str, *, random_seed: int | None = None, **kw) -> "LanguageModel":
+        config = load_language_model_config(os.path.join(model_dir, "config.json"))
+        loader = ParameterLoader(os.path.join(model_dir, "model.safetensors"), random_seed=random_seed)
+        tree = loader.tree()
+        params = load_decoder(tree, config.decoder_config)
+        tree.assert_all_validated()
+        return cls(config, params, **kw)
+
+    # -- state -----------------------------------------------------------
+
+    def new_state(self, ring_size: int = 0) -> dict:
+        state = init_state(self.decoder_config, self.max_context)
+        if ring_size:
+            state["ring"] = jnp.full((ring_size,), -1, jnp.int32)
+        return state
+
+    # -- compiled steps ----------------------------------------------------
+
+    def _prefill_fn(self, chunk: int):
+        if chunk not in self._prefill_jit:
+
+            @partial(jax.jit, static_argnames=(), donate_argnums=(1,))
+            def prefill(tokens, state, true_length):
+                ring = state.pop("ring", None)
+                logits, state = decoder_forward(
+                    self.decoder_config, self.params, tokens, state, last_only=True, true_length=true_length
+                )
+                if ring is not None:
+                    state["ring"] = _ring_push_chunk(ring, tokens, true_length)
+                return logits[0], state
+
+            self._prefill_jit[chunk] = prefill
+        return self._prefill_jit[chunk]
+
+    def _decode_fn(self, sampling: SamplingParams):
+        if sampling not in self._decode_jit:
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def decode_step(state, token, key):
+                ring = state.pop("ring", None)
+                logits, state = decoder_forward(
+                    self.decoder_config, self.params, token.reshape(1), state, last_only=True
+                )
+                next_token = sample(logits[0], sampling, key=key, ring=ring)
+                if ring is not None:
+                    state["ring"] = push_ring(ring, next_token)
+                return state, next_token
+
+            self._decode_jit[sampling] = decode_step
+        return self._decode_jit[sampling]
+
+    # -- public API --------------------------------------------------------
+
+    def prefill(self, state: dict, tokens: np.ndarray):
+        """Feed prompt tokens through the model in chunks; returns
+        (last_logits, state)."""
+        tokens = np.asarray(tokens, np.int32)
+        n = len(tokens)
+        if n == 0:
+            raise ValueError("prefill requires at least one token")
+        pos = int(state["pos"])
+        if pos + n > self.max_context:
+            raise ContextOverflowError(
+                f"prompt of {n} tokens at position {pos} exceeds max_context={self.max_context}"
+            )
+        max_chunk = self.prefill_buckets[-1]
+        logits = None
+        i = 0
+        while i < n:
+            remaining = n - i
+            take = min(remaining, max_chunk)
+            bucket = next(b for b in self.prefill_buckets if b >= take)
+            chunk = np.zeros(bucket, np.int32)
+            chunk[:take] = tokens[i : i + take]
+            fn = self._prefill_fn(bucket)
+            logits, state = fn(jnp.asarray(chunk), state, jnp.asarray(take, jnp.int32))
+            i += take
+        return logits, state
+
+    def generate(
+        self,
+        prompt_tokens,
+        max_new_tokens: int,
+        sampling: SamplingParams | None = None,
+        stop_token_ids=None,
+        seed: int = 0,
+        metrics: StreamMetrics | None = None,
+    ):
+        """Token generator. Yields ints; stops on stop token or limit."""
+        import time
+
+        sampling = sampling or SamplingParams.from_generation_config(self.config.generation_config)
+        stop = set(
+            stop_token_ids if stop_token_ids is not None else self.config.generation_config.stop_token_ids
+        )
+        ring_size = sampling.suffix_repetition_length if sampling.repetition_penalty else 0
+        state = self.new_state(ring_size=ring_size)
+
+        t0 = time.perf_counter()
+        logits, state = self.prefill(state, prompt_tokens)
+        first = sample(
+            logits,
+            sampling,
+            key=jax.random.PRNGKey(seed),
+            ring=state.get("ring"),
+        )
+        first.block_until_ready()
+        t1 = time.perf_counter()
+        if metrics is not None:
+            metrics.num_tokens_prefilled += len(prompt_tokens)
+            metrics.prefill_seconds += t1 - t0
+            metrics.num_forward_passes += -(-len(prompt_tokens) // self.prefill_buckets[-1])
+
+        decode = self._decode_fn(sampling)
+        keys = jax.random.split(jax.random.PRNGKey(seed ^ 0x5EED), max_new_tokens + 1)
+        token = first
+        if state.get("ring") is not None:
+            state["ring"] = push_ring(state["ring"], token)
+        produced = 0
+        t2 = time.perf_counter()
+        # stop before the KV cache would overflow (decode writes one slot per
+        # step at the current position)
+        budget = min(max_new_tokens, self.max_context - len(prompt_tokens))
+        # Pipelined loop: enqueue step N+1 (device-resident token chaining)
+        # BEFORE reading token N on the host, so the accelerator never idles
+        # waiting for Python (≈ reference ForwardPassChaining).
+        for step in range(budget):
+            if produced + 1 < budget:
+                state, next_token = decode(state, token, keys[step])
+                if metrics is not None:
+                    metrics.num_forward_passes += 1
+            else:
+                next_token = None
+            val = int(jax.device_get(token))
+            produced += 1
+            yield val
+            if val in stop or next_token is None:
+                break
+            token = next_token
+        if metrics is not None:
+            metrics.num_tokens_generated += produced
+            metrics.decode_seconds += time.perf_counter() - t2
+
+    def generate_list(self, prompt_tokens, max_new_tokens: int, **kw) -> list[int]:
+        return list(self.generate(prompt_tokens, max_new_tokens, **kw))
+
+
+def _ring_push_chunk(ring: jax.Array, tokens: jax.Array, true_length) -> jax.Array:
+    """Push `true_length` tokens of a chunk into the ring (static shapes)."""
+    r = ring.shape[0]
+    s = tokens.shape[0]
+    buf = jnp.concatenate([ring, tokens])  # [r + s]
+    # after pushing true_length tokens, the window ends at r + true_length
+    start = true_length  # == (r + true_length) - r
+    return jax.lax.dynamic_slice_in_dim(buf, start, r)

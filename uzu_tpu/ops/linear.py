@@ -1,0 +1,49 @@
+"""Linear application over full-precision or quantized weights.
+
+All weights use the reference's OutputInput layout, i.e. W has shape [N, K]
+and y = x @ W^T (reference: crates/backend-uzu/src/encodable_block/linear/
+matmul.rs). Quantized weights route through a fused dequant matmul — the
+Pallas kernel on TPU, or a pure-XLA dequantize-then-dot everywhere else.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.format import QuantizedTensor, dequantize
+from .. import runtime
+
+
+def linear_apply(w, x: jax.Array, bias=None) -> jax.Array:
+    """x: [..., K] -> [..., N]."""
+    if isinstance(w, QuantizedTensor):
+        y = quant_matmul(w, x)
+    else:
+        y = jax.lax.dot_general(
+            x,
+            w,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+    if bias is not None:
+        y = (y.astype(jnp.float32) + bias.astype(jnp.float32)).astype(y.dtype)
+    return y
+
+
+def quant_matmul(w: QuantizedTensor, x: jax.Array) -> jax.Array:
+    """Fused dequant matmul: y[m, n] = sum_k x[m,k] * dq(w)[n,k]."""
+    if runtime.use_pallas():
+        from .pallas.quant_matmul import quant_matmul_pallas
+
+        try:
+            return quant_matmul_pallas(w, x)
+        except NotImplementedError:
+            pass
+    wd = dequantize(w, dtype=x.dtype)
+    return jax.lax.dot_general(
+        x,
+        wd,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)

@@ -1,0 +1,146 @@
+"""Benchmark: single-stream decode throughput on the flagship model.
+
+Prints ONE JSON line:
+  {"metric": "decode_tok_s", "value": N, "unit": "tok/s", "vs_baseline": N}
+
+vs_baseline = measured tok/s / speed-of-light tok/s, where speed-of-light is
+HBM bandwidth / bytes touched per decode step (all weight bytes + current KV
+bytes) — the metric BASELINE.md defines. The reference publishes no absolute
+numbers (SURVEY.md §6), so SoL fraction is the honest cross-hardware anchor;
+1.0 means decode runs at memory-bandwidth speed like the reference's Metal
+GEMV path does on M-series.
+
+Flagship config: Llama-3.2-1B-class (16 layers, d=2048, GQA 32/8, hidden
+8192, vocab 128k), INT4 group-32 symmetric weights — synthesized with seeded
+random weights (the reference's load_language_model_random strategy) and
+cached under .bench_cache/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# HBM bandwidth (bytes/s) by TPU generation; CPU fallback gets a nominal
+# figure so vs_baseline stays meaningful as a fraction.
+HBM_BW = {
+    "v2": 700e9,
+    "v3": 900e9,
+    "v4": 1228e9,
+    "v5 lite": 819e9,
+    "v5e": 819e9,
+    "v5p": 2765e9,
+    "v6 lite": 1640e9,
+    "v6e": 1640e9,
+    "cpu": 100e9,
+}
+
+
+def device_bandwidth() -> tuple[str, float]:
+    import jax
+
+    kind = str(jax.devices()[0].device_kind).lower()
+    for key, bw in HBM_BW.items():
+        if key in kind:
+            return kind, bw
+    return kind, 819e9
+
+
+def flagship_dir(on_tpu: bool) -> tuple[str, dict]:
+    from uzu_tpu.config.model import IntSpec, Layout
+    from uzu_tpu.tools.synth import llama_config, synthesize
+
+    if on_tpu:
+        dims = dict(num_layers=16, model_dim=2048, hidden_dim=8192, num_heads=32,
+                    num_groups=8, head_dim=64, vocab_size=128256, max_seq=8192,
+                    rope_base=500000.0, llama3_rope_scaling=True)
+        name = "llama1b_int4"
+    else:
+        dims = dict(num_layers=4, model_dim=256, hidden_dim=1024, num_heads=8,
+                    num_groups=2, head_dim=32, vocab_size=2048)
+        name = "tiny_int4"
+    out = os.path.join(REPO, ".bench_cache", name)
+    if not os.path.exists(os.path.join(out, "model.safetensors")):
+        spec = IntSpec(bits=4, group_size=32, is_symmetric=True, layout=Layout.OUTPUT_INPUT)
+        synthesize(llama_config(**dims), out, seed=0, linear_spec=spec, embedding_spec=spec)
+    return out, dims
+
+
+def weight_bytes(params) -> int:
+    import jax
+
+    return sum(x.nbytes for x in jax.tree.leaves(params))
+
+
+def main() -> None:
+    import jax
+
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.config.model import AttentionConfig
+    from uzu_tpu.engine.engine import StreamMetrics
+    from uzu_tpu.engine.sampling import SamplingParams
+    from uzu_tpu.runtime import on_tpu
+
+    tpu = on_tpu()
+    kind, bw = device_bandwidth()
+    model_dir, dims = flagship_dir(tpu)
+
+    t0 = time.perf_counter()
+    max_context = 1024
+    lm = LanguageModel.from_dir(model_dir, max_context=max_context, prefill_buckets=(128,))
+    load_s = time.perf_counter() - t0
+
+    prompt_len, gen_len = 128, 128
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, lm.decoder_config.vocab_size, prompt_len)
+    sampling = SamplingParams()  # greedy
+
+    # warmup: compile prefill + decode
+    list(lm.generate(prompt, 3, sampling=sampling, stop_token_ids=[]))
+
+    metrics = StreamMetrics()
+    out = list(
+        lm.generate(prompt, gen_len, sampling=sampling, stop_token_ids=[], metrics=metrics)
+    )
+    assert len(out) == gen_len
+    decode_tok_s = metrics.decode_tokens_per_second
+
+    # speed-of-light: bytes touched per decode step
+    wbytes = weight_bytes(lm.params)
+    kv_dtype_bytes = 2
+    mid_ctx = prompt_len + gen_len // 2
+    kv_bytes = sum(
+        2 * mid_ctx * lc.mixer_config.num_groups * lc.mixer_config.head_dim * kv_dtype_bytes
+        for lc in lm.decoder_config.transformer_config.layer_configs
+        if isinstance(lc.mixer_config, AttentionConfig)
+    )
+    sol_tok_s = bw / (wbytes + kv_bytes)
+
+    print(
+        json.dumps(
+            {
+                "metric": "decode_tok_s",
+                "value": round(decode_tok_s, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(decode_tok_s / sol_tok_s, 4),
+                "sol_tok_s": round(sol_tok_s, 2),
+                "prefill_tok_s": round(metrics.prefill_tokens_per_second, 2),
+                "ttft_s": round(metrics.prefill_seconds, 4),
+                "model": os.path.basename(model_dir),
+                "weight_bytes": wbytes,
+                "device": kind,
+                "load_s": round(load_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -99,13 +99,16 @@ class LanguageModel:
     # -- compiled steps ----------------------------------------------------
 
     def _prefill_fn(self, chunk: int):
+        # params are an explicit jit argument (never closure constants): the
+        # weights must stay HBM-resident arguments so XLA doesn't embed them
+        # in the executable and sharding/donation stay controllable.
         if chunk not in self._prefill_jit:
 
-            @partial(jax.jit, static_argnames=(), donate_argnums=(1,))
-            def prefill(tokens, state, true_length):
+            @partial(jax.jit, donate_argnums=(2,))
+            def prefill(params, tokens, state, true_length):
                 ring = state.pop("ring", None)
                 logits, state = decoder_forward(
-                    self.decoder_config, self.params, tokens, state, last_only=True, true_length=true_length
+                    self.decoder_config, params, tokens, state, last_only=True, true_length=true_length
                 )
                 if ring is not None:
                     state["ring"] = _ring_push_chunk(ring, tokens, true_length)
@@ -117,11 +120,11 @@ class LanguageModel:
     def _decode_fn(self, sampling: SamplingParams):
         if sampling not in self._decode_jit:
 
-            @partial(jax.jit, donate_argnums=(0,))
-            def decode_step(state, token, key):
+            @partial(jax.jit, donate_argnums=(1,))
+            def decode_step(params, state, token, key):
                 ring = state.pop("ring", None)
                 logits, state = decoder_forward(
-                    self.decoder_config, self.params, token.reshape(1), state, last_only=True
+                    self.decoder_config, params, token.reshape(1), state, last_only=True
                 )
                 next_token = sample(logits[0], sampling, key=key, ring=ring)
                 if ring is not None:
@@ -155,7 +158,7 @@ class LanguageModel:
             chunk = np.zeros(bucket, np.int32)
             chunk[:take] = tokens[i : i + take]
             fn = self._prefill_fn(bucket)
-            logits, state = fn(jnp.asarray(chunk), state, jnp.asarray(take, jnp.int32))
+            logits, state = fn(self.params, jnp.asarray(chunk), state, jnp.asarray(take, jnp.int32))
             i += take
         return logits, state
 
@@ -208,7 +211,7 @@ class LanguageModel:
         # waiting for Python (≈ reference ForwardPassChaining).
         for step in range(budget):
             if produced + 1 < budget:
-                state, next_token = decode(state, token, keys[step])
+                state, next_token = decode(self.params, state, token, keys[step])
                 if metrics is not None:
                     metrics.num_forward_passes += 1
             else:

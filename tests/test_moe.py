@@ -1,0 +1,102 @@
+"""MoE block tests.
+
+Mirrors the reference's MoE e2e strategy (tests/unit/encodable_block/moe/
+moe_block_e2e_test.rs: GPU block vs a scalar host reference) — here the
+gather (decode) and dense (prefill) data paths check each other, plus a
+numpy scalar reference pins the routing/expert/finalize math.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import uzu_tpu.models.moe as moe_mod
+from uzu_tpu import LanguageModel
+from uzu_tpu.models.moe import moe_forward, router_topk
+from uzu_tpu.tools.synth import moe_config, synthesize
+
+
+@pytest.fixture(scope="module")
+def moe_dir(tmp_path_factory):
+    return synthesize(
+        moe_config(), str(tmp_path_factory.mktemp("moe")), seed=5, dtype=np.float32
+    )
+
+
+@pytest.fixture(scope="module")
+def moe_lm(moe_dir):
+    return LanguageModel.from_dir(moe_dir, max_context=64, prefill_buckets=(8,))
+
+
+def _numpy_moe_reference(cfg, params, x):
+    """Scalar reference for router+experts+finalize (f32)."""
+    p = lambda t: np.asarray(t, np.float32)
+    logits = x @ p(params["router"]["w"]).T
+    if "b" in params["router"]:
+        logits = logits + p(params["router"]["b"])
+    k = cfg.num_active_routed_experts
+    dff = cfg.expert_hidden_dim
+    out = np.zeros_like(x)
+    for s in range(x.shape[0]):
+        ids = np.argsort(-logits[s], kind="stable")[:k]
+        vals = logits[s][ids]
+        probs = np.exp(vals - vals.max())
+        probs /= probs.sum()
+        for prob, e in zip(probs, ids):
+            up_out = x[s] @ p(params["up"]["w"][e]).T
+            if "b" in params["up"]:
+                up_out = up_out + p(params["up"]["b"][e])
+            up, gate = up_out[:dff], up_out[dff:]
+            hidden = gate / (1 + np.exp(-gate)) * up
+            y = hidden @ p(params["down"]["w"][e]).T
+            if "b" in params["down"]:
+                y = y + p(params["down"]["b"][e])
+            out[s] += prob * y
+    return out
+
+
+def test_moe_vs_numpy_reference(moe_lm, rng):
+    cfg = moe_lm.decoder_config.transformer_config.layer_configs[0].mlp_config
+    params = moe_lm.params["layers"][0]["mlp"]
+    x = rng.standard_normal((6, 64), dtype=np.float32)
+    got = np.asarray(moe_forward(cfg, params, jnp.asarray(x)))
+    want = _numpy_moe_reference(cfg, params, x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_gather_and_dense_paths_agree(moe_lm, rng, monkeypatch):
+    cfg = moe_lm.decoder_config.transformer_config.layer_configs[0].mlp_config
+    params = moe_lm.params["layers"][0]["mlp"]
+    x = jnp.asarray(rng.standard_normal((3, 64), dtype=np.float32))
+    dense = np.asarray(moe_forward(cfg, params, x))  # 3 <= threshold -> gather
+    monkeypatch.setattr(moe_mod, "GATHER_PATH_MAX_TOKENS", 0)
+    loop = np.asarray(moe_forward(cfg, params, x))
+    np.testing.assert_allclose(dense, loop, rtol=1e-4, atol=1e-4)
+
+
+def test_router_topk_renorm(moe_lm, rng):
+    cfg = moe_lm.decoder_config.transformer_config.layer_configs[0].mlp_config
+    params = moe_lm.params["layers"][0]["mlp"]
+    x = jnp.asarray(rng.standard_normal((4, 64), dtype=np.float32))
+    ids, probs = router_topk(cfg, params, x)
+    assert ids.shape == (4, cfg.num_active_routed_experts)
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_moe_model_end_to_end(moe_lm):
+    toks = (np.arange(10) * 3) % 512
+    l1, _ = moe_lm.prefill(moe_lm.new_state(), toks)
+    assert l1.shape == (512,)
+    out = moe_lm.generate_list(toks, 6, stop_token_ids=[])
+    assert len(out) == 6
+
+
+def test_moe_prefill_decode_consistency(moe_dir):
+    toks = (np.arange(9) * 7) % 512
+    lm1 = LanguageModel.from_dir(moe_dir, max_context=64, prefill_buckets=(16,))
+    l1, _ = lm1.prefill(lm1.new_state(), toks)
+    lm2 = LanguageModel.from_dir(moe_dir, max_context=64, prefill_buckets=(1,))
+    s2 = lm2.new_state()
+    for t in toks:
+        l2, s2 = lm2.prefill(s2, np.array([t]))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=5e-4, atol=5e-4)

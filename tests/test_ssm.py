@@ -1,0 +1,123 @@
+"""Recurrent-mixer tests (ShortConv / Mamba2 / Gated DeltaNet).
+
+Strategy mirrors the reference's kernel-vs-reference discipline plus
+state-invariance checks that pin the cross-chunk state handling:
+- chunking invariance: one-shot prefill == token-at-a-time decode
+  (exercises conv-state packing and recurrent state carry exactly like the
+  reference's prefill vs decode kernel pair);
+- padding invariance: bucketed (end-padded) prefill == exact prefill
+  (exercises the identity-transition masking);
+- a hand-computed ShortConv case against the kernel semantics of
+  backends/cpu/kernel/short_conv/short_conv.rs.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from uzu_tpu import LanguageModel
+from uzu_tpu.config.model import SeparableCausalConvConfig, ShortConvConfig
+from uzu_tpu.models.ssm import make_ssm_state, ssm_forward
+from uzu_tpu.tools.synth import (
+    lfm2_config,
+    mamba2_hybrid_config,
+    qwen35_config,
+    synthesize,
+)
+
+CONFIG_BUILDERS = {
+    "lfm2": lfm2_config,
+    "mamba2": mamba2_hybrid_config,
+    "qwen35": qwen35_config,
+}
+
+
+@pytest.fixture(scope="module", params=list(CONFIG_BUILDERS))
+def model_dir(request, tmp_path_factory):
+    cfg = CONFIG_BUILDERS[request.param]()
+    return synthesize(cfg, str(tmp_path_factory.mktemp(request.param)), seed=11, dtype=np.float32)
+
+
+def test_prefill_decode_consistency(model_dir):
+    """One-shot prefill == token-at-a-time stepping (state carry correct)."""
+    toks = (np.arange(12) * 13) % 512
+    lm1 = LanguageModel.from_dir(model_dir, max_context=64, prefill_buckets=(16,))
+    l1, _ = lm1.prefill(lm1.new_state(), toks)
+
+    lm2 = LanguageModel.from_dir(model_dir, max_context=64, prefill_buckets=(1,))
+    s2 = lm2.new_state()
+    for t in toks:
+        l2, s2 = lm2.prefill(s2, np.array([t]))
+
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=5e-4, atol=5e-4)
+
+
+def test_mixed_chunking(model_dir):
+    """Prefill split at an arbitrary boundary == one-shot prefill."""
+    toks = (np.arange(11) * 29) % 512
+    lm1 = LanguageModel.from_dir(model_dir, max_context=64, prefill_buckets=(16,))
+    l1, _ = lm1.prefill(lm1.new_state(), toks)
+
+    lm2 = LanguageModel.from_dir(model_dir, max_context=64, prefill_buckets=(4, 16))
+    s2 = lm2.new_state()
+    _, s2 = lm2.prefill(s2, toks[:7])
+    l2, s2 = lm2.prefill(s2, toks[7:])
+
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=5e-4, atol=5e-4)
+
+
+def test_generation_runs(model_dir):
+    lm = LanguageModel.from_dir(model_dir, max_context=64, prefill_buckets=(16,))
+    out = lm.generate_list(np.array([5, 6, 7]), 8, stop_token_ids=[])
+    assert len(out) == 8
+    out2 = lm.generate_list(np.array([5, 6, 7]), 8, stop_token_ids=[])
+    assert out == out2
+
+
+def test_short_conv_hand_computed():
+    """Pin ShortConv to the reference kernel semantics on a tiny case."""
+    d, kernel = 2, 3
+    cfg = ShortConvConfig(
+        in_projection_config=None,
+        conv_config=SeparableCausalConvConfig(has_biases=False),
+        out_projection_config=None,
+        kernel_size=kernel,
+    )
+    # identity-ish projections so we can hand-compute:
+    # in_proj = [pre | post | x] with pre = 1, post = 1, x = input
+    w_in = np.zeros((3 * d, d), np.float32)
+    w_in[2 * d :, :] = np.eye(d)  # x passthrough
+    b_like_pre = np.zeros((3 * d,), np.float32)
+    # make pre/post constant 1 via weights: impossible without bias, so use
+    # rows that sum the input and inputs of ones instead
+    w_in[:d, :] = 0.0
+    w_out = np.eye(d, dtype=np.float32)
+
+    conv_w = np.asarray([[0.5, 0.25, 1.0], [1.0, 0.0, 2.0]], np.float32)  # [d, k]
+
+    params = {
+        "in": {"w": jnp.asarray(w_in)},
+        "out": {"w": jnp.asarray(w_out)},
+        "conv_w": jnp.asarray(conv_w),
+    }
+    # With pre-gate = 0 the gated input x*pre is 0, so conv output is 0.
+    state = make_ssm_state(cfg, d, jnp.float32)
+    x = jnp.asarray(np.ones((4, d), np.float32))
+    out, new_state = ssm_forward(cfg, params, x, None, state)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+    # conv state keeps last k-1 gated inputs (zeros here)
+    np.testing.assert_allclose(np.asarray(new_state["conv"]), 0.0)
+
+    # Now pre = sum(input) (row of ones): for input ones, pre = d = 2 -> x*pre = 2
+    w_in2 = w_in.copy()
+    w_in2[:d, :] = 1.0  # pre gate = sum of inputs = 2
+    w_in2[d : 2 * d, :] = 0.5  # post gate = 0.5 * sum = 1
+    params["in"]["w"] = jnp.asarray(w_in2)
+    state = make_ssm_state(cfg, d, jnp.float32)
+    out, new_state = ssm_forward(cfg, params, x, None, state)
+    # gated input rows: x*pre = 2 for every token; post = 1
+    # token 0: taps see [0, 0, 2] -> ch0: 1.0*2 = 2; ch1: 2*2 = 4
+    # token 2+: taps see [2, 2, 2] -> ch0: (0.5+0.25+1)*2 = 3.5; ch1: 3*2=6
+    np.testing.assert_allclose(np.asarray(out[0]), [2.0, 4.0], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[3]), [3.5, 6.0], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state["conv"]), 2.0)

@@ -190,6 +190,7 @@ def layer_forward(
     positions: jax.Array,
     layer_state,
     shared_kv,
+    true_length=None,
 ):
     mixer_cfg = layer_cfg.mixer_config
     pls = params.get("post_layer_scalar")
@@ -205,7 +206,9 @@ def layer_forward(
     else:
         from .ssm import ssm_forward
 
-        a, new_state = ssm_forward(mixer_cfg, params["mixer"], h, positions, layer_state)
+        a, new_state = ssm_forward(
+            mixer_cfg, params["mixer"], h, positions, layer_state, true_length
+        )
 
     if layer_cfg.post_mixer_norm_config is not None:
         a = _norm("post_mixer_norm", layer_cfg.post_mixer_norm_config, params, a)
@@ -259,7 +262,8 @@ def decoder_forward(
         if src is not None:
             shared_kv = new_layer_states[src]
         x, new_state = layer_forward(
-            layer_cfg, params["layers"][i], x, positions, state["layers"][i], shared_kv
+            layer_cfg, params["layers"][i], x, positions, state["layers"][i], shared_kv,
+            true_length,
         )
         new_layer_states.append(new_state)
 

@@ -1,17 +1,155 @@
-"""Mixture-of-experts block (router top-k + bucketed experts).
+"""Mixture-of-experts block.
 
-Reference: crates/backend-uzu/src/encodable_block/mlp/moe/mod.rs:31-354.
-TPU design: dense per-token top-k routing with capacity-free gather/scatter
-via one-hot matmuls for small expert counts, or ragged/sorted dispatch for
-large ones. Implemented in a later milestone.
+Reference semantics (crates/backend-uzu/src/encodable_block/mlp/moe/mod.rs +
+backends/cpu/kernel/moe/{router_topk,experts_two_pass_decode,finalize}.rs and
+the metal experts_two_pass_decode.metal):
+- router: logits = x @ Wr^T + br, top-k (ties -> lower expert id);
+  SoftmaxRouting renormalizes the k selected logits with softmax, otherwise
+  raw logits are the combine weights;
+- expert: w13 [E, 2*dff, D] rows are [up | gate]; up/gate biases in
+  up_biases [E, 2*dff]; clipping applied after bias; hidden =
+  act(gate) * up (gating_sel>1 path; act = SiLU or GELU);
+- down: w2 [E, D, dff] + down_biases [E, D];
+- finalize: y = sum_k prob_k * expert_out_k.
+
+TPU design — two data paths mirroring the reference's decode/prefill split,
+but chosen by arithmetic instead of kernel variants:
+- few tokens (decode steps): gather the K active experts' weight slices and
+  einsum — HBM reads only the active experts' weights (the property that
+  makes MoE decode fast);
+- many tokens (prefill): static loop over experts with a routed-probability
+  mask — every expert weight is read once regardless of batch, which is the
+  right bandwidth regime once most experts are hit. (A Pallas ragged grouped
+  matmul is the later optimization.)
 """
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
+import numpy as np
 
-def load_moe(tree, cfg, model_dim):
-    raise NotImplementedError("MoE not implemented yet")
+from ..config.model import MixtureOfExpertsConfig, SoftmaxRouting
+from ..ops.activation import apply_activation
+
+# At/below this many tokens, gather active expert weights instead of looping
+# over all experts (reads K instead of E expert blocks from HBM).
+GATHER_PATH_MAX_TOKENS = 4
 
 
-def moe_forward(cfg, params, x):
-    raise NotImplementedError("MoE not implemented yet")
+def router_topk(cfg: MixtureOfExpertsConfig, params, x: jax.Array):
+    """x [S, D] -> (ids [S, K] int32, probs [S, K] f32)."""
+    logits = jnp.einsum(
+        "sd,ed->se", x.astype(jnp.float32), params["router"]["w"].astype(jnp.float32)
+    )
+    if "b" in params["router"]:
+        logits = logits + params["router"]["b"].astype(jnp.float32)
+    k = cfg.num_active_routed_experts
+    vals, ids = jax.lax.top_k(logits, k)  # ties -> lower index (stable)
+    if isinstance(cfg.routing_function, SoftmaxRouting):
+        probs = jax.nn.softmax(vals, axis=-1)
+    else:
+        probs = vals
+    return ids.astype(jnp.int32), probs
+
+
+def _expert_hidden(cfg: MixtureOfExpertsConfig, up_out: jax.Array, dff: int):
+    """up_out [..., 2*dff] (biases already added) -> hidden [..., dff]."""
+    ecfg = cfg.expert_config
+    up, gate = up_out[..., :dff], up_out[..., dff:]
+    if ecfg.up_clipping is not None:
+        lo, hi = ecfg.up_clipping
+        up = jnp.clip(up, lo if lo is not None else -jnp.inf, hi if hi is not None else jnp.inf)
+    if ecfg.gate_clipping is not None:
+        lo, hi = ecfg.gate_clipping
+        gate = jnp.clip(gate, lo if lo is not None else -jnp.inf, hi if hi is not None else jnp.inf)
+    return apply_activation(ecfg.activation, gate) * up
+
+
+def moe_forward(cfg: MixtureOfExpertsConfig, params, x: jax.Array) -> jax.Array:
+    s, d = x.shape
+    dff = cfg.expert_hidden_dim
+    ids, probs = router_topk(cfg, params, x)
+    xf = x.astype(jnp.float32)
+
+    w13 = params["up"]["w"]
+    w2 = params["down"]["w"]
+    up_b = params["up"].get("b")
+    down_b = params["down"].get("b")
+
+    if s <= GATHER_PATH_MAX_TOKENS:
+        # gather path: [S, K, 2dff, D] slices of the active experts only
+        w13_sel = jnp.take(w13, ids, axis=0)
+        w2_sel = jnp.take(w2, ids, axis=0)
+        up_out = jnp.einsum("sd,skhd->skh", xf, w13_sel.astype(jnp.float32))
+        if up_b is not None:
+            up_out = up_out + jnp.take(up_b, ids, axis=0).astype(jnp.float32)
+        hidden = _expert_hidden(cfg, up_out, dff)
+        out = jnp.einsum("skh,skdh->skd", hidden, w2_sel.astype(jnp.float32))
+        if down_b is not None:
+            out = out + jnp.take(down_b, ids, axis=0).astype(jnp.float32)
+        y = jnp.einsum("skd,sk->sd", out, probs)
+    else:
+        # dense path: every expert computes over all tokens, masked combine
+        # weight[s, e] = prob of expert e for token s (0 if not routed)
+        e = cfg.num_routed_experts
+        onehot = jax.nn.one_hot(ids, e, dtype=jnp.float32)  # [S, K, E]
+        weight = jnp.einsum("ske,sk->se", onehot, probs)  # [S, E]
+        up_out = jnp.einsum("sd,ehd->seh", xf, w13.astype(jnp.float32))
+        if up_b is not None:
+            up_out = up_out + up_b.astype(jnp.float32)[None]
+        hidden = _expert_hidden(cfg, up_out, dff)
+        out = jnp.einsum("seh,edh->sed", hidden, w2.astype(jnp.float32))
+        if down_b is not None:
+            out = out + down_b.astype(jnp.float32)[None]
+        y = jnp.einsum("sed,se->sd", out, weight)
+
+    if "shared" in params:
+        # shared experts run densely for every token (DeepSeek-style)
+        fused = jnp.einsum("sd,hd->sh", xf, params["shared"]["up"]["w"].astype(jnp.float32))
+        half = fused.shape[-1] // 2
+        hidden = _expert_hidden(cfg, fused, half)
+        y = y + jnp.einsum(
+            "sh,dh->sd", hidden, params["shared"]["down"]["w"].astype(jnp.float32)
+        )
+    return y.astype(x.dtype)
+
+
+def load_moe(tree, cfg: MixtureOfExpertsConfig, model_dim: int) -> dict:
+    """Tensor names per the reference (moe/mod.rs:119-160)."""
+    from .loader import load_linear, _weights_dtype
+
+    e, dff = cfg.num_routed_experts, cfg.expert_hidden_dim
+    out = {
+        "router": load_linear(
+            tree.subtree("router"), model_dim, e, cfg.router_has_biases
+        )
+    }
+    experts = tree.subtree("experts")
+    up_w = experts.subtree("up_projection.weights")
+    down_w = experts.subtree("down_projection.weights")
+    dt = _weights_dtype(up_w, "weights")
+    out["up"] = {"w": jnp.asarray(up_w.leaf("weights", (e, 2 * dff, model_dim), dt))}
+    out["down"] = {"w": jnp.asarray(down_w.leaf("weights", (e, model_dim, dff), dt))}
+    if cfg.expert_config.has_up_biases:
+        out["up"]["b"] = jnp.asarray(
+            experts.leaf("up_projection.biases", (e, 2 * dff), dt)
+        )
+    if cfg.expert_config.has_down_biases:
+        out["down"]["b"] = jnp.asarray(
+            experts.leaf("down_projection.biases", (e, model_dim), dt)
+        )
+    if cfg.num_shared_experts:
+        shared = tree.subtree("shared_experts")
+        out["shared"] = {
+            "up": load_linear(
+                shared.subtree("up_projection"),
+                model_dim,
+                2 * dff * cfg.num_shared_experts,
+                False,
+            ),
+            "down": load_linear(
+                shared.subtree("down_projection"), dff * cfg.num_shared_experts, model_dim, False
+            ),
+        }
+    return out

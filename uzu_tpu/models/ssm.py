@@ -1,27 +1,312 @@
-"""Hybrid mixer states + forward (Mamba2 / Gated DeltaNet / ShortConv).
+"""Recurrent token mixers: ShortConv (LFM2), Mamba2, Gated DeltaNet (Qwen3.5).
 
-Reference: crates/backend-uzu/src/encodable_block/mixer/{mamba2.rs,
-delta_net.rs,short_conv.rs}. Implemented incrementally; ShortConv first.
+Semantics match the reference's CPU kernels exactly (the portable
+source-of-truth implementations):
+- ShortConv: crates/backend-uzu/src/backends/cpu/kernel/short_conv/
+  short_conv.rs (pack/prefill/decode) + encodable_block/mixer/short_conv.rs
+  — in_projection rows are [pre_gate | post_gate | x]; depthwise causal conv
+  over x*pre_gate; output *post_gate; out_projection.
+- Mamba2: backends/cpu/kernel/ssm/{split_inproj,conv1d,ssd_update}.rs +
+  encodable_block/mixer/mamba2.rs — in_projection rows are
+  [conv_in (x|B|C) | z | dt_raw]; depthwise conv + activation over conv_in;
+  dt = softplus(dt_raw), decay = exp(-dt); S <- S*decay + B ⊗ x;
+  y = C·S + D*x; y *= silu(z + gate_bias); out_projection.
+- GDN: backends/cpu/kernel/gdn/{prefill_prep,conv_scan,update,norm_gate}.rs
+  + encodable_block/mixer/delta_net.rs — in_proj rows are
+  [q | k | v (conv'd + SiLU) | z | beta_raw | a_raw]; q,k L2-normalized
+  (q scaled dk^-1/2); beta = sigmoid(beta_raw);
+  decay = exp(-exp(a_log) * softplus(a_raw + dt_bias)); delta rule
+  S <- decay*S + beta*(v - decay*S·k) ⊗ k; o = decay*S·q + delta*(k·q);
+  per-head RMSNorm(o)*norm_w*silu(z); out_proj.
+
+TPU design notes: prefill uses a lax.scan over time with f32 states
+(XLA keeps the scan on-device; a chunked Pallas SSD kernel is a later
+optimization); decode is the S=1 special case of the same code. States are
+time-major [k-1, C] / [H, dv, dk] fixed-shape arrays donated through the
+jitted step. End-padding is neutralized by forcing identity transitions
+(decay=1, input=0) at rows >= true_length, and the conv state is sliced at
+true_length so padded rows never enter it.
 """
 
 from __future__ import annotations
 
-from ..config.model import DeltaNetConfig, Mamba2Config, ShortConvConfig
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.model import (
+    DeltaNetConfig,
+    GELU,
+    Mamba2Config,
+    ShortConvConfig,
+    SiLU,
+)
+from ..ops.linear import linear_apply
 
 
-def init_ssm_state(layer_cfg, mixer_cfg, dtype):
-    raise NotImplementedError(
-        f"mixer {type(mixer_cfg).__name__} not implemented yet"
+def _act(cfg, x):
+    if isinstance(cfg, SiLU):
+        return jax.nn.silu(x)
+    if isinstance(cfg, GELU):
+        return jax.nn.gelu(x, approximate=cfg.approximate)
+    return x
+
+
+def _softplus(x):
+    return jnp.where(x > 20.0, x, jnp.log1p(jnp.exp(x)))
+
+
+def _valid_mask(s: int, true_length) -> jax.Array:
+    return (jnp.arange(s) < true_length)[:, None]
+
+
+def _causal_depthwise_conv(padded: jax.Array, w: jax.Array, bias, s: int) -> jax.Array:
+    """padded [k-1+S, C] -> out [S, C]; w [C, k]; per-channel causal FIR."""
+    k = w.shape[1]
+    out = jnp.zeros((s, padded.shape[1]), jnp.float32)
+    for tap in range(k):
+        out = out + padded[tap : tap + s].astype(jnp.float32) * w[:, tap].astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out
+
+
+def _next_conv_state(padded: jax.Array, true_length, taps: int) -> jax.Array:
+    """Last `taps` real rows of the packed [state; masked inputs] buffer."""
+    return jax.lax.dynamic_slice_in_dim(padded, true_length, taps, axis=0)
+
+
+# --------------------------------------------------------------------------
+# ShortConv (LFM2)
+# --------------------------------------------------------------------------
+
+
+def _short_conv_forward(cfg: ShortConvConfig, params, x, state, true_length):
+    s, d = x.shape
+    k = cfg.kernel_size
+    proj = linear_apply(params["in"]["w"], x).astype(jnp.float32)  # [S, 3D]
+    pre, post, xin = proj[:, :d], proj[:, d : 2 * d], proj[:, 2 * d :]
+    xg = jnp.where(_valid_mask(s, true_length), xin * pre, 0.0)
+
+    padded = jnp.concatenate([state["conv"].astype(jnp.float32), xg])  # [k-1+S, D]
+    conv = _causal_depthwise_conv(padded, params["conv_w"], params.get("conv_b"), s)
+    y = (conv * post).astype(x.dtype)
+    new_state = {"conv": _next_conv_state(padded, true_length, k - 1).astype(state["conv"].dtype)}
+    return linear_apply(params["out"]["w"], y), new_state
+
+
+# --------------------------------------------------------------------------
+# Mamba2
+# --------------------------------------------------------------------------
+
+
+def _mamba2_forward(cfg: Mamba2Config, params, x, state, true_length):
+    s, d = x.shape
+    h, g, dh, n, k = cfg.num_heads, cfg.num_groups, cfg.head_dim, cfg.state_dim, cfg.kernel_size
+    inner = h * dh
+    conv_dim = inner + 2 * g * n
+
+    proj = linear_apply(params["in"]["w"], x, params["in"].get("b")).astype(jnp.float32)
+    conv_in = proj[:, :conv_dim]
+    z = proj[:, conv_dim : conv_dim + inner] + params["gate_bias"].astype(jnp.float32)
+    dt_raw = proj[:, conv_dim + inner :]  # [S, H]
+
+    valid = _valid_mask(s, true_length)
+    conv_in = jnp.where(valid, conv_in, 0.0)
+    padded = jnp.concatenate([state["conv"], conv_in])  # f32 [k-1+S, conv_dim]
+    conv = _act(cfg.activation, _causal_depthwise_conv(padded, params["conv_w"], params.get("conv_b"), s))
+
+    xs = conv[:, :inner].reshape(s, h, dh)
+    bs = conv[:, inner : inner + g * n].reshape(s, g, n)
+    cs = conv[:, inner + g * n :].reshape(s, g, n)
+
+    decay = jnp.exp(-_softplus(dt_raw))  # [S, H]
+    decay = jnp.where(valid, decay, 1.0)
+    xs = jnp.where(valid[:, :, None], xs, 0.0)
+    rep = h // g
+    bs_h = jnp.repeat(bs, rep, axis=1)  # [S, H, N]
+    cs_h = jnp.repeat(cs, rep, axis=1)
+
+    def step(ssm, inp):
+        x_t, b_t, c_t, decay_t = inp
+        ssm = ssm * decay_t[:, None, None] + x_t[:, :, None] * b_t[:, None, :]
+        y_t = jnp.einsum("hdn,hn->hd", ssm, c_t)
+        return ssm, y_t
+
+    ssm, ys = jax.lax.scan(step, state["ssm"], (xs, bs_h, cs_h, decay))
+    ys = ys + params["skip_weight"].astype(jnp.float32)[None, :, None] * xs
+    ys = ys.reshape(s, inner) * jax.nn.silu(z)
+    out = linear_apply(params["out"]["w"], ys.astype(x.dtype), params["out"].get("b"))
+    new_state = {"conv": _next_conv_state(padded, true_length, k - 1), "ssm": ssm}
+    return out, new_state
+
+
+# --------------------------------------------------------------------------
+# Gated DeltaNet (Qwen3.5 hybrid layers)
+# --------------------------------------------------------------------------
+
+
+def _delta_net_forward(cfg: DeltaNetConfig, params, x, state, true_length):
+    s, d = x.shape
+    h, g = cfg.num_heads, cfg.num_groups
+    dk, dv, k = cfg.head_dim, cfg.value_head_dim, cfg.kernel_size
+    key_dim, value_dim = g * dk, h * dv
+    conv_dim = 2 * key_dim + value_dim
+
+    proj = linear_apply(params["in"]["w"], x).astype(jnp.float32)
+    conv_in = proj[:, :conv_dim]
+    z = proj[:, conv_dim : conv_dim + value_dim].reshape(s, h, dv)
+    beta_raw = proj[:, conv_dim + value_dim : conv_dim + value_dim + h]
+    a_raw = proj[:, conv_dim + value_dim + h :]
+
+    valid = _valid_mask(s, true_length)
+    conv_in = jnp.where(valid, conv_in, 0.0)
+    padded = jnp.concatenate([state["conv"], conv_in])
+    conv = jax.nn.silu(_causal_depthwise_conv(padded, params["conv_w"], params.get("conv_b"), s))
+
+    rep = h // g
+    qs = conv[:, :key_dim].reshape(s, g, dk)
+    ks = conv[:, key_dim : 2 * key_dim].reshape(s, g, dk)
+    vs = conv[:, 2 * key_dim :].reshape(s, h, dv)
+
+    def l2norm(v):
+        return v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-6)
+
+    qs = jnp.repeat(l2norm(qs) * (float(dk) ** -0.5), rep, axis=1)  # [S, H, dk]
+    ks = jnp.repeat(l2norm(ks), rep, axis=1)
+
+    beta = jax.nn.sigmoid(beta_raw)  # [S, H]
+    log_decay = -jnp.exp(params["a_log"].astype(jnp.float32))[None, :] * _softplus(
+        a_raw + params["dt_bias"].astype(jnp.float32)[None, :]
     )
+    decay = jnp.exp(log_decay)
+    decay = jnp.where(valid, decay, 1.0)
+    beta = jnp.where(valid, beta, 0.0)
+
+    def step(ssm, inp):
+        # ssm [H, dv, dk]
+        q_t, k_t, v_t, beta_t, decay_t = inp
+        sk = jnp.einsum("hvk,hk->hv", ssm, k_t)  # S·k
+        sq = jnp.einsum("hvk,hk->hv", ssm, q_t)  # S·q
+        retrieved = decay_t[:, None] * sk
+        delta = beta_t[:, None] * (v_t - retrieved)  # [H, dv]
+        kq = jnp.sum(k_t * q_t, axis=-1)  # [H]
+        o_t = decay_t[:, None] * sq + delta * kq[:, None]
+        ssm = decay_t[:, None, None] * ssm + delta[:, :, None] * k_t[:, None, :]
+        return ssm, o_t
+
+    ssm, os_ = jax.lax.scan(step, state["ssm"], (qs, ks, vs, beta, decay))
+
+    # per-head RMSNorm + SiLU(z) gate (gdn/update.rs:129-143)
+    inv_rms = jax.lax.rsqrt(jnp.mean(os_ * os_, axis=-1, keepdims=True) + cfg.norm_config.epsilon)
+    gated = os_ * inv_rms * params["norm_scales"].astype(jnp.float32) * jax.nn.silu(z)
+    out = linear_apply(params["out"]["w"], gated.reshape(s, value_dim).astype(x.dtype))
+    new_state = {"conv": _next_conv_state(padded, true_length, k - 1), "ssm": ssm}
+    return out, new_state
 
 
-def load_ssm_mixer(tree, mixer_cfg, model_dim):
-    raise NotImplementedError(
-        f"mixer {type(mixer_cfg).__name__} not implemented yet"
-    )
+# --------------------------------------------------------------------------
+# Dispatch / state init / loading
+# --------------------------------------------------------------------------
 
 
-def ssm_forward(mixer_cfg, params, x, positions, state):
-    raise NotImplementedError(
-        f"mixer {type(mixer_cfg).__name__} not implemented yet"
-    )
+def ssm_forward(mixer_cfg, params, x, positions, state, true_length=None):
+    if true_length is None:
+        true_length = x.shape[0]
+    if isinstance(mixer_cfg, ShortConvConfig):
+        return _short_conv_forward(mixer_cfg, params, x, state, true_length)
+    if isinstance(mixer_cfg, Mamba2Config):
+        return _mamba2_forward(mixer_cfg, params, x, state, true_length)
+    if isinstance(mixer_cfg, DeltaNetConfig):
+        return _delta_net_forward(mixer_cfg, params, x, state, true_length)
+    raise ValueError(f"unsupported mixer {type(mixer_cfg).__name__}")
+
+
+def make_ssm_state(mixer_cfg, model_dim: int, dtype=jnp.bfloat16) -> dict:
+    k = mixer_cfg.kernel_size
+    if isinstance(mixer_cfg, ShortConvConfig):
+        return {"conv": jnp.zeros((k - 1, model_dim), dtype)}
+    if isinstance(mixer_cfg, Mamba2Config):
+        inner = mixer_cfg.num_heads * mixer_cfg.head_dim
+        conv_dim = inner + 2 * mixer_cfg.num_groups * mixer_cfg.state_dim
+        return {
+            "conv": jnp.zeros((k - 1, conv_dim), jnp.float32),
+            "ssm": jnp.zeros(
+                (mixer_cfg.num_heads, mixer_cfg.head_dim, mixer_cfg.state_dim), jnp.float32
+            ),
+        }
+    if isinstance(mixer_cfg, DeltaNetConfig):
+        key_dim = mixer_cfg.num_groups * mixer_cfg.head_dim
+        value_dim = mixer_cfg.num_heads * mixer_cfg.value_head_dim
+        conv_dim = 2 * key_dim + value_dim
+        return {
+            "conv": jnp.zeros((k - 1, conv_dim), jnp.float32),
+            "ssm": jnp.zeros(
+                (mixer_cfg.num_heads, mixer_cfg.value_head_dim, mixer_cfg.head_dim), jnp.float32
+            ),
+        }
+    raise ValueError(f"unsupported mixer {type(mixer_cfg).__name__}")
+
+
+def load_ssm_mixer(tree, mixer_cfg, model_dim: int) -> dict:
+    """Tensor names/shapes per the reference mixers (see module docstring)."""
+    from .loader import load_linear
+
+    if isinstance(mixer_cfg, ShortConvConfig):
+        k = mixer_cfg.kernel_size
+        out = {
+            "in": load_linear(tree.subtree("in_projection"), model_dim, 3 * model_dim, False),
+            "out": load_linear(tree.subtree("out_projection"), model_dim, model_dim, False),
+            "conv_w": jnp.asarray(tree.leaf("conv.weights", (model_dim, k), np.float32)),
+        }
+        if mixer_cfg.conv_config.has_biases:
+            out["conv_b"] = jnp.asarray(tree.leaf("conv.biases", (model_dim,), np.float32))
+        return out
+
+    if isinstance(mixer_cfg, Mamba2Config):
+        h, g, dh, n, k = (
+            mixer_cfg.num_heads,
+            mixer_cfg.num_groups,
+            mixer_cfg.head_dim,
+            mixer_cfg.state_dim,
+            mixer_cfg.kernel_size,
+        )
+        inner = h * dh
+        conv_dim = inner + 2 * g * n
+        out = {
+            "in": load_linear(
+                tree.subtree("in_projection"),
+                model_dim,
+                conv_dim + inner + h,
+                mixer_cfg.has_in_biases,
+            ),
+            "out": load_linear(
+                tree.subtree("out_projection"), inner, model_dim, mixer_cfg.has_out_biases
+            ),
+            "gate_bias": jnp.asarray(tree.leaf("gate_bias", (inner,), np.float32)),
+            "conv_w": jnp.asarray(tree.leaf("conv.weights", (conv_dim, k), np.float32)),
+            "skip_weight": jnp.asarray(tree.leaf("skip_connection_weight", (h,), np.float32)),
+        }
+        if mixer_cfg.conv_config.has_biases:
+            out["conv_b"] = jnp.asarray(tree.leaf("conv.biases", (conv_dim,), np.float32))
+        return out
+
+    if isinstance(mixer_cfg, DeltaNetConfig):
+        h, g = mixer_cfg.num_heads, mixer_cfg.num_groups
+        dk, dv, k = mixer_cfg.head_dim, mixer_cfg.value_head_dim, mixer_cfg.kernel_size
+        key_dim, value_dim = g * dk, h * dv
+        conv_dim = 2 * key_dim + value_dim
+        total = conv_dim + value_dim + 2 * h
+        out = {
+            "in": load_linear(tree.subtree("in_proj"), model_dim, total, False),
+            "out": load_linear(tree.subtree("out_proj"), value_dim, model_dim, False),
+            "conv_w": jnp.asarray(tree.leaf("conv.weights", (conv_dim, k), np.float32)),
+            "a_log": jnp.asarray(tree.leaf("a_log", (h,), np.float32)),
+            "dt_bias": jnp.asarray(tree.leaf("dt_bias", (h,), np.float32)),
+            "norm_scales": jnp.asarray(tree.leaf("norm.scales", (dv,), np.float32)),
+        }
+        if mixer_cfg.conv_config.has_biases:
+            out["conv_b"] = jnp.asarray(tree.leaf("conv.biases", (conv_dim,), np.float32))
+        return out
+
+    raise ValueError(f"unsupported mixer {type(mixer_cfg).__name__}")

@@ -35,9 +35,9 @@ def init_state(cfg: DecoderConfig, max_context: int, dtype=jnp.bfloat16) -> dict
                     }
                 )
         else:
-            from .ssm import init_ssm_state
+            from .ssm import make_ssm_state
 
-            layers.append(init_ssm_state(layer_cfg, m, dtype))
+            layers.append(make_ssm_state(m, cfg.transformer_config.model_dim, dtype))
     return {
         "layers": layers,
         "pos": jnp.zeros((), jnp.int32),

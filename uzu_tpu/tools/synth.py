@@ -20,6 +20,7 @@ from ..config import dumps as config_dumps
 from ..config.model import (
     AttentionConfig,
     DecoderConfig,
+    DeltaNetConfig,
     DenseMLPConfig,
     FullPrecisionSpec,
     GenerationConfig,
@@ -28,8 +29,11 @@ from ..config.model import (
     Layout,
     LinearConfig,
     MLXSpec,
+    Mamba2Config,
     MixtureOfExpertsConfig,
     NormalizationConfig,
+    SeparableCausalConvConfig,
+    ShortConvConfig,
     SiLU,
     TiedEmbeddingConfig,
     TransformerConfig,
@@ -152,6 +156,36 @@ class ModelBuilder:
                     self.tensors[f"{p}.mixer.key_norm.scales"] = np.ones(m.head_dim, np.float32)
                 if m.has_sinks:
                     self.dense(f"{p}.mixer.sinks", (m.num_heads,), scale=1.0)
+            elif isinstance(m, ShortConvConfig):
+                self.linear(f"{p}.mixer.in_projection", d, 3 * d, linear_spec, False)
+                self.linear(f"{p}.mixer.out_projection", d, d, linear_spec, False)
+                self.dense(f"{p}.mixer.conv.weights", (d, m.kernel_size), np.float32, scale=0.4)
+                if m.conv_config.has_biases:
+                    self.dense(f"{p}.mixer.conv.biases", (d,), np.float32)
+            elif isinstance(m, Mamba2Config):
+                inner = m.num_heads * m.head_dim
+                conv_dim = inner + 2 * m.num_groups * m.state_dim
+                self.linear(f"{p}.mixer.in_projection", d, conv_dim + inner + m.num_heads,
+                            linear_spec, m.has_in_biases)
+                self.linear(f"{p}.mixer.out_projection", inner, d, linear_spec, m.has_out_biases)
+                self.dense(f"{p}.mixer.gate_bias", (inner,), np.float32)
+                self.dense(f"{p}.mixer.conv.weights", (conv_dim, m.kernel_size), np.float32, scale=0.4)
+                if m.conv_config.has_biases:
+                    self.dense(f"{p}.mixer.conv.biases", (conv_dim,), np.float32)
+                self.dense(f"{p}.mixer.skip_connection_weight", (m.num_heads,), np.float32, scale=0.5)
+            elif isinstance(m, DeltaNetConfig):
+                key_dim = m.num_groups * m.head_dim
+                value_dim = m.num_heads * m.value_head_dim
+                conv_dim = 2 * key_dim + value_dim
+                total = conv_dim + value_dim + 2 * m.num_heads
+                self.linear(f"{p}.mixer.in_proj", d, total, linear_spec, False)
+                self.linear(f"{p}.mixer.out_proj", value_dim, d, linear_spec, False)
+                self.dense(f"{p}.mixer.conv.weights", (conv_dim, m.kernel_size), np.float32, scale=0.4)
+                if m.conv_config.has_biases:
+                    self.dense(f"{p}.mixer.conv.biases", (conv_dim,), np.float32)
+                self.dense(f"{p}.mixer.a_log", (m.num_heads,), np.float32, scale=0.3)
+                self.dense(f"{p}.mixer.dt_bias", (m.num_heads,), np.float32, scale=0.3)
+                self.tensors[f"{p}.mixer.norm.scales"] = np.ones(m.value_head_dim, np.float32)
             else:
                 raise ValueError(f"unsupported mixer {type(m).__name__}")
             if lc.pre_mixer_norm_config is not None:
@@ -168,6 +202,16 @@ class ModelBuilder:
             if isinstance(mlp, DenseMLPConfig):
                 self.linear(f"{p}.mlp.up_projection", d, 2 * hid, linear_spec, mlp.has_up_biases)
                 self.linear(f"{p}.mlp.down_projection", hid, d, linear_spec, mlp.has_down_biases)
+            elif isinstance(mlp, MixtureOfExpertsConfig):
+                e, dff = mlp.num_routed_experts, mlp.expert_hidden_dim
+                router_spec = FullPrecisionSpec(layout=Layout.OUTPUT_INPUT)
+                self.linear(f"{p}.mlp.router", d, e, router_spec, mlp.router_has_biases)
+                self.dense(f"{p}.mlp.experts.up_projection.weights.weights", (e, 2 * dff, d))
+                self.dense(f"{p}.mlp.experts.down_projection.weights.weights", (e, d, dff))
+                if mlp.expert_config.has_up_biases:
+                    self.dense(f"{p}.mlp.experts.up_projection.biases", (e, 2 * dff))
+                if mlp.expert_config.has_down_biases:
+                    self.dense(f"{p}.mlp.experts.down_projection.biases", (e, d))
             else:
                 raise ValueError(f"unsupported mlp {type(mlp).__name__}")
         self.norm_scales("transformer.output_norm", d, tcfg.output_norm_config.has_biases)
@@ -335,6 +379,194 @@ def qwen3_config(
             post_mixer_norm_config=lc.post_mixer_norm_config,
             pre_mlp_norm_config=lc.pre_mlp_norm_config,
             mlp_config=lc.mlp_config,
+            post_mlp_norm_config=lc.post_mlp_norm_config,
+            hidden_dim=lc.hidden_dim,
+            ple_config=lc.ple_config,
+            has_post_layer_scalar=lc.has_post_layer_scalar,
+            kv_source_layer_index=lc.kv_source_layer_index,
+            rope_config=lc.rope_config,
+        )
+        for lc in base.decoder_config.transformer_config.layer_configs
+    )
+    decoder = DecoderConfig(
+        embedding_config=base.decoder_config.embedding_config,
+        transformer_config=TransformerConfig(
+            layer_configs=layers,
+            output_norm_config=base.decoder_config.transformer_config.output_norm_config,
+            model_dim=model_dim,
+            hidden_dim=hidden_dim,
+        ),
+        vocab_size=vocab_size,
+        ple_model_config=None,
+    )
+    return LanguageModelConfig(decoder_config=decoder, generation_config=base.generation_config)
+
+
+def _hybrid_config(
+    mixer_for_layer,
+    *,
+    num_layers: int,
+    model_dim: int,
+    hidden_dim: int,
+    vocab_size: int,
+    max_seq: int = 4096,
+    rope_base: float = 1000000.0,
+    attn_heads: int = 8,
+    attn_groups: int = 2,
+    attn_head_dim: int = 32,
+) -> LanguageModelConfig:
+    """Build a hybrid model: `mixer_for_layer(i)` returns a mixer config or
+    None for a standard attention layer (the reference's LFM2/Qwen3.5
+    pattern: recurrent mixers with periodic full-attention layers)."""
+    base = llama_config(
+        num_layers=num_layers, model_dim=model_dim, hidden_dim=hidden_dim,
+        num_heads=attn_heads, num_groups=attn_groups, head_dim=attn_head_dim,
+        vocab_size=vocab_size, max_seq=max_seq, rope_base=rope_base,
+    )
+    layers = []
+    for i, lc in enumerate(base.decoder_config.transformer_config.layer_configs):
+        mixer = mixer_for_layer(i)
+        if mixer is None:
+            layers.append(lc)
+            continue
+        layers.append(
+            TransformerLayerConfig(
+                pre_mixer_norm_config=lc.pre_mixer_norm_config,
+                mixer_config=mixer,
+                post_mixer_norm_config=lc.post_mixer_norm_config,
+                pre_mlp_norm_config=lc.pre_mlp_norm_config,
+                mlp_config=lc.mlp_config,
+                post_mlp_norm_config=lc.post_mlp_norm_config,
+                hidden_dim=lc.hidden_dim,
+                ple_config=lc.ple_config,
+                has_post_layer_scalar=lc.has_post_layer_scalar,
+                kv_source_layer_index=lc.kv_source_layer_index,
+                rope_config=None,  # recurrent mixers take no RoPE
+            )
+        )
+    decoder = DecoderConfig(
+        embedding_config=base.decoder_config.embedding_config,
+        transformer_config=TransformerConfig(
+            layer_configs=tuple(layers),
+            output_norm_config=base.decoder_config.transformer_config.output_norm_config,
+            model_dim=model_dim,
+            hidden_dim=hidden_dim,
+        ),
+        vocab_size=vocab_size,
+        ple_model_config=None,
+    )
+    return LanguageModelConfig(decoder_config=decoder, generation_config=base.generation_config)
+
+
+def lfm2_config(
+    *, num_layers: int = 4, model_dim: int = 128, hidden_dim: int = 256,
+    vocab_size: int = 512, kernel_size: int = 3, attn_every: int = 3,
+) -> LanguageModelConfig:
+    """LFM2-style hybrid: ShortConv mixers with periodic GQA attention."""
+    conv = ShortConvConfig(
+        in_projection_config=LinearConfig(),
+        conv_config=SeparableCausalConvConfig(has_biases=False),
+        out_projection_config=LinearConfig(),
+        kernel_size=kernel_size,
+    )
+    return _hybrid_config(
+        lambda i: None if (i % attn_every == attn_every - 1) else conv,
+        num_layers=num_layers, model_dim=model_dim, hidden_dim=hidden_dim,
+        vocab_size=vocab_size,
+    )
+
+
+def mamba2_hybrid_config(
+    *, num_layers: int = 4, model_dim: int = 128, hidden_dim: int = 256,
+    vocab_size: int = 512, num_heads: int = 4, num_groups: int = 2,
+    head_dim: int = 16, state_dim: int = 32, kernel_size: int = 4,
+    attn_every: int = 4,
+) -> LanguageModelConfig:
+    mamba = Mamba2Config(
+        in_projection_config=LinearConfig(),
+        out_projection_config=LinearConfig(),
+        conv_config=SeparableCausalConvConfig(has_biases=True),
+        activation=SiLU(alpha=1.0),
+        kernel_size=kernel_size,
+        num_heads=num_heads,
+        num_groups=num_groups,
+        head_dim=head_dim,
+        state_dim=state_dim,
+        has_in_biases=False,
+        has_out_biases=False,
+    )
+    return _hybrid_config(
+        lambda i: None if (i % attn_every == attn_every - 1) else mamba,
+        num_layers=num_layers, model_dim=model_dim, hidden_dim=hidden_dim,
+        vocab_size=vocab_size,
+    )
+
+
+def qwen35_config(
+    *, num_layers: int = 4, model_dim: int = 128, hidden_dim: int = 256,
+    vocab_size: int = 512, num_heads: int = 4, num_groups: int = 2,
+    head_dim: int = 32, value_head_dim: int = 32, kernel_size: int = 4,
+    attn_every: int = 4,
+) -> LanguageModelConfig:
+    """Qwen3.5-style hybrid: Gated DeltaNet mixers + periodic GQA attention."""
+    gdn = DeltaNetConfig(
+        in_proj_config=LinearConfig(),
+        conv_config=SeparableCausalConvConfig(has_biases=False),
+        out_proj_config=LinearConfig(),
+        norm_config=_rms(eps=1e-6, upcast=UpcastMode.FULL_LAYER),
+        num_heads=num_heads,
+        num_groups=num_groups,
+        head_dim=head_dim,
+        value_head_dim=value_head_dim,
+        kernel_size=kernel_size,
+    )
+    return _hybrid_config(
+        lambda i: None if (i % attn_every == attn_every - 1) else gdn,
+        num_layers=num_layers, model_dim=model_dim, hidden_dim=hidden_dim,
+        vocab_size=vocab_size,
+    )
+
+
+def moe_config(
+    *, num_layers: int = 2, model_dim: int = 64, hidden_dim: int = 128,
+    vocab_size: int = 512, num_experts: int = 8, num_active: int = 2,
+    expert_hidden_dim: int = 96, with_biases: bool = True,
+    attn_heads: int = 4, attn_groups: int = 2, attn_head_dim: int = 16,
+) -> LanguageModelConfig:
+    """gpt-oss-style MoE decoder (every layer MoE, softmax routing)."""
+    base = llama_config(
+        num_layers=num_layers, model_dim=model_dim, hidden_dim=hidden_dim,
+        num_heads=attn_heads, num_groups=attn_groups, head_dim=attn_head_dim,
+        vocab_size=vocab_size,
+    )
+    expert = DenseMLPConfig(
+        linear_config=LinearConfig(),
+        activation=SiLU(alpha=1.0),
+        has_up_biases=with_biases,
+        has_down_biases=with_biases,
+        gate_clipping=None,
+        up_clipping=None,
+    )
+    from ..config.model import SoftmaxRouting
+
+    moe = MixtureOfExpertsConfig(
+        expert_config=expert,
+        router_config=LinearConfig(),
+        routing_function=SoftmaxRouting(),
+        num_routed_experts=num_experts,
+        num_active_routed_experts=num_active,
+        router_has_biases=with_biases,
+        num_shared_experts=0,
+        expert_hidden_dim=expert_hidden_dim,
+        gate_config=None,
+    )
+    layers = tuple(
+        TransformerLayerConfig(
+            pre_mixer_norm_config=lc.pre_mixer_norm_config,
+            mixer_config=lc.mixer_config,
+            post_mixer_norm_config=lc.post_mixer_norm_config,
+            pre_mlp_norm_config=lc.pre_mlp_norm_config,
+            mlp_config=moe,
             post_mlp_norm_config=lc.post_mlp_norm_config,
             hidden_dim=lc.hidden_dim,
             ple_config=lc.ple_config,

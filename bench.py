@@ -102,8 +102,8 @@ def main() -> None:
     prompt = rng.integers(0, lm.decoder_config.vocab_size, prompt_len)
     sampling = SamplingParams()  # greedy
 
-    # warmup: compile prefill + decode
-    list(lm.generate(prompt, 3, sampling=sampling, stop_token_ids=[]))
+    # warmup: compile prefill + every decode chunk size the measured run uses
+    list(lm.generate(prompt, gen_len, sampling=sampling, stop_token_ids=[]))
 
     metrics = StreamMetrics()
     out = list(

@@ -1,0 +1,91 @@
+"""Pallas kernel tests (interpreter mode on CPU).
+
+Port of the reference's kernel-vs-host-reference discipline
+(tests/unit/backends/common/kernel/matmul/*_test.rs): each kernel runs in
+Pallas interpret mode against the pure-XLA dequantize-then-dot reference
+across quant methods, bit widths, group sizes, and M shapes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from uzu_tpu.quant.format import dequantize, from_disk_tensors, quantize_reference
+from uzu_tpu.ops.pallas.quant_matmul import quant_matmul_pallas, supported
+
+
+def _make_qt(rng, n, k, bits, g, method, dtype=np.float32):
+    w = rng.standard_normal((n, k), dtype=np.float32) * 0.1
+    parts = quantize_reference(w, bits, g, method, dtype=dtype)
+    return from_disk_tensors(
+        method,
+        parts["weights"],
+        parts["scales"],
+        bits,
+        g,
+        zero_points=parts.get("zero_points"),
+        biases=parts.get("biases"),
+        dtype=jnp.float32,
+    )
+
+
+CASES = [
+    (4, 32, "scale_symmetric"),
+    (4, 64, "scale_bias"),
+    (4, 128, "scale_zero_point"),
+    (8, 32, "scale_symmetric"),
+    (8, 64, "scale_zero_point"),
+    (8, 128, "scale_bias"),
+]
+
+
+@pytest.mark.parametrize("bits,g,method", CASES)
+@pytest.mark.parametrize("m", [1, 5, 16])
+def test_quant_matmul_matches_reference(rng, bits, g, method, m):
+    n, k = 256, 512
+    qt = _make_qt(rng, n, k, bits, g, method)
+    x = jnp.asarray(rng.standard_normal((m, k), dtype=np.float32))
+    want = x @ dequantize(qt, jnp.float32).T
+    got = quant_matmul_pallas(qt, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-3)
+
+
+def test_quant_matmul_3d_input(rng):
+    qt = _make_qt(rng, 256, 512, 4, 32, "scale_symmetric")
+    x = jnp.asarray(rng.standard_normal((2, 3, 512), dtype=np.float32))
+    got = quant_matmul_pallas(qt, x, interpret=True)
+    want = jnp.einsum("abk,nk->abn", x, dequantize(qt, jnp.float32))
+    assert got.shape == (2, 3, 256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-3)
+
+
+def test_supported_routing(rng):
+    # odd N -> unsupported, falls back to XLA path
+    qt = _make_qt(rng, 192, 512, 4, 32, "scale_symmetric")
+    assert not supported(qt, jnp.zeros((1, 512)))
+    qt = _make_qt(rng, 256, 512, 4, 32, "scale_symmetric")
+    assert supported(qt, jnp.zeros((1, 512)))
+
+
+def test_forced_pallas_mode_end_to_end(rng, tmp_path, monkeypatch):
+    """UZU_TPU_KERNELS=pallas runs the whole model through the kernels
+    (interpret mode on CPU) and must match the XLA path."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.config.model import IntSpec, Layout
+    from uzu_tpu.tools.synth import llama_config, synthesize
+
+    cfg = llama_config(num_layers=2, model_dim=128, hidden_dim=256, num_heads=4,
+                       num_groups=2, head_dim=32, vocab_size=256)
+    spec = IntSpec(bits=4, group_size=32, is_symmetric=True, layout=Layout.OUTPUT_INPUT)
+    d = synthesize(cfg, str(tmp_path / "m"), seed=3, linear_spec=spec, dtype=np.float32)
+    toks = (np.arange(7) * 11) % 256
+
+    monkeypatch.setenv("UZU_TPU_KERNELS", "xla")
+    lm = LanguageModel.from_dir(d, max_context=32, prefill_buckets=(8,))
+    want, _ = lm.prefill(lm.new_state(), toks)
+
+    monkeypatch.setenv("UZU_TPU_KERNELS", "pallas")
+    lm2 = LanguageModel.from_dir(d, max_context=32, prefill_buckets=(8,))
+    got, _ = lm2.prefill(lm2.new_state(), toks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)

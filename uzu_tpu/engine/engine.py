@@ -73,6 +73,9 @@ class LanguageModel:
         self.decoder_config = config.decoder_config
         self.max_context = max_context
         self.prefill_buckets = tuple(sorted(prefill_buckets))
+        # largest number of decode steps fused into one dispatch (one host
+        # fetch per chunk; chunks grow 1,2,4,... up to this)
+        self.max_decode_chunk = 32
         self.params = shard_fn(params) if shard_fn is not None else params
         self._prefill_jit = {}
         self._decode_jit = {}
@@ -117,22 +120,55 @@ class LanguageModel:
             self._prefill_jit[chunk] = prefill
         return self._prefill_jit[chunk]
 
-    def _decode_fn(self, sampling: SamplingParams):
-        if sampling not in self._decode_jit:
+    def _decode_fn(self, sampling: SamplingParams, steps: int, stop_ids: tuple):
+        """K decode steps fused into ONE dispatch via lax.scan, with an
+        on-device halt flag: after a stop token every remaining step is an
+        identity transition (true_length=0 — pos frozen, recurrent states
+        masked, KV writes land in the invisible slot at pos). The host
+        fetches K tokens per roundtrip instead of one — the TPU-side
+        extension of the reference's chain_copy GPU token forwarding
+        (stream.rs:580-609), sized for dispatch/transfer latency."""
+        cache_key = (sampling, steps, stop_ids)
+        if cache_key not in self._decode_jit:
+            stop_arr = jnp.asarray(stop_ids, jnp.int32) if stop_ids else None
 
-            @partial(jax.jit, donate_argnums=(1,))
-            def decode_step(params, state, token, key):
+            def one_step(params, state, token, halted, key):
+                true_length = jnp.where(halted, 0, 1).astype(jnp.int32)
                 ring = state.pop("ring", None)
                 logits, state = decoder_forward(
-                    self.decoder_config, params, token.reshape(1), state, last_only=True
+                    self.decoder_config,
+                    params,
+                    token.reshape(1),
+                    state,
+                    last_only=True,
+                    true_length=true_length,
                 )
                 next_token = sample(logits[0], sampling, key=key, ring=ring)
+                next_token = jnp.where(halted, token, next_token)
                 if ring is not None:
-                    state["ring"] = push_ring(ring, next_token)
-                return state, next_token
+                    state["ring"] = jax.tree.map(
+                        lambda new, old: jnp.where(halted, old, new),
+                        push_ring(ring, next_token),
+                        ring,
+                    )
+                if stop_arr is not None:
+                    halted = halted | jnp.any(next_token == stop_arr)
+                return state, next_token, halted
 
-            self._decode_jit[sampling] = decode_step
-        return self._decode_jit[sampling]
+            @partial(jax.jit, donate_argnums=(1,))
+            def decode_k(params, state, token, halted, keys):
+                def body(carry, key_t):
+                    state, token, halted = carry
+                    state, next_token, halted = one_step(params, state, token, halted, key_t)
+                    return (state, next_token, halted), next_token
+
+                (state, token, halted), tokens = jax.lax.scan(
+                    body, (state, token, halted), keys
+                )
+                return state, tokens, halted
+
+            self._decode_jit[cache_key] = decode_k
+        return self._decode_jit[cache_key]
 
     # -- public API --------------------------------------------------------
 
@@ -196,7 +232,7 @@ class LanguageModel:
             metrics.prefill_seconds += t1 - t0
             metrics.num_forward_passes += -(-len(prompt_tokens) // self.prefill_buckets[-1])
 
-        decode = self._decode_fn(sampling)
+        stop_ids = tuple(sorted(stop))
         keys = jax.random.split(jax.random.PRNGKey(seed ^ 0x5EED), max_new_tokens + 1)
         token = first
         if state.get("ring") is not None:
@@ -206,22 +242,43 @@ class LanguageModel:
         # stop before the KV cache would overflow (decode writes one slot per
         # step at the current position)
         budget = min(max_new_tokens, self.max_context - len(prompt_tokens))
-        # Pipelined loop: enqueue step N+1 (device-resident token chaining)
-        # BEFORE reading token N on the host, so the accelerator never idles
-        # waiting for Python (≈ reference ForwardPassChaining).
-        for step in range(budget):
-            if produced + 1 < budget:
-                state, next_token = decode(self.params, state, token, keys[step])
-                if metrics is not None:
-                    metrics.num_forward_passes += 1
-            else:
-                next_token = None
-            val = int(jax.device_get(token))
-            produced += 1
-            yield val
-            if val in stop or next_token is None:
+
+        # First token: fetch immediately (TTFT), then decode in growing
+        # chunks — K fused steps per dispatch, K tokens per host fetch.
+        val = int(jax.device_get(token))
+        produced += 1
+        yield val
+        if val in stop:
+            budget = 0
+        halted = jnp.asarray(False)
+        step = 0
+        chunk_idx = 0
+        while produced < budget:
+            # powers of two only (bounded executable count): grow for
+            # streaming latency, shrink for the budget tail
+            k = min(1 << chunk_idx, self.max_decode_chunk)
+            while k > budget - produced:
+                k >>= 1
+            chunk_idx += 1
+            decode = self._decode_fn(sampling, k, stop_ids)
+            state, tokens, halted = decode(
+                self.params, state, token, halted, keys[step : step + k]
+            )
+            step += k
+            token = tokens[-1]
+            vals = np.asarray(jax.device_get(tokens))
+            if metrics is not None:
+                metrics.num_forward_passes += k
+            done = False
+            for v in vals:
+                v = int(v)
+                produced += 1
+                yield v
+                if v in stop:
+                    done = True
+                    break
+            if done:
                 break
-            token = next_token
         if metrics is not None:
             metrics.num_tokens_generated += produced
             metrics.decode_seconds += time.perf_counter() - t2

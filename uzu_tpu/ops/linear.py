@@ -37,7 +37,7 @@ def quant_matmul(w: QuantizedTensor, x: jax.Array) -> jax.Array:
         from .pallas.quant_matmul import quant_matmul_pallas
 
         try:
-            return quant_matmul_pallas(w, x)
+            return quant_matmul_pallas(w, x, interpret=not runtime.on_tpu())
         except NotImplementedError:
             pass
     wd = dequantize(w, dtype=x.dtype)

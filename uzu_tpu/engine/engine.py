@@ -208,6 +208,44 @@ class LanguageModel:
         metrics: StreamMetrics | None = None,
     ):
         """Token generator. Yields ints; stops on stop token or limit."""
+        return self.generate_resumable(
+            None,
+            prompt_tokens,
+            max_new_tokens,
+            sampling=sampling,
+            stop_token_ids=stop_token_ids,
+            seed=seed,
+            metrics=metrics,
+        )
+
+    def generate_resumable(
+        self,
+        state: dict | None,
+        prompt_tokens,
+        max_new_tokens: int,
+        sampling: SamplingParams | None = None,
+        stop_token_ids=None,
+        seed: int = 0,
+        metrics: StreamMetrics | None = None,
+    ) -> "TokenStream":
+        """Like generate(), but continues an existing decoding state (for
+        prefix-cached chat sessions) and exposes the final state as
+        `.state` on the returned TokenStream once iteration finishes."""
+        return TokenStream(
+            self, state, prompt_tokens, max_new_tokens, sampling, stop_token_ids, seed, metrics
+        )
+
+    def _generate_impl(
+        self,
+        init_state,
+        prompt_tokens,
+        max_new_tokens: int,
+        sampling,
+        stop_token_ids,
+        seed: int,
+        metrics,
+        out: "TokenStream",
+    ):
         import time
 
         sampling = sampling or SamplingParams.from_generation_config(self.config.generation_config)
@@ -215,8 +253,14 @@ class LanguageModel:
             stop_token_ids if stop_token_ids is not None else self.config.generation_config.stop_token_ids
         )
         ring_size = sampling.suffix_repetition_length if sampling.repetition_penalty else 0
-        state = self.new_state(ring_size=ring_size)
+        if init_state is None:
+            state = self.new_state(ring_size=ring_size)
+        else:
+            state = init_state
+            if ring_size and "ring" not in state:
+                state["ring"] = jnp.full((ring_size,), -1, jnp.int32)
 
+        start_pos = int(state["pos"])
         t0 = time.perf_counter()
         logits, state = self.prefill(state, prompt_tokens)
         first = sample(
@@ -241,7 +285,7 @@ class LanguageModel:
         t2 = time.perf_counter()
         # stop before the KV cache would overflow (decode writes one slot per
         # step at the current position)
-        budget = min(max_new_tokens, self.max_context - len(prompt_tokens))
+        budget = min(max_new_tokens, self.max_context - start_pos - len(prompt_tokens))
 
         # First token: fetch immediately (TTFT), then decode in growing
         # chunks — K fused steps per dispatch, K tokens per host fetch.
@@ -282,9 +326,29 @@ class LanguageModel:
         if metrics is not None:
             metrics.num_tokens_generated += produced
             metrics.decode_seconds += time.perf_counter() - t2
+        out.state = state
 
     def generate_list(self, prompt_tokens, max_new_tokens: int, **kw) -> list[int]:
         return list(self.generate(prompt_tokens, max_new_tokens, **kw))
+
+
+class TokenStream:
+    """Iterable of generated token ids; `.state` holds the final decoding
+    state after iteration completes (the session layer's prefix cache)."""
+
+    def __init__(self, lm, state, prompt_tokens, max_new_tokens, sampling,
+                 stop_token_ids, seed, metrics):
+        self.state = None
+        self._gen = lm._generate_impl(
+            state, prompt_tokens, max_new_tokens, sampling, stop_token_ids,
+            seed, metrics, self,
+        )
+
+    def __iter__(self):
+        return self._gen
+
+    def __next__(self):
+        return next(self._gen)
 
 
 def _ring_push_chunk(ring: jax.Array, tokens: jax.Array, true_length) -> jax.Array:

@@ -1,0 +1,3 @@
+from .openai import ChatCompletionServer, serve
+
+__all__ = ["ChatCompletionServer", "serve"]

@@ -1,0 +1,225 @@
+"""ChatSession: template rendering + prefix-cached generation + tool loop.
+
+Role parity: crates/nagare/src/chat/mod.rs (ChatSession, tool-turn loop with
+DEFAULT_TOOL_TURN_LIMIT=10 at mod.rs:39) and chat/token.rs (token::Session
+with longest-prefix KV reuse, token.rs:158-176; ChatReplyStats rate math,
+token.rs:377-436).
+
+The session keeps the decoding state plus the token log it covers; a new
+turn re-renders the whole conversation and prefills only the suffix that
+extends the log (KV/recurrent state for the shared prefix is reused). A
+render that does not extend the log resets the state (same policy as the
+reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Any, Callable, Iterator, Optional
+
+import numpy as np
+
+from ..engine.engine import LanguageModel, StreamMetrics
+from ..engine.sampling import SamplingParams
+from .parser import Event, SectionConfig, StreamParser, ToolCall
+from .template import ChatTemplate, ToolSpec
+from .tokenizer import StreamDecoder, Tokenizer
+
+DEFAULT_TOOL_TURN_LIMIT = 10
+
+
+@dataclasses.dataclass
+class ChatReplyStats:
+    """Parity with nagare ChatReplyStats (token.rs:377-436)."""
+
+    time_to_first_token: float = 0.0
+    prefill_tokens_per_second: float = 0.0
+    generate_tokens_per_second: float = 0.0
+    tokens_count_input: int = 0
+    tokens_count_output: int = 0
+
+
+@dataclasses.dataclass
+class ChatReply:
+    text: str
+    reasoning: str
+    tool_calls: list[ToolCall]
+    finish_reason: str  # "stop" | "length" | "tool_calls"
+    stats: ChatReplyStats
+
+
+class ChatSession:
+    def __init__(
+        self,
+        model: LanguageModel,
+        tokenizer: Tokenizer,
+        *,
+        template: str | None = None,
+        sections: list[SectionConfig] | None = None,
+        tools: list[ToolSpec] | None = None,
+        tool_turn_limit: int = DEFAULT_TOOL_TURN_LIMIT,
+    ):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.template = ChatTemplate(template if template is not None else tokenizer.chat_template)
+        self.sections = sections
+        self.tools = {t.name: t for t in (tools or [])}
+        self.tool_turn_limit = tool_turn_limit
+        self.messages: list[dict] = []
+        self._state = None
+        self._state_tokens: list[int] = []
+
+    # -- state / prefix cache ---------------------------------------------
+
+    def reset(self) -> None:
+        self._state = None
+        self._state_tokens = []
+        self.messages = []
+
+    def _stop_ids(self) -> list[int]:
+        ids = list(self.model.config.generation_config.stop_token_ids)
+        for i in self.tokenizer.eos_token_ids:
+            if i not in ids:
+                ids.append(i)
+        return ids
+
+    def _render_tokens(self, messages: list[dict]) -> list[int]:
+        text = self.template.render(
+            messages,
+            tools=[t.spec() for t in self.tools.values()] or None,
+        )
+        return self.tokenizer.encode(text)
+
+    # -- generation ----------------------------------------------------------
+
+    def stream(
+        self,
+        message: str | dict | list[dict],
+        *,
+        sampling: SamplingParams | None = None,
+        max_new_tokens: int = 512,
+        seed: int = 0,
+        _internal_messages: list[dict] | None = None,
+    ) -> Iterator[Event]:
+        """Yields parse events; final ChatReply available as .last_reply."""
+        if _internal_messages is None:
+            if isinstance(message, str):
+                self.messages.append({"role": "user", "content": message})
+            elif isinstance(message, dict):
+                self.messages.append(message)
+            else:
+                self.messages.extend(message)
+        tokens = self._render_tokens(self.messages)
+
+        # longest-prefix reuse (token.rs:158-176): reuse iff the new render
+        # extends the tokens already inside the state
+        n_covered = len(self._state_tokens)
+        if self._state is not None and tokens[:n_covered] == self._state_tokens:
+            suffix = tokens[n_covered:]
+        else:
+            self._state = None
+            self._state_tokens = []
+            suffix = tokens
+        if not suffix:
+            # renders can be idempotent across turns; always feed >=1 token
+            suffix = tokens[-1:]
+            self._state_tokens = tokens[:-1]
+
+        metrics = StreamMetrics()
+        decoder = StreamDecoder(self.tokenizer)
+        parser = StreamParser(self.sections)
+        stop_ids = self._stop_ids()
+        generated: list[int] = []
+        sampling = sampling or SamplingParams.from_generation_config(
+            self.model.config.generation_config
+        )
+
+        gen = self.model.generate_resumable(
+            state=self._state,
+            prompt_tokens=np.asarray(suffix, np.int32),
+            max_new_tokens=max_new_tokens,
+            sampling=sampling,
+            stop_token_ids=stop_ids,
+            seed=seed,
+            metrics=metrics,
+        )
+        for tok in gen:
+            generated.append(tok)
+            delta = decoder.push(tok)
+            if delta:
+                yield from parser.push(delta)
+        yield from parser.finish()
+        self._state = gen.state
+        self._state_tokens = list(tokens) + generated[:-1]
+
+        finish = "stop" if generated and generated[-1] in stop_ids else "length"
+        if parser.tool_calls:
+            finish = "tool_calls"
+        stats = ChatReplyStats(
+            time_to_first_token=metrics.prefill_seconds,
+            prefill_tokens_per_second=metrics.prefill_tokens_per_second,
+            generate_tokens_per_second=metrics.decode_tokens_per_second,
+            tokens_count_input=len(tokens),
+            tokens_count_output=len(generated),
+        )
+        self.last_reply = ChatReply(
+            text=parser.text,
+            reasoning=parser.reasoning,
+            tool_calls=parser.tool_calls,
+            finish_reason=finish,
+            stats=stats,
+        )
+
+    def reply(
+        self,
+        message: str | dict | list[dict],
+        *,
+        sampling: SamplingParams | None = None,
+        max_new_tokens: int = 512,
+        seed: int = 0,
+    ) -> ChatReply:
+        """Full reply with the tool-call agent loop (nagare mod.rs:347-400)."""
+        for _ in self.stream(
+            message, sampling=sampling, max_new_tokens=max_new_tokens, seed=seed
+        ):
+            pass
+        reply = self.last_reply
+        turns = 0
+        while reply.finish_reason == "tool_calls" and self.tools and turns < self.tool_turn_limit:
+            turns += 1
+            calls = [
+                tc.as_openai(f"call_{turns}_{i}") for i, tc in enumerate(reply.tool_calls)
+            ]
+            self.messages.append(
+                {"role": "assistant", "content": reply.text or None, "tool_calls": calls}
+            )
+            for call, tc in zip(calls, reply.tool_calls):
+                result = self._run_tool(tc)
+                self.messages.append(
+                    {
+                        "role": "tool",
+                        "tool_call_id": call["id"],
+                        "content": result,
+                    }
+                )
+            for _ in self.stream(
+                None, sampling=sampling, max_new_tokens=max_new_tokens, seed=seed,
+                _internal_messages=self.messages,
+            ):
+                pass
+            reply = self.last_reply
+        if reply.finish_reason != "tool_calls":
+            self.messages.append({"role": "assistant", "content": reply.text})
+        return reply
+
+    def _run_tool(self, tc: ToolCall) -> str:
+        tool = self.tools.get(tc.name)
+        if tool is None or tool.fn is None:
+            return json.dumps({"error": f"unknown tool {tc.name!r}"})
+        try:
+            result = tool.fn(**tc.arguments)
+            return result if isinstance(result, str) else json.dumps(result)
+        except Exception as e:
+            return json.dumps({"error": str(e)})

@@ -1,0 +1,160 @@
+"""Incremental stream parsing: generated text -> reasoning / text / tool-call
+sections.
+
+Role parity: crates/token-stream-parser (framing -> reduction -> extraction,
+config-driven; lib.rs:1-33, reduction/config.rs). TPU build design: the
+engine emits token ids; a StreamDecoder turns them into text deltas; this
+parser segments the text with configured section markers, buffering any
+suffix that could still grow into a marker (the analogue of the reference's
+span framing on partial special-token matches). Tool-call payloads are
+parsed as JSON on section close (the reference's extraction + json-transform
+stage; we keep the {"name", "arguments"} convention used by Qwen/Llama
+templates).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Iterator, Optional
+
+
+@dataclasses.dataclass
+class SectionConfig:
+    kind: str  # "reasoning" | "tool_call"
+    open: str
+    close: str
+
+
+QWEN_STYLE = [
+    SectionConfig("reasoning", "<think>", "</think>"),
+    SectionConfig("tool_call", "<tool_call>", "</tool_call>"),
+]
+
+LLAMA_STYLE = [
+    SectionConfig("tool_call", "<|python_tag|>", "<|eom_id|>"),
+]
+
+
+@dataclasses.dataclass
+class Event:
+    kind: str  # "text" | "reasoning" | "tool_call"
+    delta: str = ""
+    tool_call: Optional[dict] = None
+
+
+@dataclasses.dataclass
+class ToolCall:
+    name: str
+    arguments: dict
+    raw: str
+
+    def as_openai(self, call_id: str) -> dict:
+        return {
+            "id": call_id,
+            "type": "function",
+            "function": {"name": self.name, "arguments": json.dumps(self.arguments)},
+        }
+
+
+def parse_tool_payload(raw: str) -> ToolCall:
+    raw = raw.strip()
+    try:
+        obj = json.loads(raw)
+        name = obj.get("name", "")
+        args = obj.get("arguments", obj.get("parameters", {}))
+        if isinstance(args, str):
+            args = json.loads(args)
+        return ToolCall(name=name, arguments=args, raw=raw)
+    except (json.JSONDecodeError, AttributeError):
+        return ToolCall(name="", arguments={}, raw=raw)
+
+
+class StreamParser:
+    """Push text deltas, iterate parsed events."""
+
+    def __init__(self, sections: list[SectionConfig] | None = None):
+        self.sections = QWEN_STYLE if sections is None else sections
+        self.buffer = ""
+        self.active: SectionConfig | None = None
+        self.section_buf = ""
+        # accumulated full sections
+        self.text = ""
+        self.reasoning = ""
+        self.tool_calls: list[ToolCall] = []
+
+    def _possible_marker_prefix(self, s: str) -> int:
+        """Length of the longest suffix of s that is a prefix of any marker."""
+        markers = [c.open for c in self.sections]
+        if self.active is not None:
+            markers = [self.active.close]
+        best = 0
+        for m in markers:
+            for take in range(min(len(s), len(m) - 1), 0, -1):
+                if m.startswith(s[-take:]):
+                    best = max(best, take)
+                    break
+        return best
+
+    def push(self, delta: str) -> Iterator[Event]:
+        self.buffer += delta
+        while True:
+            if self.active is None:
+                # find earliest opening marker
+                hit = None
+                for c in self.sections:
+                    idx = self.buffer.find(c.open)
+                    if idx != -1 and (hit is None or idx < hit[0]):
+                        hit = (idx, c)
+                if hit is None:
+                    hold = self._possible_marker_prefix(self.buffer)
+                    emit = self.buffer[: len(self.buffer) - hold]
+                    self.buffer = self.buffer[len(self.buffer) - hold :]
+                    if emit:
+                        self.text += emit
+                        yield Event("text", delta=emit)
+                    return
+                idx, c = hit
+                if idx:
+                    self.text += self.buffer[:idx]
+                    yield Event("text", delta=self.buffer[:idx])
+                self.buffer = self.buffer[idx + len(c.open) :]
+                self.active = c
+                self.section_buf = ""
+            else:
+                c = self.active
+                idx = self.buffer.find(c.close)
+                if idx == -1:
+                    hold = self._possible_marker_prefix(self.buffer)
+                    chunk = self.buffer[: len(self.buffer) - hold]
+                    self.buffer = self.buffer[len(self.buffer) - hold :]
+                    if chunk:
+                        self.section_buf += chunk
+                        if c.kind == "reasoning":
+                            self.reasoning += chunk
+                            yield Event("reasoning", delta=chunk)
+                    return
+                chunk = self.buffer[:idx]
+                self.buffer = self.buffer[idx + len(c.close) :]
+                self.section_buf += chunk
+                if c.kind == "reasoning":
+                    if chunk:
+                        self.reasoning += chunk
+                        yield Event("reasoning", delta=chunk)
+                else:
+                    tc = parse_tool_payload(self.section_buf)
+                    self.tool_calls.append(tc)
+                    yield Event("tool_call", tool_call=dataclasses.asdict(tc))
+                self.active = None
+                self.section_buf = ""
+
+    def finish(self) -> Iterator[Event]:
+        """Flush any held-back text at end of stream."""
+        if self.active is None and self.buffer:
+            emit, self.buffer = self.buffer, ""
+            self.text += emit
+            yield Event("text", delta=emit)
+        elif self.active is not None and self.active.kind == "reasoning" and self.buffer:
+            chunk, self.buffer = self.buffer, ""
+            self.reasoning += chunk
+            yield Event("reasoning", delta=chunk)

@@ -588,3 +588,73 @@ def moe_config(
         ple_model_config=None,
     )
     return LanguageModelConfig(decoder_config=decoder, generation_config=base.generation_config)
+
+
+# --------------------------------------------------------------------------
+# Synthetic tokenizer (for offline session/server tests — plays the role of
+# the reference's mock-registry tokenizer.json fixture)
+# --------------------------------------------------------------------------
+
+SPECIAL_TOKENS = [
+    "<|pad|>", "<|system|>", "<|user|>", "<|assistant|>", "<|tool|>", "<|end|>",
+    "<think>", "</think>", "<tool_call>", "</tool_call>",
+]
+
+SYNTH_CHAT_TEMPLATE = (
+    "{% for message in messages %}"
+    "<|{{ message.role }}|>{% if message.tool_calls %}"
+    "{% for tc in message.tool_calls %}<tool_call>"
+    '{"name": "{{ tc.function.name }}", "arguments": {{ tc.function.arguments }}}'
+    "</tool_call>{% endfor %}"
+    "{% else %}{{ message.content }}{% endif %}<|end|>"
+    "{% endfor %}"
+    "{% if add_generation_prompt %}<|assistant|>{% endif %}"
+)
+
+
+def synth_tokenizer(out_dir: str, vocab_size: int = 512) -> str:
+    """Write a deterministic byte-level BPE tokenizer.json +
+    tokenizer_config.json (with chat template) into `out_dir`."""
+    from tokenizers import Tokenizer, models, pre_tokenizers, decoders, trainers
+
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    corpus = [
+        "hello world how are you today",
+        "the quick brown fox jumps over the lazy dog",
+        "tool call name arguments city weather get json",
+        "thinking about the answer step by step",
+        '{"name": "get_weather", "arguments": {"city": "Paris"}}',
+        "0 1 2 3 4 5 6 7 8 9 10 42 100",
+    ] * 4
+    trainer = trainers.BpeTrainer(
+        vocab_size=vocab_size - len(SPECIAL_TOKENS),
+        special_tokens=[],
+        show_progress=False,
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+    )
+    tok.train_from_iterator(corpus, trainer)
+    tok.add_special_tokens(SPECIAL_TOKENS)
+
+    os.makedirs(out_dir, exist_ok=True)
+    tok.save(os.path.join(out_dir, "tokenizer.json"))
+    cfg = {
+        "eos_token": "<|end|>",
+        "pad_token": "<|pad|>",
+        "chat_template": SYNTH_CHAT_TEMPLATE,
+        "added_tokens_decoder": {
+            str(tok.token_to_id(s)): {"content": s, "special": True} for s in SPECIAL_TOKENS
+        },
+    }
+    with open(os.path.join(out_dir, "tokenizer_config.json"), "w") as f:
+        json.dump(cfg, f, indent=1)
+    return out_dir
+
+
+def synth_chat_model(out_dir: str, *, seed: int = 0, vocab_size: int = 512, **config_kw) -> str:
+    """Full offline chat model dir: config + weights + tokenizer."""
+    cfg = llama_config(vocab_size=vocab_size, **config_kw)
+    synthesize(cfg, out_dir, seed=seed)
+    synth_tokenizer(out_dir, vocab_size=vocab_size)
+    return out_dir

@@ -1,0 +1,97 @@
+"""Speculative decoding tests.
+
+The load-bearing invariant (reference: trie.rs accept-path semantics):
+speculative generation with ANY speculator must emit exactly the same
+tokens as plain greedy generation — speculation changes latency, never
+output. Checked for ngram and draft-model speculators, plus rollback
+across stop/partial-acceptance and the metrics counters.
+"""
+
+import numpy as np
+import pytest
+
+from uzu_tpu import LanguageModel
+from uzu_tpu.engine.speculation import (
+    DraftModelSpeculator,
+    NgramSpeculator,
+    SpeculationMetrics,
+    SpeculativeDecoder,
+    speculation_supported,
+)
+from uzu_tpu.tools.synth import lfm2_config, llama_config, synthesize
+
+
+@pytest.fixture(scope="module")
+def target_dir(tmp_path_factory):
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160, num_heads=4,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    return synthesize(cfg, str(tmp_path_factory.mktemp("spec_target")), seed=7, dtype=np.float32)
+
+
+@pytest.fixture(scope="module")
+def draft_dir(tmp_path_factory):
+    # same family, smaller; seeded the same so early layers correlate a bit
+    cfg = llama_config(num_layers=1, model_dim=32, hidden_dim=64, num_heads=2,
+                       num_groups=1, head_dim=16, vocab_size=256)
+    return synthesize(cfg, str(tmp_path_factory.mktemp("spec_draft")), seed=7, dtype=np.float32)
+
+
+@pytest.fixture(scope="module")
+def target(target_dir):
+    return LanguageModel.from_dir(target_dir, max_context=128, prefill_buckets=(16,))
+
+
+def test_ngram_speculator_proposes_continuations():
+    s = NgramSpeculator(max_ngram=2, k=3)
+    # history: "1 2 3 4 1 2" -> suffix (1,2) seen before, propose 3,4,1
+    assert s.propose([1, 2, 3, 4, 1, 2]) == [3, 4, 1]
+    assert s.propose([9, 8, 7]) == []
+
+
+def test_speculative_equals_plain_greedy_ngram(target):
+    prompt = np.array([1, 2, 3, 4, 1, 2, 3])
+    want = target.generate_list(prompt, 24, stop_token_ids=[])
+    dec = SpeculativeDecoder(target, NgramSpeculator(max_ngram=3, k=4))
+    metrics = SpeculationMetrics()
+    got = list(dec.generate(prompt, 24, stop_token_ids=[], metrics=metrics))
+    assert got == want
+    assert metrics.num_verify_passes > 0
+
+
+def test_speculative_equals_plain_greedy_draft(target, draft_dir):
+    draft = LanguageModel.from_dir(draft_dir, max_context=128, prefill_buckets=(16,))
+    prompt = np.array([5, 6, 7, 8])
+    want = target.generate_list(prompt, 20, stop_token_ids=[])
+    dec = SpeculativeDecoder(target, DraftModelSpeculator(draft, k=4))
+    metrics = SpeculationMetrics()
+    got = list(dec.generate(prompt, 20, stop_token_ids=[], metrics=metrics))
+    assert got == want
+    assert metrics.num_tokens_proposed > 0
+
+
+def test_speculative_respects_stop_tokens(target):
+    prompt = np.array([1, 2, 3, 4, 1, 2, 3])
+    plain = target.generate_list(prompt, 24, stop_token_ids=[])
+    stop = plain[5]
+    want = target.generate_list(prompt, 24, stop_token_ids=[stop])
+    dec = SpeculativeDecoder(target, NgramSpeculator(max_ngram=3, k=4))
+    got = list(dec.generate(prompt, 24, stop_token_ids=[stop]))
+    assert got == want
+    assert got[-1] == stop
+
+
+def test_speculation_gated_for_recurrent_models(tmp_path):
+    d = synthesize(lfm2_config(), str(tmp_path / "lfm2"), seed=1)
+    lm = LanguageModel.from_dir(d, max_context=64)
+    assert not speculation_supported(lm.decoder_config)
+    with pytest.raises(ValueError):
+        SpeculativeDecoder(lm, NgramSpeculator())
+
+
+def test_acceptance_metrics_counted(target):
+    # a prompt with heavy repetition: ngram speculation should accept some
+    prompt = np.array([1, 2, 3] * 6)
+    dec = SpeculativeDecoder(target, NgramSpeculator(max_ngram=3, k=4))
+    metrics = SpeculationMetrics()
+    list(dec.generate(prompt, 16, stop_token_ids=[], metrics=metrics))
+    assert 0 <= metrics.acceptance_rate <= 1.0

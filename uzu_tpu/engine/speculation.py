@@ -1,0 +1,252 @@
+"""Speculative decoding: draft proposal + single-dispatch verification.
+
+Reference counterpart: crates/backend-uzu/src/speculators/dflash_tfm.rs +
+engine stream speculative path (stream/stream.rs:553-629) + host trie accept
+(trie.rs:211). The reference grows a token tree on-GPU (Weaver) and verifies
+over a linearized trie; this TPU build starts with chain speculation — the
+tree is a later milestone — redesigned for XLA's static shapes:
+
+- the verify step is ONE jitted dispatch: a (k+1)-token forward with logits
+  at every row, greedy/sampled token per row;
+- acceptance runs on host over the fetched [k+1] sampled tokens (exact-match
+  rule, like the reference's accept-path matching);
+- rollback is free by construction: the KV cache is slot-per-position and
+  slots at indices >= pos are invisible to the causal mask, so rejecting
+  tokens is just not advancing `pos` (the reference needs KVCacheUpdate
+  copies; the TPU layout avoids them);
+- recurrent mixers cannot roll back a scanned state, so speculation is gated
+  to attention-only models (the reference's Mamba2 mixer equally reports
+  speculation_supported() = false, mamba2.rs:232-234).
+
+Speculators:
+- NgramSpeculator: model-free prompt-lookup (longest recent n-gram match in
+  the token history proposes its continuation);
+- DraftModelSpeculator: a smaller LanguageModel proposes k tokens greedily
+  (the role of uzu's DFlash draft transformer, run as a standalone model).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.model import AttentionConfig
+from ..models.decoder import decoder_forward
+from .sampling import SamplingParams, sample
+
+
+def speculation_supported(decoder_config) -> bool:
+    return all(
+        isinstance(lc.mixer_config, AttentionConfig)
+        and not lc.mixer_config.is_kv_sharing
+        for lc in decoder_config.transformer_config.layer_configs
+    )
+
+
+@dataclasses.dataclass
+class SpeculationMetrics:
+    """Parity with shoji TokenStreamMetrics speculation counters."""
+
+    num_tokens_proposed: int = 0
+    num_tokens_accepted: int = 0
+    num_verify_passes: int = 0
+
+    @property
+    def acceptance_rate(self) -> float:
+        return self.num_tokens_accepted / self.num_tokens_proposed if self.num_tokens_proposed else 0.0
+
+
+class NgramSpeculator:
+    """Prompt-lookup decoding: propose the continuation of the longest
+    recent occurrence of the current suffix n-gram."""
+
+    def __init__(self, max_ngram: int = 3, k: int = 8):
+        self.max_ngram = max_ngram
+        self.k = k
+
+    def propose(self, history: list[int]) -> list[int]:
+        h = history
+        for n in range(self.max_ngram, 0, -1):
+            if len(h) < n + 1:
+                continue
+            suffix = h[-n:]
+            # scan backwards for the most recent earlier occurrence
+            for start in range(len(h) - n - 1, -1, -1):
+                if h[start : start + n] == suffix:
+                    cont = h[start + n : start + n + self.k]
+                    if cont:
+                        return cont
+        return []
+
+    def observe(self, tokens: list[int]) -> None:
+        pass  # history passed on every propose
+
+
+class DraftModelSpeculator:
+    """Greedy k-step draft from a smaller model sharing the tokenizer.
+
+    The k draft steps run as ONE fused dispatch (the engine's scan-based
+    decode chunk) and ONE host fetch; the draft keeps its own prefix state
+    across proposals and rolls back rejected tokens the same pos-reset way
+    the target does (attention-only requirement applies to the draft too).
+    """
+
+    def __init__(self, draft_lm, k: int = 4):
+        if not speculation_supported(draft_lm.decoder_config):
+            raise ValueError("draft model must be attention-only")
+        self.draft = draft_lm
+        self.k = k
+        self._state = None
+        self._fed = 0  # tokens of history the draft state covers
+        self._keys = jax.random.split(jax.random.PRNGKey(0), k)
+
+    def reset(self):
+        self._state = None
+        self._fed = 0
+
+    def propose(self, history: list[int]) -> list[int]:
+        if self._state is None:
+            self._state = self.draft.new_state()
+            self._fed = 0
+        new = history[self._fed :]
+        if not new:
+            return []
+        if self._fed + len(new) + self.k + 1 > self.draft.max_context:
+            return []
+        if len(new) > 1:
+            _, self._state = self.draft.prefill(
+                self._state, np.asarray(new[:-1], np.int32)
+            )
+        decode = self.draft._decode_fn(SamplingParams(), self.k, ())
+        self._state, tokens, _ = decode(
+            self.draft.params,
+            self._state,
+            jnp.asarray(new[-1], jnp.int32),
+            jnp.asarray(False),
+            self._keys,
+        )
+        out = [int(t) for t in np.asarray(jax.device_get(tokens))]
+        # state now also covers new[-1] plus k-1 speculative tokens; keep
+        # only the real history (pos-reset rollback, slots masked)
+        self._fed += len(new)
+        self._state["pos"] = jnp.asarray(self._fed, jnp.int32)
+        return out
+
+
+class SpeculativeDecoder:
+    """Chain-speculative generation loop over a LanguageModel."""
+
+    def __init__(self, lm, speculator, *, sampling: SamplingParams | None = None):
+        if not speculation_supported(lm.decoder_config):
+            raise ValueError("speculation requires attention-only, non-KV-shared models")
+        self.lm = lm
+        self.speculator = speculator
+        self.sampling = sampling or SamplingParams()
+        self._verify_jit = {}
+
+    def _verify_fn(self, n: int):
+        """(k+1)-token forward with a sampled token at EVERY row."""
+        if n not in self._verify_jit:
+            cfg = self.lm.decoder_config
+            sampling = self.sampling
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def verify(params, state, tokens, keys):
+                logits, state = decoder_forward(
+                    cfg, params, tokens, state, last_only=False
+                )
+                sampled = jax.vmap(lambda l, k: sample(l, sampling, key=k))(
+                    logits, keys
+                )
+                return state, sampled
+
+            self._verify_jit[n] = verify
+        return self._verify_jit[n]
+
+    def generate(
+        self,
+        prompt_tokens,
+        max_new_tokens: int,
+        stop_token_ids=None,
+        seed: int = 0,
+        metrics: SpeculationMetrics | None = None,
+    ):
+        lm = self.lm
+        stop = set(
+            stop_token_ids
+            if stop_token_ids is not None
+            else lm.config.generation_config.stop_token_ids
+        )
+        if hasattr(self.speculator, "reset"):
+            self.speculator.reset()
+        history = [int(t) for t in prompt_tokens]
+        state = lm.new_state()
+        logits, state = lm.prefill(state, np.asarray(prompt_tokens, np.int32))
+        first = int(jnp.argmax(logits)) if self.sampling.is_greedy else int(
+            sample(logits, self.sampling, key=jax.random.PRNGKey(seed))
+        )
+        pos = len(history)  # tokens covered by KV
+        produced = 0
+        token = first
+        keys = jax.random.split(jax.random.PRNGKey(seed ^ 0xD15C), max_new_tokens * 4 + 8)
+        key_i = 0
+
+        while produced < max_new_tokens:
+            yield token
+            history.append(token)
+            produced += 1
+            if token in stop:
+                break
+            room = lm.max_context - pos - 1
+            if room <= 0:
+                break
+            draft = list(self.speculator.propose(history)) if room > 1 else []
+            draft = draft[: min(len(draft), room - 1, max_new_tokens - produced)]
+            n = 1 + len(draft)
+            # pad draft block to a bucketed size (bounded executables)
+            n_pad = 1
+            while n_pad < n:
+                n_pad *= 2
+            n_pad = min(n_pad, 1 << 5)
+            block = np.zeros(n_pad, np.int32)
+            block[0] = token
+            block[1 : 1 + len(draft)] = draft
+
+            verify = self._verify_fn(n_pad)
+            state, sampled = verify(
+                lm.params,
+                state,
+                jnp.asarray(block),
+                keys[key_i : key_i + n_pad],
+            )
+            key_i = (key_i + n_pad) % (len(keys) - 32)
+            vals = np.asarray(jax.device_get(sampled))
+            if metrics is not None:
+                metrics.num_verify_passes += 1
+                metrics.num_tokens_proposed += len(draft)
+
+            # exact-match acceptance over the real (unpadded) rows
+            accepted = 0
+            while accepted < len(draft) and int(vals[accepted]) == draft[accepted]:
+                accepted += 1
+            emit = [int(v) for v in vals[: accepted + 1]]
+            if metrics is not None:
+                metrics.num_tokens_accepted += accepted
+
+            # state advanced n_pad positions; only 1 + accepted are real.
+            # Slot-per-position KV: roll back by resetting pos (stale slots
+            # at >= pos are masked and later overwritten).
+            pos = pos + 1 + accepted
+            state["pos"] = jnp.asarray(pos, jnp.int32)
+
+            for i, v in enumerate(emit[:-1]):
+                yield v
+                history.append(v)
+                produced += 1
+                if v in stop or produced >= max_new_tokens:
+                    return
+            token = emit[-1]

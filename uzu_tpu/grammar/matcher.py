@@ -1,0 +1,484 @@
+"""Grammar-constrained decoding: JSON (+schema subset) byte matcher with
+per-step token bitmasks.
+
+Reference counterpart: crates/backend-uzu/src/engine/language_model/grammar/
+(xgrammar C++ FFI: JSON-schema / regex / builtin-JSON -> compiled matcher ->
+per-step token bitmasks; engagement state machine in grammar/engagement.rs).
+This is a from-scratch Python implementation (a C++ port is the native-code
+milestone): a deterministic character-level pushdown matcher for JSON with a
+JSON-schema subset, and a vocabulary mask computed by simulating each
+token's characters — cached per matcher-state signature (the role of
+xgrammar's adaptive token mask cache).
+
+Schema subset: type object (properties/required/additionalProperties),
+array (items, minItems/maxItems bounded), string, number, integer, boolean,
+null, enum (of scalars), const. Enough for tool-call arguments.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Optional
+
+import numpy as np
+
+WS = " \t\n\r"
+DIGITS = "0123456789"
+
+
+class GrammarError(ValueError):
+    pass
+
+
+# -- matcher frames ----------------------------------------------------------
+# The matcher state is a stack of frames; each frame is a tuple whose first
+# element is the frame kind. Deterministic at character level.
+#
+#   ("value", schema)                   expect any value allowed by schema
+#   ("string_body", allowed|None, acc)  inside quotes; allowed = set of exact
+#                                       strings (enum/const/keys) or None
+#   ("string_esc", allowed, acc)        after backslash
+#   ("number", schema, acc)             inside a number literal
+#   ("literal", rest)                   fixed text remaining (true/false/null)
+#   ("obj_open", schema)                after '{' : expect key or '}'
+#   ("obj_key", schema, seen)           expect '"' starting a key
+#   ("obj_colon", schema, seen, key)    expect ':'
+#   ("obj_next", schema, seen)          expect ',' or '}'
+#   ("arr_open", schema, n)             after '[' : expect value or ']'
+#   ("arr_next", schema, n)             expect ',' or ']'
+#   ("end",)                            value complete; only ws allowed
+
+
+def _schema_key(schema) -> str:
+    return json.dumps(schema, sort_keys=True) if isinstance(schema, dict) else "any"
+
+
+class JsonMatcher:
+    """Deterministic byte/char-level matcher for one JSON value."""
+
+    def __init__(self, schema: Optional[dict] = None):
+        self.schema = schema
+        self.stack: list[tuple] = [("value", schema)]
+        self.finished = False
+
+    # -- core transition ---------------------------------------------------
+
+    def clone(self) -> "JsonMatcher":
+        m = JsonMatcher.__new__(JsonMatcher)
+        m.schema = self.schema
+        m.stack = list(self.stack)
+        m.finished = self.finished
+        return m
+
+    def signature(self) -> tuple:
+        return (self.finished, tuple(map(_frame_sig, self.stack)))
+
+    def advance(self, ch: str) -> bool:
+        """Consume one character; returns False (state unchanged semantics
+        undefined) if rejected."""
+        if not self.stack:
+            self.finished = True
+            return ch in WS
+        kind = self.stack[-1][0]
+        handler = _HANDLERS[kind]
+        return handler(self, ch)
+
+    def accepts_text(self, text: str) -> bool:
+        m = self.clone()
+        for ch in text:
+            if not m.advance(ch):
+                return False
+        return True
+
+    def feed_text(self, text: str) -> bool:
+        for ch in text:
+            if not self.advance(ch):
+                return False
+        return True
+
+    def is_complete(self) -> bool:
+        return not self.stack
+
+    # -- frame helpers ----------------------------------------------------
+
+    def _pop_value_done(self):
+        """A value finished: unwind the parent frame."""
+        # parent frame (if any) decides what comes next; handled by parent
+        # frames themselves when they see separators. Nothing to do here.
+        pass
+
+
+def _frame_sig(frame: tuple) -> tuple:
+    out = []
+    for x in frame:
+        if isinstance(x, dict):
+            out.append(_schema_key(x))
+        elif isinstance(x, set):
+            out.append(tuple(sorted(x)))
+        else:
+            out.append(x)
+    return tuple(out)
+
+
+def _string_allowed(schema) -> Optional[set]:
+    if isinstance(schema, dict):
+        if "const" in schema and isinstance(schema["const"], str):
+            return {schema["const"]}
+        if "enum" in schema:
+            return {e for e in schema["enum"] if isinstance(e, str)}
+    return None
+
+
+def _value_start(m: JsonMatcher, ch: str, schema) -> bool:
+    if ch in WS:
+        return True
+    types = None
+    if isinstance(schema, dict):
+        if "enum" in schema or "const" in schema:
+            consts = schema.get("enum", [schema.get("const")])
+            kinds = set()
+            for c in consts:
+                if isinstance(c, str):
+                    kinds.add("string")
+                elif isinstance(c, bool):
+                    kinds.add("boolean")
+                elif isinstance(c, (int, float)):
+                    kinds.add("number")
+                elif c is None:
+                    kinds.add("null")
+            types = kinds
+        elif "type" in schema:
+            t = schema["type"]
+            types = set(t if isinstance(t, list) else [t])
+            if "integer" in types:
+                types.add("number")
+    m.stack.pop()
+
+    def allow(t):
+        return types is None or t in types
+
+    if ch == '"' and allow("string"):
+        m.stack.append(("string_body", _string_allowed(schema), ""))
+        return True
+    if ch == "{" and allow("object"):
+        m.stack.append(("obj_open", schema))
+        return True
+    if ch == "[" and allow("array"):
+        m.stack.append(("arr_open", schema, 0))
+        return True
+    if (ch in DIGITS or ch == "-") and allow("number"):
+        m.stack.append(("number", schema, ch))
+        return True
+    if ch == "t" and allow("boolean"):
+        m.stack.append(("literal", "rue"))
+        return True
+    if ch == "f" and allow("boolean"):
+        m.stack.append(("literal", "alse"))
+        return True
+    if ch == "n" and allow("null"):
+        m.stack.append(("literal", "ull"))
+        return True
+    return False
+
+
+def _h_value(m, ch):
+    schema = m.stack[-1][1]
+    return _value_start(m, ch, schema)
+
+
+def _h_string_body(m, ch):
+    _, allowed, acc = m.stack[-1]
+    if ch == '"':
+        if allowed is not None and acc not in allowed:
+            return False
+        m.stack.pop()
+        return True
+    if ch == "\\":
+        m.stack[-1] = ("string_esc", allowed, acc)
+        return True
+    if ch in "\x00\n":
+        return False
+    acc2 = acc + ch
+    if allowed is not None and not any(s.startswith(acc2) for s in allowed):
+        return False
+    m.stack[-1] = ("string_body", allowed, acc2)
+    return True
+
+
+def _h_string_esc(m, ch):
+    _, allowed, acc = m.stack[-1]
+    if ch in '"\\/bfnrtu':
+        # escaped char: for allowed-sets only support literal match of the
+        # unescaped char for quotes/backslash
+        rep = {'"': '"', "\\": "\\", "/": "/"}.get(ch)
+        acc2 = acc + (rep if rep is not None else "￿")
+        if allowed is not None and not any(s.startswith(acc2) for s in allowed):
+            return False
+        m.stack[-1] = ("string_body", allowed, acc2)
+        return True
+    return False
+
+
+def _num_ok(schema, acc: str) -> bool:
+    if isinstance(schema, dict) and schema.get("type") == "integer" and ("." in acc or "e" in acc or "E" in acc):
+        return False
+    return True
+
+
+def _h_number(m, ch):
+    _, schema, acc = m.stack[-1]
+    if ch in DIGITS or ch in ".eE+-":
+        acc2 = acc + ch
+        # cheap syntactic sanity: single dot, e after digits
+        if acc2.count(".") > 1 or not _num_ok(schema, acc2):
+            return False
+        m.stack[-1] = ("number", schema, acc2)
+        return True
+    # number ended; re-dispatch ch to parent
+    try:
+        float(acc)
+    except ValueError:
+        return False
+    m.stack.pop()
+    return m.advance(ch)
+
+
+def _h_literal(m, ch):
+    _, rest = m.stack[-1]
+    if rest and ch == rest[0]:
+        if len(rest) == 1:
+            m.stack.pop()
+        else:
+            m.stack[-1] = ("literal", rest[1:])
+        return True
+    return False
+
+
+def _props(schema):
+    if isinstance(schema, dict):
+        return schema.get("properties")
+    return None
+
+
+def _additional(schema) -> bool:
+    return bool(schema.get("additionalProperties", False)) if isinstance(schema, dict) else True
+
+
+def _h_obj_key_body(m, ch):
+    _, schema, seen, allowed, acc = m.stack[-1]
+    if ch == '"':
+        if allowed is not None and acc not in allowed:
+            return False
+        if acc in seen:
+            return False
+        m.stack[-1] = ("obj_value_colon", schema, seen, acc)
+        return True
+    if ch == "\\":
+        return False  # escaped keys unsupported in schema mode
+    acc2 = acc + ch
+    if allowed is not None and not any(s.startswith(acc2) for s in allowed):
+        return False
+    m.stack[-1] = ("obj_key_body", schema, seen, allowed, acc2)
+    return True
+
+
+def _h_obj_value_colon(m, ch):
+    _, schema, seen, key = m.stack[-1]
+    if ch in WS:
+        return True
+    if ch == ":":
+        props = _props(schema)
+        sub = props.get(key) if props else None
+        m.stack[-1] = ("obj_next", schema, seen | {key})
+        m.stack.append(("value", sub))
+        return True
+    return False
+
+
+def _h_obj_next(m, ch):
+    _, schema, seen = m.stack[-1]
+    if ch in WS:
+        return True
+    if ch == "}":
+        if isinstance(schema, dict):
+            missing = set(schema.get("required", ())) - seen
+            if missing:
+                return False
+        m.stack.pop()
+        return True
+    if ch == ",":
+        props = _props(schema)
+        if props is not None and not _additional(schema):
+            remaining = set(props) - seen
+            if not remaining:
+                return False
+            allowed = remaining
+        else:
+            allowed = None
+        m.stack[-1] = ("obj_key_start", schema, seen, allowed)
+        return True
+    return False
+
+
+def _h_obj_key_start(m, ch):
+    _, schema, seen, allowed = m.stack[-1]
+    if ch in WS:
+        return True
+    if ch == '"':
+        m.stack[-1] = ("obj_key_body", schema, seen, allowed, "")
+        return True
+    return False
+
+
+def _h_arr_open(m, ch):
+    _, schema, n = m.stack[-1]
+    if ch in WS:
+        return True
+    if ch == "]":
+        if isinstance(schema, dict) and n < schema.get("minItems", 0):
+            return False
+        m.stack.pop()
+        return True
+    items = schema.get("items") if isinstance(schema, dict) else None
+    m.stack[-1] = ("arr_next", schema, n + 1)
+    m.stack.append(("value", items))
+    return m.advance(ch)  # re-dispatch ch as the first value character
+
+
+def _h_arr_next(m, ch):
+    _, schema, n = m.stack[-1]
+    if ch in WS:
+        return True
+    if ch == "]":
+        if isinstance(schema, dict) and n < schema.get("minItems", 0):
+            return False
+        m.stack.pop()
+        return True
+    if ch == ",":
+        if isinstance(schema, dict) and "maxItems" in schema and n >= schema["maxItems"]:
+            return False
+        items = schema.get("items") if isinstance(schema, dict) else None
+        m.stack[-1] = ("arr_next", schema, n + 1)
+        m.stack.append(("value", items))
+        return True
+    return False
+
+
+def _h_obj_open(m, ch):
+    _, schema = m.stack[-1]
+    if ch in WS:
+        return True
+    if ch == "}":
+        if isinstance(schema, dict) and schema.get("required"):
+            return False
+        m.stack.pop()
+        return True
+    if ch == '"':
+        props = _props(schema)
+        allowed = set(props) if props is not None and not _additional(schema) else None
+        m.stack[-1] = ("obj_key_body", schema, frozenset(), allowed, "")
+        return True
+    return False
+
+
+_HANDLERS = {
+    "value": _h_value,
+    "string_body": _h_string_body,
+    "string_esc": _h_string_esc,
+    "number": _h_number,
+    "literal": _h_literal,
+    "obj_open": _h_obj_open,
+    "obj_key_body": _h_obj_key_body,
+    "obj_value_colon": _h_obj_value_colon,
+    "obj_next": _h_obj_next,
+    "obj_key_start": _h_obj_key_start,
+    "arr_open": _h_arr_open,
+    "arr_next": _h_arr_next,
+}
+
+
+# -- token mask --------------------------------------------------------------
+
+
+class TokenMaskCache:
+    """Per-matcher-state token bitmask (xgrammar adaptive cache role)."""
+
+    def __init__(self, token_strings: list[Optional[str]]):
+        self.token_strings = token_strings
+        self.cache: dict[tuple, np.ndarray] = {}
+
+    def mask(self, matcher: JsonMatcher) -> np.ndarray:
+        sig = matcher.signature()
+        hit = self.cache.get(sig)
+        if hit is not None:
+            return hit
+        v = len(self.token_strings)
+        out = np.zeros(v, bool)
+        for i, s in enumerate(self.token_strings):
+            if not s:
+                continue
+            if matcher.accepts_text(s):
+                out[i] = True
+        self.cache[sig] = out
+        return out
+
+
+class GrammarSession:
+    """Drives a matcher over generated tokens; supplies sampling bitmasks.
+
+    `stop_when_complete`: once the JSON value closes, only stop tokens are
+    allowed (the mask keeps stop ids enabled throughout if provided).
+    """
+
+    def __init__(self, tokenizer, schema: Optional[dict] = None,
+                 stop_token_ids=(), trigger: str | None = None):
+        self.tokenizer = tokenizer
+        strings = []
+        specials = tokenizer.special_token_strings
+        for i in range(tokenizer.vocab_size):
+            t = tokenizer.id_to_token(i)
+            if t is None or t in specials:
+                strings.append(None)
+                continue
+            strings.append(tokenizer.decode([i]))
+        self.mask_cache = TokenMaskCache(strings)
+        self.schema = schema
+        self.stop_token_ids = list(stop_token_ids)
+        self.trigger = trigger
+        self.engaged = trigger is None
+        self.matcher = JsonMatcher(schema)
+        self._text_tail = ""
+
+    def reset(self):
+        self.matcher = JsonMatcher(self.schema)
+        self.engaged = self.trigger is None
+        self._text_tail = ""
+
+    def current_mask(self) -> Optional[np.ndarray]:
+        if not self.engaged:
+            return None
+        m = self.mask_cache.mask(self.matcher).copy()
+        if self.matcher.is_complete():
+            m[:] = False
+        for sid in self.stop_token_ids:
+            if self.matcher.is_complete():
+                m[sid] = True
+        if not m.any():
+            # dead end: allow stop tokens so generation can terminate
+            for sid in self.stop_token_ids:
+                m[sid] = True
+        return m
+
+    def observe(self, token_id: int) -> None:
+        text = self.mask_cache.token_strings[token_id]
+        if not self.engaged:
+            if self.trigger is not None:
+                tok = self.tokenizer.id_to_token(token_id)
+                if tok == self.trigger or (text and self.trigger in (self._text_tail + text)):
+                    self.engaged = True
+                    self._text_tail = ""
+                else:
+                    self._text_tail = (self._text_tail + (text or ""))[-len(self.trigger):]
+            return
+        if text:
+            self.matcher.feed_text(text)

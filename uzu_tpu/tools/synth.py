@@ -653,8 +653,18 @@ def synth_tokenizer(out_dir: str, vocab_size: int = 512) -> str:
 
 
 def synth_chat_model(out_dir: str, *, seed: int = 0, vocab_size: int = 512, **config_kw) -> str:
-    """Full offline chat model dir: config + weights + tokenizer."""
+    """Full offline chat model dir: config + weights + tokenizer, with the
+    model's stop ids aligned to the tokenizer's <|end|>."""
     cfg = llama_config(vocab_size=vocab_size, **config_kw)
     synthesize(cfg, out_dir, seed=seed)
     synth_tokenizer(out_dir, vocab_size=vocab_size)
+    from ..sessions.tokenizer import Tokenizer
+
+    eos = Tokenizer(out_dir).eos_token_ids
+    cfg_path = os.path.join(out_dir, "config.json")
+    with open(cfg_path) as f:
+        raw = json.load(f)
+    raw["generation_config"]["stop_token_ids"] = eos
+    with open(cfg_path, "w") as f:
+        json.dump(raw, f, indent=1)
     return out_dir

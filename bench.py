@@ -123,11 +123,26 @@ def main() -> None:
     )
     sol_tok_s = bw / (wbytes + kv_bytes)
 
+    # continuous-batching aggregate throughput (4 concurrent streams)
+    from uzu_tpu.engine.batch import BatchEngine
+
+    eng = BatchEngine(lm, batch_size=4, decode_chunk=16, sampling=sampling, stop_token_ids=[])
+    gen_b = 64
+    reqs = [eng.submit(rng.integers(0, lm.decoder_config.vocab_size, 32), gen_b) for _ in range(4)]
+    eng.run()  # warmup (compiles batched decode)
+    eng = BatchEngine(lm, batch_size=4, decode_chunk=16, sampling=sampling, stop_token_ids=[])
+    reqs = [eng.submit(rng.integers(0, lm.decoder_config.vocab_size, 32), gen_b) for _ in range(4)]
+    tb = time.perf_counter()
+    eng.run()
+    batch_secs = time.perf_counter() - tb
+    batch_tok_s = sum(len(r.tokens) for r in reqs) / batch_secs
+
     print(
         json.dumps(
             {
                 "metric": "decode_tok_s",
                 "value": round(decode_tok_s, 2),
+                "batch4_tok_s": round(batch_tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(decode_tok_s / sol_tok_s, 4),
                 "sol_tok_s": round(sol_tok_s, 2),

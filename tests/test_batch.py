@@ -1,0 +1,100 @@
+"""Continuous batching tests.
+
+The decisive invariant: batched greedy output per request == single-request
+greedy output, regardless of admission order, slot reuse, or ragged
+completion. (No reference counterpart — this component is the TPU build's
+replacement for uzu's serialized single-session serving.)
+"""
+
+import numpy as np
+import pytest
+
+from uzu_tpu import LanguageModel
+from uzu_tpu.engine.batch import BatchEngine
+from uzu_tpu.engine.sampling import SamplingParams
+from uzu_tpu.tools.synth import llama_config, synthesize
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160, num_heads=4,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    return synthesize(cfg, str(tmp_path_factory.mktemp("batch_model")), seed=13, dtype=np.float32)
+
+
+@pytest.fixture(scope="module")
+def lm(model_dir):
+    return LanguageModel.from_dir(model_dir, max_context=128, prefill_buckets=(16,))
+
+
+PROMPTS = [
+    [1, 2, 3],
+    [9, 8, 7, 6, 5],
+    [42, 17],
+    [100, 101, 102, 103],
+    [7, 7, 7],
+]
+
+
+def test_batched_equals_single(lm):
+    singles = {
+        i: lm.generate_list(np.asarray(p), 12, stop_token_ids=[])
+        for i, p in enumerate(PROMPTS[:4])
+    }
+    eng = BatchEngine(lm, batch_size=4, decode_chunk=4, stop_token_ids=[])
+    reqs = [eng.submit(p, 12) for p in PROMPTS[:4]]
+    eng.run()
+    for i, r in enumerate(reqs):
+        assert r.finished
+        assert r.tokens[:12] == singles[i][:12], f"request {i} diverged"
+
+
+def test_more_requests_than_slots(lm):
+    """5 requests through 2 slots: slot reuse + queueing."""
+    singles = [lm.generate_list(np.asarray(p), 8, stop_token_ids=[]) for p in PROMPTS]
+    eng = BatchEngine(lm, batch_size=2, decode_chunk=4, stop_token_ids=[])
+    reqs = [eng.submit(p, 8) for p in PROMPTS]
+    eng.run()
+    for r, want in zip(reqs, singles):
+        assert r.finished and r.finish_reason == "length"
+        assert r.tokens[:8] == want[:8]
+
+
+def test_ragged_lengths(lm):
+    """Different max_new_tokens finish at different chunks."""
+    eng = BatchEngine(lm, batch_size=3, decode_chunk=4, stop_token_ids=[])
+    r1 = eng.submit(PROMPTS[0], 3)
+    r2 = eng.submit(PROMPTS[1], 10)
+    r3 = eng.submit(PROMPTS[2], 17)
+    eng.run()
+    assert [len(r.tokens) for r in (r1, r2, r3)] == [3, 10, 17]
+    for r, p in zip((r1, r2, r3), PROMPTS):
+        want = lm.generate_list(np.asarray(p), len(r.tokens), stop_token_ids=[])
+        assert r.tokens == want
+
+
+def test_stop_tokens_finish_slot(lm):
+    base = lm.generate_list(np.asarray(PROMPTS[0]), 12, stop_token_ids=[])
+    stop = base[4]
+    want = lm.generate_list(np.asarray(PROMPTS[0]), 12, stop_token_ids=[stop])
+    eng = BatchEngine(lm, batch_size=2, decode_chunk=4, stop_token_ids=[stop])
+    r = eng.submit(PROMPTS[0], 12)
+    eng.run()
+    assert r.finish_reason == "stop"
+    assert r.tokens[-1] == stop
+    assert r.tokens == want
+
+
+def test_late_submission_joins_batch(lm):
+    """A request submitted mid-flight is admitted into a free slot."""
+    eng = BatchEngine(lm, batch_size=2, decode_chunk=2, stop_token_ids=[])
+    r1 = eng.submit(PROMPTS[0], 12)
+    eng.step()  # admit r1, decode one chunk
+    r2 = eng.submit(PROMPTS[1], 6)
+    eng.run()
+    assert r1.finished and r2.finished
+    want1 = lm.generate_list(np.asarray(PROMPTS[0]), 12, stop_token_ids=[])
+    want2 = lm.generate_list(np.asarray(PROMPTS[1]), 6, stop_token_ids=[])
+    assert r1.tokens == want1
+    assert r2.tokens == want2
+    assert r1.ttft >= 0 and r2.ttft >= 0

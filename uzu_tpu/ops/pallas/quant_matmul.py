@@ -212,12 +212,9 @@ def supported(qt, x_2d) -> bool:
     return bool(kc) and kc % g == 0
 
 
-def quant_matmul_pallas(w, x, *, interpret=False):
-    """x [..., K] @ dequant(w)^T -> [..., N]; w is a QuantizedTensor."""
+def _quant_matmul_flat(w, x, *, interpret):
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    if x2.shape[0] > GEMM_THRESHOLD_M or not supported(w, x2):
-        raise NotImplementedError  # caller falls back to the XLA path
     out = _quant_matmul_p(
         x2,
         w.codes,
@@ -228,3 +225,35 @@ def quant_matmul_pallas(w, x, *, interpret=False):
         interpret=interpret,
     )
     return out.reshape(*lead, out.shape[-1]).astype(x.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_op(interpret: bool):
+    """quant matmul with a custom vmap rule: batching folds into the M
+    dimension (ONE kernel launch reading the weights once), instead of
+    jax's default per-instance batching of pallas_call (B launches, B full
+    weight reads — what makes naive vmap of a decode step B times slower)."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def op(w, x):
+        return _quant_matmul_flat(w, x, interpret=interpret)
+
+    @op.def_vmap
+    def _rule(axis_size, in_batched, w, x):
+        w_batched = any(jax.tree.leaves(in_batched[0]))
+        if w_batched:
+            raise NotImplementedError("batched quantized weights unsupported")
+        # x arrives with the batch axis at position 0; the op flattens all
+        # leading dims into M itself.
+        return op(w, x), True
+
+    return op
+
+
+def quant_matmul_pallas(w, x, *, interpret=False):
+    """x [..., K] @ dequant(w)^T -> [..., N]; w is a QuantizedTensor."""
+    x2_rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    if x2_rows > GEMM_THRESHOLD_M or not supported(w, x):
+        raise NotImplementedError  # caller falls back to the XLA path
+    return _batched_op(interpret)(w, x)

@@ -121,3 +121,23 @@ def test_short_conv_hand_computed():
     np.testing.assert_allclose(np.asarray(out[0]), [2.0, 4.0], rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out[3]), [3.5, 6.0], rtol=1e-5)
     np.testing.assert_allclose(np.asarray(new_state["conv"]), 2.0)
+
+
+def test_gemma_ple_kv_sharing(tmp_path):
+    """Gemma-style model: PLE + KV sharing + soft caps + sliding window.
+
+    Chunked prefill vs token-at-a-time pins the PLE math and shared-KV
+    state handling across chunk boundaries."""
+    from uzu_tpu.tools.synth import gemma_config
+
+    d = synthesize(gemma_config(), str(tmp_path / "gemma"), seed=21, dtype=np.float32)
+    toks = (np.arange(12) * 19) % 512
+    lm1 = LanguageModel.from_dir(d, max_context=64, prefill_buckets=(16,))
+    l1, _ = lm1.prefill(lm1.new_state(), toks)
+    lm2 = LanguageModel.from_dir(d, max_context=64, prefill_buckets=(1,))
+    s2 = lm2.new_state()
+    for t in toks:
+        l2, s2 = lm2.prefill(s2, np.array([t]))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=5e-4, atol=5e-4)
+    out = lm1.generate_list(toks, 6, stop_token_ids=[])
+    assert len(out) == 6

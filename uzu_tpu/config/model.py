@@ -375,3 +375,41 @@ class GenerationConfig:
 class LanguageModelConfig:
     decoder_config: DecoderConfig
     generation_config: GenerationConfig
+
+
+# --------------------------------------------------------------------------
+# Classifier (reference: config/classifier.rs, config/model/classifier_model.rs)
+# --------------------------------------------------------------------------
+
+
+class PoolingType(enum.Enum):
+    CLS = "cls"
+    MEAN = "mean"
+
+
+@config
+class PredictionHeadConfig:
+    dense_config: LinearConfig
+    activation: Family["Activation"]
+    normalization_config: NormalizationConfig
+    readout_config: LinearConfig
+    use_dense_bias: bool
+
+
+@config
+class ClassifierConfig:
+    embedding_config: Family["EmbeddingConfig"]
+    embedding_norm_config: NormalizationConfig
+    transformer_config: TransformerConfig
+    prediction_head_config: PredictionHeadConfig
+    vocab_size: int
+    model_dim: int
+    hidden_dim: int
+    num_labels: int
+    classifier_pooling: PoolingType
+    output_labels: Optional[tuple[str, ...]]
+
+
+@config_member("ModelConfig")
+class ClassifierModelConfig:
+    classifier_config: ClassifierConfig

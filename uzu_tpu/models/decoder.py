@@ -93,6 +93,7 @@ def attention_forward(
     positions: jax.Array,  # [S]
     kv,  # own cache dict or shared source cache dict
     owns_cache: bool,
+    true_length=None,
 ):
     s, d = x.shape
     h, g, dh = cfg.num_heads, cfg.num_groups, cfg.head_dim
@@ -131,6 +132,9 @@ def attention_forward(
         k_cache, v_cache = kv["k"], kv["v"]
 
     scale = cfg.scale if cfg.scale is not None else float(dh) ** -0.5
+    kv_valid = None
+    if not cfg.is_causal and true_length is not None:
+        kv_valid = positions[0] + true_length
     attn = attention_reference(
         q,
         k_cache,
@@ -141,6 +145,7 @@ def attention_forward(
         sliding_window_size=cfg.sliding_window_size,
         logit_soft_cap=cfg.logit_soft_cap,
         sinks=params.get("sinks"),
+        kv_valid_length=kv_valid,
     )
     attn = attn.reshape(s, q_dim)
 
@@ -191,6 +196,7 @@ def layer_forward(
     layer_state,
     shared_kv,
     true_length=None,
+    per_layer_input=None,
 ):
     mixer_cfg = layer_cfg.mixer_config
     pls = params.get("post_layer_scalar")
@@ -200,7 +206,9 @@ def layer_forward(
     if isinstance(mixer_cfg, AttentionConfig):
         owns = layer_state is not None
         kv = layer_state if owns else shared_kv
-        a, new_state = attention_forward(mixer_cfg, layer_cfg, params["mixer"], h, positions, kv, owns)
+        a, new_state = attention_forward(
+            mixer_cfg, layer_cfg, params["mixer"], h, positions, kv, owns, true_length
+        )
         if not owns:
             new_state = None
     else:
@@ -225,6 +233,17 @@ def layer_forward(
             m = (m.astype(jnp.float32) * pls[0]).astype(m.dtype)
 
     x = (x.astype(jnp.float32) + m.astype(jnp.float32)).astype(x.dtype)
+
+    if layer_cfg.ple_config is not None:
+        from .ple import ple_project
+
+        x = ple_project(
+            layer_cfg.ple_config,
+            params["ple"],
+            x,
+            per_layer_input,
+            pls[0] if pls is not None else 1.0,
+        )
     return x, new_state
 
 
@@ -255,6 +274,12 @@ def decoder_forward(
     if ecfg.input_scale is not None:
         x = (x.astype(jnp.float32) * ecfg.input_scale).astype(x.dtype)
 
+    per_layer = None
+    if cfg.ple_model_config is not None:
+        from .ple import ple_inputs
+
+        per_layer = ple_inputs(cfg.ple_model_config, params["per_layer_embedding"], tokens, x)
+
     new_layer_states = []
     for i, layer_cfg in enumerate(tcfg.layer_configs):
         src = layer_cfg.kv_source_layer_index
@@ -264,6 +289,7 @@ def decoder_forward(
         x, new_state = layer_forward(
             layer_cfg, params["layers"][i], x, positions, state["layers"][i], shared_kv,
             true_length,
+            per_layer[:, i] if per_layer is not None else None,
         )
         new_layer_states.append(new_state)
 

@@ -201,6 +201,10 @@ def load_layer(tree: ParameterTree, layer_cfg, model_dim: int, hidden_dim: int) 
     if layer_cfg.has_post_layer_scalar:
         dt = tree.leaf_info("post_layer_scalar").dtype
         out["post_layer_scalar"] = jnp.asarray(tree.leaf("post_layer_scalar", (1,), dt)).astype(jnp.float32)
+    if layer_cfg.ple_config is not None:
+        from .ple import load_ple_layer
+
+        out["ple"] = load_ple_layer(tree, layer_cfg.ple_config, model_dim)
     return out
 
 

@@ -32,6 +32,7 @@ def attention_reference(
     logit_soft_cap: float | None = None,
     sinks: jax.Array | None = None,  # [H]
     kv_positions: jax.Array | None = None,  # [C], defaults to arange
+    kv_valid_length=None,  # mask kv slots >= this (bidirectional padding)
 ) -> jax.Array:
     s, h, dh = q.shape
     c, g, _ = k_cache.shape
@@ -51,6 +52,8 @@ def attention_reference(
     qpos = q_positions.astype(jnp.int32)[:, None]  # [s, 1]
     kpos = kv_positions.astype(jnp.int32)[None, :]  # [1, c]
     valid = kpos <= qpos if is_causal else jnp.ones((s, c), bool)
+    if kv_valid_length is not None:
+        valid = valid & (kpos < kv_valid_length)
     if sliding_window_size is not None:
         valid = valid & (kpos > qpos - sliding_window_size)
     scores = jnp.where(valid[None, None], scores, NEG_INF)

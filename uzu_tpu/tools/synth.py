@@ -197,6 +197,11 @@ class ModelBuilder:
                 self.norm_scales(f"{p}.post_mlp_norm", d, lc.post_mlp_norm_config.has_biases)
             if lc.has_post_layer_scalar:
                 self.tensors[f"{p}.post_layer_scalar"] = np.full((1,), 1.0, self.dtype)
+            if lc.ple_config is not None:
+                pc = lc.ple_config
+                self.linear(f"{p}.ple.gate", d, pc.ple_dim, linear_spec, False)
+                self.linear(f"{p}.ple.projection", pc.ple_dim, d, linear_spec, False)
+                self.norm_scales(f"{p}.ple.norm", d, pc.norm_config.has_biases)
             mlp = lc.mlp_config
             hid = lc.hidden_dim or tcfg.hidden_dim
             if isinstance(mlp, DenseMLPConfig):
@@ -215,6 +220,14 @@ class ModelBuilder:
             else:
                 raise ValueError(f"unsupported mlp {type(mlp).__name__}")
         self.norm_scales("transformer.output_norm", d, tcfg.output_norm_config.has_biases)
+        if cfg.ple_model_config is not None:
+            pm = cfg.ple_model_config
+            total = pm.num_layers * pm.ple_dim
+            self.dense("per_layer_embedding.token_embedding", (pm.ple_vocab_size, total))
+            self.linear("per_layer_embedding.model_projection", d, total,
+                        FullPrecisionSpec(layout=Layout.OUTPUT_INPUT), False)
+            self.norm_scales("per_layer_embedding.projection_norm", pm.ple_dim,
+                             pm.norm_config.has_biases)
 
     def write(self, out_dir: str, cfg: LanguageModelConfig) -> str:
         from ..params.safetensors_io import save_file
@@ -668,3 +681,175 @@ def synth_chat_model(out_dir: str, *, seed: int = 0, vocab_size: int = 512, **co
     with open(cfg_path, "w") as f:
         json.dump(raw, f, indent=1)
     return out_dir
+
+
+def gemma_config(
+    *, num_layers: int = 4, model_dim: int = 96, hidden_dim: int = 192,
+    vocab_size: int = 512, num_heads: int = 4, num_groups: int = 2,
+    head_dim: int = 24, ple_dim: int = 16, ple_vocab: int = 256,
+    sliding_window: int = 16, kv_share_last: int = 1,
+) -> LanguageModelConfig:
+    """Gemma-3n/E4B-style config: PLE, per-layer scalars, sliding-window
+    attention with logit soft cap, GELU MLP, cross-layer KV sharing on the
+    trailing layers, untied embedding with input scale."""
+    from ..config.model import GELU, PLELayerConfig, PLEModelConfig
+
+    norm = _rms(eps=1e-6)
+    ple_layer = PLELayerConfig(
+        linear_config=LinearConfig(),
+        norm_config=norm,
+        ple_dim=ple_dim,
+        activation=GELU(approximate=True),
+    )
+    layers = []
+    kv_source = num_layers - kv_share_last - 1
+    for i in range(num_layers):
+        shared = i >= num_layers - kv_share_last
+        attn = AttentionConfig(
+            qkv_projection_config=LinearConfig(),
+            out_projection_config=LinearConfig(),
+            query_norm_config=norm,
+            key_norm_config=None if shared else norm,
+            num_heads=num_heads,
+            num_groups=num_groups,
+            head_dim=head_dim,
+            is_causal=True,
+            scale=None,
+            sliding_window_size=sliding_window if i % 2 == 0 else None,
+            logit_soft_cap=50.0,
+            has_sinks=False,
+            has_qkv_biases=False,
+            has_out_biases=False,
+            gate_projection_config=None,
+            normalize_values=False,
+            is_kv_sharing=shared,
+        )
+        mlp = DenseMLPConfig(
+            linear_config=LinearConfig(),
+            activation=GELU(approximate=True),
+            has_up_biases=False,
+            has_down_biases=False,
+            gate_clipping=None,
+            up_clipping=None,
+        )
+        layers.append(TransformerLayerConfig(
+            pre_mixer_norm_config=norm,
+            mixer_config=attn,
+            post_mixer_norm_config=norm,
+            pre_mlp_norm_config=norm,
+            mlp_config=mlp,
+            post_mlp_norm_config=norm,
+            hidden_dim=None,
+            ple_config=ple_layer,
+            has_post_layer_scalar=True,
+            kv_source_layer_index=kv_source if shared else None,
+            rope_config=UnscaledRoPEConfig(base=10000.0, max_sequence_length=4096, head_dim=head_dim),
+        ))
+    decoder = DecoderConfig(
+        embedding_config=TiedEmbeddingConfig(
+            input_scale=float(model_dim) ** 0.5, logit_soft_cap=30.0
+        ),
+        transformer_config=TransformerConfig(
+            layer_configs=tuple(layers),
+            output_norm_config=norm,
+            model_dim=model_dim,
+            hidden_dim=hidden_dim,
+        ),
+        vocab_size=vocab_size,
+        ple_model_config=PLEModelConfig(
+            ple_dim=ple_dim,
+            num_layers=num_layers,
+            ple_vocab_size=ple_vocab,
+            ple_embed_scale=float(ple_dim) ** 0.5,
+            model_projection_scale=float(model_dim) ** -0.5,
+            input_scale=0.5,
+            linear_config=LinearConfig(),
+            norm_config=_rms(eps=1e-6),
+        ),
+    )
+    return LanguageModelConfig(
+        decoder_config=decoder,
+        generation_config=GenerationConfig(
+            stop_token_ids=(0,), temperature=None, top_k=None, top_p=None,
+            min_p=None, banned_tokens=None, repetition_penalty=None,
+            presence_penalty=None, frequency_penalty=None,
+            suffix_repetition_length=None,
+        ),
+    )
+
+
+def classifier_config(
+    *, num_layers: int = 2, model_dim: int = 64, hidden_dim: int = 160,
+    num_heads: int = 4, num_groups: int = 2, head_dim: int = 16,
+    vocab_size: int = 256, num_labels: int = 3, labels=None,
+) -> "LanguageModelConfig":
+    """Encoder-classifier config (reference: config/classifier.rs)."""
+    from ..config.model import (
+        ClassifierConfig,
+        ClassifierModelConfig,
+        PoolingType,
+        PredictionHeadConfig,
+    )
+
+    base = llama_config(
+        num_layers=num_layers, model_dim=model_dim, hidden_dim=hidden_dim,
+        num_heads=num_heads, num_groups=num_groups, head_dim=head_dim,
+        vocab_size=vocab_size,
+    )
+    head = PredictionHeadConfig(
+        dense_config=LinearConfig(),
+        activation=SiLU(alpha=1.0),
+        normalization_config=_rms(),
+        readout_config=LinearConfig(),
+        use_dense_bias=True,
+    )
+    return ClassifierModelConfig(
+        classifier_config=ClassifierConfig(
+            embedding_config=TiedEmbeddingConfig(input_scale=None, logit_soft_cap=None),
+            embedding_norm_config=_rms(),
+            transformer_config=base.decoder_config.transformer_config,
+            prediction_head_config=head,
+            vocab_size=vocab_size,
+            model_dim=model_dim,
+            hidden_dim=model_dim,
+            num_labels=num_labels,
+            classifier_pooling=PoolingType.MEAN,
+            output_labels=tuple(labels) if labels else None,
+        )
+    )
+
+
+def synthesize_classifier(model_cfg, out_dir: str, *, seed: int = 0, dtype=BF16) -> str:
+    """Write a classifier model dir (tensors under the 'classifier.' prefix,
+    like the reference's loader expects, classifier_model.rs:62)."""
+    cfg = model_cfg.classifier_config
+    b = ModelBuilder(seed=seed, dtype=np.dtype(dtype))
+    d = cfg.model_dim
+    spec = FullPrecisionSpec(layout=Layout.OUTPUT_INPUT)
+    emb_spec = FullPrecisionSpec(layout=Layout.INPUT_OUTPUT)
+
+    inner = ModelBuilder(seed=seed, dtype=np.dtype(dtype))
+    # reuse the decoder emitter for embedding + transformer layers
+    from ..config.model import DecoderConfig as _DC
+
+    dec = _DC(
+        embedding_config=cfg.embedding_config,
+        transformer_config=cfg.transformer_config,
+        vocab_size=cfg.vocab_size,
+        ple_model_config=None,
+    )
+    inner.build_decoder(dec, spec, emb_spec)
+    # the decoder emitter writes transformer.output_norm, which the
+    # classifier doesn't have; drop it and add classifier-specific tensors
+    for name in list(inner.tensors):
+        if name.startswith("transformer.output_norm"):
+            del inner.tensors[name]
+    inner.norm_scales("embedding_norm", d, cfg.embedding_norm_config.has_biases)
+    ph = cfg.prediction_head_config
+    inner.linear("prediction_head.dense", cfg.hidden_dim, cfg.hidden_dim, spec, ph.use_dense_bias)
+    inner.norm_scales("prediction_head.norm", cfg.hidden_dim, ph.normalization_config.has_biases)
+    inner.linear("prediction_head.readout", cfg.hidden_dim, cfg.num_labels, spec, False)
+
+    b.tensors = {f"classifier.{k}": v for k, v in inner.tensors.items()}
+    b.metadata = {f"classifier.{k}": v for k, v in inner.metadata.items()}
+    return b.write(out_dir, model_cfg)

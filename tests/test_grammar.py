@@ -102,3 +102,73 @@ def test_random_model_respects_schema(chat_dir):
     )
     text = tok.decode(out, skip_special_tokens=True).strip()
     assert JsonMatcher(schema).feed_text(text), text
+
+
+# -- native (C++) backend -------------------------------------------------------
+
+
+def test_native_matches_python_masks(chat_dir):
+    """The C++ engine (native/grammar.cpp) and the Python matcher must
+    produce identical token masks along a generation trajectory."""
+    pytest.importorskip("ctypes")
+    from uzu_tpu.grammar.native_backend import NativeGrammar
+
+    tok = Tokenizer(chat_dir)
+    schema = {
+        "type": "object",
+        "properties": {
+            "city": {"enum": ["Paris", "Rome"]},
+            "days": {"type": "integer"},
+            "tags": {"type": "array", "items": {"type": "string"}, "maxItems": 2},
+        },
+        "required": ["city"],
+    }
+    g_py = GrammarSession(tok, schema=schema, backend="python")
+    g_nat = GrammarSession(tok, schema=schema, backend="native")
+    assert g_nat.backend == "native" and g_py.backend == "python"
+
+    text = '{"city": "Paris", "days": 3, "tags": ["a"]}'
+    # walk the text via tokenizer ids, comparing masks at every step
+    ids = tok.encode(text)
+    for i, tid in enumerate(ids):
+        m_py = g_py.current_mask()
+        m_nat = g_nat.current_mask()
+        np.testing.assert_array_equal(m_nat, m_py, err_msg=f"mask diverged at step {i}")
+        assert m_py[tid], f"step {i}: token {tok.id_to_token(tid)!r} should be allowed"
+        g_py.observe(tid)
+        g_nat.observe(tid)
+    assert g_py.matcher.is_complete()
+    assert g_nat.native.is_complete()
+
+
+def test_native_mask_speed(chat_dir):
+    """Native mask computation must be fast enough for per-step use."""
+    import time
+
+    from uzu_tpu.grammar.native_backend import NativeGrammar
+
+    tok = Tokenizer(chat_dir)
+    g = GrammarSession(tok, schema=None, backend="native")
+    t0 = time.perf_counter()
+    g.current_mask()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(100):
+        g.current_mask()  # cached state
+    warm = (time.perf_counter() - t0) / 100
+    assert warm < 0.01, f"cached mask too slow: {warm*1e3:.2f} ms"
+    assert cold < 1.0, f"cold mask too slow: {cold*1e3:.1f} ms"
+
+
+def test_constrained_generate_native_backend(chat_dir):
+    lm = LanguageModel.from_dir(chat_dir, max_context=256, prefill_buckets=(16,))
+    tok = Tokenizer(chat_dir)
+    schema = {"type": "object", "properties": {"city": {"enum": ["Paris", "Rome"]}},
+              "required": ["city"]}
+    grammar = GrammarSession(tok, schema=schema, stop_token_ids=tok.eos_token_ids,
+                             backend="native")
+    out = list(constrained_generate(
+        lm, np.asarray(tok.encode("<|user|>w<|end|><|assistant|>")),
+        64, grammar, sampling=SamplingParams(temperature=1.0, top_k=40), seed=9))
+    text = tok.decode(out, skip_special_tokens=True).strip()
+    assert JsonMatcher(schema).feed_text(text), text

@@ -431,7 +431,8 @@ class GrammarSession:
     """
 
     def __init__(self, tokenizer, schema: Optional[dict] = None,
-                 stop_token_ids=(), trigger: str | None = None):
+                 stop_token_ids=(), trigger: str | None = None,
+                 backend: str = "auto"):
         self.tokenizer = tokenizer
         strings = []
         specials = tokenizer.special_token_strings
@@ -441,27 +442,57 @@ class GrammarSession:
                 strings.append(None)
                 continue
             strings.append(tokenizer.decode([i]))
-        self.mask_cache = TokenMaskCache(strings)
+        self.token_strings = strings
         self.schema = schema
         self.stop_token_ids = list(stop_token_ids)
         self.trigger = trigger
         self.engaged = trigger is None
-        self.matcher = JsonMatcher(schema)
         self._text_tail = ""
 
+        # backend select: the C++ engine (native/grammar.cpp) computes
+        # vocabulary masks ~100x faster; the Python matcher is the semantic
+        # reference and covers schema features outside the flattened subset.
+        self.native = None
+        self.mask_cache = None
+        self.matcher = None
+        if backend in ("auto", "native"):
+            try:
+                from .native_backend import NativeGrammar, SchemaUnsupported
+
+                self.native = NativeGrammar(schema, strings)
+            except Exception:
+                if backend == "native":
+                    raise
+        if self.native is None:
+            self.mask_cache = TokenMaskCache(strings)
+            self.matcher = JsonMatcher(schema)
+
+    @property
+    def backend(self) -> str:
+        return "native" if self.native is not None else "python"
+
     def reset(self):
-        self.matcher = JsonMatcher(self.schema)
+        if self.native is not None:
+            self.native.reset()
+        else:
+            self.matcher = JsonMatcher(self.schema)
         self.engaged = self.trigger is None
         self._text_tail = ""
+
+    def _is_complete(self) -> bool:
+        return self.native.is_complete() if self.native is not None else self.matcher.is_complete()
 
     def current_mask(self) -> Optional[np.ndarray]:
         if not self.engaged:
             return None
-        m = self.mask_cache.mask(self.matcher).copy()
-        if self.matcher.is_complete():
+        if self.native is not None:
+            m = self.native.mask()
+        else:
+            m = self.mask_cache.mask(self.matcher).copy()
+        if self._is_complete():
             m[:] = False
         for sid in self.stop_token_ids:
-            if self.matcher.is_complete():
+            if self._is_complete():
                 m[sid] = True
         if not m.any():
             # dead end: allow stop tokens so generation can terminate
@@ -470,7 +501,7 @@ class GrammarSession:
         return m
 
     def observe(self, token_id: int) -> None:
-        text = self.mask_cache.token_strings[token_id]
+        text = self.token_strings[token_id]
         if not self.engaged:
             if self.trigger is not None:
                 tok = self.tokenizer.id_to_token(token_id)
@@ -481,4 +512,7 @@ class GrammarSession:
                     self._text_tail = (self._text_tail + (text or ""))[-len(self.trigger):]
             return
         if text:
-            self.matcher.feed_text(text)
+            if self.native is not None:
+                self.native.feed_text(text)
+            else:
+                self.matcher.feed_text(text)

@@ -95,6 +95,41 @@ class SafetensorsFile:
             buf = f.read(info.nbytes)
         return np.frombuffer(buf, dtype=info.dtype).reshape(info.shape)
 
+    def read_many(self, names=None, threads: int = 0) -> dict[str, np.ndarray]:
+        """Read many tensors in one pass via the native parallel reader
+        (uzu_tpu/native/io_loader.cpp, the analogue of the reference's
+        direct-into-allocation reads, parameters/loader.rs:192-213). Falls
+        back to sequential reads without a toolchain."""
+        names = list(names if names is not None else self.tensors)
+        from ..native import io_loader
+
+        lib = io_loader()
+        if lib is None:
+            return {n: self.read(n) for n in names}
+
+        import ctypes
+
+        arrays: dict[str, np.ndarray] = {}
+        offs = (ctypes.c_uint64 * len(names))()
+        sizes = (ctypes.c_uint64 * len(names))()
+        dests = (ctypes.c_void_p * len(names))()
+        for i, n in enumerate(names):
+            info = self.tensors[n]
+            expected = int(np.prod(info.shape, dtype=np.int64)) * info.dtype.itemsize
+            if expected != info.nbytes:
+                raise ValueError(f"tensor {n}: byte size mismatch")
+            arr = np.empty(info.shape, dtype=info.dtype)
+            arrays[n] = arr
+            offs[i] = info.offset
+            sizes[i] = info.nbytes
+            dests[i] = arr.ctypes.data_as(ctypes.c_void_p)
+        rc = lib.uz_read_parallel(
+            self.path.encode(), len(names), offs, sizes, dests, threads
+        )
+        if rc != 0:
+            raise OSError(-rc, f"native parallel read failed for {self.path}")
+        return arrays
+
 
 def save_file(path: str, tensors: dict[str, np.ndarray], metadata: dict[str, str] | None = None) -> None:
     header: dict = {}

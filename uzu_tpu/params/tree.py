@@ -45,10 +45,18 @@ def _fill_random(info: TensorInfo, seed: int) -> np.ndarray:
 class ParameterLoader:
     """Loads tensors by dotted name with validation + consumption tracking."""
 
-    def __init__(self, path: str, random_seed: int | None = None):
+    def __init__(self, path: str, random_seed: int | None = None, prefetch: bool = True):
         self._file = SafetensorsFile(path)
         self._random_seed = random_seed
         self._validated: set[str] = set()
+        self._prefetched: dict[str, np.ndarray] | None = None
+        if prefetch and random_seed is None:
+            # one native parallel read of every tensor (loader.rs:192-213's
+            # direct-read analogue); falls back to lazy reads on failure
+            try:
+                self._prefetched = self._file.read_many()
+            except OSError:
+                self._prefetched = None
 
     @property
     def metadata(self) -> dict[str, str]:
@@ -72,6 +80,8 @@ class ParameterLoader:
         info = self._info(key)
         if self._random_seed is not None:
             return _fill_random(info, self._random_seed)
+        if self._prefetched is not None:
+            return self._prefetched[key]
         return self._file.read(key)
 
 

@@ -137,3 +137,63 @@ def test_quantized_int4_tracks_full_precision(tmp_path, rng):
     # same seed -> same underlying float weights -> int8 logits close
     diff = np.abs(np.asarray(l_fp) - np.asarray(l_q)).max()
     assert diff < 0.1, diff
+
+
+def test_kv_quantization_close_to_fp(tiny_llama_dir):
+    """INT8 KV with per-row scales stays close to the fp cache."""
+    toks = (np.arange(20) * 11) % 256
+    lm_fp = LanguageModel.from_dir(tiny_llama_dir, max_context=64, prefill_buckets=(32,))
+    lm_q = LanguageModel.from_dir(tiny_llama_dir, max_context=64, prefill_buckets=(32,),
+                                  kv_quant=True)
+    l_fp, _ = lm_fp.prefill(lm_fp.new_state(), toks)
+    l_q, _ = lm_q.prefill(lm_q.new_state(), toks)
+    # logits close; argmax stable
+    assert int(np.argmax(np.asarray(l_fp))) == int(np.argmax(np.asarray(l_q)))
+    np.testing.assert_allclose(np.asarray(l_q), np.asarray(l_fp), rtol=0.1, atol=0.05)
+    # generation consistent between prefill/decode paths with quantized KV
+    out = lm_q.generate_list(toks[:5], 8, stop_token_ids=[])
+    s = lm_q.new_state()
+    for t in list(toks[:5]):
+        l, s = lm_q.prefill(s, np.array([t]))
+    assert len(out) == 8
+
+
+def test_ring_window_matches_full(tmp_path):
+    """A sliding-window layer with ring layout W slots == full layout."""
+    from uzu_tpu.tools.synth import llama_config, synthesize
+    import dataclasses
+
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160, num_heads=4,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    # give layer 0 a sliding window of 8
+    layers = list(cfg.decoder_config.transformer_config.layer_configs)
+    layers[0] = dataclasses.replace(
+        layers[0],
+        mixer_config=dataclasses.replace(layers[0].mixer_config, sliding_window_size=8),
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        decoder_config=dataclasses.replace(
+            cfg.decoder_config,
+            transformer_config=dataclasses.replace(
+                cfg.decoder_config.transformer_config, layer_configs=tuple(layers)
+            ),
+        ),
+    )
+    d = synthesize(cfg, str(tmp_path / "win"), seed=9, dtype=np.float32)
+    toks = (np.arange(30) * 7) % 256
+
+    lm_full = LanguageModel.from_dir(d, max_context=64, prefill_buckets=(8,))
+    lm_ring = LanguageModel.from_dir(d, max_context=64, prefill_buckets=(8,),
+                                     ring_windows=True)
+    # ring cache for layer 0 is window + chunk scratch slots instead of 64
+    assert lm_ring.new_state()["layers"][0]["k"].shape[0] == 8 + 8
+    assert lm_full.new_state()["layers"][0]["k"].shape[0] == 64
+    l1, _ = lm_full.prefill(lm_full.new_state(), toks)
+    l2, _ = lm_ring.prefill(lm_ring.new_state(), toks)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=2e-4, atol=2e-4)
+
+    # decode path too
+    o1 = lm_full.generate_list(toks, 10, stop_token_ids=[])
+    o2 = lm_ring.generate_list(toks, 10, stop_token_ids=[])
+    assert o1 == o2

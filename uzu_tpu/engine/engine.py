@@ -68,6 +68,8 @@ class LanguageModel:
         max_context: int = 4096,
         prefill_buckets=DEFAULT_PREFILL_BUCKETS,
         shard_fn=None,
+        kv_quant: bool = False,
+        ring_windows: bool = False,
     ):
         self.config = config
         self.decoder_config = config.decoder_config
@@ -76,6 +78,8 @@ class LanguageModel:
         # largest number of decode steps fused into one dispatch (one host
         # fetch per chunk; chunks grow 1,2,4,... up to this)
         self.max_decode_chunk = 32
+        self.kv_quant = kv_quant
+        self.ring_windows = ring_windows
         self.params = shard_fn(params) if shard_fn is not None else params
         self._prefill_jit = {}
         self._decode_jit = {}
@@ -94,7 +98,13 @@ class LanguageModel:
     # -- state -----------------------------------------------------------
 
     def new_state(self, ring_size: int = 0) -> dict:
-        state = init_state(self.decoder_config, self.max_context)
+        state = init_state(
+            self.decoder_config,
+            self.max_context,
+            kv_quant=self.kv_quant,
+            ring_windows=self.ring_windows,
+            ring_extra=max(self.prefill_buckets),
+        )
         if ring_size:
             state["ring"] = jnp.full((ring_size,), -1, jnp.int32)
         return state

@@ -122,14 +122,13 @@ def attention_forward(
         if k_new is not None:
             k_new = apply_rope(k_new, cos, sin)
 
+    from .kv_cache import append as kv_append, read as kv_read
+
     if owns_cache:
-        pos0 = positions[0]
-        k_cache = jax.lax.dynamic_update_slice(kv["k"], k_new.astype(kv["k"].dtype), (pos0, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(kv["v"], v_new.astype(kv["v"].dtype), (pos0, 0, 0))
-        new_kv = {"k": k_cache, "v": v_cache}
+        new_kv = kv_append(kv, k_new, v_new, positions, true_length)
     else:
         new_kv = kv
-        k_cache, v_cache = kv["k"], kv["v"]
+    k_cache, v_cache, kv_positions = kv_read(new_kv)
 
     scale = cfg.scale if cfg.scale is not None else float(dh) ** -0.5
     kv_valid = None
@@ -146,6 +145,7 @@ def attention_forward(
         logit_soft_cap=cfg.logit_soft_cap,
         sinks=params.get("sinks"),
         kv_valid_length=kv_valid,
+        kv_positions=kv_positions,
     )
     attn = attn.reshape(s, q_dim)
 

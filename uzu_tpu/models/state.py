@@ -19,7 +19,19 @@ import jax.numpy as jnp
 from ..config.model import AttentionConfig, DecoderConfig
 
 
-def init_state(cfg: DecoderConfig, max_context: int, dtype=jnp.bfloat16) -> dict:
+def init_state(
+    cfg: DecoderConfig,
+    max_context: int,
+    dtype=jnp.bfloat16,
+    *,
+    kv_quant: bool = False,
+    ring_windows: bool = False,
+    ring_extra: int = 0,
+) -> dict:
+    """kv_quant: INT8 KV codes + per-row scales; ring_windows: sliding-window
+    layers keep only `window` slots (ring layout) instead of max_context."""
+    from .kv_cache import make_cache
+
     layers = []
     for layer_cfg in cfg.transformer_config.layer_configs:
         m = layer_cfg.mixer_config
@@ -27,12 +39,16 @@ def init_state(cfg: DecoderConfig, max_context: int, dtype=jnp.bfloat16) -> dict
             if m.is_kv_sharing or layer_cfg.kv_source_layer_index is not None:
                 layers.append(None)
             else:
-                shape = (max_context, m.num_groups, m.head_dim)
                 layers.append(
-                    {
-                        "k": jnp.zeros(shape, dtype),
-                        "v": jnp.zeros(shape, dtype),
-                    }
+                    make_cache(
+                        m.num_groups,
+                        m.head_dim,
+                        max_context,
+                        dtype,
+                        quantized=kv_quant,
+                        window=m.sliding_window_size if ring_windows else None,
+                        ring_extra=ring_extra,
+                    )
                 )
         else:
             from .ssm import make_ssm_state

@@ -173,9 +173,16 @@ def state_specs(cfg: DecoderConfig, state: dict, mesh: Mesh, *, batched: bool = 
         if layer_state is None:
             layers.append(None)
         elif isinstance(lc.mixer_config, AttentionConfig):
-            layers.append(
-                {k: _ns(mesh, *lead, None, TP_AXIS, None) for k in layer_state}
-            )
+            # k/v/k_q/v_q [C, G, Dh] -> kv-head dim over tp; scales [C, G]
+            # likewise; ring position array [C] replicated over tp
+            def kv_spec(arr):
+                if arr.ndim - len(lead) == 3:
+                    return _ns(mesh, *lead, None, TP_AXIS, None)
+                if arr.ndim - len(lead) == 2:
+                    return _ns(mesh, *lead, None, TP_AXIS)
+                return _ns(mesh, *lead, None)
+
+            layers.append({k: kv_spec(v) for k, v in layer_state.items()})
         else:
             layers.append(jax.tree.map(lambda _: _ns(mesh, *lead), layer_state))
     out = {"layers": layers, "pos": _ns(mesh, *lead)}

@@ -33,8 +33,11 @@ from ..config.model import (
     DecoderConfig,
     DenseMLPConfig,
     FullPrecisionSpec,
+    HybridSpec,
+    IncoherenceProcessingMode,
     IntSpec,
     Layout,
+    LowRankSpec,
     MLXSpec,
     MixtureOfExpertsConfig,
     NormalizationConfig,
@@ -42,7 +45,7 @@ from ..config.model import (
     UntiedEmbeddingConfig,
 )
 from ..params.tree import ParameterError, ParameterTree
-from ..quant.format import from_disk_tensors
+from ..quant.format import HybridLinear, from_disk_tensors
 
 _FLOAT_DTYPES = {
     np.dtype(ml_dtypes.bfloat16),
@@ -70,6 +73,8 @@ def load_linear(tree: ParameterTree, input_dim: int, output_dim: int, has_biases
         out["w"] = jnp.asarray(weights_tree.leaf("weights", (output_dim, input_dim), dt))
     elif isinstance(spec, (IntSpec, MLXSpec)):
         out["w"] = _load_quantized(spec, weights_tree, input_dim, output_dim)
+    elif isinstance(spec, HybridSpec):
+        out["w"] = _load_hybrid(spec, weights_tree, input_dim, output_dim, has_biases)
     else:
         raise ParameterError(f"unsupported weight spec {type(spec).__name__}")
     if has_biases:
@@ -224,3 +229,46 @@ def load_decoder(tree: ParameterTree, cfg: DecoderConfig) -> dict:
 
         params["per_layer_embedding"] = load_ple(tree, cfg, tcfg)
     return params
+
+
+def _load_hybrid(spec: HybridSpec, weights_tree: ParameterTree, input_dim: int, output_dim: int,
+                 has_biases: bool) -> HybridLinear:
+    """HybridSpec: quantized base under "quantized", optional LowRank adapter
+    under "adapter", optional incoherence signs (linear/{qlora_wrapper.rs:
+    80-101, 199-207; rht_wrapper.rs:109-131})."""
+    base_spec = spec.quantization_spec
+    if not isinstance(base_spec, (IntSpec, MLXSpec)):
+        raise ParameterError(f"unsupported hybrid base {type(base_spec).__name__}")
+    base = _load_quantized(base_spec, weights_tree.subtree("quantized"), input_dim, output_dim)
+
+    adapter_down = adapter_up = None
+    if spec.adapter_spec is not None:
+        if has_biases:
+            raise ParameterError("QLoRA linear with biases is not supported")
+        if not isinstance(spec.adapter_spec, LowRankSpec):
+            raise ParameterError(f"unsupported adapter {type(spec.adapter_spec).__name__}")
+        rank = spec.adapter_spec.rank
+        dt = _weights_dtype(weights_tree, "adapter.down_projection")
+        adapter_down = jnp.asarray(weights_tree.leaf("adapter.down_projection", (rank, input_dim), dt))
+        adapter_up = jnp.asarray(weights_tree.leaf("adapter.up_projection", (output_dim, rank), dt))
+
+    input_signs = output_signs = None
+    if spec.incoherence_block_size is not None:
+        if spec.incoherence_block_size != 32:
+            raise ParameterError(f"unsupported incoherence block {spec.incoherence_block_size}")
+        if spec.incoherence_processing_mode != IncoherenceProcessingMode.INPUT_OUTPUT:
+            raise ParameterError(f"unsupported incoherence mode {spec.incoherence_processing_mode}")
+        input_signs = jnp.asarray(
+            weights_tree.leaf("incoherence_signs.input_signs", (input_dim,), np.int32)
+        ).astype(jnp.float32)
+        output_signs = jnp.asarray(
+            weights_tree.leaf("incoherence_signs.output_signs", (output_dim,), np.int32)
+        ).astype(jnp.float32)
+
+    return HybridLinear(
+        base=base,
+        adapter_down=adapter_down,
+        adapter_up=adapter_up,
+        input_signs=input_signs,
+        output_signs=output_signs,
+    )

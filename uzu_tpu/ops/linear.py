@@ -11,13 +11,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..quant.format import QuantizedTensor, dequantize
+from ..quant.format import HybridLinear, QuantizedTensor, dequantize
 from .. import runtime
 
 
 def linear_apply(w, x: jax.Array, bias=None) -> jax.Array:
     """x: [..., K] -> [..., N]."""
-    if isinstance(w, QuantizedTensor):
+    if isinstance(w, HybridLinear):
+        y = hybrid_apply(w, x)
+    elif isinstance(w, QuantizedTensor):
         y = quant_matmul(w, x)
     else:
         y = jax.lax.dot_general(
@@ -47,3 +49,28 @@ def quant_matmul(w: QuantizedTensor, x: jax.Array) -> jax.Array:
         dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
+
+
+def hybrid_apply(w: HybridLinear, x: jax.Array) -> jax.Array:
+    """QLoRA/RHT hybrid linear (order per qlora_wrapper.rs:163-240)."""
+    from .rht import input_rht, output_rht
+
+    inter = None
+    if w.adapter_down is not None:
+        inter = jax.lax.dot_general(
+            x, w.adapter_down,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    xb = input_rht(x, w.input_signs) if w.input_signs is not None else x
+    y = quant_matmul(w.base, xb).astype(jnp.float32)
+    if inter is not None:
+        y = y + jax.lax.dot_general(
+            inter, w.adapter_up,
+            dimension_numbers=(((inter.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    y = y.astype(x.dtype)
+    if w.output_signs is not None:
+        y = output_rht(y, w.output_signs)
+    return y

@@ -61,6 +61,13 @@ def validate_tp(cfg: DecoderConfig, tp: int) -> None:
 
 
 def _linear_specs(p: dict, mesh: Mesh, *, shard_rows: bool) -> dict:
+    from ..quant.format import HybridLinear
+
+    if isinstance(p.get("w"), HybridLinear):
+        # hybrid (QLoRA/RHT) linears are replicated for now: their leaves
+        # have mixed ranks/dims and the output RHT couples 32-blocks that a
+        # row shard would split; TP-sharding them is a later milestone
+        return _replicate_tree(p, mesh)
     out = {"w": _ns(mesh, TP_AXIS, None) if shard_rows else _ns(mesh, None, TP_AXIS)}
     if "b" in p:
         # row-sharded linear => output dim sharded => bias sharded;

@@ -197,3 +197,37 @@ def from_disk_tensors(
         bits=bits,
         group_size=group_size,
     )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["base", "adapter_down", "adapter_up", "input_signs", "output_signs"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class HybridLinear:
+    """HybridSpec weights (reference: config/weight_matrix/hybrid_spec.rs +
+    encodable_block/linear/{qlora_wrapper,rht_wrapper}.rs): a quantized base
+    stored in the incoherence-transformed domain, plus an optional low-rank
+    adapter and optional per-dim Hadamard sign vectors.
+
+    Forward (qlora_wrapper.rs:163-240 order):
+        inter = x @ adapter_down^T                (on the RAW input)
+        y = base @ input_rht(x)                   (signs present)
+        y += inter @ adapter_up^T
+        y = output_rht(y)                         (signs present)
+    """
+
+    base: QuantizedTensor
+    adapter_down: jax.Array | None  # [rank, K]
+    adapter_up: jax.Array | None  # [N, rank]
+    input_signs: jax.Array | None  # [K] f32 (+-1)
+    output_signs: jax.Array | None  # [N] f32 (+-1)
+
+    @property
+    def shape(self):
+        return self.base.shape
+
+    @property
+    def dtype(self):
+        return self.base.dtype

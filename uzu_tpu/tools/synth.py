@@ -24,6 +24,7 @@ from ..config.model import (
     DenseMLPConfig,
     FullPrecisionSpec,
     GenerationConfig,
+    HybridSpec,
     IntSpec,
     LanguageModelConfig,
     Layout,
@@ -103,6 +104,33 @@ class ModelBuilder:
             parts = quantize_reference(weights, spec.bits, spec.group_size, method, dtype=self.dtype)
             for leaf, arr in parts.items():
                 self.tensors[f"{prefix}.weights.{leaf}"] = arr
+        elif isinstance(spec, HybridSpec):
+            from ..quant.format import quantize_reference
+
+            base = spec.quantization_spec
+            method = (
+                "scale_bias"
+                if isinstance(base, MLXSpec)
+                else ("scale_symmetric" if base.is_symmetric else "scale_zero_point")
+            )
+            if weights is None:
+                weights = self.rng.standard_normal((output_dim, input_dim), dtype=np.float32) * self.weight_scale
+            stored = weights
+            if spec.incoherence_block_size is not None:
+                from ..ops.rht import transform_weight_for_storage
+
+                si = self.rng.choice([-1, 1], input_dim).astype(np.int32)
+                so = self.rng.choice([-1, 1], output_dim).astype(np.int32)
+                self.tensors[f"{prefix}.weights.incoherence_signs.input_signs"] = si
+                self.tensors[f"{prefix}.weights.incoherence_signs.output_signs"] = so
+                stored = transform_weight_for_storage(weights, si, so)
+            parts = quantize_reference(stored, base.bits, base.group_size, method, dtype=self.dtype)
+            for leaf, arr in parts.items():
+                self.tensors[f"{prefix}.weights.quantized.{leaf}"] = arr
+            if spec.adapter_spec is not None:
+                rank = spec.adapter_spec.rank
+                self.dense(f"{prefix}.weights.adapter.down_projection", (rank, input_dim))
+                self.dense(f"{prefix}.weights.adapter.up_projection", (output_dim, rank))
         else:
             raise ValueError(f"unsupported spec {type(spec).__name__}")
         if has_biases:

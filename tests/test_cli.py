@@ -1,0 +1,61 @@
+"""CLI tests (role parity with crates/cli: bench task -> BenchResult JSON,
+synth, classify, ppl)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from uzu_tpu.cli import main
+from uzu_tpu.tools.synth import synth_chat_model
+
+
+@pytest.fixture(scope="module")
+def chat_dir(tmp_path_factory):
+    return synth_chat_model(
+        str(tmp_path_factory.mktemp("cli_model")),
+        num_layers=2, model_dim=64, hidden_dim=160,
+        num_heads=4, num_groups=2, head_dim=16,
+    )
+
+
+def test_bench_emits_benchresult(chat_dir, tmp_path, capsys):
+    task = {
+        "identifier": "t", "repo_id": "local", "number_of_runs": 2,
+        "tokens_limit": 8, "greedy": True,
+        "messages": [{"role": "user", "content": "hello"}],
+    }
+    task_path = str(tmp_path / "task.json")
+    out_path = str(tmp_path / "out.json")
+    with open(task_path, "w") as f:
+        json.dump(task, f)
+    rc = main(["bench", chat_dir, task_path, out_path, "--max-context", "128"])
+    assert rc == 0
+    with open(out_path) as f:
+        result = json.load(f)
+    for key in ("task", "device", "engine_version", "tokens_count_output",
+                "time_to_first_token", "prompt_tokens_per_second",
+                "generate_tokens_per_second", "text"):
+        assert key in result
+    assert result["tokens_count_output"] > 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "decode_tok_s" in summary
+
+
+def test_synth_command(tmp_path):
+    out = str(tmp_path / "m")
+    assert main(["synth", "llama", out]) == 0
+    import os
+
+    assert os.path.exists(out + "/model.safetensors")
+
+
+def test_ppl_command(chat_dir, tmp_path, capsys):
+    text = tmp_path / "corpus.txt"
+    text.write_text("the quick brown fox jumps over the lazy dog " * 5)
+    rc = main(["ppl", chat_dir, str(text), "--max-context", "128"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ppl"] > 0 and out["count"] > 10

@@ -11,3 +11,10 @@ __version__ = "0.1.0"
 from .config import LanguageModelConfig, load_language_model_config  # noqa: F401
 from .engine.engine import LanguageModel, StreamMetrics  # noqa: F401
 from .engine.sampling import SamplingParams  # noqa: F401
+from .engine.facade import Engine, LocalRegistry, ModelInfo  # noqa: F401
+from .engine.batch import BatchEngine, Request  # noqa: F401
+from .engine.speculation import (  # noqa: F401
+    DraftModelSpeculator,
+    NgramSpeculator,
+    SpeculativeDecoder,
+)

@@ -95,3 +95,56 @@ def test_acceptance_metrics_counted(target):
     metrics = SpeculationMetrics()
     list(dec.generate(prompt, 16, stop_token_ids=[], metrics=metrics))
     assert 0 <= metrics.acceptance_rate <= 1.0
+
+
+# -- tree speculation -----------------------------------------------------------
+
+
+def test_token_tree_structure():
+    from uzu_tpu.engine.speculation import TokenTree
+
+    t = TokenTree(5)
+    a = t.add(0, 1)
+    b = t.add(0, 2)
+    c = t.add(a, 3)
+    assert t.depths() == [0, 1, 1, 2]
+    m = t.ancestor_mask(4)
+    assert m[c, 0] and m[c, a] and m[c, c] and not m[c, b]
+    assert not m[a, b] and not m[b, a]
+
+
+def test_ngram_tree_builds_trie():
+    from uzu_tpu.engine.speculation import NgramTreeSpeculator
+
+    s = NgramTreeSpeculator(max_ngram=2, depth=3, branches=3)
+    # history "1 2 3 4 ... 1 2 5 ..." -> two continuations of (1, 2)
+    tree = s.propose([1, 2, 3, 4, 1, 2, 5, 6, 1], 2)
+    assert tree.tokens[0] == 2
+    child_tokens = {tree.tokens[c] for c in tree.children(0)}
+    assert {3, 5} & child_tokens
+
+
+def test_tree_speculative_equals_plain_greedy(target):
+    from uzu_tpu.engine.speculation import NgramTreeSpeculator, TreeSpeculativeDecoder
+
+    prompt = np.array([1, 2, 3, 4, 1, 2, 3])
+    want = target.generate_list(prompt, 24, stop_token_ids=[])
+    dec = TreeSpeculativeDecoder(
+        target, NgramTreeSpeculator(max_ngram=3, depth=4, branches=3), max_nodes=16
+    )
+    metrics = SpeculationMetrics()
+    got = list(dec.generate(prompt, 24, stop_token_ids=[], metrics=metrics))
+    assert got == want
+    assert metrics.num_verify_passes > 0
+
+
+def test_tree_speculative_stop_tokens(target):
+    from uzu_tpu.engine.speculation import NgramTreeSpeculator, TreeSpeculativeDecoder
+
+    prompt = np.array([1, 2, 3, 4, 1, 2, 3])
+    plain = target.generate_list(prompt, 24, stop_token_ids=[])
+    stop = plain[6]
+    want = target.generate_list(prompt, 24, stop_token_ids=[stop])
+    dec = TreeSpeculativeDecoder(target, NgramTreeSpeculator(), max_nodes=16)
+    got = list(dec.generate(prompt, 24, stop_token_ids=[stop]))
+    assert got == want

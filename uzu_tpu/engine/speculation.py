@@ -3,8 +3,9 @@
 Reference counterpart: crates/backend-uzu/src/speculators/dflash_tfm.rs +
 engine stream speculative path (stream/stream.rs:553-629) + host trie accept
 (trie.rs:211). The reference grows a token tree on-GPU (Weaver) and verifies
-over a linearized trie; this TPU build starts with chain speculation — the
-tree is a later milestone — redesigned for XLA's static shapes:
+over a linearized trie; this TPU build provides BOTH chain speculation
+(SpeculativeDecoder) and tree speculation (TreeSpeculativeDecoder, below),
+redesigned for XLA's static shapes:
 
 - the verify step is ONE jitted dispatch: a (k+1)-token forward with logits
   at every row, greedy/sampled token per row;
@@ -244,6 +245,266 @@ class SpeculativeDecoder:
             state["pos"] = jnp.asarray(pos, jnp.int32)
 
             for i, v in enumerate(emit[:-1]):
+                yield v
+                history.append(v)
+                produced += 1
+                if v in stop or produced >= max_new_tokens:
+                    return
+            token = emit[-1]
+
+
+# --------------------------------------------------------------------------
+# Tree speculation (reference: Weaver + BatchTopology + trie accept,
+# weaver.rs:32-139, batch_topology.rs, trie.rs:26-248)
+# --------------------------------------------------------------------------
+
+
+class TokenTree:
+    """Host-side linearized token tree (the reference's FlatTrie): node 0 is
+    the root (current token); parents[i] < i."""
+
+    def __init__(self, root_token: int):
+        self.tokens: list[int] = [int(root_token)]
+        self.parents: list[int] = [-1]
+
+    def add(self, parent: int, token: int) -> int:
+        self.tokens.append(int(token))
+        self.parents.append(int(parent))
+        return len(self.tokens) - 1
+
+    def add_chain(self, parent: int, tokens) -> None:
+        for t in tokens:
+            parent = self.add(parent, t)
+
+    def __len__(self) -> int:
+        return len(self.tokens)
+
+    def depths(self) -> list[int]:
+        out = [0] * len(self.tokens)
+        for i, p in enumerate(self.parents):
+            if p >= 0:
+                out[i] = out[p] + 1
+        return out
+
+    def ancestor_mask(self, size: int) -> np.ndarray:
+        """[size, size] bool: mask[q, k] = node k is q or an ancestor of q
+        (padded region: self-visibility only, keeps softmax finite)."""
+        n = len(self.tokens)
+        mask = np.zeros((size, size), bool)
+        for i in range(n):
+            j = i
+            while j >= 0:
+                mask[i, j] = True
+                j = self.parents[j]
+        for i in range(n, size):
+            mask[i, i] = True
+        return mask
+
+    def children(self, node: int) -> list[int]:
+        return [i for i, p in enumerate(self.parents) if p == node]
+
+
+class NgramTreeSpeculator:
+    """Builds a tree by merging up to `branches` distinct n-gram
+    continuations of the recent history into a prefix trie."""
+
+    def __init__(self, max_ngram: int = 3, depth: int = 4, branches: int = 3):
+        self.max_ngram = max_ngram
+        self.depth = depth
+        self.branches = branches
+
+    def reset(self):
+        pass
+
+    def propose(self, history: list[int], root_token: int) -> TokenTree:
+        tree = TokenTree(root_token)
+        h = history + [root_token]
+        candidates: list[list[int]] = []
+        for n in range(self.max_ngram, 0, -1):
+            if len(h) < n + 1:
+                continue
+            suffix = h[-n:]
+            for start in range(len(h) - n - 1, -1, -1):
+                if h[start : start + n] == suffix:
+                    cont = h[start + n : start + n + self.depth]
+                    if cont and cont not in candidates:
+                        candidates.append(cont)
+                if len(candidates) >= self.branches:
+                    break
+            if len(candidates) >= self.branches:
+                break
+        # merge candidates into the trie (longest first for prefix sharing)
+        for cand in sorted(candidates, key=len, reverse=True):
+            node = 0
+            for tok in cand:
+                nxt = next(
+                    (c for c in tree.children(node) if tree.tokens[c] == tok), None
+                )
+                node = nxt if nxt is not None else tree.add(node, tok)
+        return tree
+
+
+class TreeSpeculativeDecoder:
+    """Tree-speculative generation: one dispatch verifies a whole token tree;
+    the host walks the accept path (sampled token must match the child);
+    accepted nodes' KV rows are compacted to consecutive position slots (the
+    reference's encode_accept / KVCacheUpdate, attention/state.rs:187-249)."""
+
+    def __init__(self, lm, speculator=None, *, sampling: SamplingParams | None = None,
+                 max_nodes: int = 16):
+        if not speculation_supported(lm.decoder_config):
+            raise ValueError("tree speculation requires attention-only models")
+        if getattr(lm, "ring_windows", False):
+            raise ValueError("tree speculation requires the full KV layout")
+        self.lm = lm
+        self.speculator = speculator or NgramTreeSpeculator()
+        self.sampling = sampling or SamplingParams()
+        self.max_nodes = max_nodes
+        self._verify_jit = {}
+        self._accept_jit = {}
+
+    def _verify_fn(self, m: int):
+        if m not in self._verify_jit:
+            cfg = self.lm.decoder_config
+            sampling = self.sampling
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def verify(params, state, tokens, positions, tree_mask, keys):
+                logits, state = decoder_forward(
+                    cfg, params, tokens, state, last_only=False,
+                    positions=positions, tree_mask=tree_mask,
+                )
+                sampled = jax.vmap(lambda l, k: sample(l, sampling, key=k))(logits, keys)
+                return state, sampled
+
+            self._verify_jit[m] = verify
+        return self._verify_jit[m]
+
+    def _accept_fn(self, m: int, a: int):
+        """Compact accepted node rows (slots pos0+idx) to consecutive slots
+        pos0..pos0+a, then set pos."""
+        key = (m, a)
+        if key not in self._accept_jit:
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def accept(state, idx, new_pos):
+                pos0 = state["pos"]
+
+                def fix(cache):
+                    if cache is None or "k" not in cache and "k_q" not in cache:
+                        return cache
+                    out = dict(cache)
+                    for name in ("k", "v", "k_q", "v_q", "k_s", "v_s"):
+                        if name not in cache:
+                            continue
+                        buf = cache[name]
+                        rows = buf[pos0 + idx]  # gather accepted rows [A, ...]
+                        out[name] = jax.lax.dynamic_update_slice(
+                            buf, rows, (pos0,) + (0,) * (buf.ndim - 1)
+                        )
+                    return out
+
+                layers = [fix(l) for l in state["layers"]]
+                new_state = dict(state, layers=layers, pos=new_pos)
+                return new_state
+
+            self._accept_jit[key] = accept
+        return self._accept_jit[key]
+
+    def generate(
+        self,
+        prompt_tokens,
+        max_new_tokens: int,
+        stop_token_ids=None,
+        seed: int = 0,
+        metrics: SpeculationMetrics | None = None,
+    ):
+        lm = self.lm
+        stop = set(
+            stop_token_ids
+            if stop_token_ids is not None
+            else lm.config.generation_config.stop_token_ids
+        )
+        self.speculator.reset()
+        history = [int(t) for t in prompt_tokens]
+        state = lm.new_state()
+        logits, state = lm.prefill(state, np.asarray(prompt_tokens, np.int32))
+        token = int(
+            sample(logits, self.sampling, key=jax.random.PRNGKey(seed))
+        )
+        pos = len(history)
+        produced = 0
+        keys = jax.random.split(jax.random.PRNGKey(seed ^ 0x7EEE), 4096)
+        key_i = 0
+
+        while produced < max_new_tokens:
+            yield token
+            history.append(token)
+            produced += 1
+            if token in stop or produced >= max_new_tokens:
+                return
+            if pos + self.max_nodes + 1 > lm.max_context:
+                return
+            tree = self.speculator.propose(history[:-1], token)
+            m_real = min(len(tree), self.max_nodes)
+            # pad node count to a bucketed size
+            m = 1
+            while m < m_real:
+                m *= 2
+            m = min(m, self.max_nodes)
+
+            tokens = np.zeros(m, np.int32)
+            tokens[:m_real] = tree.tokens[:m_real]
+            depths = tree.depths()[:m_real]
+            positions = np.full(m, pos + 63, np.int32)  # pad rows: far future
+            positions[:m_real] = [pos + d for d in depths]
+            mask = tree.ancestor_mask(m)
+
+            verify = self._verify_fn(m)
+            state, sampled = verify(
+                lm.params, state, jnp.asarray(tokens),
+                jnp.asarray(np.minimum(positions, lm.max_context - 1)),
+                jnp.asarray(mask), keys[key_i : key_i + m],
+            )
+            key_i = (key_i + m) % (len(keys) - self.max_nodes)
+            vals = np.asarray(jax.device_get(sampled))
+            if metrics is not None:
+                metrics.num_verify_passes += 1
+                metrics.num_tokens_proposed += m_real - 1
+
+            # host accept walk (trie.rs:211): follow children matching the
+            # sampled token at each accepted node
+            path = [0]
+            node = 0
+            while True:
+                want = int(vals[node])
+                nxt = next(
+                    (c for c in tree.children(node)
+                     if c < m_real and tree.tokens[c] == want),
+                    None,
+                )
+                if nxt is None:
+                    break
+                path.append(nxt)
+                node = nxt
+            accepted = len(path) - 1  # nodes beyond the root
+            if metrics is not None:
+                metrics.num_tokens_accepted += accepted
+
+            emit = [int(vals[n]) for n in path]  # sampled at each path node
+
+            # compact accepted rows to consecutive slots; root is already at
+            # slot pos (index 0)
+            a = len(path)
+            idx = np.zeros(self.max_nodes, np.int32)
+            idx[:a] = path
+            idx[a:] = path[-1]
+            accept = self._accept_fn(m, self.max_nodes)
+            new_pos = pos + a
+            state = accept(state, jnp.asarray(idx), jnp.asarray(new_pos, jnp.int32))
+            pos = new_pos
+
+            for v in emit[:-1]:
                 yield v
                 history.append(v)
                 produced += 1

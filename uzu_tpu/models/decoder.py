@@ -94,6 +94,7 @@ def attention_forward(
     kv,  # own cache dict or shared source cache dict
     owns_cache: bool,
     true_length=None,
+    tree=None,  # (suffix_start, ancestor_mask [S, S]) for tree verification
 ):
     s, d = x.shape
     h, g, dh = cfg.num_heads, cfg.num_groups, cfg.head_dim
@@ -125,7 +126,14 @@ def attention_forward(
     from .kv_cache import append as kv_append, read as kv_read
 
     if owns_cache:
-        new_kv = kv_append(kv, k_new, v_new, positions, true_length)
+        if tree is not None:
+            # tree nodes land at CONSECUTIVE SLOTS (suffix_start + node
+            # index), not at their positions — siblings share a position
+            # (reference: suffix scratch region, attention/state.rs:13)
+            slot_positions = tree[0] + jnp.arange(s, dtype=jnp.int32)
+            new_kv = kv_append(kv, k_new, v_new, slot_positions, true_length)
+        else:
+            new_kv = kv_append(kv, k_new, v_new, positions, true_length)
     else:
         new_kv = kv
     k_cache, v_cache, kv_positions = kv_read(new_kv)
@@ -146,6 +154,8 @@ def attention_forward(
         sinks=params.get("sinks"),
         kv_valid_length=kv_valid,
         kv_positions=kv_positions,
+        suffix_start=tree[0] if tree is not None else None,
+        suffix_mask=tree[1] if tree is not None else None,
     )
     attn = attn.reshape(s, q_dim)
 
@@ -197,6 +207,7 @@ def layer_forward(
     shared_kv,
     true_length=None,
     per_layer_input=None,
+    tree=None,
 ):
     mixer_cfg = layer_cfg.mixer_config
     pls = params.get("post_layer_scalar")
@@ -207,7 +218,8 @@ def layer_forward(
         owns = layer_state is not None
         kv = layer_state if owns else shared_kv
         a, new_state = attention_forward(
-            mixer_cfg, layer_cfg, params["mixer"], h, positions, kv, owns, true_length
+            mixer_cfg, layer_cfg, params["mixer"], h, positions, kv, owns, true_length,
+            tree,
         )
         if not owns:
             new_state = None
@@ -255,6 +267,8 @@ def decoder_forward(
     *,
     last_only: bool = True,
     true_length: jax.Array | int | None = None,
+    positions: jax.Array | None = None,  # override (tree nodes: pos+depth)
+    tree_mask: jax.Array | None = None,  # [S, S] ancestor matrix
 ):
     """Run the decoder; returns (logits, new_state).
 
@@ -266,7 +280,9 @@ def decoder_forward(
     s = tokens.shape[0]
     if true_length is None:
         true_length = s
-    positions = state["pos"] + jnp.arange(s, dtype=jnp.int32)
+    if positions is None:
+        positions = state["pos"] + jnp.arange(s, dtype=jnp.int32)
+    tree = (state["pos"], tree_mask) if tree_mask is not None else None
 
     ecfg = cfg.embedding_config
     table = params["embedding"].get("tied", params["embedding"].get("input"))
@@ -290,6 +306,7 @@ def decoder_forward(
             layer_cfg, params["layers"][i], x, positions, state["layers"][i], shared_kv,
             true_length,
             per_layer[:, i] if per_layer is not None else None,
+            tree,
         )
         new_layer_states.append(new_state)
 

@@ -33,6 +33,9 @@ def attention_reference(
     sinks: jax.Array | None = None,  # [H]
     kv_positions: jax.Array | None = None,  # [C], defaults to arange
     kv_valid_length=None,  # mask kv slots >= this (bidirectional padding)
+    suffix_start=None,  # slot index where tree-suffix nodes begin
+    suffix_mask: jax.Array | None = None,  # [S, M] ancestor mask for slots
+                                           # [suffix_start, suffix_start+M)
 ) -> jax.Array:
     s, h, dh = q.shape
     c, g, _ = k_cache.shape
@@ -52,6 +55,19 @@ def attention_reference(
     qpos = q_positions.astype(jnp.int32)[:, None]  # [s, 1]
     kpos = kv_positions.astype(jnp.int32)[None, :]  # [1, c]
     valid = kpos <= qpos if is_causal else jnp.ones((s, c), bool)
+    if suffix_mask is not None:
+        # tree verification (reference: BatchTopology trie masks,
+        # batch_topology.rs + AttentionGemm ancestor masking): slots at
+        # [suffix_start, suffix_start+M) hold tree nodes whose visibility is
+        # the ancestor matrix, not position order (siblings share positions)
+        m = suffix_mask.shape[1]
+        slot = jnp.arange(c, dtype=jnp.int32)[None, :]
+        in_suffix = (slot >= suffix_start) & (slot < suffix_start + m)
+        idx = jnp.clip(slot - suffix_start, 0, m - 1)
+        tree_ok = jnp.take_along_axis(
+            suffix_mask, jnp.broadcast_to(idx, (s, c)), axis=1
+        )
+        valid = jnp.where(in_suffix, tree_ok, valid)
     if kv_valid_length is not None:
         valid = valid & (kpos < kv_valid_length)
     if sliding_window_size is not None:

@@ -197,3 +197,37 @@ def test_ring_window_matches_full(tmp_path):
     o1 = lm_full.generate_list(toks, 10, stop_token_ids=[])
     o2 = lm_ring.generate_list(toks, 10, stop_token_ids=[])
     assert o1 == o2
+
+
+def test_online_attention_matches_einsum(rng):
+    """Chunked online-softmax attention == the einsum reference across
+    feature combos (the two-pass FlashDecoding analogue)."""
+    import jax.numpy as jnp
+    from uzu_tpu.ops import attention as A
+
+    s, h, g, dh, c = 5, 4, 2, 16, 64
+    q = jnp.asarray(rng.standard_normal((s, h, dh), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((c, g, dh), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((c, g, dh), dtype=np.float32))
+    qpos = jnp.asarray(np.arange(40, 40 + s), jnp.int32)
+    sinks = jnp.asarray(rng.standard_normal(h, dtype=np.float32))
+
+    for kw in (
+        dict(),
+        dict(sliding_window_size=16),
+        dict(logit_soft_cap=20.0),
+        dict(sinks=sinks),
+        dict(sliding_window_size=16, logit_soft_cap=20.0, sinks=sinks),
+        dict(is_causal=False, kv_valid_length=jnp.asarray(45)),
+    ):
+        want = A.attention_reference(q, k, v, qpos, scale=0.25, **kw)
+        old_chunk = A.ONLINE_CHUNK
+        A.ONLINE_CHUNK = 16
+        try:
+            got = A.attention_online(q, k, v, qpos, scale=0.25, **kw)
+        finally:
+            A.ONLINE_CHUNK = old_chunk
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5,
+            err_msg=f"online attention diverged for {kw}",
+        )

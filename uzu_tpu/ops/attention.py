@@ -40,6 +40,18 @@ def attention_reference(
     s, h, dh = q.shape
     c, g, _ = k_cache.shape
     rep = h // g
+    if (
+        suffix_mask is None
+        and c >= ONLINE_ATTENTION_MIN_C
+        and c % ONLINE_CHUNK == 0
+    ):
+        # long contexts: chunked online softmax avoids the O(S*C) score
+        # materialization (reference two-pass core selection, core/mod.rs:89)
+        return attention_online(
+            q, k_cache, v_cache, q_positions, scale=scale, is_causal=is_causal,
+            sliding_window_size=sliding_window_size, logit_soft_cap=logit_soft_cap,
+            sinks=sinks, kv_positions=kv_positions, kv_valid_length=kv_valid_length,
+        )
     if kv_positions is None:
         kv_positions = jnp.arange(c, dtype=jnp.int32)
 
@@ -86,3 +98,89 @@ def attention_reference(
 
     out = jnp.einsum("grsc,cgd->sgrd", probs, vf)
     return out.reshape(s, h, dh).astype(q.dtype)
+
+
+# --------------------------------------------------------------------------
+# Chunked online-softmax attention (long-context path)
+# --------------------------------------------------------------------------
+
+ONLINE_ATTENTION_MIN_C = 4096
+ONLINE_CHUNK = 1024
+
+
+def attention_online(
+    q: jax.Array,  # [S, H, Dh]
+    k_cache: jax.Array,  # [C, G, Dh]
+    v_cache: jax.Array,  # [C, G, Dh]
+    q_positions: jax.Array,  # [S]
+    *,
+    scale: float,
+    is_causal: bool = True,
+    sliding_window_size: int | None = None,
+    logit_soft_cap: float | None = None,
+    sinks: jax.Array | None = None,
+    kv_positions: jax.Array | None = None,
+    kv_valid_length=None,
+) -> jax.Array:
+    """FlashDecoding-style attention: lax.scan over KV chunks with running
+    (max, sum, acc) — O(S*chunk) score memory instead of O(S*C). The role of
+    the reference's AttentionTwoPass kernels (attention_two_pass_*.metal,
+    core/mod.rs:89-93 picks two-pass beyond 1024 ctx). Tree-suffix masks stay
+    on the einsum path (trees are small)."""
+    s, h, dh = q.shape
+    c, g, _ = k_cache.shape
+    rep = h // g
+    chunk = min(ONLINE_CHUNK, c)
+    assert c % chunk == 0, (c, chunk)
+    if kv_positions is None:
+        kv_positions = jnp.arange(c, dtype=jnp.int32)
+
+    qf = q.astype(jnp.float32).reshape(s, g, rep, dh)
+    qpos = q_positions.astype(jnp.int32)
+
+    kc = k_cache.reshape(c // chunk, chunk, g, dh)
+    vc = v_cache.reshape(c // chunk, chunk, g, dh)
+    pc = kv_positions.reshape(c // chunk, chunk)
+
+    def body(carry, inp):
+        m_run, l_run, acc = carry  # [g,rep,s], [g,rep,s], [g,rep,s,dh]
+        k_blk, v_blk, p_blk = inp
+        scores = jnp.einsum(
+            "sgrd,cgd->grsc", qf, k_blk.astype(jnp.float32)
+        ) * scale
+        if logit_soft_cap is not None:
+            scores = logit_soft_cap * jnp.tanh(scores / logit_soft_cap)
+        kpos = p_blk.astype(jnp.int32)[None, :]
+        valid = kpos <= qpos[:, None] if is_causal else jnp.ones((s, chunk), bool)
+        if kv_valid_length is not None:
+            valid = valid & (kpos < kv_valid_length)
+        if sliding_window_size is not None:
+            valid = valid & (kpos > qpos[:, None] - sliding_window_size)
+        scores = jnp.where(valid[None, None], scores, NEG_INF)
+
+        m_blk = jnp.max(scores, axis=-1)
+        m_new = jnp.maximum(m_run, m_blk)
+        alpha = jnp.exp(m_run - m_new)
+        p = jnp.exp(scores - m_new[..., None])
+        l_new = l_run * alpha + jnp.sum(p, axis=-1)
+        acc = acc * alpha[..., None] + jnp.einsum(
+            "grsc,cgd->grsd", p, v_blk.astype(jnp.float32)
+        )
+        return (m_new, l_new, acc), None
+
+    init = (
+        jnp.full((g, rep, s), NEG_INF, jnp.float32),
+        jnp.zeros((g, rep, s), jnp.float32),
+        jnp.zeros((g, rep, s, dh), jnp.float32),
+    )
+    (m_run, l_run, acc), _ = jax.lax.scan(body, init, (kc, vc, pc))
+
+    if sinks is not None:
+        # sink adds one phantom logit per head (attention/mod.rs sinks)
+        sink = sinks.astype(jnp.float32).reshape(g, rep)[:, :, None]
+        m_new = jnp.maximum(m_run, sink)
+        l_run = l_run * jnp.exp(m_run - m_new) + jnp.exp(sink - m_new)
+        acc = acc * jnp.exp(m_run - m_new)[..., None]
+
+    out = acc / jnp.maximum(l_run[..., None], 1e-30)
+    return out.transpose(2, 0, 1, 3).reshape(s, h, dh).astype(q.dtype)

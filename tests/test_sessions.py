@@ -207,3 +207,61 @@ def test_openai_server_end_to_end(chat_dir):
         assert last["choices"][0]["finish_reason"] in ("stop", "length")
     finally:
         httpd.shutdown()
+
+
+# -- harmony encoding (gpt-oss) -------------------------------------------------
+
+
+def test_harmony_render():
+    from uzu_tpu.sessions.harmony import HarmonyEncoding
+
+    enc = HarmonyEncoding()
+    text = enc.render(
+        [
+            {"role": "system", "content": "be brief"},
+            {"role": "user", "content": "hi"},
+            {"role": "assistant", "content": "hello", "reasoning_content": "greet back"},
+            {"role": "user", "content": "weather?"},
+        ],
+        tools=[{"type": "function", "function": {
+            "name": "get_weather", "description": "w", "parameters": {}}}],
+    )
+    assert text.startswith("<|start|>system<|message|>be brief<|end|>")
+    assert "<|start|>developer<|message|># Tools" in text
+    assert "<|start|>assistant<|channel|>analysis<|message|>greet back<|end|>" in text
+    assert "<|start|>assistant<|channel|>final<|message|>hello<|end|>" in text
+    assert text.endswith("<|start|>assistant")
+
+
+def test_harmony_parser_sections():
+    from uzu_tpu.sessions.harmony import HarmonyParser
+
+    p = HarmonyParser()
+    stream = ("<|channel|>analysis<|message|>thinking hard<|end|>"
+              "<|start|>assistant<|channel|>final<|message|>the answer<|return|>")
+    events = []
+    for i in range(0, len(stream), 3):  # ragged deltas
+        events.extend(p.push(stream[i:i+3]))
+    events.extend(p.finish())
+    assert p.reasoning == "thinking hard"
+    assert p.text == "the answer"
+    assert not p.tool_calls
+
+
+def test_harmony_parser_tool_call():
+    from uzu_tpu.sessions.harmony import HarmonyParser
+
+    p = HarmonyParser()
+    stream = ('<|channel|>commentary to=functions.get_weather <|constrain|>json'
+              '<|message|>{"city": "Paris"}<|call|>')
+    events = list(p.push(stream)) + list(p.finish())
+    assert len(p.tool_calls) == 1
+    assert p.tool_calls[0].name == "get_weather"
+    assert p.tool_calls[0].arguments == {"city": "Paris"}
+
+
+def test_harmony_chat_session(chat_dir):
+    lm = LanguageModel.from_dir(chat_dir, max_context=256, prefill_buckets=(16, 64))
+    session = ChatSession(lm, Tokenizer(chat_dir), encoding="harmony")
+    reply = session.reply("hello", max_new_tokens=8, sampling=SamplingParams())
+    assert reply.stats.tokens_count_output > 0

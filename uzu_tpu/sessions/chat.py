@@ -60,10 +60,20 @@ class ChatSession:
         sections: list[SectionConfig] | None = None,
         tools: list[ToolSpec] | None = None,
         tool_turn_limit: int = DEFAULT_TOOL_TURN_LIMIT,
+        encoding: str = "auto",
     ):
         self.model = model
         self.tokenizer = tokenizer
-        self.template = ChatTemplate(template if template is not None else tokenizer.chat_template)
+        if encoding == "harmony":
+            from .harmony import HarmonyEncoding, HarmonyParser
+
+            self.template = HarmonyEncoding()
+            self._parser_factory = HarmonyParser
+        else:
+            self.template = ChatTemplate(
+                template if template is not None else tokenizer.chat_template
+            )
+            self._parser_factory = lambda: StreamParser(self.sections)
         self.sections = sections
         self.tools = {t.name: t for t in (tools or [])}
         self.tool_turn_limit = tool_turn_limit
@@ -129,7 +139,7 @@ class ChatSession:
 
         metrics = StreamMetrics()
         decoder = StreamDecoder(self.tokenizer)
-        parser = StreamParser(self.sections)
+        parser = self._parser_factory()
         stop_ids = self._stop_ids()
         generated: list[int] = []
         sampling = sampling or SamplingParams.from_generation_config(

@@ -639,6 +639,8 @@ def moe_config(
 SPECIAL_TOKENS = [
     "<|pad|>", "<|system|>", "<|user|>", "<|assistant|>", "<|tool|>", "<|end|>",
     "<think>", "</think>", "<tool_call>", "</tool_call>",
+    # harmony formatting tokens (gpt-oss encoding)
+    "<|start|>", "<|message|>", "<|channel|>", "<|constrain|>", "<|call|>", "<|return|>",
 ]
 
 SYNTH_CHAT_TEMPLATE = (

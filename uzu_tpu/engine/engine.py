@@ -76,8 +76,9 @@ class LanguageModel:
         self.max_context = max_context
         self.prefill_buckets = tuple(sorted(prefill_buckets))
         # largest number of decode steps fused into one dispatch (one host
-        # fetch per chunk; chunks grow 1,2,4,... up to this)
-        self.max_decode_chunk = 32
+        # fetch per chunk; chunks grow 1,2,4,... up to this). 64 measured
+        # ~10% faster than 32 on the v5e flagship (fetch amortization).
+        self.max_decode_chunk = 64
         self.kv_quant = kv_quant
         self.ring_windows = ring_windows
         self.params = shard_fn(params) if shard_fn is not None else params

@@ -1,3 +1,4 @@
+from .distributed import initialize, make_hybrid_mesh, process_local_batch_slots
 from .mesh import DP_AXIS, TP_AXIS, dp_size, make_mesh, replicated, single_device_mesh, tp_size
 from .sharding import (
     decoder_param_specs,
@@ -8,6 +9,9 @@ from .sharding import (
 )
 
 __all__ = [
+    "initialize",
+    "make_hybrid_mesh",
+    "process_local_batch_slots",
     "DP_AXIS",
     "TP_AXIS",
     "dp_size",

@@ -118,3 +118,31 @@ def test_dp_batched_decode(model_dir):
             np.asarray(toks[b]),
         )
         np.testing.assert_allclose(np.asarray(logits[b, 0]), expected, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_moe_model(tmp_path):
+    """MoE experts shard their hidden dim over tp; logits match 1-device."""
+    from uzu_tpu.tools.synth import moe_config
+
+    cfg = moe_config(num_layers=2, model_dim=64, hidden_dim=128, num_experts=4,
+                     num_active=2, expert_hidden_dim=96, attn_heads=8,
+                     attn_groups=4, attn_head_dim=16)
+    d = synthesize(cfg, str(tmp_path / "moe_tp"), seed=6, dtype=np.float32)
+    toks = (np.arange(9) * 5) % 512
+    lm = LanguageModel.from_dir(d, max_context=64, prefill_buckets=(16,))
+    expected = _logits(lm, toks)
+    got = _sharded_logits(d, make_mesh(tp=4, dp=2), toks)
+    np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-3)
+
+
+def test_tp_gemma_model(tmp_path):
+    """PLE + KV-sharing model under tp (PLE replicated, attention sharded)."""
+    from uzu_tpu.tools.synth import gemma_config
+
+    cfg = gemma_config(num_heads=4, num_groups=2, model_dim=96)
+    d = synthesize(cfg, str(tmp_path / "gemma_tp"), seed=8, dtype=np.float32)
+    toks = (np.arange(9) * 7) % 512
+    lm = LanguageModel.from_dir(d, max_context=64, prefill_buckets=(16,))
+    expected = _logits(lm, toks)
+    got = _sharded_logits(d, make_mesh(tp=2, dp=4), toks)
+    np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-3)

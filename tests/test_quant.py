@@ -103,3 +103,19 @@ def test_quant_matmul_matches_dequant_matmul(rng):
     wd = np.asarray(dequantize(qt, dtype=jnp.float32))
     y_ref = x @ wd.T
     np.testing.assert_allclose(y_quant, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_banned_tokens_masked(tmp_path):
+    from uzu_tpu import LanguageModel, SamplingParams
+    from uzu_tpu.tools.synth import llama_config, synthesize
+
+    cfg = llama_config(num_layers=1, model_dim=32, hidden_dim=64, num_heads=2,
+                       num_groups=1, head_dim=16, vocab_size=64)
+    d = synthesize(cfg, str(tmp_path / "b"), seed=1, dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=32, prefill_buckets=(4,))
+    base = lm.generate_list([1, 2, 3], 8, sampling=SamplingParams(), stop_token_ids=[])
+    banned = tuple(set(base))
+    out = lm.generate_list([1, 2, 3], 8,
+                           sampling=SamplingParams(banned_tokens=banned),
+                           stop_token_ids=[])
+    assert not (set(out) & set(banned))

@@ -30,6 +30,9 @@ class SamplingParams:
     min_p: float | None = None
     repetition_penalty: float | None = None
     suffix_repetition_length: int = 64
+    # tokens never to emit (the reference's GenerationConfig carries this
+    # field but marks it Unsupported; here it is implemented as a mask)
+    banned_tokens: tuple = ()
 
     @property
     def is_greedy(self) -> bool:
@@ -37,6 +40,7 @@ class SamplingParams:
 
     @classmethod
     def from_generation_config(cls, g) -> "SamplingParams":
+        banned = g.banned_tokens if isinstance(g.banned_tokens, (list, tuple)) else ()
         return cls(
             temperature=g.temperature,
             top_k=g.top_k,
@@ -44,6 +48,7 @@ class SamplingParams:
             min_p=g.min_p,
             repetition_penalty=g.repetition_penalty,
             suffix_repetition_length=g.suffix_repetition_length or 64,
+            banned_tokens=tuple(int(t) for t in banned),
         )
 
 
@@ -85,6 +90,9 @@ def sample(
     bitmask: jax.Array | None = None,  # [V] bool, True = allowed (grammar)
 ) -> jax.Array:
     logits = logits.astype(jnp.float32)
+    if params.banned_tokens:
+        banned = jnp.asarray(params.banned_tokens, jnp.int32)
+        logits = logits.at[banned].set(NEG_INF)
     if bitmask is not None:
         logits = jnp.where(bitmask, logits, NEG_INF)
     if params.repetition_penalty is not None and ring is not None:

@@ -98,3 +98,58 @@ def test_late_submission_joins_batch(lm):
     assert r1.tokens == want1
     assert r2.tokens == want2
     assert r1.ttft >= 0 and r2.ttft >= 0
+
+
+def test_batched_server_concurrent_requests(tmp_path_factory):
+    """Concurrent HTTP requests share the batch engine and all complete."""
+    import json
+    import threading
+    import urllib.request
+
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.server.batched import serve_batched
+    from uzu_tpu.sessions import Tokenizer
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path_factory.mktemp("batch_srv")),
+                         num_layers=2, model_dim=64, hidden_dim=160,
+                         num_heads=4, num_groups=2, head_dim=16)
+    lm = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16, 64))
+    httpd = serve_batched(lm, Tokenizer(d), port=0, batch_size=2, decode_chunk=4)
+    port = httpd.server_address[1]
+    results = {}
+
+    def call(i):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps({"messages": [{"role": "user", "content": f"hello {i}"}],
+                             "max_tokens": 6}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            results[i] = json.load(r)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    try:
+        assert len(results) == 4
+        for r in results.values():
+            assert r["object"] == "chat.completion"
+            assert r["usage"]["completion_tokens"] > 0
+
+        # streaming against the batched server
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps({"messages": [{"role": "user", "content": "s"}],
+                             "max_tokens": 5, "stream": True}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            lines = [l for l in r.read().decode().splitlines() if l.startswith("data: ")]
+        assert lines[-1] == "data: [DONE]"
+    finally:
+        httpd.batch_server.shutdown()
+        httpd.shutdown()

@@ -91,11 +91,21 @@ def cmd_bench(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    from uzu_tpu.server import serve
+    name = os.path.basename(args.model_dir.rstrip("/")) or "uzu-tpu"
+    if args.batched:
+        from uzu_tpu import LanguageModel
+        from uzu_tpu.server import serve_batched
+        from uzu_tpu.sessions import Tokenizer
 
-    session = _load_chat(args.model_dir, args.max_context)
-    httpd = serve(session, host=args.host, port=args.port,
-                  model_name=os.path.basename(args.model_dir.rstrip("/")) or "uzu-tpu")
+        lm = LanguageModel.from_dir(args.model_dir, max_context=args.max_context)
+        httpd = serve_batched(lm, Tokenizer(args.model_dir), host=args.host,
+                              port=args.port, model_name=name,
+                              batch_size=args.batch_size)
+    else:
+        session = _load_chat(args.model_dir, args.max_context)
+        from uzu_tpu.server import serve
+
+        httpd = serve(session, host=args.host, port=args.port, model_name=name)
     print(f"serving OpenAI-compatible API on http://{args.host}:{httpd.server_address[1]}/v1")
     try:
         while True:
@@ -206,6 +216,9 @@ def main(argv=None) -> int:
     s.add_argument("model_dir")
     s.add_argument("--host", default="127.0.0.1"); s.add_argument("--port", type=int, default=8000)
     s.add_argument("--max-context", type=int, default=4096, dest="max_context")
+    s.add_argument("--batched", action="store_true",
+                   help="continuous batching (concurrent requests share the chip)")
+    s.add_argument("--batch-size", type=int, default=4, dest="batch_size")
     s.set_defaults(fn=cmd_serve)
 
     c = sub.add_parser("chat")

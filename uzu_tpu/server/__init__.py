@@ -1,3 +1,4 @@
+from .batched import BatchedChatServer, serve_batched
 from .openai import ChatCompletionServer, serve
 
-__all__ = ["ChatCompletionServer", "serve"]
+__all__ = ["BatchedChatServer", "serve_batched", "ChatCompletionServer", "serve"]

@@ -1,0 +1,209 @@
+"""Continuous-batching OpenAI server: concurrent requests share the chip.
+
+No reference counterpart — uzu's server serializes one ChatSession behind a
+mutex (cli/src/server/runner.rs); here concurrent /v1/chat/completions
+requests are admitted into BatchEngine slots and decode together. A single
+scheduler thread drives the engine; HTTP threads submit and wait on
+per-request events (streaming responses poll the request's token list).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from ..engine.batch import BatchEngine
+from ..engine.sampling import SamplingParams
+from ..sessions.parser import StreamParser
+from ..sessions.template import ChatTemplate
+from ..sessions.tokenizer import StreamDecoder, Tokenizer
+
+
+class BatchedChatServer:
+    def __init__(
+        self,
+        lm,
+        tokenizer: Tokenizer,
+        *,
+        model_name: str = "uzu-tpu",
+        batch_size: int = 4,
+        decode_chunk: int = 8,
+        sampling: SamplingParams | None = None,
+    ):
+        self.lm = lm
+        self.tokenizer = tokenizer
+        self.template = ChatTemplate(tokenizer.chat_template)
+        self.model_name = model_name
+        stop_ids = list(lm.config.generation_config.stop_token_ids)
+        for i in tokenizer.eos_token_ids:
+            if i not in stop_ids:
+                stop_ids.append(i)
+        self.engine = BatchEngine(
+            lm,
+            batch_size=batch_size,
+            decode_chunk=decode_chunk,
+            sampling=sampling or SamplingParams(),
+            stop_token_ids=stop_ids,
+        )
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._events: dict[int, threading.Event] = {}
+        self._requests: dict[int, object] = {}
+        self._shutdown = False
+        self._thread = threading.Thread(target=self._scheduler, daemon=True)
+        self._thread.start()
+
+    # -- scheduling ---------------------------------------------------------
+
+    def _scheduler(self):
+        while not self._shutdown:
+            with self._lock:
+                busy = self.engine.step()
+                for rid, ev in list(self._events.items()):
+                    req = self._requests.get(rid)
+                    if req is not None and req.finished:
+                        ev.set()
+                        del self._events[rid]
+                        del self._requests[rid]
+            if not busy:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+
+    def submit(self, prompt_ids, max_tokens: int, seed: int = 0):
+        with self._lock:
+            req = self.engine.submit(prompt_ids, max_tokens, seed=seed)
+            ev = threading.Event()
+            self._events[req.id] = ev
+            self._requests[req.id] = req
+        self._wake.set()
+        return req, ev
+
+    def shutdown(self):
+        self._shutdown = True
+        self._wake.set()
+
+    # -- request handling ----------------------------------------------------
+
+    def handle_chat(self, body: dict):
+        messages = body.get("messages", [])
+        max_tokens = body.get("max_tokens") or body.get("max_completion_tokens") or 512
+        stream = bool(body.get("stream", False))
+        text = self.template.render(messages)
+        ids = self.tokenizer.encode(text)
+        req, done = self.submit(ids, max_tokens, seed=int(body.get("seed", 0)))
+        rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+        created = int(time.time())
+        base = {"id": rid, "object": "chat.completion.chunk", "created": created,
+                "model": self.model_name}
+
+        if not stream:
+            done.wait()
+            decoder = StreamDecoder(self.tokenizer)
+            parser = StreamParser()
+            for t in req.tokens:
+                delta = decoder.push(t)
+                if delta:
+                    for _ in parser.push(delta):
+                        pass
+            for _ in parser.finish():
+                pass
+            msg = {"role": "assistant", "content": parser.text}
+            if parser.reasoning:
+                msg["reasoning_content"] = parser.reasoning
+            return {
+                "id": rid,
+                "object": "chat.completion",
+                "created": created,
+                "model": self.model_name,
+                "choices": [{"index": 0, "message": msg,
+                             "finish_reason": req.finish_reason or "stop"}],
+                "usage": {
+                    "prompt_tokens": len(ids),
+                    "completion_tokens": len(req.tokens),
+                    "total_tokens": len(ids) + len(req.tokens),
+                },
+            }
+
+        def chunks():
+            yield {**base, "choices": [{"index": 0, "delta": {"role": "assistant"}}]}
+            decoder = StreamDecoder(self.tokenizer)
+            sent = 0
+            while True:
+                tokens = list(req.tokens)
+                for t in tokens[sent:]:
+                    delta = decoder.push(t)
+                    if delta:
+                        yield {**base, "choices": [{"index": 0, "delta": {"content": delta}}]}
+                sent = len(tokens)
+                if req.finished and sent == len(req.tokens):
+                    break
+                time.sleep(0.02)
+            yield {**base, "choices": [{"index": 0, "delta": {},
+                                        "finish_reason": req.finish_reason or "stop"}]}
+
+        return chunks()
+
+    def handle_models(self):
+        return {"object": "list", "data": [{"id": self.model_name, "object": "model",
+                                            "created": int(time.time()),
+                                            "owned_by": "uzu-tpu"}]}
+
+
+def make_handler(server: BatchedChatServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json(self, code, payload):
+            data = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path in ("/v1/models", "/models"):
+                self._json(200, server.handle_models())
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path not in ("/v1/chat/completions", "/chat/completions"):
+                self._json(404, {"error": "not found"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                body = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                self._json(400, {"error": "invalid JSON"})
+                return
+            try:
+                result = server.handle_chat(body)
+            except Exception as e:
+                self._json(500, {"error": {"message": str(e)}})
+                return
+            if isinstance(result, dict):
+                self._json(200, result)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.end_headers()
+            for chunk in result:
+                self.wfile.write(b"data: " + json.dumps(chunk).encode() + b"\n\n")
+                self.wfile.flush()
+            self.wfile.write(b"data: [DONE]\n\n")
+
+    return Handler
+
+
+def serve_batched(lm, tokenizer, host="127.0.0.1", port=8000, **kw):
+    server = BatchedChatServer(lm, tokenizer, **kw)
+    httpd = ThreadingHTTPServer((host, port), make_handler(server))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    httpd.batch_server = server
+    return httpd

@@ -148,3 +148,54 @@ def test_tree_speculative_stop_tokens(target):
     dec = TreeSpeculativeDecoder(target, NgramTreeSpeculator(), max_nodes=16)
     got = list(dec.generate(prompt, 24, stop_token_ids=[stop]))
     assert got == want
+
+
+# -- dflash speculation ---------------------------------------------------------
+
+
+def test_dflash_speculative_equals_plain_greedy(target_dir, tmp_path):
+    """DFlash-driven speculation keeps the exact-output invariant even with
+    a random (useless) draft: acceptance may be zero, output must match."""
+    from uzu_tpu.engine.dflash import DFlashDraft
+    from uzu_tpu.engine.speculation import DFlashSpeculativeDecoder
+    from uzu_tpu.tools.synth import llama_config, synth_dflash_speculator
+
+    target = LanguageModel.from_dir(target_dir, max_context=128, prefill_buckets=(16,))
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160, num_heads=4,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    spec_dir = synth_dflash_speculator(str(tmp_path / "spec"), cfg, block_size=4,
+                                       target_layer_ids=(0, 1), seed=3,
+                                       dtype=np.float32)
+    dflash = DFlashDraft.from_dir(spec_dir, max_context=128)
+    assert dflash.cfg.block_size == 4
+
+    prompt = np.array([5, 6, 7, 8, 9])
+    want = target.generate_list(prompt, 16, stop_token_ids=[])
+    dec = DFlashSpeculativeDecoder(target, dflash, max_nodes=8, children=2)
+    metrics = SpeculationMetrics()
+    got = list(dec.generate(prompt, 16, stop_token_ids=[], metrics=metrics))
+    assert got == want
+    assert metrics.num_verify_passes > 0
+    assert metrics.num_tokens_proposed > 0
+
+
+def test_dflash_draft_shapes(target_dir, tmp_path):
+    from uzu_tpu.engine.dflash import DFlashDraft
+    from uzu_tpu.tools.synth import llama_config, synth_dflash_speculator
+
+    target = LanguageModel.from_dir(target_dir, max_context=128, prefill_buckets=(16,))
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160, num_heads=4,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    spec_dir = synth_dflash_speculator(str(tmp_path / "s2"), cfg, block_size=4,
+                                       target_layer_ids=(1,), seed=5, dtype=np.float32)
+    dflash = DFlashDraft.from_dir(spec_dir, max_context=64)
+    state = dflash.new_state()
+    # accept 3 tokens' features
+    feats = np.random.default_rng(0).standard_normal((8, 1, 64)).astype(np.float32)
+    state = dflash.accept(state, feats, 3)
+    assert int(state["pos"]) == 3
+    ids, vals = dflash.draft(
+        state, target.params["embedding"], target.decoder_config.embedding_config,
+        root_token=7, candidate_count=3,
+    )
+    assert ids.shape == (3, 3) and vals.shape == (3, 3)  # block-1 rows

@@ -413,3 +413,51 @@ class ClassifierConfig:
 @config_member("ModelConfig")
 class ClassifierModelConfig:
     classifier_config: ClassifierConfig
+
+
+# --------------------------------------------------------------------------
+# Speculator (DFlash draft + weaver; reference: config/{dflash,weaver}.rs,
+# config/speculator/)
+# --------------------------------------------------------------------------
+
+
+@config
+class DFlashDraftConfig:
+    model_dim: int
+    hidden_dim: int
+    block_size: int
+    mask_token_id: int
+    target_layer_ids: tuple[int, ...]
+    num_target_layers: int
+    vocab_size: int
+    context_projection_config: LinearConfig
+    context_norm_config: NormalizationConfig
+    rope_config: Family["RoPEConfig"]
+    layer_configs: tuple[TransformerLayerConfig, ...]
+    output_norm_config: NormalizationConfig
+
+
+@config
+class WeaverConfig:
+    model_dim: int
+    target_model_dim: int
+    target_embedding_dim: int
+    num_layers: int
+    num_heads: int
+    hidden_dim: int
+    max_depth: int
+    candidate_pool_size: int
+    linear_config: LinearConfig
+    norm_config: NormalizationConfig
+    rope_config: Family["RoPEConfig"]
+
+
+@config_member("SpeculatorConfig")
+class DFlashSpeculatorConfig:
+    draft_config: DFlashDraftConfig
+    weaver_config: WeaverConfig
+
+
+@config_member("SpeculatorConfig", tag="SpeculatorModelConfig")
+class SpeculatorModelConfig:
+    speculator_config: Family["SpeculatorConfig"]

@@ -511,3 +511,213 @@ class TreeSpeculativeDecoder:
                 if v in stop or produced >= max_new_tokens:
                     return
             token = emit[-1]
+
+
+class DFlashSpeculativeDecoder:
+    """Tree speculation driven by a DFlash draft (speculators/dflash_tfm.rs):
+    the target forward collects hidden-feature taps; accepted tokens'
+    features are written into the draft's KV (dflash.accept); each step the
+    draft predicts the whole lookahead block in one dispatch and the
+    per-depth top-k candidates are assembled host-side into a tree (the
+    weaver's role), verified by the target like TreeSpeculativeDecoder."""
+
+    def __init__(self, lm, dflash, *, sampling: SamplingParams | None = None,
+                 max_nodes: int = 16, children: int = 2):
+        if not speculation_supported(lm.decoder_config):
+            raise ValueError("speculation requires attention-only models")
+        self.lm = lm
+        self.dflash = dflash
+        self.sampling = sampling or SamplingParams()
+        self.max_nodes = max_nodes
+        self.children = children
+        self.taps = tuple(dflash.cfg.target_layer_ids)
+        self._jit = {}
+
+    def _prefill_fn(self, chunk: int):
+        key = ("prefill", chunk)
+        if key not in self._jit:
+            cfg = self.lm.decoder_config
+            taps = self.taps
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def prefill(params, state, tokens, n):
+                logits, state, feats = decoder_forward(
+                    cfg, params, tokens, state, last_only=True, true_length=n,
+                    collect_layers=taps,
+                )
+                return logits[0], state, feats
+
+            self._jit[key] = prefill
+        return self._jit[key]
+
+    def _verify_fn(self, m: int):
+        key = ("verify", m)
+        if key not in self._jit:
+            cfg = self.lm.decoder_config
+            sampling = self.sampling
+            taps = self.taps
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def verify(params, state, tokens, positions, tree_mask, keys):
+                logits, state, feats = decoder_forward(
+                    cfg, params, tokens, state, last_only=False,
+                    positions=positions, tree_mask=tree_mask, collect_layers=taps,
+                )
+                sampled = jax.vmap(lambda l, k: sample(l, sampling, key=k))(logits, keys)
+                return state, sampled, feats
+
+            self._jit[key] = verify
+        return self._jit[key]
+
+    def _accept_fn(self, m: int, a: int):
+        key = ("accept", m, a)
+        if key not in self._jit:
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def accept(state, idx, new_pos):
+                pos0 = state["pos"]
+
+                def fix(cache):
+                    if cache is None:
+                        return cache
+                    out = dict(cache)
+                    for name in ("k", "v", "k_q", "v_q", "k_s", "v_s"):
+                        if name not in cache:
+                            continue
+                        buf = cache[name]
+                        rows = buf[pos0 + idx]
+                        out[name] = jax.lax.dynamic_update_slice(
+                            buf, rows, (pos0,) + (0,) * (buf.ndim - 1)
+                        )
+                    return out
+
+                layers = [fix(l) for l in state["layers"]]
+                return dict(state, layers=layers, pos=new_pos)
+
+            self._jit[key] = accept
+        return self._jit[key]
+
+    def _build_tree(self, root_token: int, ids, vals) -> "TokenTree":
+        """Host weaver: chain of top-1 candidates with top-`children`
+        branches at each depth, bounded by max_nodes."""
+        tree = TokenTree(root_token)
+        parent = 0
+        for depth in range(ids.shape[0]):
+            if len(tree) >= self.max_nodes:
+                break
+            row = ids[depth]
+            first = None
+            for c in range(min(self.children, row.shape[0])):
+                if len(tree) >= self.max_nodes:
+                    break
+                node = tree.add(parent, int(row[c]))
+                if first is None:
+                    first = node
+            if first is None:
+                break
+            parent = first  # chain continues through the top-1 candidate
+        return tree
+
+    def generate(self, prompt_tokens, max_new_tokens: int, stop_token_ids=None,
+                 seed: int = 0, metrics: SpeculationMetrics | None = None):
+        lm = self.lm
+        stop = set(
+            stop_token_ids if stop_token_ids is not None
+            else lm.config.generation_config.stop_token_ids
+        )
+        state = lm.new_state()
+        dstate = self.dflash.new_state()
+        ecfg = lm.decoder_config.embedding_config
+        eparams = lm.params["embedding"]
+
+        # chunked prefill with feature taps feeding the draft KV
+        prompt = [int(t) for t in prompt_tokens]
+        chunk = max(lm.prefill_buckets)
+        logits = None
+        i = 0
+        while i < len(prompt):
+            take = min(chunk, len(prompt) - i)
+            padded = np.zeros(chunk, np.int32)
+            padded[:take] = prompt[i : i + take]
+            logits, state, feats = self._prefill_fn(chunk)(
+                lm.params, state, jnp.asarray(padded), jnp.asarray(take, jnp.int32)
+            )
+            dstate = self.dflash.accept(dstate, feats, take)
+            i += take
+
+        token = int(sample(logits, self.sampling, key=jax.random.PRNGKey(seed)))
+        pos = len(prompt)
+        produced = 0
+        keys = jax.random.split(jax.random.PRNGKey(seed ^ 0xDF1A), 4096)
+        key_i = 0
+
+        while produced < max_new_tokens:
+            yield token
+            produced += 1
+            if token in stop or produced >= max_new_tokens:
+                return
+            if pos + self.max_nodes + 1 > lm.max_context:
+                return
+
+            ids, vals = self.dflash.draft(
+                dstate, eparams, ecfg, token, candidate_count=self.children
+            )
+            tree = self._build_tree(token, ids, vals)
+            m_real = min(len(tree), self.max_nodes)
+            m = 1
+            while m < m_real:
+                m *= 2
+            m = min(m, self.max_nodes)
+
+            tokens = np.zeros(m, np.int32)
+            tokens[:m_real] = tree.tokens[:m_real]
+            depths = tree.depths()[:m_real]
+            positions = np.full(m, pos, np.int32)
+            positions[:m_real] = [pos + d for d in depths]
+            mask = tree.ancestor_mask(m)
+
+            state, sampled, feats = self._verify_fn(m)(
+                lm.params, state, jnp.asarray(tokens),
+                jnp.asarray(np.minimum(positions, lm.max_context - 1)),
+                jnp.asarray(mask), keys[key_i : key_i + m],
+            )
+            key_i = (key_i + m) % (len(keys) - self.max_nodes)
+            vals_s = np.asarray(jax.device_get(sampled))
+            if metrics is not None:
+                metrics.num_verify_passes += 1
+                metrics.num_tokens_proposed += m_real - 1
+
+            path = [0]
+            node = 0
+            while True:
+                want = int(vals_s[node])
+                nxt = next((c for c in tree.children(node)
+                            if c < m_real and tree.tokens[c] == want), None)
+                if nxt is None:
+                    break
+                path.append(nxt)
+                node = nxt
+            accepted = len(path) - 1
+            if metrics is not None:
+                metrics.num_tokens_accepted += accepted
+            emit = [int(vals_s[n]) for n in path]
+
+            a = len(path)
+            idx = np.zeros(self.max_nodes, np.int32)
+            idx[:a] = path
+            idx[a:] = path[-1]
+            new_pos = pos + a
+            state = self._accept_fn(m, self.max_nodes)(
+                state, jnp.asarray(idx), jnp.asarray(new_pos, jnp.int32)
+            )
+            # feed accepted nodes' target features to the draft KV
+            packed = jnp.take(feats, jnp.asarray(idx), axis=0)
+            dstate = self.dflash.accept(dstate, packed, a)
+            pos = new_pos
+
+            for v in emit[:-1]:
+                yield v
+                produced += 1
+                if v in stop or produced >= max_new_tokens:
+                    return
+            token = emit[-1]

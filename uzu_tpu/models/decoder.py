@@ -269,6 +269,8 @@ def decoder_forward(
     true_length: jax.Array | int | None = None,
     positions: jax.Array | None = None,  # override (tree nodes: pos+depth)
     tree_mask: jax.Array | None = None,  # [S, S] ancestor matrix
+    collect_layers: tuple = (),  # layer indices to tap (hidden-feature taps
+                                 # for DFlash, transformer.rs:286-293)
 ):
     """Run the decoder; returns (logits, new_state).
 
@@ -297,6 +299,7 @@ def decoder_forward(
         per_layer = ple_inputs(cfg.ple_model_config, params["per_layer_embedding"], tokens, x)
 
     new_layer_states = []
+    features = []
     for i, layer_cfg in enumerate(tcfg.layer_configs):
         src = layer_cfg.kv_source_layer_index
         shared_kv = None
@@ -309,6 +312,8 @@ def decoder_forward(
             tree,
         )
         new_layer_states.append(new_state)
+        if i in collect_layers:
+            features.append((i, x))
 
     x = normalize(
         x, tcfg.output_norm_config, params["output_norm"]["scales"], params["output_norm"].get("biases")
@@ -323,4 +328,8 @@ def decoder_forward(
         "layers": new_layer_states,
         "pos": state["pos"] + jnp.asarray(true_length, jnp.int32),
     }
+    if collect_layers:
+        by_layer = dict(features)
+        feats = jnp.stack([by_layer[i] for i in collect_layers], axis=1)  # [S, n_tap, D]
+        return logits, out_state, feats
     return logits, out_state

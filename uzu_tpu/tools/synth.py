@@ -169,7 +169,19 @@ class ModelBuilder:
             self.embedding("input_embedding", cfg.vocab_size, d, embedding_spec)
             self.embedding("output_embedding", cfg.vocab_size, d, embedding_spec)
         for i, lc in enumerate(tcfg.layer_configs):
-            p = f"transformer.layers.{i}"
+            self.layer_tensors(f"transformer.layers.{i}", lc, d, tcfg.hidden_dim, linear_spec)
+        self.norm_scales("transformer.output_norm", d, tcfg.output_norm_config.has_biases)
+        if cfg.ple_model_config is not None:
+            pm = cfg.ple_model_config
+            total = pm.num_layers * pm.ple_dim
+            self.dense("per_layer_embedding.token_embedding", (pm.ple_vocab_size, total))
+            self.linear("per_layer_embedding.model_projection", d, total,
+                        FullPrecisionSpec(layout=Layout.OUTPUT_INPUT), False)
+            self.norm_scales("per_layer_embedding.projection_norm", pm.ple_dim,
+                             pm.norm_config.has_biases)
+
+    def layer_tensors(self, p: str, lc, d: int, default_hidden: int, linear_spec) -> None:
+        if True:
             m = lc.mixer_config
             if isinstance(m, AttentionConfig):
                 q_dim = m.num_heads * m.head_dim
@@ -231,7 +243,7 @@ class ModelBuilder:
                 self.linear(f"{p}.ple.projection", pc.ple_dim, d, linear_spec, False)
                 self.norm_scales(f"{p}.ple.norm", d, pc.norm_config.has_biases)
             mlp = lc.mlp_config
-            hid = lc.hidden_dim or tcfg.hidden_dim
+            hid = lc.hidden_dim or default_hidden
             if isinstance(mlp, DenseMLPConfig):
                 self.linear(f"{p}.mlp.up_projection", d, 2 * hid, linear_spec, mlp.has_up_biases)
                 self.linear(f"{p}.mlp.down_projection", hid, d, linear_spec, mlp.has_down_biases)
@@ -247,16 +259,6 @@ class ModelBuilder:
                     self.dense(f"{p}.mlp.experts.down_projection.biases", (e, d))
             else:
                 raise ValueError(f"unsupported mlp {type(mlp).__name__}")
-        self.norm_scales("transformer.output_norm", d, tcfg.output_norm_config.has_biases)
-        if cfg.ple_model_config is not None:
-            pm = cfg.ple_model_config
-            total = pm.num_layers * pm.ple_dim
-            self.dense("per_layer_embedding.token_embedding", (pm.ple_vocab_size, total))
-            self.linear("per_layer_embedding.model_projection", d, total,
-                        FullPrecisionSpec(layout=Layout.OUTPUT_INPUT), False)
-            self.norm_scales("per_layer_embedding.projection_norm", pm.ple_dim,
-                             pm.norm_config.has_biases)
-
     def write(self, out_dir: str, cfg: LanguageModelConfig) -> str:
         from ..params.safetensors_io import save_file
 
@@ -882,4 +884,71 @@ def synthesize_classifier(model_cfg, out_dir: str, *, seed: int = 0, dtype=BF16)
 
     b.tensors = {f"classifier.{k}": v for k, v in inner.tensors.items()}
     b.metadata = {f"classifier.{k}": v for k, v in inner.metadata.items()}
+    return b.write(out_dir, model_cfg)
+
+
+def synth_dflash_speculator(
+    out_dir: str,
+    target_cfg: LanguageModelConfig,
+    *,
+    block_size: int = 4,
+    target_layer_ids: tuple = (0, 1),
+    num_layers: int = 1,
+    seed: int = 0,
+    dtype=None,
+) -> str:
+    """Write a DFlash speculator dir (config.json + model.safetensors under
+    the 'speculator.draft_model' prefix, speculators/dflash_tfm.rs:61-77)."""
+    from ..config.model import (
+        DFlashDraftConfig,
+        DFlashSpeculatorConfig,
+        SpeculatorModelConfig,
+        WeaverConfig,
+    )
+
+    tcfg = target_cfg.decoder_config.transformer_config
+    d = tcfg.model_dim
+    vocab = target_cfg.decoder_config.vocab_size
+    base_layer = tcfg.layer_configs[0]
+    attn = base_layer.mixer_config
+    rope = base_layer.rope_config or UnscaledRoPEConfig(
+        base=10000.0, max_sequence_length=4096, head_dim=attn.head_dim
+    )
+    draft_cfg = DFlashDraftConfig(
+        model_dim=d,
+        hidden_dim=tcfg.hidden_dim,
+        block_size=block_size,
+        mask_token_id=0,
+        target_layer_ids=tuple(target_layer_ids),
+        num_target_layers=len(tcfg.layer_configs),
+        vocab_size=vocab,
+        context_projection_config=LinearConfig(),
+        context_norm_config=_rms(),
+        rope_config=rope,
+        layer_configs=tuple([base_layer] * num_layers),
+        output_norm_config=_rms(),
+    )
+    weaver_cfg = WeaverConfig(
+        model_dim=d, target_model_dim=d, target_embedding_dim=d,
+        num_layers=1, num_heads=attn.num_heads, hidden_dim=tcfg.hidden_dim,
+        max_depth=block_size, candidate_pool_size=8,
+        linear_config=LinearConfig(), norm_config=_rms(), rope_config=rope,
+    )
+    model_cfg = SpeculatorModelConfig(
+        speculator_config=DFlashSpeculatorConfig(
+            draft_config=draft_cfg, weaver_config=weaver_cfg
+        )
+    )
+
+    b = ModelBuilder(seed=seed, dtype=np.dtype(dtype or BF16))
+    spec = FullPrecisionSpec(layout=Layout.OUTPUT_INPUT)
+    n_tap = len(target_layer_ids)
+    layer_kv_dim = 2 * attn.num_groups * attn.head_dim
+    pre = "speculator.draft_model"
+    b.linear(f"{pre}.context_projection", d * n_tap, d, spec, False)
+    b.norm_scales(f"{pre}.context_norm", d, False)
+    b.linear(f"{pre}.state_kv_projection", d, num_layers * layer_kv_dim, spec, False)
+    for i, lc in enumerate(draft_cfg.layer_configs):
+        b.layer_tensors(f"{pre}.layers.{i}", lc, d, draft_cfg.hidden_dim, spec)
+    b.norm_scales(f"{pre}.output_norm", d, False)
     return b.write(out_dir, model_cfg)

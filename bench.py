@@ -94,7 +94,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     max_context = 1024
-    lm = LanguageModel.from_dir(model_dir, max_context=max_context, prefill_buckets=(128,))
+    lm = LanguageModel.from_dir(model_dir, max_context=max_context, prefill_buckets=(32, 128))
     load_s = time.perf_counter() - t0
 
     prompt_len, gen_len = 128, 128

@@ -65,6 +65,10 @@ class _Slot:
     request: Optional[Request] = None
     produced: int = 0
     pos: int = 0  # host mirror of device pos
+    # first token of a freshly admitted request, still on device: fetched
+    # together with the next chunk's tokens (one roundtrip), so admission
+    # never blocks the host
+    pending_first: Optional[jax.Array] = None
 
     @property
     def free(self) -> bool:
@@ -95,9 +99,15 @@ class BatchEngine:
         self.slots = [_Slot() for _ in range(batch_size)]
         self.queue: deque[Request] = deque()
         self._ids = itertools.count()
-        self._state = self._stack_states([lm.new_state() for _ in range(batch_size)])
+        self._state = lm.new_state(batch_size=batch_size)
         self._tokens = jnp.zeros((batch_size,), jnp.int32)  # next input per slot
         self._halted = jnp.ones((batch_size,), bool)  # empty slots are halted
+        # per-slot device-side token budget: lets the scheduler keep a decode
+        # chunk IN FLIGHT while the previous chunk's tokens are still being
+        # fetched (pipelining) — a slot halts itself at budget/context end,
+        # so an overrun chunk can never produce extra state transitions
+        self._remaining = jnp.zeros((batch_size,), jnp.int32)
+        self._pending = None  # (emitted array [K, B], snapshot {slot: req})
         # executable caches live on the model so engines are cheap to build
         self._decode_jit = lm.__dict__.setdefault("_batch_decode_jit", {})
         self._insert_cache = lm.__dict__.setdefault("_batch_insert_jit", {})
@@ -106,15 +116,12 @@ class BatchEngine:
 
     # -- jitted pieces -----------------------------------------------------
 
-    @staticmethod
-    def _stack_states(states):
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-
     def _insert_fn(self):
         if "fn" not in self._insert_cache:
 
             @partial(jax.jit, donate_argnums=(0,), static_argnames=("i",))
-            def insert(batch_state, slot_state, token, halted, tokens, halted_v, i):
+            def insert(batch_state, slot_state, token, halted, tokens, halted_v,
+                       remaining_v, remaining, i):
                 new_state = jax.tree.map(
                     lambda b, s: b.at[i].set(s), batch_state, slot_state
                 )
@@ -122,10 +129,56 @@ class BatchEngine:
                     new_state,
                     tokens.at[i].set(token),
                     halted_v.at[i].set(halted),
+                    remaining_v.at[i].set(remaining),
                 )
 
             self._insert_cache["fn"] = insert
         return self._insert_cache["fn"]
+
+    def _admit_fn(self, bucket: int):
+        """Fused admission: fresh state + prefill chunk + first-token sample
+        + slot insert in ONE donated dispatch (the multi-dispatch path costs
+        ~50 ms of launch overhead per admission on a remote-tunnel chip).
+        Handles prompts up to the largest prefill bucket; longer prompts take
+        the chunked fallback path in _admit."""
+        key = (self.sampling, bucket, self.batch_size)
+        cache = self.lm.__dict__.setdefault("_batch_admit_jit", {})
+        if key not in cache:
+            lm = self.lm
+            cfg = lm.decoder_config
+            sampling = self.sampling
+
+            @partial(jax.jit, donate_argnums=(1, 2, 3, 4))
+            def admit(params, batch_state, tokens_v, halted_v, remaining_v,
+                      chunk, true_len, seed, remaining0, slot_i):
+                from ..models.state import init_state
+
+                fresh = init_state(
+                    cfg, lm.max_context, kv_quant=lm.kv_quant,
+                    ring_windows=lm.ring_windows, ring_extra=max(lm.prefill_buckets),
+                )
+                logits, fresh = decoder_forward(
+                    cfg, params, chunk, fresh, last_only=True, true_length=true_len
+                )
+                first = sample(logits[0], sampling, key=jax.random.PRNGKey(seed))
+
+                def put(b, s):
+                    return jax.lax.dynamic_update_index_in_dim(
+                        b, s.astype(b.dtype), slot_i, axis=0
+                    )
+
+                return (
+                    jax.tree.map(put, batch_state, fresh),
+                    jax.lax.dynamic_update_index_in_dim(tokens_v, first, slot_i, 0),
+                    jax.lax.dynamic_update_index_in_dim(
+                        halted_v, jnp.asarray(False), slot_i, 0
+                    ),
+                    jax.lax.dynamic_update_index_in_dim(remaining_v, remaining0, slot_i, 0),
+                    first,
+                )
+
+            cache[key] = admit
+        return cache[key]
 
     def _decode_fn(self, k: int):
         key = (self.sampling, k, self.stop_ids, self.batch_size)
@@ -133,8 +186,9 @@ class BatchEngine:
             cfg = self.lm.decoder_config
             sampling = self.sampling
             stop_arr = jnp.asarray(self.stop_ids, jnp.int32) if self.stop_ids else None
+            ctx_last = self.lm.max_context - 1
 
-            def one_step(params, state, token, halted, key_t):
+            def one_step(params, state, token, halted, remaining, key_t):
                 true_length = jnp.where(halted, 0, 1).astype(jnp.int32)
                 logits, state = decoder_forward(
                     cfg, params, token.reshape(1), state, last_only=True,
@@ -142,23 +196,27 @@ class BatchEngine:
                 )
                 nxt = sample(logits[0], sampling, key=key_t)
                 nxt = jnp.where(halted, token, nxt)
+                remaining = remaining - jnp.where(halted, 0, 1)
                 if stop_arr is not None:
                     halted = halted | jnp.any(nxt == stop_arr)
-                return state, nxt, halted
+                # device-side budget/context halt mirrors the host's finish
+                # conditions so an in-flight chunk can't overrun them
+                halted = halted | (remaining <= 0) | (state["pos"] >= ctx_last)
+                return state, nxt, halted, remaining
 
             @partial(jax.jit, donate_argnums=(1,))
-            def decode_k(params, state, tokens, halted, keys):
+            def decode_k(params, state, tokens, halted, remaining, keys):
                 def body(carry, keys_t):
-                    state, tokens, halted = carry
-                    state, tokens, halted = jax.vmap(
-                        lambda s, t, h, kk: one_step(params, s, t, h, kk)
-                    )(state, tokens, halted, keys_t)
-                    return (state, tokens, halted), tokens
+                    state, tokens, halted, remaining = carry
+                    state, tokens, halted, remaining = jax.vmap(
+                        lambda s, t, h, r, kk: one_step(params, s, t, h, r, kk)
+                    )(state, tokens, halted, remaining, keys_t)
+                    return (state, tokens, halted, remaining), tokens
 
-                (state, tokens, halted), emitted = jax.lax.scan(
-                    body, (state, tokens, halted), keys
+                (state, tokens, halted, remaining), emitted = jax.lax.scan(
+                    body, (state, tokens, halted, remaining), keys
                 )
-                return state, tokens, halted, emitted  # emitted [K, B]
+                return state, tokens, halted, remaining, emitted  # emitted [K, B]
 
             self._decode_jit[key] = decode_k
         return self._decode_jit[key]
@@ -190,26 +248,39 @@ class BatchEngine:
             return False
         req = self.queue.popleft()
         slot = self.slots[slot_i]
+        remaining0 = np.int32(max(0, req.max_new_tokens - 1))
 
-        state = self.lm.new_state()
-        logits, state = self.lm.prefill(state, np.asarray(req.prompt, np.int32))
-        first = sample(logits, self.sampling, key=jax.random.PRNGKey(req.seed))
-
-        insert = self._insert_fn()
-        self._state, self._tokens, self._halted = insert(
-            self._state, state, first, jnp.asarray(False),
-            self._tokens, self._halted, slot_i,
-        )
-        val = int(jax.device_get(self._tokens[slot_i]))
-        req.tokens.append(val)
-        req.first_token_at = time.perf_counter()
+        n = len(req.prompt)
+        if n <= self.lm.prefill_buckets[-1]:
+            bucket = next(b for b in self.lm.prefill_buckets if b >= n)
+            chunk = np.zeros(bucket, np.int32)
+            chunk[:n] = req.prompt
+            admit = self._admit_fn(bucket)
+            (self._state, self._tokens, self._halted, self._remaining,
+             first) = admit(
+                self.lm.params, self._state, self._tokens, self._halted,
+                self._remaining, jnp.asarray(chunk), np.int32(n),
+                np.uint32(req.seed), remaining0, np.int32(slot_i),
+            )
+        else:
+            # long prompt: chunked prefill into a fresh state, then insert
+            state = self.lm.new_state()
+            logits, state = self.lm.prefill(state, np.asarray(req.prompt, np.int32))
+            fs = self.lm._first_sample_fn(self.sampling, False)
+            first = fs(logits, np.uint32(req.seed))
+            insert = self._insert_fn()
+            self._state, self._tokens, self._halted, self._remaining = insert(
+                self._state, state, first, jnp.asarray(False),
+                self._tokens, self._halted, self._remaining,
+                jnp.asarray(remaining0), slot_i,
+            )
+        # no fetch here: the first token rides the next chunk's device_get
         slot.request = req
-        slot.produced = 1
+        slot.produced = 0
         slot.pos = len(req.prompt)
+        slot.pending_first = first
         self._seeds[slot_i] = req.seed ^ 0xBA7C
         self._steps[slot_i] = 0
-        if val in self.stop_ids or req.max_new_tokens <= 1:
-            self._finish(slot_i, "stop" if val in self.stop_ids else "length")
         return True
 
     def _finish(self, slot_i: int, reason: str):
@@ -221,7 +292,12 @@ class BatchEngine:
         slot.request = None
         self._halted = self._halted.at[slot_i].set(True)
 
-    def _decode_chunk(self):
+    def _dispatch_decode(self):
+        """Enqueue one decode chunk; returns (emitted array, slot snapshot).
+        The emitted tokens are NOT fetched here — the caller processes them
+        one chunk behind the dispatch so the host<->device roundtrip overlaps
+        the next chunk's compute (the batched analogue of the reference's
+        chain_copy pipelining, stream.rs:580-609)."""
         k = self.decode_chunk
         # per-slot per-step key material, deterministic per request, built in
         # pure numpy (no device roundtrips in the scheduling loop; the PRNG
@@ -233,21 +309,41 @@ class BatchEngine:
                 np.arange(k, dtype=np.uint64) + np.uint64(self._steps[b]) * np.uint64(k)
             ).astype(np.uint32)
         decode = self._decode_fn(k)
-        self._state, self._tokens, self._halted, emitted = decode(
+        self._state, self._tokens, self._halted, self._remaining, emitted = decode(
             self.lm.params, self._state, self._tokens, self._halted,
-            jnp.asarray(keys),
+            self._remaining, jnp.asarray(keys),
         )
-        vals = np.asarray(jax.device_get(emitted))  # [K, B]
+        snapshot = {}
         for b, slot in enumerate(self.slots):
-            if slot.free:
-                continue
-            req = slot.request
-            self._steps[b] += 1
-            for step in range(k):
-                v = int(vals[step, b])
+            if not slot.free:
+                self._steps[b] += 1
+                snapshot[b] = (slot.request, slot.pending_first)
+                slot.pending_first = None
+        return emitted, snapshot
+
+    def _process_emitted(self, emitted, snapshot):
+        """Fetch a dispatched chunk's tokens (and any admitted-but-unfetched
+        first tokens) in ONE device_get, then route them to requests. Finish
+        detection mirrors the device-side halt conditions exactly, so the
+        host can lag one chunk behind without divergence."""
+        firsts = {b: f for b, (_, f) in snapshot.items() if f is not None}
+        vals, first_vals = jax.device_get((emitted, firsts))
+        vals = np.asarray(vals)  # [K, B]
+        k = vals.shape[0]
+        for b, (req, _) in snapshot.items():
+            if req is None or req.finished:
+                continue  # slot halted on device; emitted identity repeats
+            slot = self.slots[b]
+            stream = []
+            if b in first_vals:
+                stream.append((int(first_vals[b]), 0))  # prefill token: pos
+                # already advanced past the prompt at admission
+                req.first_token_at = time.perf_counter()
+            stream.extend((int(vals[s, b]), 1) for s in range(k))
+            for v, adv in stream:
                 req.tokens.append(v)
                 slot.produced += 1
-                slot.pos += 1
+                slot.pos += adv
                 if v in self.stop_ids:
                     self._finish(b, "stop")
                     break
@@ -258,18 +354,44 @@ class BatchEngine:
                     self._finish(b, "length")
                     break
 
+    def _drains_all(self, snapshot) -> bool:
+        """True if the in-flight chunk provably finishes every active slot
+        (length/context bound), so dispatching another chunk would only
+        produce discarded identity steps."""
+        k = self.decode_chunk
+        for b, slot in enumerate(self.slots):
+            if slot.free:
+                continue
+            entry = snapshot.get(b)
+            if entry is None:
+                return False  # admitted after the dispatch; needs a chunk
+            req, first = entry
+            budget = slot.produced + (1 if first is not None else 0) + k
+            if budget < req.max_new_tokens and slot.pos + k < self.lm.max_context - 1:
+                return False
+        return True
+
     def step(self) -> bool:
         """One scheduling action; returns False when fully idle."""
-        # admit as many as fit before decoding (batch efficiency)
+        # admit as many as fit before decoding: prefill dispatches queue
+        # behind the in-flight chunk and nothing here blocks the host
         admitted = False
         while self._admit():
             admitted = True
+        pending, self._pending = self._pending, None
+        # drain-first: if the in-flight chunk provably finishes every active
+        # slot and nothing is queued, process it instead of dispatching a
+        # ghost chunk of pure identity steps
+        if pending is not None and not self.queue and self._drains_all(pending[1]):
+            self._process_emitted(*pending)
+            pending = None
         if self.num_active:
-            self._decode_chunk()
-            return True
-        return admitted or bool(self.queue)
+            self._pending = self._dispatch_decode()
+        if pending is not None:
+            self._process_emitted(*pending)
+        return bool(self._pending or pending or admitted or self.queue)
 
     def run(self) -> None:
         """Drive until all submitted requests finish."""
-        while self.queue or self.num_active:
+        while self.queue or self.num_active or self._pending:
             self.step()

@@ -98,17 +98,34 @@ class LanguageModel:
 
     # -- state -----------------------------------------------------------
 
-    def new_state(self, ring_size: int = 0) -> dict:
-        state = init_state(
-            self.decoder_config,
-            self.max_context,
-            kv_quant=self.kv_quant,
-            ring_windows=self.ring_windows,
-            ring_extra=max(self.prefill_buckets),
-        )
-        if ring_size:
-            state["ring"] = jnp.full((ring_size,), -1, jnp.int32)
-        return state
+    def new_state(self, ring_size: int = 0, batch_size: int = 0) -> dict:
+        """Fresh decoding state. One jitted executable builds the whole
+        pytree (a naive per-buffer construction is ~35 tiny dispatches — tens
+        of ms of pure launch overhead on a remote-tunnel chip). batch_size>0
+        returns the batched state with a leading [B] dim on every leaf (the
+        continuous-batching engine's slot stack)."""
+        key = (ring_size, batch_size)
+        cache = self.__dict__.setdefault("_state_init_jit", {})
+        if key not in cache:
+
+            def build():
+                state = init_state(
+                    self.decoder_config,
+                    self.max_context,
+                    kv_quant=self.kv_quant,
+                    ring_windows=self.ring_windows,
+                    ring_extra=max(self.prefill_buckets),
+                )
+                if ring_size:
+                    state["ring"] = jnp.full((ring_size,), -1, jnp.int32)
+                if batch_size:
+                    state = jax.tree.map(
+                        lambda l: jnp.broadcast_to(l, (batch_size,) + l.shape), state
+                    )
+                return state
+
+            cache[key] = jax.jit(build)
+        return cache[key]()
 
     # -- compiled steps ----------------------------------------------------
 
@@ -180,6 +197,27 @@ class LanguageModel:
 
             self._decode_jit[cache_key] = decode_k
         return self._decode_jit[cache_key]
+
+    def _first_sample_fn(self, sampling: SamplingParams, has_ring: bool):
+        """Jitted first-token sample (prefill logits -> token). Eager sample()
+        is ~10 op-by-op dispatches — pure launch overhead on a remote chip."""
+        cache = self.__dict__.setdefault("_first_sample_jit", {})
+        key = (sampling, has_ring)
+        if key not in cache:
+            if has_ring:
+
+                @jax.jit
+                def fs(logits, seed, ring):
+                    return sample(logits, sampling, key=jax.random.PRNGKey(seed), ring=ring)
+
+            else:
+
+                @jax.jit
+                def fs(logits, seed):
+                    return sample(logits, sampling, key=jax.random.PRNGKey(seed))
+
+            cache[key] = fs
+        return cache[key]
 
     # -- public API --------------------------------------------------------
 
@@ -274,12 +312,9 @@ class LanguageModel:
         start_pos = int(state["pos"])
         t0 = time.perf_counter()
         logits, state = self.prefill(state, prompt_tokens)
-        first = sample(
-            logits,
-            sampling,
-            key=jax.random.PRNGKey(seed),
-            ring=state.get("ring"),
-        )
+        ring = state.get("ring")
+        fs = self._first_sample_fn(sampling, ring is not None)
+        first = fs(logits, np.uint32(seed), ring) if ring is not None else fs(logits, np.uint32(seed))
         first.block_until_ready()
         t1 = time.perf_counter()
         if metrics is not None:
@@ -308,31 +343,44 @@ class LanguageModel:
         halted = jnp.asarray(False)
         step = 0
         chunk_idx = 0
-        while produced < budget:
-            # powers of two only (bounded executable count): grow for
-            # streaming latency, shrink for the budget tail
-            k = min(1 << chunk_idx, self.max_decode_chunk)
-            while k > budget - produced:
-                k >>= 1
-            chunk_idx += 1
-            decode = self._decode_fn(sampling, k, stop_ids)
-            state, tokens, halted = decode(
-                self.params, state, token, halted, keys[step : step + k]
-            )
-            step += k
-            token = tokens[-1]
-            vals = np.asarray(jax.device_get(tokens))
-            if metrics is not None:
-                metrics.num_forward_passes += k
-            done = False
-            for v in vals:
-                v = int(v)
-                produced += 1
-                yield v
-                if v in stop:
-                    done = True
-                    break
-            if done:
+        dispatched = produced
+        pending = None  # in-flight chunk's token array (pipelining: the next
+        # chunk is dispatched before the previous chunk's tokens are fetched,
+        # hiding the host<->device roundtrip behind compute; the on-device
+        # halt flag makes an overrun chunk a no-op whose output we discard)
+        done = False
+        while True:
+            new_pending = None
+            if not done and dispatched < budget:
+                # powers of two only (bounded executable count): grow for
+                # streaming latency, shrink for the budget tail
+                k = min(1 << chunk_idx, self.max_decode_chunk)
+                while k > budget - dispatched:
+                    k >>= 1
+                chunk_idx += 1
+                decode = self._decode_fn(sampling, k, stop_ids)
+                state, tokens, halted = decode(
+                    self.params, state, token, halted, keys[step : step + k]
+                )
+                step += k
+                dispatched += k
+                token = tokens[-1]
+                new_pending = tokens
+                if metrics is not None:
+                    metrics.num_forward_passes += k
+            if pending is not None and not done:
+                for v in np.asarray(jax.device_get(pending)):
+                    v = int(v)
+                    produced += 1
+                    yield v
+                    if v in stop:
+                        done = True
+                        break
+            pending = new_pending
+            # a stop discards the in-flight chunk unfetched: the device halt
+            # (same stop set) froze the state at the stop token, so the
+            # overrun chunk emitted only identity repeats
+            if pending is None or done:
                 break
         if metrics is not None:
             metrics.num_tokens_generated += produced

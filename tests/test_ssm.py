@@ -123,6 +123,96 @@ def test_short_conv_hand_computed():
     np.testing.assert_allclose(np.asarray(new_state["conv"]), 2.0)
 
 
+def test_delta_net_chunked_equals_scan():
+    """The chunk-parallel WY-form delta rule == the per-token scan
+    (the invariant behind the reference's DeltaNetPrefillChunked* kernels)."""
+    from uzu_tpu.models.ssm import _delta_net_chunked
+
+    rng = np.random.default_rng(3)
+    s, h, dk, dv, chunk = 70, 3, 16, 24, 32  # 3 chunks, ragged tail
+    qs = jnp.asarray(rng.standard_normal((s, h, dk)), jnp.float32)
+    ks = jnp.asarray(rng.standard_normal((s, h, dk)), jnp.float32)
+    vs = jnp.asarray(rng.standard_normal((s, h, dv)), jnp.float32)
+    beta = jnp.asarray(rng.random((s, h)), jnp.float32)
+    log_decay = jnp.asarray(-rng.random((s, h)) * 0.3, jnp.float32)
+    # mask a padded tail like a bucketed prefill would
+    valid = (np.arange(s) < 61)[:, None]
+    beta = jnp.where(valid, beta, 0.0)
+    log_decay = jnp.where(valid, log_decay, 0.0)
+    ssm0 = jnp.asarray(rng.standard_normal((h, dv, dk)) * 0.1, jnp.float32)
+
+    def step(ssm, inp):
+        q_t, k_t, v_t, beta_t, decay_t = inp
+        sk = jnp.einsum("hvk,hk->hv", ssm, k_t)
+        sq = jnp.einsum("hvk,hk->hv", ssm, q_t)
+        delta = beta_t[:, None] * (v_t - decay_t[:, None] * sk)
+        kq = jnp.sum(k_t * q_t, axis=-1)
+        o_t = decay_t[:, None] * sq + delta * kq[:, None]
+        ssm = decay_t[:, None, None] * ssm + delta[:, :, None] * k_t[:, None, :]
+        return ssm, o_t
+
+    import jax
+
+    ssm_ref, o_ref = jax.lax.scan(step, ssm0, (qs, ks, vs, beta, jnp.exp(log_decay)))
+    ssm_chk, o_chk = _delta_net_chunked(qs, ks, vs, beta, log_decay, ssm0, chunk)
+    np.testing.assert_allclose(np.asarray(o_chk)[:61], np.asarray(o_ref)[:61], rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ssm_chk), np.asarray(ssm_ref), rtol=5e-4, atol=5e-4)
+
+    # regression: a FULL 64-row chunk with strong decay used to overflow the
+    # upper-triangle decay-ratio exp into inf and leak NaN through the
+    # multiplicative causal mask
+    s2 = 64
+    strong = jnp.asarray(-rng.random((s2, h)) * 2.0 - 0.5, jnp.float32)
+    ssm_ref2, o_ref2 = jax.lax.scan(
+        step, ssm0, (qs[:s2], ks[:s2], vs[:s2], beta[:s2], jnp.exp(strong))
+    )
+    ssm_chk2, o_chk2 = _delta_net_chunked(
+        qs[:s2], ks[:s2], vs[:s2], beta[:s2], strong, ssm0, 64
+    )
+    assert np.isfinite(np.asarray(o_chk2)).all()
+    np.testing.assert_allclose(np.asarray(o_chk2), np.asarray(o_ref2), rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ssm_chk2), np.asarray(ssm_ref2), rtol=5e-4, atol=5e-4)
+
+
+def test_mamba2_chunked_equals_scan():
+    from uzu_tpu.models.ssm import _mamba2_chunked
+
+    rng = np.random.default_rng(5)
+    s, h, dh, n, chunk = 50, 2, 8, 12, 16
+    xs = jnp.asarray(rng.standard_normal((s, h, dh)), jnp.float32)
+    bs = jnp.asarray(rng.standard_normal((s, h, n)), jnp.float32)
+    cs = jnp.asarray(rng.standard_normal((s, h, n)), jnp.float32)
+    log_decay = jnp.asarray(-rng.random((s, h)) * 0.5, jnp.float32)
+    valid = (np.arange(s) < 45)[:, None]
+    xs = jnp.where(valid[:, :, None], xs, 0.0)
+    log_decay = jnp.where(valid, log_decay, 0.0)
+    ssm0 = jnp.asarray(rng.standard_normal((h, dh, n)) * 0.1, jnp.float32)
+
+    def step(ssm, inp):
+        x_t, b_t, c_t, decay_t = inp
+        ssm = ssm * decay_t[:, None, None] + x_t[:, :, None] * b_t[:, None, :]
+        return ssm, jnp.einsum("hdn,hn->hd", ssm, c_t)
+
+    import jax
+
+    ssm_ref, y_ref = jax.lax.scan(step, ssm0, (xs, bs, cs, jnp.exp(log_decay)))
+    ssm_chk, y_chk = _mamba2_chunked(xs, bs, cs, log_decay, ssm0, chunk)
+    np.testing.assert_allclose(np.asarray(y_chk)[:45], np.asarray(y_ref)[:45], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ssm_chk), np.asarray(ssm_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_chunked_prefill_path_matches_scan_path(model_dir):
+    """Model-level: a bucket-64 prefill (chunked core) == per-token decode."""
+    toks = (np.arange(40) * 7) % 512
+    lm1 = LanguageModel.from_dir(model_dir, max_context=128, prefill_buckets=(64,))
+    l1, _ = lm1.prefill(lm1.new_state(), toks)
+    lm2 = LanguageModel.from_dir(model_dir, max_context=128, prefill_buckets=(1,))
+    s2 = lm2.new_state()
+    for t in toks:
+        l2, s2 = lm2.prefill(s2, np.array([t]))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-3, atol=2e-3)
+
+
 def test_gemma_ple_kv_sharing(tmp_path):
     """Gemma-style model: PLE + KV sharing + soft caps + sliding window.
 

@@ -96,6 +96,128 @@ def _short_conv_forward(cfg: ShortConvConfig, params, x, state, true_length):
 
 
 # --------------------------------------------------------------------------
+# Chunk-parallel recurrence cores (prefill)
+#
+# Role of the reference's chunked GDN pipeline (DeltaNetPrefillChunkedCumsum/
+# ChunkedGram/ChunkedADiagInv/ChunkedCausalInv/ChunkedOutputAndState,
+# backends/metal/kernel/gdn/) and SSDPrefill64 (ssm/): a lax.scan over single
+# tokens serializes the whole prefill on one vector unit; these cores do
+# whole chunks as batched matrix work (MXU) with one state carry per chunk.
+# Masked rows compose exactly like the scan path: beta=0 + log_decay=0 (GDN)
+# / x=0 + log_decay=0 (SSD) are identity transitions.
+# --------------------------------------------------------------------------
+
+SSM_PREFILL_CHUNK = 64
+# below this many rows the per-token scan wins (no padding, no [L, L] work)
+SSM_CHUNKED_MIN_S = 32
+
+
+def _pad_chunks(arrs, s, chunk):
+    """Pad [S, ...] arrays to a chunk multiple and reshape to
+    [n_chunks, H, L, ...] (heads-major for batched per-head matrices)."""
+    pad = (-s) % chunk
+    out = []
+    for a in arrs:
+        if pad:
+            a = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        a = a.reshape(-1, chunk, *a.shape[1:])  # [nc, L, H, ...]
+        out.append(jnp.swapaxes(a, 1, 2))  # [nc, H, L, ...]
+    return out
+
+
+def _tri_solve(a_strict_lower, b):
+    """x = (I + strict_lower(a))^{-1} b, batched over leading dims."""
+    return jax.scipy.linalg.solve_triangular(
+        a_strict_lower, b, lower=True, unit_diagonal=True
+    )
+
+
+def _delta_net_chunked(qs, ks, vs, beta, log_decay, ssm0, chunk):
+    """Gated delta rule, chunk-parallel (WY representation).
+
+    qs/ks [S, H, dk] (q pre-scaled, q/k L2-normalized), vs [S, H, dv],
+    beta/log_decay [S, H]; padded/masked rows must carry beta=0 and
+    log_decay=0. Returns (ssm [H, dv, dk], o [S, H, dv]).
+
+    With S_i = a_i S_{i-1} (I - b_i k_i k_i^T) + b_i v_i k_i^T and
+    gamma_i = prod_{j<=i} a_j, write S_i = gamma_i S_0 P_i + Z_i where
+    P_i = I - sum_{j<=i} w_j k_j^T, Z_i = sum_{j<=i} (gamma_i/gamma_j)
+    u_j k_j^T. The w/u rows solve unit-lower-triangular systems
+        W = (I + B tril(K K^T, -1))^{-1} B K
+        U = (I + B tril(K K^T (x) Gamma, -1))^{-1} B V
+    (Gamma[i,j] = gamma_i/gamma_j <= 1, so everything stays bounded), and
+    o_i = S_i q_i = gamma_i S_0 (q_i - sum_{j<=i} (k_j.q_i) w_j)
+                  + sum_{j<=i} (gamma_i/gamma_j) (k_j.q_i) u_j.
+    """
+    s = qs.shape[0]
+    q_c, k_c, v_c, b_c, lg_c = _pad_chunks([qs, ks, vs, beta, log_decay], s, chunk)
+    low = jnp.tril(jnp.ones((chunk, chunk), bool))
+    strict = jnp.tril(jnp.ones((chunk, chunk), bool), -1)
+
+    def chunk_step(S0, inp):
+        q, k, v, b, lg = inp  # [H, L, dk] / [H, L, dv] / [H, L]
+        lgc = jnp.cumsum(lg, axis=1)  # [H, L]
+        gam = jnp.exp(lgc)
+        # mask the exponent BEFORE exp: above the diagonal lgc_i - lgc_j > 0
+        # and overflows to inf for long chunks, and 0 * inf = NaN survives a
+        # multiplicative mask; on/below the diagonal the ratio is <= 1
+        diff = lgc[:, :, None] - lgc[:, None, :]
+        ratio = jnp.exp(jnp.where(low, diff, 0.0))
+        gram = jnp.einsum("hik,hjk->hij", k, k)
+        a0 = jnp.where(strict, b[:, :, None] * gram, 0.0)
+        at = jnp.where(strict, a0 * ratio, 0.0)
+        w = _tri_solve(a0, b[..., None] * k)  # [H, L, dk]
+        u = _tri_solve(at, b[..., None] * v)  # [H, L, dv]
+
+        qk = jnp.where(low, jnp.einsum("hik,hjk->hij", q, k), 0.0)
+        q_eff = q - jnp.einsum("hij,hjk->hik", qk, w)
+        o = gam[..., None] * jnp.einsum("hlk,hvk->hlv", q_eff, S0)
+        o = o + jnp.einsum("hij,hjv->hiv", qk * ratio * low, u)
+
+        r_last = jnp.exp(lgc[:, -1:] - lgc)  # gamma_L / gamma_j
+        wk = jnp.einsum("hld,hle->hde", w, k)  # sum_j w_j k_j^T [H, dk, dk]
+        s_new = jnp.exp(lgc[:, -1])[:, None, None] * (
+            S0 - jnp.einsum("hvk,hkd->hvd", S0, wk)
+        ) + jnp.einsum("hlv,hld->hvd", u * r_last[..., None], k)
+        return s_new, o
+
+    ssm, o_c = jax.lax.scan(chunk_step, ssm0, (q_c, k_c, v_c, b_c, lg_c))
+    o = jnp.swapaxes(o_c, 1, 2).reshape(-1, *o_c.shape[1:2], o_c.shape[-1])
+    return ssm, o[:s]
+
+
+def _mamba2_chunked(xs, bs, cs, log_decay, ssm0, chunk):
+    """SSD recurrence S_t = a_t S + x_t (x) b_t, y_t = S_t c_t in
+    chunk-parallel form: intra-chunk decay-ratio masked attention
+    P[i,j] = (c_i.b_j) gamma_i/gamma_j (j <= i) plus the inter-chunk S_0
+    readout. xs [S, H, dh], bs/cs [S, H, n], log_decay [S, H] (0 = masked).
+    Returns (ssm [H, dh, n], y [S, H, dh])."""
+    s = xs.shape[0]
+    x_c, b_c, c_c, lg_c = _pad_chunks([xs, bs, cs, log_decay], s, chunk)
+    low = jnp.tril(jnp.ones((chunk, chunk), bool))
+
+    def chunk_step(S0, inp):
+        x, bmat, c, lg = inp
+        lgc = jnp.cumsum(lg, axis=1)
+        gam = jnp.exp(lgc)
+        # exponent masked before exp — see _delta_net_chunked
+        diff = lgc[:, :, None] - lgc[:, None, :]
+        ratio = jnp.exp(jnp.where(low, diff, 0.0))
+        p = jnp.where(low, jnp.einsum("hin,hjn->hij", c, bmat) * ratio, 0.0)
+        y = gam[..., None] * jnp.einsum("hin,hdn->hid", c, S0)
+        y = y + jnp.einsum("hij,hjd->hid", p, x)
+        r_last = jnp.exp(lgc[:, -1:] - lgc)
+        s_new = jnp.exp(lgc[:, -1])[:, None, None] * S0 + jnp.einsum(
+            "hld,hln->hdn", x * r_last[..., None], bmat
+        )
+        return s_new, y
+
+    ssm, y_c = jax.lax.scan(chunk_step, ssm0, (x_c, b_c, c_c, lg_c))
+    y = jnp.swapaxes(y_c, 1, 2).reshape(-1, y_c.shape[1], y_c.shape[-1])
+    return ssm, y[:s]
+
+
+# --------------------------------------------------------------------------
 # Mamba2
 # --------------------------------------------------------------------------
 
@@ -120,20 +242,24 @@ def _mamba2_forward(cfg: Mamba2Config, params, x, state, true_length):
     bs = conv[:, inner : inner + g * n].reshape(s, g, n)
     cs = conv[:, inner + g * n :].reshape(s, g, n)
 
-    decay = jnp.exp(-_softplus(dt_raw))  # [S, H]
-    decay = jnp.where(valid, decay, 1.0)
+    log_decay = jnp.where(valid, -_softplus(dt_raw), 0.0)  # [S, H]
     xs = jnp.where(valid[:, :, None], xs, 0.0)
     rep = h // g
     bs_h = jnp.repeat(bs, rep, axis=1)  # [S, H, N]
     cs_h = jnp.repeat(cs, rep, axis=1)
 
-    def step(ssm, inp):
-        x_t, b_t, c_t, decay_t = inp
-        ssm = ssm * decay_t[:, None, None] + x_t[:, :, None] * b_t[:, None, :]
-        y_t = jnp.einsum("hdn,hn->hd", ssm, c_t)
-        return ssm, y_t
+    if s >= SSM_CHUNKED_MIN_S:
+        ssm, ys = _mamba2_chunked(xs, bs_h, cs_h, log_decay, state["ssm"], SSM_PREFILL_CHUNK)
+    else:
+        decay = jnp.exp(log_decay)
 
-    ssm, ys = jax.lax.scan(step, state["ssm"], (xs, bs_h, cs_h, decay))
+        def step(ssm, inp):
+            x_t, b_t, c_t, decay_t = inp
+            ssm = ssm * decay_t[:, None, None] + x_t[:, :, None] * b_t[:, None, :]
+            y_t = jnp.einsum("hdn,hn->hd", ssm, c_t)
+            return ssm, y_t
+
+        ssm, ys = jax.lax.scan(step, state["ssm"], (xs, bs_h, cs_h, decay))
     ys = ys + params["skip_weight"].astype(jnp.float32)[None, :, None] * xs
     ys = ys.reshape(s, inner) * jax.nn.silu(z)
     out = linear_apply(params["out"]["w"], ys.astype(x.dtype), params["out"].get("b"))
@@ -179,23 +305,29 @@ def _delta_net_forward(cfg: DeltaNetConfig, params, x, state, true_length):
     log_decay = -jnp.exp(params["a_log"].astype(jnp.float32))[None, :] * _softplus(
         a_raw + params["dt_bias"].astype(jnp.float32)[None, :]
     )
-    decay = jnp.exp(log_decay)
-    decay = jnp.where(valid, decay, 1.0)
+    log_decay = jnp.where(valid, log_decay, 0.0)
     beta = jnp.where(valid, beta, 0.0)
 
-    def step(ssm, inp):
-        # ssm [H, dv, dk]
-        q_t, k_t, v_t, beta_t, decay_t = inp
-        sk = jnp.einsum("hvk,hk->hv", ssm, k_t)  # S·k
-        sq = jnp.einsum("hvk,hk->hv", ssm, q_t)  # S·q
-        retrieved = decay_t[:, None] * sk
-        delta = beta_t[:, None] * (v_t - retrieved)  # [H, dv]
-        kq = jnp.sum(k_t * q_t, axis=-1)  # [H]
-        o_t = decay_t[:, None] * sq + delta * kq[:, None]
-        ssm = decay_t[:, None, None] * ssm + delta[:, :, None] * k_t[:, None, :]
-        return ssm, o_t
+    if s >= SSM_CHUNKED_MIN_S:
+        ssm, os_ = _delta_net_chunked(
+            qs, ks, vs, beta, log_decay, state["ssm"], SSM_PREFILL_CHUNK
+        )
+    else:
+        decay = jnp.exp(log_decay)
 
-    ssm, os_ = jax.lax.scan(step, state["ssm"], (qs, ks, vs, beta, decay))
+        def step(ssm, inp):
+            # ssm [H, dv, dk]
+            q_t, k_t, v_t, beta_t, decay_t = inp
+            sk = jnp.einsum("hvk,hk->hv", ssm, k_t)  # S·k
+            sq = jnp.einsum("hvk,hk->hv", ssm, q_t)  # S·q
+            retrieved = decay_t[:, None] * sk
+            delta = beta_t[:, None] * (v_t - retrieved)  # [H, dv]
+            kq = jnp.sum(k_t * q_t, axis=-1)  # [H]
+            o_t = decay_t[:, None] * sq + delta * kq[:, None]
+            ssm = decay_t[:, None, None] * ssm + delta[:, :, None] * k_t[:, None, :]
+            return ssm, o_t
+
+        ssm, os_ = jax.lax.scan(step, state["ssm"], (qs, ks, vs, beta, decay))
 
     # per-head RMSNorm + SiLU(z) gate (gdn/update.rs:129-143)
     inv_rms = jax.lax.rsqrt(jnp.mean(os_ * os_, axis=-1, keepdims=True) + cfg.norm_config.epsilon)

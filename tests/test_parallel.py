@@ -146,3 +146,169 @@ def test_tp_gemma_model(tmp_path):
     expected = _logits(lm, toks)
     got = _sharded_logits(d, make_mesh(tp=2, dp=4), toks)
     np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-3)
+
+
+def test_expert_parallel_all_to_all(tmp_path):
+    """EP: experts sharded over 8 devices, tokens dispatched via all_to_all;
+    with ample capacity the result equals single-device moe_forward exactly
+    (and with starved capacity it still runs, just drops assignments)."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from uzu_tpu.models.moe import moe_forward
+    from uzu_tpu.parallel.expert import default_capacity, moe_forward_ep
+    from uzu_tpu.tools.synth import moe_config
+
+    cfg_model = moe_config(num_layers=1, model_dim=64, num_experts=8,
+                           num_active=2, expert_hidden_dim=96)
+    d = synthesize(cfg_model, str(tmp_path / "moe_ep"), seed=9, dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=64)
+    moe_cfg = lm.decoder_config.transformer_config.layer_configs[0].mlp_config
+    params = lm.params["layers"][0]["mlp"]
+
+    mesh = make_mesh(tp=8, dp=1)
+    rng = np.random.default_rng(0)
+    s_local, dm = 16, 64  # per-device token slice
+    n = 8
+    x = jnp.asarray(rng.standard_normal((n * s_local, dm)), jnp.float32)
+
+    expected = np.asarray(moe_forward(moe_cfg, params, x))
+
+    cap = s_local * moe_cfg.num_active_routed_experts  # nothing can drop
+    param_specs = {
+        "router": jax.tree.map(lambda _: P(), params["router"]),
+        "up": jax.tree.map(lambda _: P("tp"), params["up"]),
+        "down": jax.tree.map(lambda _: P("tp"), params["down"]),
+    }
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(param_specs, P("tp", None)),
+        out_specs=P("tp", None),
+        check_rep=False,
+    )
+    def ep(p, xs):
+        return moe_forward_ep(moe_cfg, p, xs, axis_name="tp", capacity=cap)
+
+    got = np.asarray(jax.jit(ep)(params, x))
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-4)
+
+    # starved capacity: still finite, still runs
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(param_specs, P("tp", None)),
+        out_specs=P("tp", None),
+        check_rep=False,
+    )
+    def ep_small(p, xs):
+        return moe_forward_ep(moe_cfg, p, xs, axis_name="tp", capacity=8)
+
+    small = np.asarray(jax.jit(ep_small)(params, x))
+    assert np.isfinite(small).all()
+    assert default_capacity(128, moe_cfg, 8) >= 8
+
+
+def test_ring_attention_matches_reference():
+    """Ring (blockwise) attention over a 4-device ring == full attention."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from uzu_tpu.ops.attention import attention_reference
+    from uzu_tpu.parallel.seqpar import make_sp_mesh, ring_attention
+
+    rng = np.random.default_rng(2)
+    s, h, g, dh, n = 32, 4, 2, 16, 4
+    q = jnp.asarray(rng.standard_normal((s, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((s, g, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((s, g, dh)), jnp.float32)
+    pos = jnp.arange(s, dtype=jnp.int32)
+    scale = dh ** -0.5
+
+    want = np.asarray(
+        attention_reference(q, k, v, pos, scale=scale, is_causal=True)
+    )
+
+    mesh = make_sp_mesh(n)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("sp"), P("sp"), P("sp"), P("sp")),
+        out_specs=P("sp"), check_rep=False,
+    )
+    def ring(ql, kl, vl, pl):
+        return ring_attention(
+            ql, kl, vl, pl, pl, axis_name="sp", n_devices=n, scale=scale
+        )
+
+    got = np.asarray(jax.jit(ring)(q, k, v, pos))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    # sliding window + soft cap variant
+    want_w = np.asarray(
+        attention_reference(q, k, v, pos, scale=scale, is_causal=True,
+                            sliding_window_size=9, logit_soft_cap=30.0)
+    )
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("sp"), P("sp"), P("sp"), P("sp")),
+        out_specs=P("sp"), check_rep=False,
+    )
+    def ring_w(ql, kl, vl, pl):
+        return ring_attention(
+            ql, kl, vl, pl, pl, axis_name="sp", n_devices=n, scale=scale,
+            sliding_window_size=9, logit_soft_cap=30.0,
+        )
+
+    got_w = np.asarray(jax.jit(ring_w)(q, k, v, pos))
+    np.testing.assert_allclose(got_w, want_w, rtol=2e-5, atol=2e-5)
+
+
+def test_sequence_parallel_prefill_matches_single(model_dir):
+    """SP prefill (tokens sharded over 4 devices) == single-device prefill,
+    including the state it leaves behind (decode continuation agrees)."""
+    from uzu_tpu.parallel.seqpar import make_sp_mesh, sequence_parallel_prefill
+
+    toks = (np.arange(13) * 5) % 256
+    lm = LanguageModel.from_dir(model_dir, max_context=64, prefill_buckets=(16,))
+    want_logits, want_state = lm.prefill(lm.new_state(), toks)
+
+    mesh = make_sp_mesh(4)
+    got_logits, got_state = sequence_parallel_prefill(
+        lm.decoder_config, lm.params, lm.new_state(), toks, mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(want_logits), rtol=2e-4, atol=2e-4
+    )
+    # continuation: one decode step from each state produces the same logits
+    nxt = jnp.asarray([int(np.argmax(np.asarray(want_logits)))], jnp.int32)
+
+    @jax.jit
+    def step(params, tokens, state):
+        return decoder_forward(lm.decoder_config, params, tokens, state)
+
+    l1, _ = step(lm.params, nxt, want_state)
+    l2, _ = step(lm.params, nxt, got_state)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=2e-4, atol=2e-4)
+
+
+def test_sequence_parallel_prefill_gemma(tmp_path):
+    """SP prefill through PLE + KV-sharing + sliding window + soft caps."""
+    from uzu_tpu.parallel.seqpar import make_sp_mesh, sequence_parallel_prefill
+    from uzu_tpu.tools.synth import gemma_config
+
+    cfg = gemma_config(num_heads=4, num_groups=2, model_dim=96)
+    d = synthesize(cfg, str(tmp_path / "gemma_sp"), seed=12, dtype=np.float32)
+    toks = (np.arange(11) * 3) % 512
+    lm = LanguageModel.from_dir(d, max_context=64, prefill_buckets=(16,))
+    want, _ = lm.prefill(lm.new_state(), toks)
+    got, _ = sequence_parallel_prefill(
+        lm.decoder_config, lm.params, lm.new_state(), toks, make_sp_mesh(4)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)

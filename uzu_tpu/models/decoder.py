@@ -95,6 +95,9 @@ def attention_forward(
     owns_cache: bool,
     true_length=None,
     tree=None,  # (suffix_start, ancestor_mask [S, S]) for tree verification
+    seq_axis: str | None = None,  # sequence-parallel prefill: x/positions are
+    # this device's token slice; K/V are all-gathered over the axis before
+    # the cache append so every device sees the full context
 ):
     s, d = x.shape
     h, g, dh = cfg.num_heads, cfg.num_groups, cfg.head_dim
@@ -125,6 +128,18 @@ def attention_forward(
 
     from .kv_cache import append as kv_append, read as kv_read
 
+    if seq_axis is not None and owns_cache and k_new is not None:
+        # sequence-parallel prefill: gather the other devices' K/V slices so
+        # the (replicated) cache gets the whole chunk and local queries see
+        # the full context. The gather is the comms the cache write needs
+        # anyway; ring_attention (parallel/seqpar.py) is the alternative for
+        # a sequence-SHARDED cache.
+        k_new = jax.lax.all_gather(k_new, seq_axis, axis=0, tiled=True)
+        v_new = jax.lax.all_gather(v_new, seq_axis, axis=0, tiled=True)
+        write_positions = jax.lax.all_gather(positions, seq_axis, axis=0, tiled=True)
+    else:
+        write_positions = positions
+
     if owns_cache:
         if tree is not None:
             # tree nodes land at CONSECUTIVE SLOTS (suffix_start + node
@@ -133,7 +148,7 @@ def attention_forward(
             slot_positions = tree[0] + jnp.arange(s, dtype=jnp.int32)
             new_kv = kv_append(kv, k_new, v_new, slot_positions, true_length)
         else:
-            new_kv = kv_append(kv, k_new, v_new, positions, true_length)
+            new_kv = kv_append(kv, k_new, v_new, write_positions, true_length)
     else:
         new_kv = kv
     k_cache, v_cache, kv_positions = kv_read(new_kv)
@@ -208,6 +223,7 @@ def layer_forward(
     true_length=None,
     per_layer_input=None,
     tree=None,
+    seq_axis=None,
 ):
     mixer_cfg = layer_cfg.mixer_config
     pls = params.get("post_layer_scalar")
@@ -219,11 +235,16 @@ def layer_forward(
         kv = layer_state if owns else shared_kv
         a, new_state = attention_forward(
             mixer_cfg, layer_cfg, params["mixer"], h, positions, kv, owns, true_length,
-            tree,
+            tree, seq_axis,
         )
         if not owns:
             new_state = None
     else:
+        if seq_axis is not None:
+            raise NotImplementedError(
+                "sequence-parallel prefill supports attention mixers only "
+                "(recurrent-state mixers need cross-device state propagation)"
+            )
         from .ssm import ssm_forward
 
         a, new_state = ssm_forward(
@@ -271,6 +292,10 @@ def decoder_forward(
     tree_mask: jax.Array | None = None,  # [S, S] ancestor matrix
     collect_layers: tuple = (),  # layer indices to tap (hidden-feature taps
                                  # for DFlash, transformer.rs:286-293)
+    seq_axis: str | None = None,  # sequence-parallel prefill (tokens are this
+                                  # device's slice; see attention_forward)
+    readout_row=None,  # explicit local row for last_only readout (the global
+                       # last row lives on one device under seq_axis)
 ):
     """Run the decoder; returns (logits, new_state).
 
@@ -310,6 +335,7 @@ def decoder_forward(
             true_length,
             per_layer[:, i] if per_layer is not None else None,
             tree,
+            seq_axis,
         )
         new_layer_states.append(new_state)
         if i in collect_layers:
@@ -319,7 +345,8 @@ def decoder_forward(
         x, tcfg.output_norm_config, params["output_norm"]["scales"], params["output_norm"].get("biases")
     )
     if last_only:
-        x = jax.lax.dynamic_slice_in_dim(x, true_length - 1, 1, axis=0)
+        row = readout_row if readout_row is not None else true_length - 1
+        x = jax.lax.dynamic_slice_in_dim(x, row, 1, axis=0)
 
     out_table = params["embedding"].get("tied", params["embedding"].get("output"))
     logits = embedding_readout(out_table, x, ecfg.logit_soft_cap)

@@ -1,5 +1,7 @@
 from .distributed import initialize, make_hybrid_mesh, process_local_batch_slots
+from .expert import default_capacity, moe_forward_ep
 from .mesh import DP_AXIS, TP_AXIS, dp_size, make_mesh, replicated, single_device_mesh, tp_size
+from .seqpar import make_sp_mesh, ring_attention, sequence_parallel_prefill
 from .sharding import (
     decoder_param_specs,
     shard_decoder_params,
@@ -12,6 +14,8 @@ __all__ = [
     "initialize",
     "make_hybrid_mesh",
     "process_local_batch_slots",
+    "default_capacity",
+    "moe_forward_ep",
     "DP_AXIS",
     "TP_AXIS",
     "dp_size",
@@ -19,6 +23,9 @@ __all__ = [
     "replicated",
     "single_device_mesh",
     "tp_size",
+    "make_sp_mesh",
+    "ring_attention",
+    "sequence_parallel_prefill",
     "decoder_param_specs",
     "shard_decoder_params",
     "shard_state",

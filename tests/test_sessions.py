@@ -265,3 +265,47 @@ def test_harmony_chat_session(chat_dir):
     session = ChatSession(lm, Tokenizer(chat_dir), encoding="harmony")
     reply = session.reply("hello", max_new_tokens=8, sampling=SamplingParams())
     assert reply.stats.tokens_count_output > 0
+
+
+def test_remote_backend_against_local_server(tmp_path):
+    """RemoteChatSession (backend-remote parity) drives our own
+    OpenAI-compatible server: non-stream reply + streamed deltas."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.remote import RemoteChatSession, RemoteConfig
+    from uzu_tpu.server.batched import serve_batched
+    from uzu_tpu.sessions import Tokenizer
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path / "remote_srv"), num_layers=2,
+                         model_dim=64, hidden_dim=160, num_heads=4,
+                         num_groups=2, head_dim=16)
+    lm = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16, 64))
+    httpd = serve_batched(lm, Tokenizer(d), port=0, batch_size=2, decode_chunk=4)
+    port = httpd.server_address[1]
+    try:
+        sess = RemoteChatSession(RemoteConfig(
+            api_endpoint=f"http://127.0.0.1:{port}/v1", model="uzu-tpu"))
+        reply = sess.reply([{"role": "user", "content": "hello"}], max_tokens=6)
+        assert reply.stats.tokens_count_output > 0
+        assert reply.finish_reason in ("stop", "length")
+
+        deltas = list(sess.stream([{"role": "user", "content": "hi"}], max_tokens=5))
+        assert deltas and deltas[-1].finish_reason in ("stop", "length")
+        assert isinstance("".join(dl.text for dl in deltas), str)
+    finally:
+        httpd.batch_server.shutdown()
+        httpd.shutdown()
+
+
+def test_remote_tool_call_assembly():
+    """Streaming tool-call fragments assemble into complete calls."""
+    from uzu_tpu.engine.remote import _ToolCallAssembler
+
+    a = _ToolCallAssembler()
+    a.push([{"index": 0, "function": {"name": "get_", "arguments": ""}}])
+    a.push([{"index": 0, "function": {"name": "time", "arguments": "{\"tz\":"}}])
+    a.push([{"index": 1, "function": {"name": "other", "arguments": "{}"}},
+            {"index": 0, "function": {"arguments": " \"UTC\"}"}}])
+    calls = a.finish()
+    assert [c.name for c in calls] == ["get_time", "other"]
+    assert calls[0].arguments == {"tz": "UTC"}

@@ -71,10 +71,18 @@ def parse_tool_payload(raw: str) -> ToolCall:
 
 
 class StreamParser:
-    """Push text deltas, iterate parsed events."""
+    """Push text deltas, iterate parsed events.
 
-    def __init__(self, sections: list[SectionConfig] | None = None):
+    `transform` optionally replaces the default JSON payload parse with a
+    schema-driven pipeline (sessions/transform.py, the json-transform
+    equivalent): (TransformSchema, pipeline_name). The pipeline receives the
+    raw section text and returns one tool-call object or a list of them.
+    """
+
+    def __init__(self, sections: list[SectionConfig] | None = None,
+                 transform=None):
         self.sections = QWEN_STYLE if sections is None else sections
+        self.transform = transform
         self.buffer = ""
         self.active: SectionConfig | None = None
         self.section_buf = ""
@@ -142,11 +150,26 @@ class StreamParser:
                         self.reasoning += chunk
                         yield Event("reasoning", delta=chunk)
                 else:
-                    tc = parse_tool_payload(self.section_buf)
-                    self.tool_calls.append(tc)
-                    yield Event("tool_call", tool_call=dataclasses.asdict(tc))
+                    for tc in self._extract_tool_calls(self.section_buf):
+                        self.tool_calls.append(tc)
+                        yield Event("tool_call", tool_call=dataclasses.asdict(tc))
                 self.active = None
                 self.section_buf = ""
+
+    def _extract_tool_calls(self, raw: str) -> list[ToolCall]:
+        if self.transform is None:
+            return [parse_tool_payload(raw)]
+        schema, pipeline = self.transform
+        result = schema.execute(pipeline, raw)
+        calls = result if isinstance(result, list) else [result]
+        out = []
+        for c in calls:
+            if isinstance(c, dict):
+                args = c.get("arguments", {})
+                out.append(ToolCall(name=str(c.get("name", "")),
+                                    arguments=args if isinstance(args, dict) else {},
+                                    raw=raw))
+        return out
 
     def finish(self) -> Iterator[Event]:
         """Flush any held-back text at end of stream."""

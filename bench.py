@@ -94,7 +94,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     max_context = 1024
-    lm = LanguageModel.from_dir(model_dir, max_context=max_context, prefill_buckets=(32, 128))
+    lm = LanguageModel.from_dir(model_dir, max_context=max_context, prefill_buckets=(32, 512))
     load_s = time.perf_counter() - t0
 
     prompt_len, gen_len = 128, 128
@@ -125,7 +125,7 @@ def main() -> None:
 
     import jax as _jax
 
-    sustain = 512
+    sustain = 1024
     long_prompt = rng.integers(0, lm.decoder_config.vocab_size, sustain)
     prefill_tok_s = 0.0
     for _ in range(2):  # identical passes: first warms every executable

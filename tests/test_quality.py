@@ -83,3 +83,25 @@ def test_nll_kv_quant_close(model_dir):
         LanguageModel.from_dir(model_dir, max_context=64, kv_quant=True), toks
     )
     assert abs(quant["nll"] - base["nll"]) < 0.05
+
+
+def test_telemetry_meter():
+    """Host/device telemetry (keisoku parity): sampling + per-interval
+    meter readings are sane."""
+    import jax.numpy as jnp
+
+    from uzu_tpu.tools.telemetry import ResourceMeter, sample
+
+    s = sample()
+    assert s.host.rss_bytes > 0
+    assert s.host.peak_rss_bytes >= s.host.rss_bytes // 2
+    assert s.cpu_seconds > 0
+
+    m = ResourceMeter()
+    m.start()
+    keep = [jnp.ones((256, 256)) for _ in range(4)]
+    r = m.stop()
+    assert r.duration_s > 0
+    assert r.cpu_seconds >= 0
+    assert r.peak_rss_bytes > 0
+    assert keep  # buffers alive across the meter window

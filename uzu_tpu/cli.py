@@ -50,11 +50,17 @@ def cmd_bench(args) -> int:
     session.reset()
     session.reply(list(messages), sampling=sampling, max_new_tokens=min(limit, 8))
 
+    from uzu_tpu.tools.telemetry import ResourceMeter, device_memory
+
+    meter = ResourceMeter()
+    meter.start()
     results = []
     for _ in range(runs):
         session.reset()
         reply = session.reply(list(messages), sampling=sampling, max_new_tokens=limit)
         results.append(reply)
+    reading = meter.stop()
+    dev = device_memory()
 
     last = results[-1]
     mean = lambda xs: sum(xs) / len(xs)
@@ -68,7 +74,9 @@ def cmd_bench(args) -> int:
         "engine_version": _version(),
         "timestamp": int(time.time()),
         "data_type": "bf16",
-        "memory_used": None,
+        "memory_used": dev.live_buffer_bytes if dev else reading.peak_rss_bytes,
+        "peak_rss_bytes": reading.peak_rss_bytes,
+        "cpu_utilization": round(reading.cpu_utilization, 3),
         "tokens_count_input": last.stats.tokens_count_input,
         "tokens_count_output": last.stats.tokens_count_output,
         "time_to_first_token": mean([r.stats.time_to_first_token for r in results]),

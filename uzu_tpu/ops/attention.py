@@ -20,6 +20,23 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def _dot_dtype():
+    """MXU input dtype for the attention einsums. On TPU, bf16 inputs with
+    f32 accumulation run at the MXU's native rate (f32 inputs decompose into
+    multi-pass matmuls) and match the reference's half-precision Metal
+    attention cores; on CPU (the correctness oracle / CI) stay f32 — CPU XLA
+    has no bf16 dot, and the oracle wants full precision anyway."""
+    from ..runtime import on_tpu
+
+    return jnp.bfloat16 if on_tpu() else jnp.float32
+
+
+def _score_einsum(spec, a, b):
+    dt = _dot_dtype()
+    return jnp.einsum(spec, a.astype(dt), b.astype(dt),
+                      preferred_element_type=jnp.float32)
+
+
 def attention_reference(
     q: jax.Array,  # [S, H, Dh]
     k_cache: jax.Array,  # [C, G, Dh]
@@ -55,12 +72,10 @@ def attention_reference(
     if kv_positions is None:
         kv_positions = jnp.arange(c, dtype=jnp.int32)
 
-    qf = q.astype(jnp.float32).reshape(s, g, rep, dh)
-    kf = k_cache.astype(jnp.float32)
-    vf = v_cache.astype(jnp.float32)
+    qf = q.reshape(s, g, rep, dh)
 
     # scores [g, rep, s, c]
-    scores = jnp.einsum("sgrd,cgd->grsc", qf, kf) * scale
+    scores = _score_einsum("sgrd,cgd->grsc", qf, k_cache) * scale
     if logit_soft_cap is not None:
         scores = logit_soft_cap * jnp.tanh(scores / logit_soft_cap)
 
@@ -96,7 +111,7 @@ def attention_reference(
     else:
         probs = jax.nn.softmax(scores, axis=-1)
 
-    out = jnp.einsum("grsc,cgd->sgrd", probs, vf)
+    out = _score_einsum("grsc,cgd->sgrd", probs, v_cache)
     return out.reshape(s, h, dh).astype(q.dtype)
 
 
@@ -135,7 +150,7 @@ def attention_online(
     if kv_positions is None:
         kv_positions = jnp.arange(c, dtype=jnp.int32)
 
-    qf = q.astype(jnp.float32).reshape(s, g, rep, dh)
+    qf = q.reshape(s, g, rep, dh)
     qpos = q_positions.astype(jnp.int32)
 
     kc = k_cache.reshape(c // chunk, chunk, g, dh)
@@ -145,9 +160,7 @@ def attention_online(
     def body(carry, inp):
         m_run, l_run, acc = carry  # [g,rep,s], [g,rep,s], [g,rep,s,dh]
         k_blk, v_blk, p_blk = inp
-        scores = jnp.einsum(
-            "sgrd,cgd->grsc", qf, k_blk.astype(jnp.float32)
-        ) * scale
+        scores = _score_einsum("sgrd,cgd->grsc", qf, k_blk) * scale
         if logit_soft_cap is not None:
             scores = logit_soft_cap * jnp.tanh(scores / logit_soft_cap)
         kpos = p_blk.astype(jnp.int32)[None, :]
@@ -163,9 +176,7 @@ def attention_online(
         alpha = jnp.exp(m_run - m_new)
         p = jnp.exp(scores - m_new[..., None])
         l_new = l_run * alpha + jnp.sum(p, axis=-1)
-        acc = acc * alpha[..., None] + jnp.einsum(
-            "grsc,cgd->grsd", p, v_blk.astype(jnp.float32)
-        )
+        acc = acc * alpha[..., None] + _score_einsum("grsc,cgd->grsd", p, v_blk)
         return (m_new, l_new, acc), None
 
     init = (

@@ -52,6 +52,28 @@ def _pick_block(n: int, candidates) -> int:
     return 0
 
 
+def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int):
+    """(tn, kc) preference order — the role of uzu's fleet-tuned GEMV tile
+    tables (matmul/gemv/policy.rs), measured on v5e. Decode-sized M (< 32,
+    HBM-bound) wants the deepest K chunk per N tile (best code streaming:
+    kc 512 measured 14% faster than 256 on the flagship decode step).
+    Prefill M: tall-N shapes want a shallower K chunk (tn 512 / kc 256 —
+    more N tiles in flight under MXU load); wide-K shapes the opposite
+    (tn 256 / kc 512). Falls back down the candidate lists for shapes the
+    preferred tile doesn't divide."""
+    if m_pad < 32:
+        tn_pref, kc_pref = (512, 256, 128), (512, 256, 128, 64, 32, 16)
+    elif n >= 8192:
+        tn_pref, kc_pref = (512, 256, 128), (256, 512, 128, 64, 32, 16)
+    elif k_packed >= 2048:  # K >= 4096 unpacked for int4
+        tn_pref, kc_pref = (256, 512, 128), (512, 256, 128, 64, 32, 16)
+    else:
+        tn_pref, kc_pref = (512, 256, 128), (512, 256, 128, 64, 32, 16)
+    tn = _pick_block(n, tn_pref)
+    kc = _pick_block(k_packed, [c for c in kc_pref if c % gsub == 0] or kc_pref)
+    return tn, kc
+
+
 def _expansion_matrix(kg: int, kc: int, gsub: int, group_off) -> jax.Array:
     """In-kernel 0/1 expansion matrix selecting this K-chunk's groups:
     E[G, j] = (group_off + j // gsub == G). Full-Kg scales stay resident per
@@ -155,13 +177,13 @@ def _quant_matmul_p(x, codes, scales, qbias, *, bits, group_size,
     dot_dtype = jnp.bfloat16 if m_pad >= 32 and not interpret else jnp.float32
     x = x.astype(dot_dtype)
 
-    tn = block_n or _pick_block(n, (512, 256, 128))
-    assert tn, f"N={n} not divisible by a supported tile"
-
     if bits == 4:
         k2 = kdim // 2
         gsub = g // 2
-        kc = block_k or _pick_block(k2, (512, 256, 128, 64, 32, 16))
+        tn_auto, kc_auto = _tile_policy(n, k2, gsub, m_pad)
+        tn = block_n or tn_auto
+        assert tn, f"N={n} not divisible by a supported tile"
+        kc = block_k or kc_auto
         assert kc and kc % gsub == 0, (kdim, g)
         kgc = kc // gsub
         x_even = x[:, 0::2]
@@ -186,7 +208,10 @@ def _quant_matmul_p(x, codes, scales, qbias, *, bits, group_size,
         )(x_even, x_odd, codes, scales, qbias)
     else:
         gsub = g
-        kc = block_k or _pick_block(kdim, (512, 256, 128, 64, 32))
+        tn_auto, kc_auto = _tile_policy(n, kdim, gsub, m_pad)
+        tn = block_n or tn_auto
+        assert tn, f"N={n} not divisible by a supported tile"
+        kc = block_k or kc_auto
         assert kc and kc % gsub == 0, (kdim, g)
         kgc = kc // gsub
         n_k = kdim // kc

@@ -63,7 +63,9 @@ def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int):
     preferred tile doesn't divide."""
     if m_pad < 32:
         tn_pref, kc_pref = (512, 256, 128), (512, 256, 128, 64, 32, 16)
-    elif n >= 8192:
+    elif 8192 <= n < 65536:
+        # (vocab-scale readouts keep the deep-K default: unswept territory,
+        # and the measured full-model numbers were taken with it)
         tn_pref, kc_pref = (512, 256, 128), (256, 512, 128, 64, 32, 16)
     elif k_packed >= 2048:  # K >= 4096 unpacked for int4
         tn_pref, kc_pref = (256, 512, 128), (512, 256, 128, 64, 32, 16)

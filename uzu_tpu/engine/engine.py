@@ -352,9 +352,12 @@ class LanguageModel:
         while True:
             new_pending = None
             if not done and dispatched < budget:
-                # powers of two only (bounded executable count): grow for
-                # streaming latency, shrink for the budget tail
-                k = min(1 << chunk_idx, self.max_decode_chunk)
+                # powers of two only (bounded executable count), starting at
+                # 8: a smaller chunk's compute (< ~30 ms) cannot hide the
+                # host<->device fetch roundtrip behind the next dispatch, so
+                # the pipeline stalls; 8-token bursts are imperceptible at
+                # streaming cadence. Shrinks for the budget tail.
+                k = min(8 << chunk_idx, self.max_decode_chunk)
                 while k > budget - dispatched:
                     k >>= 1
                 chunk_idx += 1

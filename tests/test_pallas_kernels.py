@@ -89,3 +89,87 @@ def test_forced_pallas_mode_end_to_end(rng, tmp_path, monkeypatch):
     lm2 = LanguageModel.from_dir(d, max_context=32, prefill_buckets=(8,))
     got, _ = lm2.prefill(lm2.new_state(), toks)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+# --------------------------------------------------------------------------
+# Flash-attention prefill kernel
+# --------------------------------------------------------------------------
+
+
+def _fa_case(seed, s=64, c=256, h=8, g=2, dh=32, pos0=100):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((s, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((c, g, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((c, g, dh)), jnp.float32)
+    pos = jnp.arange(s, dtype=jnp.int32) + pos0
+    return q, k, v, pos
+
+
+@pytest.mark.parametrize("variant", ["plain", "window", "softcap", "sinks"])
+def test_flash_attention_matches_reference(variant):
+    from uzu_tpu.ops.attention import attention_reference
+    from uzu_tpu.ops.pallas.flash_attention import flash_attention
+
+    q, k, v, pos = _fa_case(7)
+    scale = q.shape[-1] ** -0.5
+    kw = {}
+    if variant == "window":
+        kw["sliding_window_size"] = 37
+    if variant == "softcap":
+        kw["logit_soft_cap"] = 20.0
+    if variant == "sinks":
+        kw["sinks"] = jnp.asarray(np.random.default_rng(1).standard_normal(8), jnp.float32)
+    want = attention_reference(q, k, v, pos, scale=scale, is_causal=True, **kw)
+    got = flash_attention(q, k, v, pos, scale=scale, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_flash_attention_ring_positions():
+    """Arbitrary kv slot positions (ring layout): mask follows positions."""
+    from uzu_tpu.ops.attention import attention_reference
+    from uzu_tpu.ops.pallas.flash_attention import flash_attention
+
+    q, k, v, pos = _fa_case(9, s=32, c=128)
+    rng = np.random.default_rng(3)
+    kv_pos = jnp.asarray(rng.permutation(np.arange(-64, 64)), jnp.int32)
+    scale = q.shape[-1] ** -0.5
+    want = attention_reference(q, k, v, pos, scale=scale, kv_positions=kv_pos)
+    got = flash_attention(q, k, v, pos, scale=scale, kv_positions=kv_pos, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_flash_attention_int8_kv():
+    """INT8 KV codes dequantized in-kernel == dequant-then-attend."""
+    from uzu_tpu.models.kv_cache import _quantize_rows
+    from uzu_tpu.ops.attention import attention_reference
+    from uzu_tpu.ops.pallas.flash_attention import flash_attention
+
+    q, k, v, pos = _fa_case(11, s=32, c=128)
+    k_q, k_s = _quantize_rows(k)
+    v_q, v_s = _quantize_rows(v)
+    k_deq = k_q.astype(jnp.float32) * k_s[..., None]
+    v_deq = v_q.astype(jnp.float32) * v_s[..., None]
+    scale = q.shape[-1] ** -0.5
+    want = attention_reference(q, k_deq, v_deq, pos, scale=scale)
+    got = flash_attention(q, k_q, v_q, pos, scale=scale,
+                          k_scales=k_s, v_scales=v_s, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_flash_attention_dispatch_in_forced_pallas(monkeypatch, tmp_path):
+    """UZU_TPU_KERNELS=pallas routes prefill attention through the flash
+    kernel (interpreter on CPU) and generation output is unchanged."""
+    import uzu_tpu.runtime as runtime
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.tools.synth import llama_config, synthesize
+
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160, num_heads=8,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    d = synthesize(cfg, str(tmp_path / "fa_model"), seed=5, dtype=np.float32)
+    toks = (np.arange(40) * 3) % 256
+    lm = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(64,))
+    want = lm.generate_list(toks, 6, stop_token_ids=[])
+    monkeypatch.setenv("UZU_TPU_KERNELS", "pallas")
+    lm2 = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(64,))
+    got = lm2.generate_list(toks, 6, stop_token_ids=[])
+    assert got == want

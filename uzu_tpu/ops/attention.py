@@ -57,6 +57,32 @@ def attention_reference(
     s, h, dh = q.shape
     c, g, _ = k_cache.shape
     rep = h // g
+
+    from .. import runtime
+
+    # flash kernel dispatch: interpreter mode always; on real TPU only when
+    # the platform can compile it (this axon XLA stack-allocates pallas I/O
+    # in scoped VMEM and rejects the kernel — see flash_attention.py; the
+    # einsum path stays the TPU prefill core until that lands)
+    if runtime.use_pallas() and not runtime.on_tpu():
+        from .pallas import flash_attention as fa
+
+        if fa.supported(
+            s, h, g, dh, c,
+            is_causal=is_causal,
+            suffix_mask=suffix_mask,
+            kv_valid_length=kv_valid_length,
+        ):
+            return fa.flash_attention(
+                q, k_cache, v_cache, q_positions,
+                scale=scale,
+                sliding_window_size=sliding_window_size,
+                logit_soft_cap=logit_soft_cap,
+                sinks=sinks,
+                kv_positions=kv_positions,
+                interpret=not runtime.on_tpu(),
+            )
+
     if (
         suffix_mask is None
         and c >= ONLINE_ATTENTION_MIN_C

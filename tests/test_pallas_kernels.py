@@ -124,17 +124,18 @@ def test_flash_attention_matches_reference(variant):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
 
 
-def test_flash_attention_ring_positions():
-    """Arbitrary kv slot positions (ring layout): mask follows positions."""
+def test_flash_attention_ring_layout_unsupported():
+    """Ring layouts (arbitrary kv slot positions) stay on the einsum path;
+    offset contiguous positions work in the kernel."""
     from uzu_tpu.ops.attention import attention_reference
-    from uzu_tpu.ops.pallas.flash_attention import flash_attention
+    from uzu_tpu.ops.pallas.flash_attention import flash_attention, supported
 
-    q, k, v, pos = _fa_case(9, s=32, c=128)
-    rng = np.random.default_rng(3)
-    kv_pos = jnp.asarray(rng.permutation(np.arange(-64, 64)), jnp.int32)
+    assert not supported(32, 8, 2, 32, 128, is_causal=True, suffix_mask=None,
+                         kv_valid_length=None, kv_positions=object())
+    q, k, v, pos = _fa_case(9, s=32, c=128, pos0=40)
     scale = q.shape[-1] ** -0.5
-    want = attention_reference(q, k, v, pos, scale=scale, kv_positions=kv_pos)
-    got = flash_attention(q, k, v, pos, scale=scale, kv_positions=kv_pos, interpret=True)
+    want = attention_reference(q, k, v, pos, scale=scale)
+    got = flash_attention(q, k, v, pos, scale=scale, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
 
 

@@ -60,10 +60,14 @@ def attention_reference(
 
     from .. import runtime
 
-    # flash kernel dispatch: interpreter mode always; on real TPU only when
-    # the platform can compile it (this axon XLA stack-allocates pallas I/O
-    # in scoped VMEM and rejects the kernel — see flash_attention.py; the
-    # einsum path stays the TPU prefill core until that lands)
+    # Flash-kernel dispatch is interpreter-mode only (forced-pallas CPU
+    # testing). Measured on v5e: the kernel compiles and is correct, but the
+    # XLA einsum path (short ctx) and scan-based online-softmax path (long
+    # ctx) are FASTER in-context — XLA hides the score traffic under the
+    # next quant-matmul's weight-prefetch DMA, and a custom call acts as a
+    # pipeline barrier (flash 1.77 ms vs online 1.47 ms standalone at
+    # S=512/C=4096; whole-prefill 18.0 ms vs 16.3 ms at C=1024). Revisit on
+    # hardware where attention HBM traffic, not weight streaming, dominates.
     if runtime.use_pallas() and not runtime.on_tpu():
         from .pallas import flash_attention as fa
 
@@ -72,6 +76,7 @@ def attention_reference(
             is_causal=is_causal,
             suffix_mask=suffix_mask,
             kv_valid_length=kv_valid_length,
+            kv_positions=kv_positions,
         ):
             return fa.flash_attention(
                 q, k_cache, v_cache, q_positions,
@@ -79,7 +84,6 @@ def attention_reference(
                 sliding_window_size=sliding_window_size,
                 logit_soft_cap=logit_soft_cap,
                 sinks=sinks,
-                kv_positions=kv_positions,
                 interpret=not runtime.on_tpu(),
             )
 

@@ -9,16 +9,30 @@ measured as the dominant cost of the whole prefill step. This kernel keeps
 each [BQ, BK] score tile in VMEM with running (max, sum, acc) across KV
 tiles.
 
-Layout: everything is 2D (3D blocks with a unit leading dim made this XLA
-stack-allocate the full arrays in VMEM — 88 MB scoped OOM, then 15x
-slowdown). Queries fold (group, S, rep) into rows — q2 [G*S*rep, Dh] — and
-K/V fold (group, slot) — k2 [G*C, Dh] — so the grid (G, R/BQ, C/BK) indexes
-plain 2D tiles of both: q tile g*(R/BQ)+i, kv tile g*(C/BK)+j. Masks come
-from precomputed row/column position arrays ([N, 1] i32). KV is bf16, or
-INT8 codes + per-slot scales ([G*C, 1]) dequantized in VMEM.
+Structure notes (hard-won on the axon v5e stack):
+- everything is 2D: queries fold (group, S, rep) into rows — q2 [G*S*rep,
+  Dh] — and K/V fold (group, slot) — k2 [G*C, Dh]; the grid (G, R/BQ, C/BK)
+  indexes plain 2D tiles of both (q tile g*(R/BQ)+i, kv tile g*(C/BK)+j);
+- causal/window masks are computed IN-KERNEL from program ids + a scalar
+  pos0 (SMEM): per-row position = pos0 + global_row // rep, per-column
+  position = slot index. Passing [N, 1] position arrays made XLA
+  stack-allocate the kernel I/O in scoped VMEM (lane-padded 128x, a fixed
+  88.5 MB request) and reject the kernel;
+- m/l running stats are lane-replicated [BQ, 128] scratch like the
+  reference jax flash kernel, not [BQ, 1].
 
-Grid: (G, R/BQ, C/BK), KV innermost; m/l/acc scratch carried across KV
-tiles; output written on the last KV tile (sinks folded in at finalize).
+Consequently the kernel covers the contiguous slot==position cache layout
+(standard prefill); ring-window layouts keep the einsum path. KV is bf16,
+or INT8 codes + per-slot scales ([G*C, 1]) dequantized in VMEM.
+
+Status on v5e: compiles and matches the oracle (7e-4 over random inputs),
+but XLA's einsum/online-softmax paths are faster IN CONTEXT at every
+tested size (S=512: C=1024 and C=4096) — XLA overlaps their HBM score
+traffic with the next quantized matmul's weight-prefetch DMA, and a
+custom call is a barrier in that pipeline. Dispatch is therefore
+interpreter-mode only (see attention_reference); the kernel stays as the
+measured-and-tested option for hardware/scales where attention traffic
+dominates weight streaming.
 """
 
 from __future__ import annotations
@@ -31,10 +45,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+_STAT_LANES = 128  # lane-replicated running-stat scratch
 
 
-def _accumulate(q, k_blk, v_blk, qpos, kpos, m_ref, l_ref, acc_ref, *,
-                scale, soft_cap, window):
+def _accumulate(q, k_blk, v_blk, pos0, i, j, m_ref, l_ref, acc_ref, *,
+                bq, bk, rep, scale, soft_cap, window):
     scores = jax.lax.dot_general(
         q.astype(jnp.bfloat16), k_blk.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -43,17 +58,22 @@ def _accumulate(q, k_blk, v_blk, qpos, kpos, m_ref, l_ref, acc_ref, *,
     if soft_cap is not None:
         scores = soft_cap * jnp.tanh(scores / soft_cap)
 
-    valid = kpos[:, 0][None, :] <= qpos  # [BQ, BK] causal
+    # positions from the grid: row r of this tile is global row i*bq + r,
+    # its token position pos0 + row // rep; kv column c is slot j*bk + c
+    rows = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    qpos = pos0 + rows // rep
+    kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    valid = kpos <= qpos
     if window is not None:
-        valid = valid & (kpos[:, 0][None, :] > qpos - window)
+        valid = valid & (kpos > qpos - window)
     scores = jnp.where(valid, scores, NEG_INF)
 
-    m_prev = m_ref[:]  # [BQ, 1]
+    m_prev = m_ref[:]  # [BQ, LANES]
     m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
     alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(scores - m_new)
+    p = jnp.exp(scores - m_new[:, :1])
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+    acc_ref[:] = acc_ref[:] * alpha[:, :1] + jax.lax.dot_general(
         p.astype(jnp.bfloat16), v_blk.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -62,13 +82,13 @@ def _accumulate(q, k_blk, v_blk, qpos, kpos, m_ref, l_ref, acc_ref, *,
 
 
 def _finalize(sink_ref, o_ref, m_ref, l_ref, acc_ref, gi, *, has_sink, rep):
-    m_fin = m_ref[:]
-    l_fin = l_ref[:]
+    m_fin = m_ref[:, :1]
+    l_fin = l_ref[:, :1]
     acc = acc_ref[:]
     if has_sink:
-        # sinks arrive as [1, rep] per group; rows are ordered (s, r) so a
-        # row's sink = sinks[row % rep]. Expand via iota-compare + matmul
-        # (a [R, 1] per-row array would lane-pad 128x in VMEM)
+        # sinks arrive as [G, rep]; rows are ordered (s, r) so a row's sink
+        # is sinks[gi, row % rep]. Expand via iota-compare + matmul (a
+        # [R, 1] per-row array would lane-pad 128x in VMEM)
         bq = m_fin.shape[0]
         sink_g = sink_ref[pl.ds(gi, 1), :].astype(jnp.float32)  # [1, rep]
         row_r = jax.lax.broadcasted_iota(jnp.int32, (bq, rep), 0) % rep
@@ -88,19 +108,19 @@ def _init(m_ref, l_ref, acc_ref):
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
 
-def _kernel_plain(q_ref, k_ref, v_ref, qpos_ref, kpos_ref, sink_ref,
+def _kernel_plain(pos0_ref, q_ref, k_ref, v_ref, sink_ref,
                   o_ref, m_ref, l_ref, acc_ref, *,
-                  scale, soft_cap, window, last_j, has_sink, rep):
-    j = pl.program_id(2)
-    gi = pl.program_id(0)
+                  bq, bk, scale, soft_cap, window, last_j, has_sink, rep):
+    gi, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
         _init(m_ref, l_ref, acc_ref)
 
     _accumulate(
-        q_ref[:], k_ref[:], v_ref[:], qpos_ref[:], kpos_ref[:],
-        m_ref, l_ref, acc_ref, scale=scale, soft_cap=soft_cap, window=window,
+        q_ref[:], k_ref[:], v_ref[:], pos0_ref[0], i, j, m_ref, l_ref,
+        acc_ref, bq=bq, bk=bk, rep=rep, scale=scale, soft_cap=soft_cap,
+        window=window,
     )
 
     @pl.when(j == last_j)
@@ -109,11 +129,10 @@ def _kernel_plain(q_ref, k_ref, v_ref, qpos_ref, kpos_ref, sink_ref,
                   has_sink=has_sink, rep=rep)
 
 
-def _kernel_quant(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, qpos_ref, kpos_ref,
-                  sink_ref, o_ref, m_ref, l_ref, acc_ref, *,
-                  scale, soft_cap, window, last_j, has_sink, rep):
-    j = pl.program_id(2)
-    gi = pl.program_id(0)
+def _kernel_quant(pos0_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, sink_ref,
+                  o_ref, m_ref, l_ref, acc_ref, *,
+                  bq, bk, scale, soft_cap, window, last_j, has_sink, rep):
+    gi, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
@@ -126,8 +145,8 @@ def _kernel_quant(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, qpos_ref, kpos_ref,
     v_blk = (vq_ref[:].astype(jnp.int32).astype(jnp.float32)
              * vs_ref[:].astype(jnp.float32))
     _accumulate(
-        q_ref[:], k_blk, v_blk, qpos_ref[:], kpos_ref[:],
-        m_ref, l_ref, acc_ref, scale=scale, soft_cap=soft_cap, window=window,
+        q_ref[:], k_blk, v_blk, pos0_ref[0], i, j, m_ref, l_ref, acc_ref,
+        bq=bq, bk=bk, rep=rep, scale=scale, soft_cap=soft_cap, window=window,
     )
 
     @pl.when(j == last_j)
@@ -148,12 +167,11 @@ def _pick(n, cands):
     static_argnames=("g", "scale", "soft_cap", "window", "interpret",
                      "kv_quant", "has_sink", "rep"),
 )
-def _flash_p(q2, k2, v2, ks2, vs2, qpos, kpos, sinks2, *, g,
+def _flash_p(q2, k2, v2, ks2, vs2, pos0, sinks2, *, g,
              scale, soft_cap, window, interpret, kv_quant, has_sink, rep):
     """q2 [G*R, Dh]; k2/v2 [G*C, Dh] bf16 or int8 codes; ks2/vs2 [G*C, 1]
-    f32 (ignored unless kv_quant); qpos [G*R, 1] i32 (per-group row
-    positions tiled G times); kpos [G*C, 1] i32; sinks2 [G, rep] f32.
-    Returns [G*R, Dh] f32."""
+    f32 (ignored unless kv_quant); pos0 scalar i32 (position of the first
+    query row); sinks2 [G, rep] f32. Returns [G*R, Dh] f32."""
     gr, dh = q2.shape
     r = gr // g
     c = k2.shape[0] // g
@@ -166,46 +184,44 @@ def _flash_p(q2, k2, v2, ks2, vs2, qpos, kpos, sinks2, *, g,
     q_spec = pl.BlockSpec((bq, dh), lambda gi, i, j: (gi * ni + i, 0))
     kv_spec = pl.BlockSpec((bk, dh), lambda gi, i, j: (gi * nj + j, 0))
     kvs_spec = pl.BlockSpec((bk, 1), lambda gi, i, j: (gi * nj + j, 0))
-    qpos_spec = pl.BlockSpec((bq, 1), lambda gi, i, j: (gi * ni + i, 0))
-    kpos_spec = pl.BlockSpec((bk, 1), lambda gi, i, j: (gi * nj + j, 0))
-    # whole-array block (a (1, rep) block would put a partial sublane
-    # block over G); the kernel slices its group's row dynamically
     sink_spec = pl.BlockSpec((g, rep), lambda gi, i, j: (0, 0))
     out_spec = pl.BlockSpec((bq, dh), lambda gi, i, j: (gi * ni + i, 0))
+    pos0_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     scratch = [
-        pltpu.VMEM((bq, 1), jnp.float32),
-        pltpu.VMEM((bq, 1), jnp.float32),
+        pltpu.VMEM((bq, _STAT_LANES), jnp.float32),
+        pltpu.VMEM((bq, _STAT_LANES), jnp.float32),
         pltpu.VMEM((bq, dh), jnp.float32),
     ]
-    common = dict(scale=scale, soft_cap=soft_cap, window=window,
-                  last_j=nj - 1, has_sink=has_sink, rep=rep)
+    common = dict(bq=bq, bk=bk, scale=scale, soft_cap=soft_cap,
+                  window=window, last_j=nj - 1, has_sink=has_sink, rep=rep)
     params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"),
     )
+    pos0 = pos0.reshape(1).astype(jnp.int32)
 
     if kv_quant:
         out = pl.pallas_call(
             functools.partial(_kernel_quant, **common),
             grid=grid,
-            in_specs=[q_spec, kv_spec, kvs_spec, kv_spec, kvs_spec,
-                      qpos_spec, kpos_spec, sink_spec],
+            in_specs=[pos0_spec, q_spec, kv_spec, kvs_spec, kv_spec,
+                      kvs_spec, sink_spec],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((gr, dh), jnp.float32),
             scratch_shapes=scratch,
             compiler_params=params,
             interpret=interpret,
-        )(q2, k2, ks2, v2, vs2, qpos, kpos, sinks2)
+        )(pos0, q2, k2, ks2, v2, vs2, sinks2)
     else:
         out = pl.pallas_call(
             functools.partial(_kernel_plain, **common),
             grid=grid,
-            in_specs=[q_spec, kv_spec, kv_spec, qpos_spec, kpos_spec, sink_spec],
+            in_specs=[pos0_spec, q_spec, kv_spec, kv_spec, sink_spec],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((gr, dh), jnp.float32),
             scratch_shapes=scratch,
             compiler_params=params,
             interpret=interpret,
-        )(q2, k2, v2, qpos, kpos, sinks2)
+        )(pos0, q2, k2, v2, sinks2)
     return out
 
 
@@ -214,13 +230,15 @@ def _flash_p(q2, k2, v2, ks2, vs2, qpos, kpos, sinks2, *, g,
 FLASH_MIN_ROWS = 64
 
 
-def supported(s, h, g, dh, c, *, is_causal, suffix_mask, kv_valid_length) -> bool:
+def supported(s, h, g, dh, c, *, is_causal, suffix_mask, kv_valid_length,
+              kv_positions=None) -> bool:
     rep = h // g
     r = s * rep
     return (
         is_causal
         and suffix_mask is None
         and kv_valid_length is None
+        and kv_positions is None  # contiguous slot==position layouts only
         and r >= FLASH_MIN_ROWS
         and bool(_pick(r, (256, 512, 128, 64, 32, 16, 8)))
         and bool(_pick(c, (512, 256, 128)))
@@ -232,13 +250,12 @@ def flash_attention(
     q,  # [S, H, Dh]
     k_cache,  # [C, G, Dh] bf16/f32 OR int8 codes (with scales given)
     v_cache,
-    q_positions,  # [S] i32
+    q_positions,  # [S] i32 — must be contiguous pos0 + arange(S)
     *,
     scale: float,
     sliding_window_size=None,
     logit_soft_cap=None,
     sinks=None,  # [H]
-    kv_positions=None,  # [C]
     k_scales=None,  # [C, G] (int8 KV)
     v_scales=None,
     interpret: bool = False,
@@ -251,14 +268,7 @@ def flash_attention(
     q2 = q.reshape(s, g, rep, dh).transpose(1, 0, 2, 3).reshape(g * r, dh)
     k2 = jnp.swapaxes(k_cache, 0, 1).reshape(g * c, dh)
     v2 = jnp.swapaxes(v_cache, 0, 1).reshape(g * c, dh)
-    qpos_1 = jnp.repeat(q_positions.astype(jnp.int32), rep)  # [R]
-    qpos = jnp.tile(qpos_1, g).reshape(g * r, 1)
-    kpos_1 = (
-        kv_positions.astype(jnp.int32)
-        if kv_positions is not None
-        else jnp.arange(c, dtype=jnp.int32)
-    )
-    kpos = jnp.tile(kpos_1, g).reshape(g * c, 1)
+    pos0 = q_positions[0].astype(jnp.int32)
     has_sink = sinks is not None
     if has_sink:
         sinks2 = sinks.astype(jnp.float32).reshape(g, rep)
@@ -273,7 +283,7 @@ def flash_attention(
         vs2 = jnp.zeros((g * c, 1), jnp.float32)
 
     out = _flash_p(
-        q2, k2, v2, ks2, vs2, qpos, kpos, sinks2, g=g,
+        q2, k2, v2, ks2, vs2, pos0, sinks2, g=g,
         scale=scale, soft_cap=logit_soft_cap, window=sliding_window_size,
         interpret=interpret, kv_quant=kv_quant, has_sink=has_sink, rep=rep,
     )

@@ -309,3 +309,34 @@ def test_remote_tool_call_assembly():
     calls = a.finish()
     assert [c.name for c in calls] == ["get_time", "other"]
     assert calls[0].arguments == {"tz": "UTC"}
+
+
+def test_tts_session_streaming_and_cancel():
+    """TTS session plumbing (nagare TextToSpeechSession parity): streaming
+    chunks with stats, whole-utterance fold, cancellation, state machine."""
+    from uzu_tpu.sessions.tts import (
+        CancelToken,
+        TextToSpeechSession,
+        sine_test_synthesizer,
+    )
+
+    sess = TextToSpeechSession(sine_test_synthesizer())
+    assert sess.state == "idle"
+
+    outs = list(sess.synthesize_stream("hello brave new world"))
+    assert len(outs) == 4
+    assert outs[-1].stats.audio_seconds > outs[0].stats.audio_seconds
+    assert sess.state == "idle"
+
+    whole = sess.synthesize("hello brave new world")
+    assert abs(whole.pcm.duration_s - 0.8) < 1e-6
+    assert whole.stats.real_time_factor >= 0
+
+    cancel = CancelToken()
+    gen = sess.synthesize_stream("a b c d e f", cancel)
+    first = next(gen)
+    assert sess.state == "synthesizing"
+    cancel.cancel()
+    rest = list(gen)
+    assert len(rest) == 0 and first is not None
+    assert sess.state == "idle"

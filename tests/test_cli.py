@@ -59,3 +59,29 @@ def test_ppl_command(chat_dir, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["ppl"] > 0 and out["count"] > 10
+
+
+def test_cli_storage_list_and_delete(tmp_path, capsys):
+    """storage subcommand (reference cli storage parity)."""
+    import json as _json
+
+    from uzu_tpu.cli import main
+    from uzu_tpu.tools.synth import llama_config, synthesize
+
+    cfg = llama_config(num_layers=1, model_dim=32, hidden_dim=64, num_heads=2,
+                       num_groups=1, head_dim=16, vocab_size=64)
+    synthesize(cfg, str(tmp_path / "m1"), seed=1)
+    synthesize(cfg, str(tmp_path / "m2"), seed=2)
+
+    assert main(["storage", str(tmp_path)]) == 0
+    rows = _json.loads(capsys.readouterr().out)
+    assert {r["id"] for r in rows} == {"m1", "m2"}
+    assert all(r["size_bytes"] > 0 for r in rows)
+
+    assert main(["storage", str(tmp_path), "--delete", "m1"]) == 0
+    capsys.readouterr()
+    assert main(["storage", str(tmp_path)]) == 0
+    rows = _json.loads(capsys.readouterr().out)
+    assert {r["id"] for r in rows} == {"m2"}
+
+    assert main(["storage", str(tmp_path), "--delete", "nope"]) == 1

@@ -182,6 +182,31 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_storage(args) -> int:
+    """Model storage manager (reference: cli storage subcommand,
+    cli/src/main.rs:19-38): list local models with sizes, delete one."""
+    import shutil
+
+    from uzu_tpu.engine.facade import LocalRegistry
+
+    reg = LocalRegistry(args.models_dir)
+    if args.delete:
+        target = os.path.join(args.models_dir, args.delete)
+        if not os.path.isdir(target):
+            print(f"no such model: {args.delete}", file=sys.stderr)
+            return 1
+        shutil.rmtree(target)
+        print(f"deleted {args.delete}")
+        return 0
+    rows = [
+        {"id": info.id, "kind": info.kind, "size_bytes": info.size_bytes,
+         "path": info.path}
+        for info in reg.models()
+    ]
+    print(json.dumps(rows, indent=1))
+    return 0
+
+
 def cmd_ppl(args) -> int:
     from uzu_tpu import LanguageModel
     from uzu_tpu.sessions import Tokenizer
@@ -244,6 +269,11 @@ def main(argv=None) -> int:
     sy.add_argument("kind"); sy.add_argument("out_dir")
     sy.add_argument("--seed", type=int, default=0)
     sy.set_defaults(fn=cmd_synth)
+
+    st = sub.add_parser("storage")
+    st.add_argument("models_dir")
+    st.add_argument("--delete", default=None)
+    st.set_defaults(fn=cmd_storage)
 
     pp = sub.add_parser("ppl")
     pp.add_argument("model_dir"); pp.add_argument("textfile")

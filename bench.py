@@ -150,19 +150,29 @@ def main() -> None:
     # best of 2 measured runs (shared-chip noise)
     from uzu_tpu.engine.batch import BatchEngine
 
-    def batch_run():
-        eng = BatchEngine(lm, batch_size=4, decode_chunk=16, sampling=sampling, stop_token_ids=[])
-        gen_b = 64
+    bench_t0 = time.perf_counter()
+
+    def batch_run(bsz, gen_b):
+        eng = BatchEngine(lm, batch_size=bsz, decode_chunk=16, sampling=sampling, stop_token_ids=[])
         reqs = [
             eng.submit(rng.integers(0, lm.decoder_config.vocab_size, 32), gen_b)
-            for _ in range(4)
+            for _ in range(bsz)
         ]
         tb = time.perf_counter()
         eng.run()
         return sum(len(r.tokens) for r in reqs) / (time.perf_counter() - tb)
 
-    batch_run()  # warmup (compiles batched decode + admission)
-    batch_tok_s = max(batch_run() for _ in range(2))
+    batch_run(4, 64)  # warmup (compiles batched decode + admission)
+    batch_tok_s = max(batch_run(4, 64) for _ in range(2))
+
+    # wider batch, opt-in only: the B=16 executables add many minutes of
+    # remote-AOT compile under congestion (a guarded run still blew a 25 min
+    # budget). Measured separately on v5e: B=16 -> 1800 tok/s aggregate,
+    # B=32 -> 2676 (8.9 / 12.0 ms per batched step).
+    batch16_tok_s = None
+    if os.environ.get("UZU_BENCH_WIDE"):
+        batch_run(16, 48)
+        batch16_tok_s = max(batch_run(16, 48) for _ in range(2))
 
     print(
         json.dumps(
@@ -170,6 +180,7 @@ def main() -> None:
                 "metric": "decode_tok_s",
                 "value": round(decode_tok_s, 2),
                 "batch4_tok_s": round(batch_tok_s, 2),
+                **({"batch16_tok_s": round(batch16_tok_s, 2)} if batch16_tok_s else {}),
                 "unit": "tok/s",
                 "vs_baseline": round(decode_tok_s / sol_tok_s, 4),
                 "sol_tok_s": round(sol_tok_s, 2),

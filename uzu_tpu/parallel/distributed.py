@@ -67,3 +67,42 @@ def process_local_batch_slots(total_slots: int) -> tuple[int, int]:
     per = total_slots // jax.process_count()
     start = per * jax.process_index()
     return start, per
+
+
+def put_global(x, mesh: Mesh, spec) -> jax.Array:
+    """Create a global sharded array in a MULTI-PROCESS program from
+    host-local data (every host holds the full value, e.g. weights loaded
+    from the same file). jax.device_put cannot target non-addressable
+    devices; make_array_from_callback hands each host only its addressable
+    shards."""
+    from jax.sharding import NamedSharding
+
+    import numpy as np_
+
+    x = np_.asarray(x)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def shard_params_multihost(cfg, params, mesh: Mesh) -> dict:
+    """Multi-process variant of sharding.shard_decoder_params: same spec
+    tree, but materialized via put_global so it works when the mesh spans
+    hosts. `params` must be identical on every host (normal weight loads)."""
+    from .sharding import decoder_param_specs, validate_tp
+    from .mesh import tp_size
+
+    from jax.sharding import NamedSharding
+
+    validate_tp(cfg, tp_size(mesh))
+    specs = decoder_param_specs(cfg, params, mesh)
+    # the spec tree is a pytree PREFIX of params (one spec covers all leaves
+    # of a QuantizedTensor); flatten params up to the spec leaves
+    flat_specs, treedef = jax.tree.flatten(
+        specs, is_leaf=lambda x: isinstance(x, NamedSharding)
+    )
+    groups = treedef.flatten_up_to(params)
+    out = [
+        jax.tree.map(lambda l, ns=ns: put_global(l, mesh, ns.spec), grp)
+        for ns, grp in zip(flat_specs, groups)
+    ]
+    return jax.tree.unflatten(treedef, out)

@@ -172,3 +172,75 @@ def test_constrained_generate_native_backend(chat_dir):
         64, grammar, sampling=SamplingParams(temperature=1.0, top_k=40), seed=9))
     text = tok.decode(out, skip_special_tokens=True).strip()
     assert JsonMatcher(schema).feed_text(text), text
+
+
+# -- speculative grammar decoding ------------------------------------------------
+
+
+def _greedy_constrained(chat_dir, schema, speculator=None, backend="auto"):
+    lm = LanguageModel.from_dir(chat_dir, max_context=256, prefill_buckets=(16,))
+    tok = Tokenizer(chat_dir)
+    grammar = GrammarSession(tok, schema=schema, stop_token_ids=tok.eos_token_ids,
+                             backend=backend)
+    out = list(
+        constrained_generate(
+            lm, np.asarray(tok.encode("<|user|>json please<|end|><|assistant|>")),
+            48, grammar, sampling=SamplingParams(), seed=5, speculator=speculator,
+        )
+    )
+    return out, tok
+
+
+def test_speculative_grammar_matches_plain(chat_dir):
+    """Grammar-constrained speculative decoding (per-draft-row masks from
+    lookahead_masks — the reference's per-trie-node bitmask fill) emits the
+    EXACT same greedy stream as the one-token-per-dispatch grammar path,
+    on both matcher backends."""
+    from uzu_tpu.engine.speculation import NgramSpeculator
+
+    schema = {
+        "type": "object",
+        "properties": {"city": {"enum": ["Paris", "Rome"]}},
+        "required": ["city"],
+    }
+    plain, tok = _greedy_constrained(chat_dir, schema)
+    spec, _ = _greedy_constrained(chat_dir, schema,
+                                  speculator=NgramSpeculator(max_ngram=3, k=6))
+    assert spec == plain
+    text = tok.decode(plain, skip_special_tokens=True).strip()
+    assert JsonMatcher(schema).feed_text(text), text
+
+    # python backend too (exercises the clone-based lookahead)
+    plain_py, _ = _greedy_constrained(chat_dir, schema, backend="python")
+    spec_py, _ = _greedy_constrained(chat_dir, schema, backend="python",
+                                     speculator=NgramSpeculator(max_ngram=3, k=6))
+    assert spec_py == plain_py == plain
+
+
+def test_lookahead_masks_restore_state(chat_dir):
+    """lookahead_masks must leave the session state untouched, truncate at
+    grammar-forbidden draft tokens, and agree with sequential observation."""
+    tok = Tokenizer(chat_dir)
+    grammar = GrammarSession(tok, schema=None, stop_token_ids=tok.eos_token_ids)
+    open_brace = tok.encode("{")[-1]
+    quote = tok.encode('"')[-1]
+
+    before = grammar.current_mask().copy()
+    masks = grammar.lookahead_masks([open_brace, quote])
+    assert len(masks) == 3
+    np.testing.assert_array_equal(grammar.current_mask(), before)
+
+    # sequential ground truth
+    g2 = GrammarSession(tok, schema=None, stop_token_ids=tok.eos_token_ids)
+    np.testing.assert_array_equal(masks[0], g2.current_mask())
+    g2.observe(int(open_brace))
+    np.testing.assert_array_equal(masks[1], g2.current_mask())
+    g2.observe(int(quote))
+    np.testing.assert_array_equal(masks[2], g2.current_mask())
+
+    # a forbidden draft token truncates the mask list
+    closing = tok.encode("}")[-1]
+    fresh = GrammarSession(tok, schema=None, stop_token_ids=tok.eos_token_ids)
+    if not fresh.current_mask()[int(closing)]:
+        truncated = fresh.lookahead_masks([closing, open_brace])
+        assert len(truncated) == 1

@@ -51,8 +51,23 @@ def constrained_generate(
     stop_token_ids=None,
     seed: int = 0,
     state=None,
+    speculator=None,
 ):
-    """Token generator with per-step grammar masks."""
+    """Token generator with per-step grammar masks.
+
+    With `speculator` (e.g. NgramSpeculator), runs grammar-constrained
+    SPECULATIVE decoding: the draft chain's per-row masks come from
+    GrammarSession.lookahead_masks (the reference fills bitmasks per trie
+    node the same way, stream.rs:632-675), verification applies them inside
+    one fused dispatch, and each dispatch yields 1 + accepted tokens — the
+    plain grammar path pays a full host<->device roundtrip per token."""
+    if speculator is not None:
+        yield from _speculative_constrained(
+            lm, prompt_tokens, max_new_tokens, grammar, speculator,
+            sampling=sampling, stop_token_ids=stop_token_ids, seed=seed,
+            state=state,
+        )
+        return
     sampling = sampling or SamplingParams()
     stop = set(
         stop_token_ids
@@ -72,7 +87,8 @@ def constrained_generate(
     keys = jax.random.split(jax.random.PRNGKey(seed ^ 0x6A3), max_new_tokens + 1)
 
     token = first
-    budget = min(max_new_tokens, lm.max_context - int(state["pos"]) - 1)
+    # the loop yields `budget` tokens plus the final in-flight one
+    budget = max(0, min(max_new_tokens - 1, lm.max_context - int(state["pos"]) - 1))
     full = jnp.ones(vocab, bool)
     for i in range(budget):
         val = int(jax.device_get(token))
@@ -85,6 +101,117 @@ def constrained_generate(
         state, token = step_fn(lm.params, state, token, keys[i], mask_dev)
     val = int(jax.device_get(token))
     yield val
+
+
+_masked_verify_cache: dict = {}
+
+
+def _masked_verify_fn(lm, sampling: SamplingParams, n: int):
+    key = (id(lm), sampling, n)
+    if key not in _masked_verify_cache:
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def verify(params, state, tokens, keys, masks):
+            logits, state = decoder_forward(
+                lm.decoder_config, params, tokens, state, last_only=False
+            )
+            sampled = jax.vmap(
+                lambda l, k, m: sample(l, sampling, key=k, bitmask=m)
+            )(logits, keys, masks)
+            return state, sampled
+
+        _masked_verify_cache[key] = verify
+    return _masked_verify_cache[key]
+
+
+def _speculative_constrained(
+    lm, prompt_tokens, max_new_tokens, grammar, speculator, *,
+    sampling, stop_token_ids, seed, state,
+):
+    from ..engine.speculation import speculation_supported
+
+    if not speculation_supported(lm.decoder_config):
+        raise ValueError("speculation requires attention-only, non-KV-shared models")
+    sampling = sampling or SamplingParams()
+    stop = set(
+        stop_token_ids
+        if stop_token_ids is not None
+        else lm.config.generation_config.stop_token_ids
+    )
+    grammar.stop_token_ids = sorted(stop) or grammar.stop_token_ids
+    vocab = lm.decoder_config.vocab_size
+    full = np.ones(vocab, bool)
+
+    def dev_mask(m):
+        return full if m is None else _pad_mask(m, vocab)
+
+    if hasattr(speculator, "reset"):
+        speculator.reset()
+    history = [int(t) for t in prompt_tokens]
+    if state is None:
+        state = lm.new_state()
+    logits, state = lm.prefill(state, np.asarray(prompt_tokens, np.int32))
+    m0 = grammar.current_mask()
+    first = int(jax.device_get(sample(
+        logits, sampling, key=jax.random.PRNGKey(seed),
+        bitmask=None if m0 is None else jnp.asarray(dev_mask(m0)),
+    )))
+    pos = len(history)
+    produced = 0
+    token = first
+    keys = jax.random.split(jax.random.PRNGKey(seed ^ 0x6A3), max_new_tokens * 4 + 8)
+    key_i = 0
+
+    while produced < max_new_tokens:
+        yield token
+        history.append(token)
+        produced += 1
+        if token in stop:
+            return
+        grammar.observe(token)
+        room = lm.max_context - pos - 1
+        if room <= 0:
+            return
+        draft = list(speculator.propose(history)) if room > 1 else []
+        draft = draft[: min(len(draft), room - 1, max_new_tokens - produced)]
+        masks = grammar.lookahead_masks(draft)
+        draft = draft[: len(masks) - 1]
+        n = 1 + len(draft)
+        n_pad = 1
+        while n_pad < n:
+            n_pad *= 2
+        n_pad = min(n_pad, 1 << 5)
+        block = np.zeros(n_pad, np.int32)
+        block[0] = token
+        block[1 : 1 + len(draft)] = draft
+        mask_rows = np.ones((n_pad, vocab), bool)
+        for i, m in enumerate(masks[:n_pad]):
+            mask_rows[i] = dev_mask(m)
+
+        verify = _masked_verify_fn(lm, sampling, n_pad)
+        state, sampled = verify(
+            lm.params, state, jnp.asarray(block),
+            keys[key_i : key_i + n_pad], jnp.asarray(mask_rows),
+        )
+        key_i = (key_i + n_pad) % (len(keys) - 32)
+        vals = np.asarray(jax.device_get(sampled))
+
+        accepted = 0
+        while accepted < len(draft) and int(vals[accepted]) == draft[accepted]:
+            accepted += 1
+        emit = [int(v) for v in vals[: accepted + 1]]
+
+        pos = pos + 1 + accepted
+        state["pos"] = jnp.asarray(pos, jnp.int32)
+
+        for v in emit[:-1]:
+            yield v
+            history.append(v)
+            produced += 1
+            if v in stop or produced >= max_new_tokens:
+                return
+            grammar.observe(v)
+        token = emit[-1]
 
 
 def _pad_mask(mask: np.ndarray, vocab: int) -> np.ndarray:

@@ -500,6 +500,41 @@ class GrammarSession:
                 m[sid] = True
         return m
 
+    def lookahead_masks(self, draft_tokens) -> list:
+        """Masks for verifying a speculative draft chain: entry i is the
+        sampling mask after the current state has additionally observed
+        draft_tokens[:i] (entry 0 = current mask). Truncates at the first
+        draft token the grammar forbids — verification rows beyond it can
+        never be accepted (the masked sample at the truncation row differs
+        from the draft by construction). State is restored afterwards.
+        Reference: per-trie-node bitmask fill, stream.rs:632-675."""
+        out = [self.current_mask()]
+        if not draft_tokens:
+            return out
+        snap = None
+        if self.native is not None:
+            snap = self.native.save()
+        else:
+            saved_matcher = self.matcher.clone()
+        saved_engaged = self.engaged
+        saved_tail = self._text_tail
+        try:
+            for t in draft_tokens:
+                m = out[-1]
+                if m is not None and not m[int(t)]:
+                    break
+                self.observe(int(t))
+                out.append(self.current_mask())
+        finally:
+            if self.native is not None:
+                self.native.restore(snap)
+                self.native.snapshot_free(snap)
+            else:
+                self.matcher = saved_matcher
+            self.engaged = saved_engaged
+            self._text_tail = saved_tail
+        return out
+
     def observe(self, token_id: int) -> None:
         text = self.token_strings[token_id]
         if not self.engaged:

@@ -170,6 +170,12 @@ class NativeGrammar:
         lib.ug_advance_text.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
         lib.ug_mask.restype = ctypes.c_int
         lib.ug_mask.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
+        lib.ug_save.restype = ctypes.c_void_p
+        lib.ug_save.argtypes = [ctypes.c_void_p]
+        lib.ug_restore.restype = None
+        lib.ug_restore.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.ug_snapshot_free.restype = None
+        lib.ug_snapshot_free.argtypes = [ctypes.c_void_p]
         lib._g_configured = True
 
     def reset(self):
@@ -184,6 +190,16 @@ class NativeGrammar:
 
     def is_complete(self) -> bool:
         return bool(self._lib.ug_is_complete(self._h))
+
+    def save(self):
+        """Opaque state snapshot (speculative-grammar lookahead)."""
+        return self._lib.ug_save(self._h)
+
+    def restore(self, snapshot) -> None:
+        self._lib.ug_restore(self._h, snapshot)
+
+    def snapshot_free(self, snapshot) -> None:
+        self._lib.ug_snapshot_free(snapshot)
 
     def mask(self) -> np.ndarray:
         out = np.zeros(self.n_tokens, np.uint8)

@@ -501,4 +501,22 @@ int ug_mask(void* h, uint8_t* out) {
 
 void ug_destroy(void* h) { delete static_cast<Engine*>(h); }
 
+// Snapshot/restore of the matcher state (the Frame stack) — the lookahead
+// path of speculative grammar decoding clones the state, walks a draft
+// chain filling per-node masks, then restores (reference: per-trie-node
+// bitmask fill, stream.rs:632-675 + trie.rs:167).
+void* ug_save(void* h) {
+    Engine* e = static_cast<Engine*>(h);
+    return new std::vector<Frame>(e->stack);
+}
+
+void ug_restore(void* h, void* snap) {
+    Engine* e = static_cast<Engine*>(h);
+    e->stack = *static_cast<std::vector<Frame>*>(snap);
+}
+
+void ug_snapshot_free(void* snap) {
+    delete static_cast<std::vector<Frame>*>(snap);
+}
+
 }  // extern "C"

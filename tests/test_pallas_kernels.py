@@ -174,3 +174,50 @@ def test_flash_attention_dispatch_in_forced_pallas(monkeypatch, tmp_path):
     lm2 = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(64,))
     got = lm2.generate_list(toks, 6, stop_token_ids=[])
     assert got == want
+
+
+def test_tile_table_lookup_and_policy(tmp_path, monkeypatch):
+    """A measured tile table overrides the heuristic policy for matching
+    shapes and is ignored when its entry doesn't divide the shape."""
+    import json as _json
+
+    from uzu_tpu.ops.pallas import autotune
+    from uzu_tpu.ops.pallas.quant_matmul import _tile_policy
+
+    table = {"4:1024:2048:gemm": [128, 512], "4:1024:2048:gemv": [256, 256],
+             "4:999:2048:gemm": [512, 512]}
+    path = tmp_path / "tiles.json"
+    path.write_text(_json.dumps(table))
+    monkeypatch.setenv("UZU_TPU_TILE_TABLE", str(path))
+    autotune._load_table.cache_clear()
+    try:
+        # gemm bucket hit
+        assert _tile_policy(1024, 1024, 16, 512, bits=4, kdim=2048) == (128, 512)
+        # gemv bucket hit
+        assert _tile_policy(1024, 1024, 16, 8, bits=4, kdim=2048) == (256, 256)
+        # entry exists for N=999 but cannot divide it -> heuristic fallback
+        # (the heuristic finds no tile either; the kernel wrapper's
+        # supported() guard rejects such shapes before dispatch)
+        tn, kc = _tile_policy(999, 1024, 16, 512, bits=4, kdim=2048)
+        assert tn != 512 or kc != 512  # the bogus table entry was NOT used
+        # no entry -> heuristic
+        tn2, kc2 = _tile_policy(2048, 4096, 16, 512, bits=4, kdim=8192)
+        assert (tn2, kc2) == (256, 512)
+    finally:
+        autotune._load_table.cache_clear()
+
+
+def test_autotune_shapes_smoke(monkeypatch, tmp_path):
+    """autotune runs end-to-end (interpreter on CPU) and produces winners
+    that the kernel accepts."""
+    from uzu_tpu.ops.pallas import autotune as at
+
+    monkeypatch.setattr(at, "CANDIDATES", ((128, 128), (128, 64)))
+    table = at.autotune_shapes([(128, 256)], m_list=(8,), reps=1, verbose=False)
+    assert len(table) == 1
+    ((key, val),) = table.items()
+    assert key == "4:128:256:gemv" and val[0] == 128
+    p = at.save_table(table, str(tmp_path / "t.json"))
+    import json as _json
+
+    assert _json.load(open(p))[key] == val

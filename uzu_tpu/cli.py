@@ -207,6 +207,26 @@ def cmd_storage(args) -> int:
     return 0
 
 
+def cmd_autotune(args) -> int:
+    """Measure fused-matmul tile configs for a model's linear shapes on the
+    current device and save the table (the reference's fleet-tuned GEMV
+    tables, matmul/gemv/policy.rs)."""
+    from uzu_tpu.config import load_language_model_config
+    from uzu_tpu.ops.pallas.autotune import (
+        autotune_shapes,
+        model_linear_shapes,
+        save_table,
+    )
+
+    cfg = load_language_model_config(os.path.join(args.model_dir, "config.json"))
+    shapes = model_linear_shapes(cfg.decoder_config)
+    print(f"shapes: {shapes}")
+    table = autotune_shapes(shapes, reps=args.reps)
+    path = save_table(table)
+    print(f"saved {len(table)} entries to {path}")
+    return 0
+
+
 def cmd_ppl(args) -> int:
     from uzu_tpu import LanguageModel
     from uzu_tpu.sessions import Tokenizer
@@ -269,6 +289,11 @@ def main(argv=None) -> int:
     sy.add_argument("kind"); sy.add_argument("out_dir")
     sy.add_argument("--seed", type=int, default=0)
     sy.set_defaults(fn=cmd_synth)
+
+    at = sub.add_parser("autotune")
+    at.add_argument("model_dir")
+    at.add_argument("--reps", type=int, default=32)
+    at.set_defaults(fn=cmd_autotune)
 
     st = sub.add_parser("storage")
     st.add_argument("models_dir")

@@ -1,0 +1,181 @@
+"""Tile autotuner for the fused dequant matmul.
+
+Role parity with the reference's fleet-tuned GEMV tile tables
+(crates/backend-uzu/src/backends/metal/kernel/matmul/gemv/policy.rs: tile
+grids keyed on (quant, N, K, device tier), measured across the device
+fleet). Here: measure every (block_n, block_k) candidate for a shape set on
+the CURRENT device, write a JSON table keyed by device kind, and let
+`_tile_policy` consult it before its heuristics.
+
+Timing method honors this environment's rules (CLAUDE.md): dispatch many
+reps back-to-back and sync ONCE with a device_get — per-dispatch launch
+overhead is constant across candidates, so the RANKING is valid even when
+the absolute numbers are launch-dominated.
+
+Tables live in tile_tables/<device_key>.json next to this file (packaged,
+checked in — the fleet-table analogue) or at UZU_TPU_TILE_TABLE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+
+TABLE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tile_tables")
+
+# M buckets share an entry: decode-sized (HBM-bound), mid, large-M prefill
+M_BUCKETS = ((32, "gemv"), (256, "mid"), (10**9, "gemm"))
+
+CANDIDATES = ((512, 512), (512, 256), (256, 512), (256, 256), (128, 512), (512, 128))
+
+
+def m_bucket(m_pad: int) -> str:
+    for bound, name in M_BUCKETS:
+        if m_pad < bound:
+            return name
+    return "gemm"
+
+
+def _device_key() -> str:
+    import jax
+
+    try:
+        kind = str(jax.devices()[0].device_kind).lower()
+    except Exception:
+        return "cpu"
+    return kind.replace(" ", "_")
+
+
+@lru_cache(maxsize=None)
+def _load_table() -> dict:
+    path = os.environ.get("UZU_TPU_TILE_TABLE")
+    if not path:
+        path = os.path.join(TABLE_DIR, f"{_device_key()}.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def lookup(bits: int, n: int, kdim: int, m_pad: int):
+    """(block_n, block_k) from the measured table, or None."""
+    entry = _load_table().get(f"{bits}:{n}:{kdim}:{m_bucket(m_pad)}")
+    return tuple(entry) if entry else None
+
+
+# --------------------------------------------------------------------------
+# Measurement
+# --------------------------------------------------------------------------
+
+
+def _time_config(x, qt, bn, bk, reps: int) -> float:
+    import time
+
+    import jax
+
+    from ...runtime import on_tpu
+    from .quant_matmul import _quant_matmul_p
+
+    interp = not on_tpu()
+
+    def run():
+        return _quant_matmul_p(
+            x, qt.codes, qt.scales, qt.qbias, bits=qt.bits,
+            group_size=qt.group_size, block_n=bn, block_k=bk,
+            interpret=interp,
+        )
+
+    out = run()
+    jax.device_get(out[0, :1])  # compile + settle
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run()
+    jax.device_get(out[0, :1])
+    return (time.perf_counter() - t0) / reps
+
+
+def _valid(bits, n, kdim, g, bn, bk) -> bool:
+    kp = kdim // 2 if bits == 4 else kdim
+    gsub = g // 2 if bits == 4 else g
+    return n % bn == 0 and kp % bk == 0 and bk % gsub == 0
+
+
+def autotune_shapes(shapes, *, bits=4, group_size=32, m_list=(8, 512),
+                    reps=32, seed=0, verbose=True) -> dict:
+    """Measure `shapes` = [(n, k), ...] across CANDIDATES and M buckets on
+    the current device; returns {key: [bn, bk]} for the winners."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ...quant.format import QuantizedTensor
+
+    rng = np.random.default_rng(seed)
+    table = {}
+    for n, kdim in shapes:
+        kp = kdim // 2 if bits == 4 else kdim
+        qt = QuantizedTensor(
+            codes=jnp.asarray(rng.integers(0, 255, (n, kp), dtype=np.uint8)),
+            scales=jnp.asarray((rng.random((n, kdim // group_size)) * 0.01).astype(np.float32)),
+            qbias=jnp.asarray(np.zeros((n, kdim // group_size), np.float32)),
+            bits=bits, group_size=group_size,
+        )
+        for m in m_list:
+            x = jnp.asarray(rng.standard_normal((m, kdim)), jnp.bfloat16)
+            best = None
+            for bn, bk in CANDIDATES:
+                if not _valid(bits, n, kdim, group_size, bn, bk):
+                    continue
+                dt = _time_config(x, qt, bn, bk, reps)
+                if verbose:
+                    print(f"  N={n} K={kdim} M={m} bn={bn} bk={bk}: {dt*1e3:.3f} ms")
+                if best is None or dt < best[0]:
+                    best = (dt, bn, bk)
+            if best is not None:
+                key = f"{bits}:{n}:{kdim}:{m_bucket(max(8, -(-m // 8) * 8))}"
+                table[key] = [best[1], best[2]]
+                if verbose:
+                    print(f"{key} -> {table[key]} ({best[0]*1e3:.3f} ms)")
+    return table
+
+
+def model_linear_shapes(decoder_config) -> list:
+    """The distinct quantized-linear (N, K) shapes of a model (qkv/out/
+    up/down per layer + readout)."""
+    from ...config.model import AttentionConfig, DenseMLPConfig
+
+    shapes = set()
+    cfg = decoder_config
+    tcfg = cfg.transformer_config
+    d = tcfg.model_dim
+    for lc in tcfg.layer_configs:
+        m = lc.mixer_config
+        if isinstance(m, AttentionConfig):
+            q_dim = m.num_heads * m.head_dim
+            kv = m.num_groups * m.head_dim
+            shapes.add((q_dim + 2 * kv, d))
+            shapes.add((d, q_dim))
+        if isinstance(lc.mlp_config, DenseMLPConfig):
+            hid = lc.hidden_dim or tcfg.hidden_dim
+            shapes.add((2 * hid, d))
+            shapes.add((d, hid))
+    shapes.add((cfg.vocab_size, d))
+    return sorted(shapes)
+
+
+def save_table(table: dict, path: str | None = None) -> str:
+    if path is None:
+        os.makedirs(TABLE_DIR, exist_ok=True)
+        path = os.path.join(TABLE_DIR, f"{_device_key()}.json")
+    existing = {}
+    try:
+        with open(path) as f:
+            existing = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
+    existing.update(table)
+    with open(path, "w") as f:
+        json.dump(existing, f, indent=1, sort_keys=True)
+    _load_table.cache_clear()
+    return path

@@ -52,7 +52,8 @@ def _pick_block(n: int, candidates) -> int:
     return 0
 
 
-def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int):
+def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int,
+                 bits: int = 4, kdim: int = 0):
     """(tn, kc) preference order — the role of uzu's fleet-tuned GEMV tile
     tables (matmul/gemv/policy.rs), measured on v5e. Decode-sized M (< 32,
     HBM-bound) wants the deepest K chunk per N tile (best code streaming:
@@ -60,7 +61,16 @@ def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int):
     Prefill M: tall-N shapes want a shallower K chunk (tn 512 / kc 256 —
     more N tiles in flight under MXU load); wide-K shapes the opposite
     (tn 256 / kc 512). Falls back down the candidate lists for shapes the
-    preferred tile doesn't divide."""
+    preferred tile doesn't divide. A measured autotune table for this
+    device (ops/pallas/autotune.py — the fleet-table analogue) wins over
+    the heuristics when it has an entry for the exact shape."""
+    from .autotune import lookup
+
+    hit = lookup(bits, n, kdim or k_packed * (2 if bits == 4 else 1), m_pad)
+    if hit is not None:
+        tn, kc = hit
+        if n % tn == 0 and k_packed % kc == 0 and kc % gsub == 0:
+            return tn, kc
     if m_pad < 32:
         tn_pref, kc_pref = (512, 256, 128), (512, 256, 128, 64, 32, 16)
     elif 8192 <= n < 65536:
@@ -182,7 +192,7 @@ def _quant_matmul_p(x, codes, scales, qbias, *, bits, group_size,
     if bits == 4:
         k2 = kdim // 2
         gsub = g // 2
-        tn_auto, kc_auto = _tile_policy(n, k2, gsub, m_pad)
+        tn_auto, kc_auto = _tile_policy(n, k2, gsub, m_pad, bits=4, kdim=kdim)
         tn = block_n or tn_auto
         assert tn, f"N={n} not divisible by a supported tile"
         kc = block_k or kc_auto
@@ -210,7 +220,7 @@ def _quant_matmul_p(x, codes, scales, qbias, *, bits, group_size,
         )(x_even, x_odd, codes, scales, qbias)
     else:
         gsub = g
-        tn_auto, kc_auto = _tile_policy(n, kdim, gsub, m_pad)
+        tn_auto, kc_auto = _tile_policy(n, kdim, gsub, m_pad, bits=8, kdim=kdim)
         tn = block_n or tn_auto
         assert tn, f"N={n} not divisible by a supported tile"
         kc = block_k or kc_auto

@@ -231,3 +231,17 @@ def test_online_attention_matches_einsum(rng):
             np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5,
             err_msg=f"online attention diverged for {kw}",
         )
+
+
+def test_recommended_max_context(tiny_llama):
+    """Memory-driven context policy (recommended_context_length parity)."""
+    lm = tiny_llama
+    # plenty of memory -> clamped by the model's trained RoPE context
+    big = lm.recommended_max_context(memory_budget_bytes=64 * 1024**3)
+    assert big >= 1024
+    # tiny budget -> floor
+    small = lm.recommended_max_context(memory_budget_bytes=1024**2)
+    assert small == 1024
+    # batch divides the per-slot context
+    b4 = lm.recommended_max_context(memory_budget_bytes=64 * 1024**3, batch_size=4)
+    assert b4 <= big

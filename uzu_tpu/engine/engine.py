@@ -127,6 +127,52 @@ class LanguageModel:
             cache[key] = jax.jit(build)
         return cache[key]()
 
+    def recommended_max_context(self, memory_budget_bytes: int | None = None,
+                                batch_size: int = 1) -> int:
+        """Largest max_context the device memory supports for this model
+        (parity: recommended_context_length policy, engine/language_model/
+        mod.rs:140-165 — the reference sizes its sparse KV budget from free
+        memory the same way). Leaves 10% headroom plus a workspace reserve;
+        clamps to the model's trained context when the config declares one."""
+        import jax
+
+        if memory_budget_bytes is None:
+            try:
+                stats = jax.devices()[0].memory_stats() or {}
+                memory_budget_bytes = stats.get("bytes_limit", 0)
+            except Exception:
+                memory_budget_bytes = 0
+            if not memory_budget_bytes:
+                memory_budget_bytes = 16 * 1024**3  # v5e-class default
+        weight_bytes = sum(x.nbytes for x in jax.tree.leaves(self.params))
+        kv_per_token = 0
+        from ..config.model import AttentionConfig
+
+        for lc in self.decoder_config.transformer_config.layer_configs:
+            m = lc.mixer_config
+            if isinstance(m, AttentionConfig) and not m.is_kv_sharing \
+                    and lc.kv_source_layer_index is None:
+                dtype_bytes = 1 if self.kv_quant else 2
+                kv_per_token += 2 * m.num_groups * m.head_dim * dtype_bytes
+        workspace = max(256 * 1024**2, weight_bytes // 8)
+        avail = int(memory_budget_bytes * 0.9) - weight_bytes - workspace
+        if kv_per_token <= 0 or avail <= 0:
+            ctx = 4096 if avail > 0 else 1024
+        else:
+            ctx = avail // (kv_per_token * max(1, batch_size))
+        # round down to a friendly power of two in [1k, 1M]
+        p = 1024
+        while p * 2 <= ctx and p < (1 << 20):
+            p *= 2
+        ctx = p
+        # trained context lives on the RoPE configs
+        for lc in self.decoder_config.transformer_config.layer_configs:
+            trained = getattr(lc.rope_config, "max_sequence_length", None)
+            if trained:
+                ctx = min(ctx, trained)
+                break
+        return max(1024, ctx)
+
     # -- compiled steps ----------------------------------------------------
 
     def _prefill_fn(self, chunk: int):

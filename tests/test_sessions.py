@@ -340,3 +340,58 @@ def test_tts_session_streaming_and_cancel():
     rest = list(gen)
     assert len(rest) == 0 and first is not None
     assert sess.state == "idle"
+
+
+def test_chat_session_with_speculator(tmp_path):
+    """Session-level speculation (the reference engages a model's bundled
+    speculator in every stream): greedy reply text is identical with and
+    without an ngram chain speculator, and acceptance stats surface."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.speculation import NgramSpeculator
+    from uzu_tpu.sessions import ChatSession, Tokenizer
+    from uzu_tpu.engine.sampling import SamplingParams
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path / "spec_chat"), num_layers=2,
+                         model_dim=64, hidden_dim=160, num_heads=4,
+                         num_groups=2, head_dim=16)
+    lm = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16, 64))
+    tok = Tokenizer(d)
+
+    plain = ChatSession(lm, tok)
+    r1 = plain.reply("hello there", sampling=SamplingParams(), max_new_tokens=24)
+
+    spec = ChatSession(lm, tok, speculator=NgramSpeculator(max_ngram=3, k=4))
+    r2 = spec.reply("hello there", sampling=SamplingParams(), max_new_tokens=24)
+
+    assert r2.text == r1.text
+    assert r2.stats.tokens_proposed >= 0
+    assert r2.stats.tokens_count_output == r1.stats.tokens_count_output
+
+
+def test_facade_auto_engages_bundled_speculator(tmp_path):
+    import os
+
+    """Engine.chat('auto') picks up a model's speculator/ dir (DFlash)."""
+    from uzu_tpu import Engine
+    from uzu_tpu.engine.sampling import SamplingParams
+    from uzu_tpu.tools.synth import synth_chat_model, synth_dflash_speculator
+
+    from uzu_tpu.config import load_language_model_config
+
+    root = tmp_path / "models"
+    d = synth_chat_model(str(root / "m"), num_layers=2, model_dim=64,
+                         hidden_dim=160, num_heads=4, num_groups=2, head_dim=16)
+    target_cfg = load_language_model_config(os.path.join(d, "config.json"))
+    synth_dflash_speculator(os.path.join(d, "speculator"), target_cfg)
+
+    eng = Engine(str(root))
+    sess = eng.chat("m", max_context=128, prefill_buckets=(16, 64))
+    assert sess.speculator is not None  # DFlash decoder engaged
+
+    plain = eng.chat("m", max_context=128, speculate=False,
+                     prefill_buckets=(16, 64))
+    assert plain.speculator is None
+    r_plain = plain.reply("hi", sampling=SamplingParams(), max_new_tokens=12)
+    r_spec = sess.reply("hi", sampling=SamplingParams(), max_new_tokens=12)
+    assert r_spec.text == r_plain.text  # exact-output invariant holds

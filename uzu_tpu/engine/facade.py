@@ -100,12 +100,36 @@ class Engine:
             self._cache[key] = LanguageModel.from_dir(info.path, **kw)
         return self._cache[key]
 
-    def chat(self, model_id: str, *, max_context: int = 4096, tools=None, **kw):
+    def chat(self, model_id: str, *, max_context: int = 4096, tools=None,
+             speculate: str | bool = "auto", **kw):
+        """speculate: "auto" engages a bundled speculator/ dir (DFlash
+        block-draft decoder — the reference auto-loads it the same way,
+        engine/language_model/mod.rs:54-69); False disables; a proposer/
+        decoder object is used directly."""
         from ..sessions import ChatSession, Tokenizer
 
         info = self.model(model_id)
         lm = self.language_model(model_id, max_context=max_context, **kw)
-        return ChatSession(lm, Tokenizer(info.path), tools=tools)
+        speculator = None
+        if speculate == "auto":
+            spec_dir = os.path.join(info.path, "speculator")
+            if os.path.exists(os.path.join(spec_dir, "config.json")):
+                try:
+                    from .dflash import DFlashDraft
+                    from .speculation import (
+                        DFlashSpeculativeDecoder,
+                        speculation_supported,
+                    )
+
+                    if speculation_supported(lm.decoder_config):
+                        draft = DFlashDraft.from_dir(spec_dir, max_context=max_context)
+                        speculator = DFlashSpeculativeDecoder(lm, draft)
+                except Exception:
+                    speculator = None  # bad speculator dir: fall back plain
+        elif speculate and speculate is not True:
+            speculator = speculate
+        return ChatSession(lm, Tokenizer(info.path), tools=tools,
+                           speculator=speculator)
 
     def classification(self, model_id: str):
         from ..models.classifier import ClassifierModel

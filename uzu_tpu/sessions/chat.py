@@ -39,6 +39,9 @@ class ChatReplyStats:
     generate_tokens_per_second: float = 0.0
     tokens_count_input: int = 0
     tokens_count_output: int = 0
+    # speculation effectiveness (TokenStreamMetrics proposed/accepted)
+    tokens_proposed: int = 0
+    tokens_accepted: int = 0
 
 
 @dataclasses.dataclass
@@ -61,7 +64,15 @@ class ChatSession:
         tools: list[ToolSpec] | None = None,
         tool_turn_limit: int = DEFAULT_TOOL_TURN_LIMIT,
         encoding: str = "auto",
+        speculator=None,
     ):
+        """`speculator`: a proposer (object with .propose(history), e.g.
+        NgramSpeculator / DraftModelSpeculator — wrapped in a chain
+        SpeculativeDecoder per sampling config) or a ready decoder (object
+        with .generate, e.g. DFlashSpeculativeDecoder). The reference
+        engages a model's bundled speculator in every stream the same way
+        (stream.rs:553-578). Speculative turns re-prefill the full prompt
+        (prefix-cache reuse under speculation is a later milestone)."""
         self.model = model
         self.tokenizer = tokenizer
         if encoding == "harmony":
@@ -80,6 +91,8 @@ class ChatSession:
         self.messages: list[dict] = []
         self._state = None
         self._state_tokens: list[int] = []
+        self.speculator = speculator
+        self._spec_decoders: dict = {}
 
     # -- state / prefix cache ---------------------------------------------
 
@@ -146,23 +159,47 @@ class ChatSession:
             self.model.config.generation_config
         )
 
-        gen = self.model.generate_resumable(
-            state=self._state,
-            prompt_tokens=np.asarray(suffix, np.int32),
-            max_new_tokens=max_new_tokens,
-            sampling=sampling,
-            stop_token_ids=stop_ids,
-            seed=seed,
-            metrics=metrics,
-        )
-        for tok in gen:
-            generated.append(tok)
-            delta = decoder.push(tok)
-            if delta:
-                yield from parser.push(delta)
-        yield from parser.finish()
-        self._state = gen.state
-        self._state_tokens = list(tokens) + generated[:-1]
+        spec_metrics = None
+        if self.speculator is not None:
+            import time as _time
+
+            from ..engine.speculation import SpeculationMetrics
+
+            spec_metrics = SpeculationMetrics()
+            gen = self._spec_generate(
+                tokens, max_new_tokens, sampling, stop_ids, seed, spec_metrics
+            )
+            t0 = _time.perf_counter()
+            for tok in gen:
+                generated.append(tok)
+                delta = decoder.push(tok)
+                if delta:
+                    yield from parser.push(delta)
+            decode_s = _time.perf_counter() - t0
+            yield from parser.finish()
+            # speculation re-prefills each turn; drop the prefix cache
+            self._state = None
+            self._state_tokens = []
+            metrics.num_tokens_generated = len(generated)
+            metrics.decode_seconds = decode_s
+        else:
+            gen = self.model.generate_resumable(
+                state=self._state,
+                prompt_tokens=np.asarray(suffix, np.int32),
+                max_new_tokens=max_new_tokens,
+                sampling=sampling,
+                stop_token_ids=stop_ids,
+                seed=seed,
+                metrics=metrics,
+            )
+            for tok in gen:
+                generated.append(tok)
+                delta = decoder.push(tok)
+                if delta:
+                    yield from parser.push(delta)
+            yield from parser.finish()
+            self._state = gen.state
+            self._state_tokens = list(tokens) + generated[:-1]
 
         finish = "stop" if generated and generated[-1] in stop_ids else "length"
         if parser.tool_calls:
@@ -173,6 +210,8 @@ class ChatSession:
             generate_tokens_per_second=metrics.decode_tokens_per_second,
             tokens_count_input=len(tokens),
             tokens_count_output=len(generated),
+            tokens_proposed=spec_metrics.num_tokens_proposed if spec_metrics else 0,
+            tokens_accepted=spec_metrics.num_tokens_accepted if spec_metrics else 0,
         )
         self.last_reply = ChatReply(
             text=parser.text,
@@ -180,6 +219,24 @@ class ChatSession:
             tool_calls=parser.tool_calls,
             finish_reason=finish,
             stats=stats,
+        )
+
+    def _spec_generate(self, tokens, max_new_tokens, sampling, stop_ids,
+                       seed, spec_metrics):
+        if hasattr(self.speculator, "generate"):
+            return self.speculator.generate(
+                np.asarray(tokens, np.int32), max_new_tokens,
+                stop_token_ids=stop_ids, seed=seed, metrics=spec_metrics,
+            )
+        from ..engine.speculation import SpeculativeDecoder
+
+        if sampling not in self._spec_decoders:
+            self._spec_decoders[sampling] = SpeculativeDecoder(
+                self.model, self.speculator, sampling=sampling
+            )
+        return self._spec_decoders[sampling].generate(
+            np.asarray(tokens, np.int32), max_new_tokens,
+            stop_token_ids=stop_ids, seed=seed, metrics=spec_metrics,
         )
 
     def reply(

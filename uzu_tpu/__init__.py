@@ -18,3 +18,8 @@ from .engine.speculation import (  # noqa: F401
     NgramSpeculator,
     SpeculativeDecoder,
 )
+from .engine.remote import RemoteChatSession, RemoteConfig  # noqa: F401
+from .grammar.decode import constrained_generate  # noqa: F401
+from .grammar.matcher import GrammarSession  # noqa: F401
+from .sessions.transform import TransformSchema  # noqa: F401
+from .sessions.tts import TextToSpeechSession  # noqa: F401

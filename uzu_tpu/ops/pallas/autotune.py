@@ -10,7 +10,12 @@ the CURRENT device, write a JSON table keyed by device kind, and let
 Timing method honors this environment's rules (CLAUDE.md): dispatch many
 reps back-to-back and sync ONCE with a device_get — per-dispatch launch
 overhead is constant across candidates, so the RANKING is valid even when
-the absolute numbers are launch-dominated.
+the absolute numbers are launch-dominated. Caveat measured on v5e: in the
+decode regime (M=8, ~0.05 ms of real work under a ~1.4 ms launch floor)
+the rankings are NOISE — an A/B of the full decode step showed the
+microbench winners 5% slower end-to-end than the heuristics. Validate
+gemv-bucket entries against the end-to-end step before shipping them;
+the checked-in v5e table therefore carries only the large-M entries.
 
 Tables live in tile_tables/<device_key>.json next to this file (packaged,
 checked in — the fleet-table analogue) or at UZU_TPU_TILE_TABLE.

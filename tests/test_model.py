@@ -245,3 +245,45 @@ def test_recommended_max_context(tiny_llama):
     # batch divides the per-slot context
     b4 = lm.recommended_max_context(memory_budget_bytes=64 * 1024**3, batch_size=4)
     assert b4 <= big
+
+
+def test_context_bucketed_decode_matches_full(tiny_llama_dir, monkeypatch):
+    """Context-bucketed attention reads (the sparse grow-on-demand
+    analogue) produce the exact same stream as full-context reads, across
+    bucket boundaries."""
+    import uzu_tpu.engine.engine as eng_mod
+    from uzu_tpu import LanguageModel
+
+    prompt = (np.arange(20) * 7) % 256
+    lm_full = LanguageModel.from_dir(tiny_llama_dir, max_context=128,
+                                     prefill_buckets=(16,))
+    want = lm_full.generate_list(prompt, 40, stop_token_ids=[])
+
+    monkeypatch.setattr(eng_mod, "CTX_BUCKET_MIN", 16)
+    lm_b = LanguageModel.from_dir(tiny_llama_dir, max_context=128,
+                                  prefill_buckets=(16,))
+    got = lm_b.generate_list(prompt, 40, stop_token_ids=[])
+    assert got == want
+    # multiple ctx buckets were actually compiled
+    buckets = {k[-1] for k in lm_b._decode_jit}
+    assert len(buckets) > 1
+
+
+def test_context_bucketed_batch_matches(tiny_llama_dir, monkeypatch):
+    import uzu_tpu.engine.engine as eng_mod
+    from uzu_tpu import BatchEngine, LanguageModel
+
+    prompts = [[1, 2, 3], [9, 8, 7, 6, 5]]
+    lm_full = LanguageModel.from_dir(tiny_llama_dir, max_context=128,
+                                     prefill_buckets=(16,))
+    singles = [lm_full.generate_list(np.asarray(p), 30, stop_token_ids=[])
+               for p in prompts]
+
+    monkeypatch.setattr(eng_mod, "CTX_BUCKET_MIN", 16)
+    lm_b = LanguageModel.from_dir(tiny_llama_dir, max_context=128,
+                                  prefill_buckets=(16,))
+    eng = BatchEngine(lm_b, batch_size=2, decode_chunk=4, stop_token_ids=[])
+    reqs = [eng.submit(p, 30) for p in prompts]
+    eng.run()
+    for r, want in zip(reqs, singles):
+        assert r.tokens == want

@@ -135,13 +135,13 @@ class BatchEngine:
             self._insert_cache["fn"] = insert
         return self._insert_cache["fn"]
 
-    def _admit_fn(self, bucket: int):
+    def _admit_fn(self, bucket: int, ctx_bucket=None):
         """Fused admission: fresh state + prefill chunk + first-token sample
         + slot insert in ONE donated dispatch (the multi-dispatch path costs
         ~50 ms of launch overhead per admission on a remote-tunnel chip).
         Handles prompts up to the largest prefill bucket; longer prompts take
         the chunked fallback path in _admit."""
-        key = (self.sampling, bucket, self.batch_size)
+        key = (self.sampling, bucket, self.batch_size, ctx_bucket)
         cache = self.lm.__dict__.setdefault("_batch_admit_jit", {})
         if key not in cache:
             lm = self.lm
@@ -158,7 +158,8 @@ class BatchEngine:
                     ring_windows=lm.ring_windows, ring_extra=max(lm.prefill_buckets),
                 )
                 logits, fresh = decoder_forward(
-                    cfg, params, chunk, fresh, last_only=True, true_length=true_len
+                    cfg, params, chunk, fresh, last_only=True, true_length=true_len,
+                    ctx_limit=ctx_bucket,
                 )
                 first = sample(logits[0], sampling, key=jax.random.PRNGKey(seed))
 
@@ -180,8 +181,8 @@ class BatchEngine:
             cache[key] = admit
         return cache[key]
 
-    def _decode_fn(self, k: int):
-        key = (self.sampling, k, self.stop_ids, self.batch_size)
+    def _decode_fn(self, k: int, ctx_bucket=None):
+        key = (self.sampling, k, self.stop_ids, self.batch_size, ctx_bucket)
         if key not in self._decode_jit:
             cfg = self.lm.decoder_config
             sampling = self.sampling
@@ -192,7 +193,7 @@ class BatchEngine:
                 true_length = jnp.where(halted, 0, 1).astype(jnp.int32)
                 logits, state = decoder_forward(
                     cfg, params, token.reshape(1), state, last_only=True,
-                    true_length=true_length,
+                    true_length=true_length, ctx_limit=ctx_bucket,
                 )
                 nxt = sample(logits[0], sampling, key=key_t)
                 nxt = jnp.where(halted, token, nxt)
@@ -255,7 +256,7 @@ class BatchEngine:
             bucket = next(b for b in self.lm.prefill_buckets if b >= n)
             chunk = np.zeros(bucket, np.int32)
             chunk[:n] = req.prompt
-            admit = self._admit_fn(bucket)
+            admit = self._admit_fn(bucket, self.lm._ctx_bucket(bucket))
             (self._state, self._tokens, self._halted, self._remaining,
              first) = admit(
                 self.lm.params, self._state, self._tokens, self._halted,
@@ -308,7 +309,10 @@ class BatchEngine:
             keys[:, b, 1] = (
                 np.arange(k, dtype=np.uint64) + np.uint64(self._steps[b]) * np.uint64(k)
             ).astype(np.uint32)
-        decode = self._decode_fn(k)
+        # context bucket from the host position mirror; +2k margin covers
+        # the in-flight chunk the mirror has not processed yet (pipelining)
+        max_pos = max((s.pos for s in self.slots if not s.free), default=0)
+        decode = self._decode_fn(k, self.lm._ctx_bucket(max_pos + 2 * k + 1))
         self._state, self._tokens, self._halted, self._remaining, emitted = decode(
             self.lm.params, self._state, self._tokens, self._halted,
             self._remaining, jnp.asarray(keys),

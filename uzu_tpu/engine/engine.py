@@ -34,6 +34,14 @@ from .sampling import SamplingParams, push_ring, sample
 
 DEFAULT_PREFILL_BUCKETS = (16, 64, 256)
 
+# Context buckets: attention reads only the smallest power-of-two bucket of
+# cache slots covering the current position (the reference's sparse
+# grow-on-demand property, state.rs:153-185) — at max_context 8k, early
+# decode streams 1k slots of KV instead of 8k. Executables multiply per
+# bucket in use, so the floor is high enough that short-context configs
+# (max_context <= 1024, e.g. the bench flagship) keep a single bucket.
+CTX_BUCKET_MIN = 1024
+
 
 class ContextOverflowError(RuntimeError):
     """Prompt + generated tokens exceed the state's max context
@@ -175,26 +183,38 @@ class LanguageModel:
 
     # -- compiled steps ----------------------------------------------------
 
-    def _prefill_fn(self, chunk: int):
+    def _ctx_bucket(self, needed: int) -> int | None:
+        """Smallest context bucket covering `needed` slots; None = full."""
+        if self.max_context <= CTX_BUCKET_MIN:
+            return None
+        b = CTX_BUCKET_MIN
+        while b < needed:
+            b *= 2
+        return None if b >= self.max_context else b
+
+    def _prefill_fn(self, chunk: int, ctx_bucket: int | None = None):
         # params are an explicit jit argument (never closure constants): the
         # weights must stay HBM-resident arguments so XLA doesn't embed them
         # in the executable and sharding/donation stay controllable.
-        if chunk not in self._prefill_jit:
+        key = (chunk, ctx_bucket)
+        if key not in self._prefill_jit:
 
             @partial(jax.jit, donate_argnums=(2,))
             def prefill(params, tokens, state, true_length):
                 ring = state.pop("ring", None)
                 logits, state = decoder_forward(
-                    self.decoder_config, params, tokens, state, last_only=True, true_length=true_length
+                    self.decoder_config, params, tokens, state, last_only=True,
+                    true_length=true_length, ctx_limit=ctx_bucket,
                 )
                 if ring is not None:
                     state["ring"] = _ring_push_chunk(ring, tokens, true_length)
                 return logits[0], state
 
-            self._prefill_jit[chunk] = prefill
-        return self._prefill_jit[chunk]
+            self._prefill_jit[key] = prefill
+        return self._prefill_jit[key]
 
-    def _decode_fn(self, sampling: SamplingParams, steps: int, stop_ids: tuple):
+    def _decode_fn(self, sampling: SamplingParams, steps: int, stop_ids: tuple,
+                   ctx_bucket: int | None = None):
         """K decode steps fused into ONE dispatch via lax.scan, with an
         on-device halt flag: after a stop token every remaining step is an
         identity transition (true_length=0 — pos frozen, recurrent states
@@ -202,7 +222,7 @@ class LanguageModel:
         fetches K tokens per roundtrip instead of one — the TPU-side
         extension of the reference's chain_copy GPU token forwarding
         (stream.rs:580-609), sized for dispatch/transfer latency."""
-        cache_key = (sampling, steps, stop_ids)
+        cache_key = (sampling, steps, stop_ids, ctx_bucket)
         if cache_key not in self._decode_jit:
             stop_arr = jnp.asarray(stop_ids, jnp.int32) if stop_ids else None
 
@@ -216,6 +236,7 @@ class LanguageModel:
                     state,
                     last_only=True,
                     true_length=true_length,
+                    ctx_limit=ctx_bucket,
                 )
                 next_token = sample(logits[0], sampling, key=key, ring=ring)
                 next_token = jnp.where(halted, token, next_token)
@@ -288,7 +309,7 @@ class LanguageModel:
             bucket = next(b for b in self.prefill_buckets if b >= take)
             chunk = np.zeros(bucket, np.int32)
             chunk[:take] = tokens[i : i + take]
-            fn = self._prefill_fn(bucket)
+            fn = self._prefill_fn(bucket, self._ctx_bucket(pos + i + bucket))
             logits, state = fn(self.params, jnp.asarray(chunk), state, jnp.asarray(take, jnp.int32))
             i += take
         return logits, state
@@ -407,7 +428,14 @@ class LanguageModel:
                 while k > budget - dispatched:
                     k >>= 1
                 chunk_idx += 1
-                decode = self._decode_fn(sampling, k, stop_ids)
+                # steps dispatched so far touch positions < base + dispatched;
+                # this chunk reaches base + dispatched - 1 + k (first token
+                # came from prefill, hence -1)
+                base = start_pos + len(prompt_tokens)
+                decode = self._decode_fn(
+                    sampling, k, stop_ids,
+                    self._ctx_bucket(base + dispatched + k),
+                )
                 state, tokens, halted = decode(
                     self.params, state, token, halted, keys[step : step + k]
                 )

@@ -98,6 +98,12 @@ def attention_forward(
     seq_axis: str | None = None,  # sequence-parallel prefill: x/positions are
     # this device's token slice; K/V are all-gathered over the axis before
     # the cache append so every device sees the full context
+    ctx_limit: int | None = None,  # attention reads only cache slots
+    # [0, ctx_limit) — the sparse grow-on-demand analogue (state.rs:153-185):
+    # the cache buffer stays max_context-sized, but a step at position p only
+    # streams the smallest bucket covering p. Caller guarantees every live
+    # slot (incl. tree suffix) is below the limit. Ring layouts are already
+    # compact and are left alone.
 ):
     s, d = x.shape
     h, g, dh = cfg.num_heads, cfg.num_groups, cfg.head_dim
@@ -151,7 +157,13 @@ def attention_forward(
             new_kv = kv_append(kv, k_new, v_new, write_positions, true_length)
     else:
         new_kv = kv
-    k_cache, v_cache, kv_positions = kv_read(new_kv)
+
+    read_kv = new_kv
+    if ctx_limit is not None and "pos" not in new_kv:
+        c_full = next(iter(new_kv.values())).shape[0]
+        if ctx_limit < c_full:
+            read_kv = {kk: vv[:ctx_limit] for kk, vv in new_kv.items()}
+    k_cache, v_cache, kv_positions = kv_read(read_kv)
 
     scale = cfg.scale if cfg.scale is not None else float(dh) ** -0.5
     kv_valid = None
@@ -224,6 +236,7 @@ def layer_forward(
     per_layer_input=None,
     tree=None,
     seq_axis=None,
+    ctx_limit=None,
 ):
     mixer_cfg = layer_cfg.mixer_config
     pls = params.get("post_layer_scalar")
@@ -235,7 +248,7 @@ def layer_forward(
         kv = layer_state if owns else shared_kv
         a, new_state = attention_forward(
             mixer_cfg, layer_cfg, params["mixer"], h, positions, kv, owns, true_length,
-            tree, seq_axis,
+            tree, seq_axis, ctx_limit,
         )
         if not owns:
             new_state = None
@@ -296,6 +309,7 @@ def decoder_forward(
                                   # device's slice; see attention_forward)
     readout_row=None,  # explicit local row for last_only readout (the global
                        # last row lives on one device under seq_axis)
+    ctx_limit: int | None = None,  # context bucket for attention reads
 ):
     """Run the decoder; returns (logits, new_state).
 
@@ -336,6 +350,7 @@ def decoder_forward(
             per_layer[:, i] if per_layer is not None else None,
             tree,
             seq_axis,
+            ctx_limit,
         )
         new_layer_states.append(new_state)
         if i in collect_layers:

@@ -395,3 +395,29 @@ def test_facade_auto_engages_bundled_speculator(tmp_path):
     r_plain = plain.reply("hi", sampling=SamplingParams(), max_new_tokens=12)
     r_spec = sess.reply("hi", sampling=SamplingParams(), max_new_tokens=12)
     assert r_spec.text == r_plain.text  # exact-output invariant holds
+
+
+def test_speculative_chat_keeps_prefix_cache(tmp_path):
+    """Multi-turn speculative chat reuses the session KV across turns and
+    stays bit-identical to the plain path."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.sampling import SamplingParams
+    from uzu_tpu.engine.speculation import NgramSpeculator
+    from uzu_tpu.sessions import ChatSession, Tokenizer
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path / "spec_chat2"), num_layers=2,
+                         model_dim=64, hidden_dim=160, num_heads=4,
+                         num_groups=2, head_dim=16)
+    lm = LanguageModel.from_dir(d, max_context=512, prefill_buckets=(16, 64))
+    tok = Tokenizer(d)
+    greedy = SamplingParams()
+
+    plain = ChatSession(lm, tok)
+    spec = ChatSession(lm, tok, speculator=NgramSpeculator(max_ngram=3, k=4))
+    for turn in ("hello", "tell me more"):
+        r1 = plain.reply(turn, sampling=greedy, max_new_tokens=16)
+        r2 = spec.reply(turn, sampling=greedy, max_new_tokens=16)
+        assert r2.text == r1.text
+    assert spec._state is not None  # prefix cache survived speculation
+    assert len(spec._state_tokens) > 0

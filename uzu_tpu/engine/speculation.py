@@ -175,6 +175,26 @@ class SpeculativeDecoder:
         stop_token_ids=None,
         seed: int = 0,
         metrics: SpeculationMetrics | None = None,
+        state=None,
+        history_tokens=None,
+    ):
+        """Returns a SpecStream (iterable of token ids; `.state` carries the
+        final decoding state for prefix-cached sessions). `state` resumes an
+        existing state — prompt_tokens are then the uncovered suffix;
+        `history_tokens` gives the speculator the full token history."""
+        return SpecStream(self, prompt_tokens, max_new_tokens, stop_token_ids,
+                          seed, metrics, state, history_tokens)
+
+    def _generate_impl(
+        self,
+        prompt_tokens,
+        max_new_tokens: int,
+        stop_token_ids,
+        seed: int,
+        metrics: SpeculationMetrics | None,
+        init_state,
+        history_tokens,
+        out,
     ):
         lm = self.lm
         stop = set(
@@ -184,13 +204,16 @@ class SpeculativeDecoder:
         )
         if hasattr(self.speculator, "reset"):
             self.speculator.reset()
-        history = [int(t) for t in prompt_tokens]
-        state = lm.new_state()
+        history = [int(t) for t in (history_tokens if history_tokens is not None
+                                    else prompt_tokens)]
+        state = init_state if init_state is not None else lm.new_state()
+        start = int(state["pos"])
         logits, state = lm.prefill(state, np.asarray(prompt_tokens, np.int32))
         first = int(jnp.argmax(logits)) if self.sampling.is_greedy else int(
             sample(logits, self.sampling, key=jax.random.PRNGKey(seed))
         )
-        pos = len(history)  # tokens covered by KV
+        pos = start + len(prompt_tokens)  # tokens covered by KV
+        base = pos
         produced = 0
         token = first
         keys = jax.random.split(jax.random.PRNGKey(seed ^ 0xD15C), max_new_tokens * 4 + 8)
@@ -202,6 +225,7 @@ class SpeculativeDecoder:
             produced += 1
             if token in stop:
                 break
+            out.state = None  # invalidated while a round is in flight
             room = lm.max_context - pos - 1
             if room <= 0:
                 break
@@ -249,8 +273,32 @@ class SpeculativeDecoder:
                 history.append(v)
                 produced += 1
                 if v in stop or produced >= max_new_tokens:
+                    state["pos"] = jnp.asarray(base + produced - 1, jnp.int32)
+                    out.state = state
                     return
             token = emit[-1]
+        # the state covers every yielded token except the final in-flight one
+        state["pos"] = jnp.asarray(base + max(0, produced - 1), jnp.int32)
+        out.state = state
+
+
+class SpecStream:
+    """Iterable of speculatively decoded tokens; `.state` holds the final
+    decoding state after iteration completes (session prefix cache)."""
+
+    def __init__(self, decoder, prompt_tokens, max_new_tokens, stop_token_ids,
+                 seed, metrics, state, history_tokens):
+        self.state = None
+        self._gen = decoder._generate_impl(
+            prompt_tokens, max_new_tokens, stop_token_ids, seed, metrics,
+            state, history_tokens, self,
+        )
+
+    def __iter__(self):
+        return self._gen
+
+    def __next__(self):
+        return next(self._gen)
 
 
 # --------------------------------------------------------------------------

@@ -167,7 +167,8 @@ class ChatSession:
 
             spec_metrics = SpeculationMetrics()
             gen = self._spec_generate(
-                tokens, max_new_tokens, sampling, stop_ids, seed, spec_metrics
+                tokens, suffix, max_new_tokens, sampling, stop_ids, seed,
+                spec_metrics,
             )
             t0 = _time.perf_counter()
             for tok in gen:
@@ -177,9 +178,13 @@ class ChatSession:
                     yield from parser.push(delta)
             decode_s = _time.perf_counter() - t0
             yield from parser.finish()
-            # speculation re-prefills each turn; drop the prefix cache
-            self._state = None
-            self._state_tokens = []
+            final_state = getattr(gen, "state", None)
+            if final_state is not None:
+                self._state = final_state
+                self._state_tokens = list(tokens) + generated[:-1]
+            else:
+                self._state = None
+                self._state_tokens = []
             metrics.num_tokens_generated = len(generated)
             metrics.decode_seconds = decode_s
         else:
@@ -221,9 +226,10 @@ class ChatSession:
             stats=stats,
         )
 
-    def _spec_generate(self, tokens, max_new_tokens, sampling, stop_ids,
-                       seed, spec_metrics):
+    def _spec_generate(self, tokens, suffix, max_new_tokens, sampling,
+                       stop_ids, seed, spec_metrics):
         if hasattr(self.speculator, "generate"):
+            # ready decoder (DFlash): full-prompt generation, no prefix cache
             return self.speculator.generate(
                 np.asarray(tokens, np.int32), max_new_tokens,
                 stop_token_ids=stop_ids, seed=seed, metrics=spec_metrics,
@@ -235,8 +241,9 @@ class ChatSession:
                 self.model, self.speculator, sampling=sampling
             )
         return self._spec_decoders[sampling].generate(
-            np.asarray(tokens, np.int32), max_new_tokens,
+            np.asarray(suffix, np.int32), max_new_tokens,
             stop_token_ids=stop_ids, seed=seed, metrics=spec_metrics,
+            state=self._state, history_tokens=tokens,
         )
 
     def reply(

@@ -105,3 +105,20 @@ def test_telemetry_meter():
     assert r.cpu_seconds >= 0
     assert r.peak_rss_bytes > 0
     assert keep  # buffers alive across the meter window
+
+
+def test_logs_and_event_journal(tmp_path):
+    """File logging + local event journal (logs::start / telemetry parity)."""
+    import json as _json
+    import logging
+
+    from uzu_tpu.tools import logs
+
+    path = logs.start(str(tmp_path / "logs"))
+    logs.logger("uzu_tpu.test").info("hello log")
+    logs.event("reply_finished", tokens=42, model="m")
+    for h in logging.getLogger("uzu_tpu").handlers:
+        h.flush()
+    assert "hello log" in open(path).read()
+    events = [_json.loads(l) for l in open(str(tmp_path / "logs" / "events.jsonl"))]
+    assert events[0]["event"] == "reply_finished" and events[0]["tokens"] == 42

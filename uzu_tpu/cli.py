@@ -29,7 +29,23 @@ def _load_chat(model_dir: str, max_context: int):
 
     lm = LanguageModel.from_dir(model_dir, max_context=max_context)
     tok = Tokenizer(model_dir)
-    return ChatSession(lm, tok)
+    speculator = None
+    spec_cfg = os.path.join(model_dir, "speculator", "config.json")
+    if os.path.exists(spec_cfg):
+        try:
+            from uzu_tpu.engine.dflash import DFlashDraft
+            from uzu_tpu.engine.speculation import (
+                DFlashSpeculativeDecoder,
+                speculation_supported,
+            )
+
+            if speculation_supported(lm.decoder_config):
+                draft = DFlashDraft.from_dir(os.path.dirname(spec_cfg),
+                                             max_context=max_context)
+                speculator = DFlashSpeculativeDecoder(lm, draft)
+        except Exception:
+            speculator = None
+    return ChatSession(lm, tok, speculator=speculator)
 
 
 def cmd_bench(args) -> int:

@@ -221,3 +221,35 @@ def test_autotune_shapes_smoke(monkeypatch, tmp_path):
     import json as _json
 
     assert _json.load(open(p))[key] == val
+
+
+# --------------------------------------------------------------------------
+# Paged decode attention
+# --------------------------------------------------------------------------
+
+
+def test_paged_decode_attention_matches_reference():
+    """Per-slot page tables over a shared pool: kernel == gather oracle,
+    including ragged lengths, shared physical pages, and soft caps."""
+    from uzu_tpu.ops.pallas.paged_attention import (
+        paged_attention_reference,
+        paged_decode_attention,
+    )
+
+    rng = np.random.default_rng(4)
+    B, H, G, dh = 3, 8, 2, 32
+    P, page, maxp = 16, 16, 6
+    q = jnp.asarray(rng.standard_normal((B, H, dh)), jnp.float32)
+    k_pool = jnp.asarray(rng.standard_normal((G, P, page, dh)), jnp.float32)
+    v_pool = jnp.asarray(rng.standard_normal((G, P, page, dh)), jnp.float32)
+    table = jnp.asarray(rng.integers(0, P, (B, maxp), dtype=np.int64), jnp.int32)
+    table = table.at[2].set(table[0])  # slot 2 shares slot 0's pages (prefix sharing)
+    lengths = jnp.asarray([37, 96, 17], jnp.int32)
+    for cap in (None, 25.0):
+        want = paged_attention_reference(q, k_pool, v_pool, table, lengths,
+                                         scale=dh ** -0.5, logit_soft_cap=cap)
+        got = paged_decode_attention(q, k_pool, v_pool, table, lengths,
+                                     scale=dh ** -0.5, logit_soft_cap=cap,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)

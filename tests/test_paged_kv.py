@@ -77,3 +77,53 @@ def test_paged_append_and_attend_matches_dense():
         np.testing.assert_allclose(
             np.asarray(got[slot]), np.asarray(want[0]), rtol=2e-2, atol=2e-2
         )
+
+
+def test_paged_batch_engine_matches_single(tmp_path):
+    """PagedBatchEngine greedy output == single-request dense generation,
+    with ragged prompts/lengths, slot reuse, and a pool smaller than
+    B x max_context (the capacity win)."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.paged_batch import PagedBatchEngine
+    from uzu_tpu.tools.synth import llama_config, synthesize
+
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160, num_heads=4,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    d = synthesize(cfg, str(tmp_path / "paged_model"), seed=13, dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(16,))
+
+    prompts = [[1, 2, 3], [9, 8, 7, 6, 5], [42, 17], [5, 5, 5, 5]]
+    wants = [lm.generate_list(np.asarray(p), 10, stop_token_ids=[])
+             for p in prompts]
+
+    # pool: 28 usable pages of 8 tokens = 224 tokens total — less than
+    # 3 slots x 128 max_context would preallocate densely
+    eng = PagedBatchEngine(lm, batch_size=3, decode_chunk=4, num_pages=29,
+                           page_size=8, stop_token_ids=[])
+    reqs = [eng.submit(p, 10) for p in prompts]
+    eng.run()
+    for r, want in zip(reqs, wants):
+        assert r.finished
+        assert r.tokens == want
+    assert eng.pool.free_pages == 28  # everything released
+
+
+def test_paged_engine_stop_tokens(tmp_path):
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.paged_batch import PagedBatchEngine
+    from uzu_tpu.tools.synth import llama_config, synthesize
+
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160, num_heads=4,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    d = synthesize(cfg, str(tmp_path / "paged_stop"), seed=3, dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(16,))
+    base = lm.generate_list(np.asarray([1, 2, 3]), 12, stop_token_ids=[])
+    stop = base[5]
+    want = lm.generate_list(np.asarray([1, 2, 3]), 12, stop_token_ids=[stop])
+
+    eng = PagedBatchEngine(lm, batch_size=2, decode_chunk=4, num_pages=33,
+                           page_size=8, stop_token_ids=[stop])
+    r = eng.submit([1, 2, 3], 12)
+    eng.run()
+    assert r.finish_reason in ("stop", "length")
+    assert r.tokens == want

@@ -23,3 +23,4 @@ from .grammar.decode import constrained_generate  # noqa: F401
 from .grammar.matcher import GrammarSession  # noqa: F401
 from .sessions.transform import TransformSchema  # noqa: F401
 from .sessions.tts import TextToSpeechSession  # noqa: F401
+from .engine.paged_batch import PagedBatchEngine  # noqa: F401

@@ -1,0 +1,185 @@
+"""Batched decode step over a paged KV cache.
+
+One jitted function advances B slots by one token each: per layer, the
+token batch [B, D] runs the same norm/QKV/MLP math as the dense path
+(reusing ops/ and decoder helpers row-wise — each row is an independent
+sequence), K/V rows scatter into the shared page pools at each slot's
+(page, offset), and attention reads through the gather-free paged kernel
+(ops/pallas/paged_attention.py). The dense path vmaps decoder_forward per
+slot; that shape cannot express a POOL shared across slots, which is the
+whole point of paging — hence this dedicated step.
+
+Covers attention-mixer layers with the standard feature set (GQA, RoPE,
+QK norms, soft caps, gated attention, dense MLP / MoE, post scalars);
+recurrent mixers, KV sharing, PLE, and sliding windows stay on the dense
+engine (`paged_supported` gates).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config.model import (
+    AttentionConfig,
+    DecoderConfig,
+)
+from ..ops.linear import linear_apply
+from ..ops.norm import normalize
+from ..ops.rope import apply_rope, rope_tables
+from .decoder import (
+    _head_norm,
+    _inv_freq_cached,
+    embedding_lookup,
+    embedding_readout,
+    mlp_forward,
+)
+
+
+def paged_supported(cfg: DecoderConfig) -> bool:
+    tcfg = cfg.transformer_config
+    if cfg.ple_model_config is not None:
+        return False
+    for lc in tcfg.layer_configs:
+        m = lc.mixer_config
+        if not isinstance(m, AttentionConfig):
+            return False
+        if m.is_kv_sharing or lc.kv_source_layer_index is not None:
+            return False
+        if m.sliding_window_size is not None or m.has_sinks:
+            return False
+        if lc.ple_config is not None:
+            return False
+    return True
+
+
+def _attention_paged(cfg, layer_cfg, params, x, positions, pool_kv,
+                     pages, offsets, tables, lengths):
+    """x [B, D] (one token per slot); returns (attn_out [B, D], new pools).
+
+    pages/offsets [B] i32: physical page + in-page offset for each slot's
+    new token; tables [B, MAXP]; lengths [B] = tokens visible AFTER append.
+    """
+    b, d = x.shape
+    h, g, dh = cfg.num_heads, cfg.num_groups, cfg.head_dim
+    q_dim = h * dh
+
+    qkv = linear_apply(params["qkv"]["w"], x, params["qkv"].get("b"))
+    q = qkv[:, :q_dim].reshape(b, h, dh)
+    k_new = qkv[:, q_dim : q_dim + g * dh].reshape(b, g, dh)
+    v_new = qkv[:, q_dim + g * dh :].reshape(b, g, dh)
+
+    if cfg.query_norm_config is not None:
+        q = _head_norm(q, cfg.query_norm_config, params["q_norm_scales"])
+    if cfg.key_norm_config is not None:
+        k_new = _head_norm(k_new, cfg.key_norm_config, params["k_norm_scales"])
+
+    if layer_cfg.rope_config is not None:
+        inv_freq, attn_scale = _inv_freq_cached(layer_cfg.rope_config)
+        cos, sin = rope_tables(jnp.asarray(inv_freq), attn_scale, positions)
+        # apply per row: fold B into the sequence dim of apply_rope
+        q = apply_rope(q, cos, sin)
+        k_new = apply_rope(k_new, cos, sin)
+
+    k_pool, v_pool = pool_kv
+    # scatter each slot's K/V rows at (page, offset) — B tiny writes
+    for i in range(b):
+        k_pool = jax.lax.dynamic_update_slice(
+            k_pool, k_new[i].astype(k_pool.dtype)[:, None, None, :],
+            (0, pages[i], offsets[i], 0),
+        )
+        v_pool = jax.lax.dynamic_update_slice(
+            v_pool, v_new[i].astype(v_pool.dtype)[:, None, None, :],
+            (0, pages[i], offsets[i], 0),
+        )
+
+    from ..ops.pallas.paged_attention import (
+        paged_attention_reference,
+        paged_decode_attention,
+    )
+
+    scale = cfg.scale if cfg.scale is not None else float(dh) ** -0.5
+    from .. import runtime
+
+    if runtime.use_pallas() and runtime.on_tpu():
+        attn = paged_decode_attention(
+            q, k_pool, v_pool, tables, lengths, scale=scale,
+            logit_soft_cap=cfg.logit_soft_cap,
+        )
+    else:
+        attn = paged_attention_reference(
+            q, k_pool, v_pool, tables, lengths, scale=scale,
+            logit_soft_cap=cfg.logit_soft_cap,
+        )
+    attn = attn.reshape(b, q_dim)
+
+    if "gate" in params:
+        gate = linear_apply(params["gate"]["w"], x)
+        attn = (attn.astype(jnp.float32) * jax.nn.sigmoid(gate.astype(jnp.float32))).astype(attn.dtype)
+
+    out = linear_apply(params["out"]["w"], attn, params["out"].get("b"))
+    return out, (k_pool, v_pool)
+
+
+def paged_decode_step(
+    cfg: DecoderConfig,
+    params: dict,
+    pools: list,  # per-layer (k_pool, v_pool)
+    tokens: jax.Array,  # [B] i32 — input token per slot
+    tables: jax.Array,  # [B, MAXP] i32
+    positions: jax.Array,  # [B] i32 — absolute position of each input token
+):
+    """Advance every slot one token; returns (logits [B, V], new pools).
+    Appends each input token's K/V (at `positions`), attends over
+    lengths = positions + 1."""
+    tcfg = cfg.transformer_config
+    ecfg = cfg.embedding_config
+    page = pools[0][0].shape[2]
+    pages_idx = jnp.take_along_axis(
+        tables, (positions // page)[:, None], axis=1
+    )[:, 0]
+    offsets = positions % page
+    lengths = positions + 1
+
+    table = params["embedding"].get("tied", params["embedding"].get("input"))
+    x = embedding_lookup(table, tokens)
+    if ecfg.input_scale is not None:
+        x = (x.astype(jnp.float32) * ecfg.input_scale).astype(x.dtype)
+
+    new_pools = []
+    for i, layer_cfg in enumerate(tcfg.layer_configs):
+        p = params["layers"][i]
+        pls = p.get("post_layer_scalar")
+        h = (
+            normalize(x, layer_cfg.pre_mixer_norm_config,
+                      p["pre_mixer_norm"]["scales"], p["pre_mixer_norm"].get("biases"))
+            if layer_cfg.pre_mixer_norm_config else x
+        )
+        a, pool_kv = _attention_paged(
+            layer_cfg.mixer_config, layer_cfg, p["mixer"], h, positions,
+            pools[i], pages_idx, offsets, tables, lengths,
+        )
+        new_pools.append(pool_kv)
+        if layer_cfg.post_mixer_norm_config is not None:
+            a = normalize(a, layer_cfg.post_mixer_norm_config,
+                          p["post_mixer_norm"]["scales"], p["post_mixer_norm"].get("biases"))
+        x = (x.astype(jnp.float32) + a.astype(jnp.float32)).astype(x.dtype)
+        if pls is not None:
+            x = (x.astype(jnp.float32) * pls[0]).astype(x.dtype)
+        hh = normalize(x, layer_cfg.pre_mlp_norm_config,
+                       p["pre_mlp_norm"]["scales"], p["pre_mlp_norm"].get("biases"))
+        m = mlp_forward(layer_cfg.mlp_config, p["mlp"], hh)
+        if layer_cfg.post_mlp_norm_config is not None:
+            m = normalize(m, layer_cfg.post_mlp_norm_config,
+                          p["post_mlp_norm"]["scales"], p["post_mlp_norm"].get("biases"))
+            if pls is not None:
+                m = (m.astype(jnp.float32) * pls[0]).astype(m.dtype)
+        x = (x.astype(jnp.float32) + m.astype(jnp.float32)).astype(x.dtype)
+
+    x = normalize(x, tcfg.output_norm_config, params["output_norm"]["scales"],
+                  params["output_norm"].get("biases"))
+    out_table = params["embedding"].get("tied", params["embedding"].get("output"))
+    logits = embedding_readout(out_table, x, ecfg.logit_soft_cap)
+    return logits, new_pools

@@ -127,3 +127,36 @@ def test_paged_engine_stop_tokens(tmp_path):
     eng.run()
     assert r.finish_reason in ("stop", "length")
     assert r.tokens == want
+
+
+def test_batched_server_paged_engine(tmp_path):
+    """The OpenAI server runs over the paged engine."""
+    import json
+    import urllib.request
+
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.server.batched import serve_batched
+    from uzu_tpu.sessions import Tokenizer
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path / "paged_srv"), num_layers=2,
+                         model_dim=64, hidden_dim=160, num_heads=4,
+                         num_groups=2, head_dim=16)
+    lm = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16, 64))
+    httpd = serve_batched(lm, Tokenizer(d), port=0, batch_size=2,
+                          decode_chunk=4, paged=True, num_pages=65,
+                          page_size=8)
+    port = httpd.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps({"messages": [{"role": "user", "content": "hi"}],
+                             "max_tokens": 6}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.load(r)
+        assert out["usage"]["completion_tokens"] > 0
+    finally:
+        httpd.batch_server.shutdown()
+        httpd.shutdown()

@@ -254,9 +254,17 @@ class PagedBatchEngine:
                     self._finish(b, "length")
                     break
 
+    def step(self) -> bool:
+        """One scheduling action (the BatchedChatServer scheduler-thread
+        contract); returns False when fully idle."""
+        admitted = False
+        while self._admit():
+            admitted = True
+        if self.num_active:
+            self._decode_chunk()
+            return True
+        return admitted or bool(self.queue)
+
     def run(self) -> None:
         while self.queue or self.num_active:
-            while self._admit():
-                pass
-            if self.num_active:
-                self._decode_chunk()
+            self.step()

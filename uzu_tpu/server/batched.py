@@ -32,6 +32,8 @@ class BatchedChatServer:
         batch_size: int = 4,
         decode_chunk: int = 8,
         sampling: SamplingParams | None = None,
+        paged: bool = False,
+        **engine_kw,
     ):
         self.lm = lm
         self.tokenizer = tokenizer
@@ -41,12 +43,18 @@ class BatchedChatServer:
         for i in tokenizer.eos_token_ids:
             if i not in stop_ids:
                 stop_ids.append(i)
-        self.engine = BatchEngine(
+        engine_cls = BatchEngine
+        if paged:
+            from ..engine.paged_batch import PagedBatchEngine
+
+            engine_cls = PagedBatchEngine
+        self.engine = engine_cls(
             lm,
             batch_size=batch_size,
             decode_chunk=decode_chunk,
             sampling=sampling or SamplingParams(),
             stop_token_ids=stop_ids,
+            **engine_kw,
         )
         self._lock = threading.Lock()
         self._wake = threading.Event()

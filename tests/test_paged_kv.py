@@ -160,3 +160,37 @@ def test_batched_server_paged_engine(tmp_path):
     finally:
         httpd.batch_server.shutdown()
         httpd.shutdown()
+
+
+def test_paged_prefix_sharing(tmp_path):
+    """Two concurrent requests with a common prompt prefix share physical
+    pages (refcounted), use fewer pool pages than independent admission,
+    and still produce exactly the single-request outputs."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.paged_batch import PagedBatchEngine
+    from uzu_tpu.tools.synth import llama_config, synthesize
+
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160, num_heads=4,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    d = synthesize(cfg, str(tmp_path / "share_model"), seed=13, dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(32,))
+
+    shared = [(i * 7) % 256 for i in range(20)]  # 2 full pages of 8 + tail
+    p1 = shared + [3, 4]
+    p2 = shared + [200, 201, 202]
+    w1 = lm.generate_list(np.asarray(p1), 8, stop_token_ids=[])
+    w2 = lm.generate_list(np.asarray(p2), 8, stop_token_ids=[])
+
+    eng = PagedBatchEngine(lm, batch_size=2, decode_chunk=4, num_pages=33,
+                           page_size=8, stop_token_ids=[])
+    r1 = eng.submit(p1, 8)
+    r2 = eng.submit(p2, 8)
+    while eng._admit():
+        pass
+    t1 = eng.pool.table(0, eng.max_pages)
+    t2 = eng.pool.table(1, eng.max_pages)
+    assert t1[:2].tolist() == t2[:2].tolist()  # 2 shared physical pages
+    assert t1[2] != t2[2]
+    eng.run()
+    assert r1.tokens == w1 and r2.tokens == w2
+    assert eng.pool.free_pages == 32

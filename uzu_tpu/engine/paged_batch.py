@@ -65,6 +65,7 @@ class PagedBatchEngine:
         ))
         self.slots = [_Slot() for _ in range(batch_size)]
         self.queue: deque[Request] = deque()
+        self._slot_prompts: dict[int, list[int]] = {}
         self._next_id = 0
         self._tokens = jnp.zeros((batch_size,), jnp.int32)
         self._positions = jnp.zeros((batch_size,), jnp.int32)
@@ -81,7 +82,7 @@ class PagedBatchEngine:
             trash = self._trash_page
 
             @partial(jax.jit, donate_argnums=(0,))
-            def copy_in(pools, dense_caches, page_arr, n_pages):
+            def copy_in(pools, dense_caches, page_arr, n_pages, skip_below):
                 out = []
                 for pool_kv, cache in zip(pools, dense_caches):
                     k_pool, v_pool = pool_kv
@@ -90,7 +91,9 @@ class PagedBatchEngine:
 
                     def body(j, kv):
                         kp, vp = kv
-                        dest = jnp.where(j < n_pages, page_arr[j], trash)
+                        dest = jnp.where(
+                            (j >= skip_below) & (j < n_pages), page_arr[j], trash
+                        )
                         src_k = jax.lax.dynamic_slice(
                             k_t, (0, j * page, 0),
                             (k_t.shape[0], page, k_t.shape[2]),
@@ -178,14 +181,36 @@ class PagedBatchEngine:
         fs = self.lm._first_sample_fn(self.sampling, False)
         first = fs(logits, np.uint32(req.seed))
 
+        # prompt prefix sharing: FULL pages of the longest common prefix
+        # with a live slot's prompt point at the same physical pages (the
+        # KV there is deterministic-identical); decode writes always land
+        # at page indices >= the shared range, so no COW is needed
+        shared_pages = 0
+        best_src = None
+        for src_i, src_prompt in self._slot_prompts.items():
+            if self.slots[src_i].free or src_i == slot_i:
+                continue
+            common = 0
+            for a, b in zip(src_prompt, req.prompt):
+                if a != b:
+                    break
+                common += 1
+            cand = common // self.page_size
+            if cand > shared_pages:
+                shared_pages, best_src = cand, src_i
+        if best_src is not None and shared_pages > 0:
+            self.pool.share_prefix(best_src, slot_i, shared_pages)
+        else:
+            self.pool.release(slot_i)
         pages = self.pool.ensure(slot_i, n + 1)
         page_arr = np.zeros(self.max_pages, np.int32)
         page_arr[: len(pages)] = pages
         dense = [st for st in state["layers"]]
         self.pools = self._copy_in_fn()(
             self.pools, dense, jnp.asarray(page_arr),
-            np.int32(-(-n // self.page_size)),
+            np.int32(-(-n // self.page_size)), np.int32(shared_pages),
         )
+        self._slot_prompts[slot_i] = list(req.prompt)
         self._tokens = self._tokens.at[slot_i].set(first)
         self._positions = self._positions.at[slot_i].set(n)
         self._halted = self._halted.at[slot_i].set(False)

@@ -7,6 +7,13 @@ actual tokens — B slots at max_context no longer preallocate
 B x max_context, and a shared prompt prefix can be one set of physical
 pages (PagePool.share_prefix).
 
+Numerics: with the Pallas paged kernel engaged (real TPU), streams are
+numerically equivalent but not bit-identical to the dense engine — the
+kernel's bf16 dot rounding differs from the XLA einsum path's, and greedy
+argmax near-ties can pick differently (verified on-chip: the engine runs
+end-to-end; the kernel itself matches its gather oracle to 4e-4). On the
+CPU oracle path the streams are bit-exact (tests pin this).
+
 v1 scope: greedy/sampled decode correctness with host-side scheduling —
 admission via the dense chunked prefill (then one jitted copy of the
 prompt KV into the slot's pages), K fused decode steps per dispatch with

@@ -194,3 +194,82 @@ def test_paged_prefix_sharing(tmp_path):
     eng.run()
     assert r1.tokens == w1 and r2.tokens == w2
     assert eng.pool.free_pages == 32
+
+
+def test_paged_finished_slot_cannot_corrupt_live_pages(tmp_path):
+    """Regression: a free/finished slot keeps scattering stale K/V every
+    fused decode step. Its page-table row must point at the reserved trash
+    page — with a zero-filled row the writes land in physical page 0, the
+    first page the allocator hands a LIVE slot, silently corrupting its
+    prompt KV."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.paged_batch import PagedBatchEngine
+    from uzu_tpu.tools.synth import llama_config, synthesize
+
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160, num_heads=4,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    d = synthesize(cfg, str(tmp_path / "trash_model"), seed=13, dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(16,))
+
+    eng = PagedBatchEngine(lm, batch_size=2, decode_chunk=4, num_pages=33,
+                           page_size=8, stop_token_ids=[])
+    # empty engine: every table entry must already be the trash page
+    assert (np.asarray(eng._tables()) == eng._trash_page).all()
+
+    ra = eng.submit(list(range(1, 13)), 24)  # slot 0; prompt fills page 0
+    rb = eng.submit([7, 7], 2)               # slot 1; finishes in chunk 1
+    eng.step()
+    assert rb.finished
+    pages_a = eng.pool.pages(0)
+    assert pages_a[0] == 0  # the allocator's first page — the corruption target
+    snaps = [np.asarray(kp[:, pages_a[0]]) for kp, _ in eng.pools]
+    t = np.asarray(eng._tables())
+    assert (t[1] == eng._trash_page).all()  # finished slot's row is trash
+    while not ra.finished:
+        eng.step()
+    # slot 0's prompt page survived the finished slot's stale scatters
+    for (kp, _), snap in zip(eng.pools, snaps):
+        np.testing.assert_array_equal(np.asarray(kp[:, pages_a[0]]), snap)
+
+
+def test_paged_pool_overflow_backpressure(tmp_path):
+    """Pool exhaustion must apply backpressure (defer admission) or finish
+    the un-growable request — never raise out of the scheduler loop."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.paged_batch import PagedBatchEngine
+    from uzu_tpu.tools.synth import llama_config, synthesize
+
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160, num_heads=4,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    d = synthesize(cfg, str(tmp_path / "ovf_model"), seed=13, dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(16,))
+    w1 = lm.generate_list(np.asarray([1, 2, 3]), 20, stop_token_ids=[])
+    w2 = lm.generate_list(np.asarray([9, 8, 7]), 20, stop_token_ids=[])
+
+    # 4 usable pages x 8 = 32 tokens: the two requests cannot coexist, so
+    # the second must WAIT for the first to release its pages
+    eng = PagedBatchEngine(lm, batch_size=2, decode_chunk=4, num_pages=5,
+                           page_size=8, stop_token_ids=[])
+    ra = eng.submit([1, 2, 3], 20)
+    rb = eng.submit([9, 8, 7], 20)
+    eng.run()
+    assert ra.finished and ra.tokens == w1
+    assert rb.finished and rb.tokens == w2
+    assert rb.preempted >= 1  # evicted for recompute, stream still exact
+
+    # a prompt that can NEVER fit fails cleanly instead of deadlocking
+    rc = eng.submit(list(range(1, 40)), 4)
+    eng.run()
+    assert rc.finished and rc.finish_reason == "length" and rc.tokens == []
+
+    # mid-decode growth past the pool finishes the request as "length"
+    rd = eng.submit([5, 4, 3], 60)  # wants 63 tokens; pool caps at 32
+    eng.run()
+    assert rd.finished and rd.finish_reason == "length"
+    assert rd.tokens == w_prefix(lm, [5, 4, 3], rd.tokens)
+
+
+def w_prefix(lm, prompt, got):
+    """The solo-run stream truncated to len(got) (overflow-finish prefix)."""
+    want = lm.generate_list(np.asarray(prompt), len(got), stop_token_ids=[])
+    return want

@@ -51,6 +51,7 @@ class Request:
     tokens: list[int] = dataclasses.field(default_factory=list)
     finished: bool = False
     finish_reason: str = ""
+    preempted: int = 0  # times evicted for recompute (paged engine)
     submitted_at: float = 0.0
     first_token_at: float = 0.0
     finished_at: float = 0.0

@@ -111,6 +111,8 @@ class Engine:
         info = self.model(model_id)
         lm = self.language_model(model_id, max_context=max_context, **kw)
         speculator = None
+        if speculate is True:  # a truthy flag must never silently downgrade
+            speculate = "auto"
         if speculate == "auto":
             spec_dir = os.path.join(info.path, "speculator")
             if os.path.exists(os.path.join(spec_dir, "config.json")):

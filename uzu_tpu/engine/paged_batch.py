@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.paged_decode import paged_decode_step, paged_supported
-from ..models.paged_kv import PagePool, init_pools
+from ..models.paged_kv import PagePool, PagePoolOverflow, init_pools
 from .batch import Request, _Slot
 from .engine import LanguageModel
 from .sampling import SamplingParams, sample
@@ -73,6 +73,8 @@ class PagedBatchEngine:
         self.slots = [_Slot() for _ in range(batch_size)]
         self.queue: deque[Request] = deque()
         self._slot_prompts: dict[int, list[int]] = {}
+        self._admit_order: dict[int, int] = {}  # slot -> admission seq
+        self._admit_seq = 0
         self._next_id = 0
         self._tokens = jnp.zeros((batch_size,), jnp.int32)
         self._positions = jnp.zeros((batch_size,), jnp.int32)
@@ -179,6 +181,27 @@ class PagedBatchEngine:
         slot_i = next((i for i, s in enumerate(self.slots) if s.free), None)
         if slot_i is None:
             return False
+        # backpressure: a pool-exhausted admission must not raise out of the
+        # scheduler loop (it would hang every in-flight request). A prompt
+        # that can NEVER fit fails immediately; one that can fit later waits
+        # in the queue until decode growth/releases free enough pages.
+        peek = self.queue[0]
+        needed = -(-(len(peek.prompt) + 1) // self.page_size)
+        if needed > self.pool.num_pages:
+            self.queue.popleft()
+            peek.finished = True
+            peek.finish_reason = "length"
+            peek.finished_at = time.perf_counter()
+            return True
+        if peek.preempted:
+            # a once-preempted request re-enters only when its FULL need
+            # fits, else admission/preemption would ping-pong (each cycle
+            # re-prefilling it from scratch)
+            needed = -(-(len(peek.prompt) + peek.max_new_tokens + 1)
+                       // self.page_size)
+            needed = min(needed, self.pool.num_pages)
+        if needed > self.pool.free_pages:
+            return False
         req = self.queue.popleft()
         slot = self.slots[slot_i]
         n = len(req.prompt)
@@ -228,6 +251,8 @@ class PagedBatchEngine:
         slot.request = req
         slot.produced = 1
         slot.pos = n
+        self._admit_order[slot_i] = self._admit_seq
+        self._admit_seq += 1
         if val in self.stop_ids or req.max_new_tokens <= 1:
             self._finish(slot_i, "stop" if val in self.stop_ids else "length")
         return True
@@ -242,19 +267,68 @@ class PagedBatchEngine:
         req.finished_at = time.perf_counter()
         slot.request = None
         self.pool.release(slot_i)
+        self._admit_order.pop(slot_i, None)
         self._halted = self._halted.at[slot_i].set(True)
 
+    def _preempt(self, slot_i: int):
+        """Evict a slot for recompute: release its pages and requeue the
+        request from scratch (queue FRONT). Sampling keys are deterministic
+        per (seed, produced-index), so the re-run reproduces the exact same
+        stream — vLLM's recompute preemption, made lossless by design."""
+        slot = self.slots[slot_i]
+        req = slot.request
+        req.tokens = []
+        req.preempted += 1
+        slot.request = None
+        self.pool.release(slot_i)
+        self._slot_prompts.pop(slot_i, None)
+        self._admit_order.pop(slot_i, None)
+        self._halted = self._halted.at[slot_i].set(True)
+        self.queue.appendleft(req)
+
     def _tables(self) -> jnp.ndarray:
-        return jnp.asarray(np.stack([
-            self.pool.table(i, self.max_pages) for i in range(self.batch_size)
-        ]))
+        """[B, MAXP] page tables. Free/halted slots and unused tail entries
+        point at the reserved trash page: a halted slot keeps scattering its
+        (stale) K/V every fused step at frozen (pos // page, pos % page) —
+        with a zero-filled table those writes land in physical page 0, which
+        is the first page the allocator hands to a LIVE slot, silently
+        corrupting its prompt KV. Reads are masked by lengths either way, so
+        pointing every inactive entry at the trash page makes the writes
+        harmless without branching in the kernel."""
+        trash = self._trash_page
+        rows = np.full((self.batch_size, self.max_pages), trash, np.int32)
+        for i, slot in enumerate(self.slots):
+            if slot.free:
+                continue
+            pages = self.pool.pages(i)
+            rows[i, : len(pages)] = pages
+        return jnp.asarray(rows)
 
     def _decode_chunk(self):
         k = self.decode_chunk
-        # pre-allocate pages covering the whole chunk for every live slot
+        # pre-allocate pages covering the whole chunk for every live slot.
+        # Growth overflow preempts the YOUNGEST live slot for recompute
+        # (FCFS completes; the evictee reproduces its exact stream later);
+        # if the overflowing slot is alone it is capacity-bound — finish it
+        # as "length" rather than raising out of the scheduler loop.
         for i, slot in enumerate(self.slots):
-            if not slot.free:
-                self.pool.ensure(i, slot.pos + k + 2)
+            while not slot.free:
+                # the chunk appends K/V at positions pos .. pos+steps-1
+                # (device steps past the budget are discarded by the host
+                # and their writes land on the trash page)
+                steps = min(k, slot.request.max_new_tokens - slot.produced)
+                try:
+                    self.pool.ensure(i, slot.pos + max(steps, 1))
+                    break
+                except PagePoolOverflow:
+                    live = [j for j in self._admit_order if not self.slots[j].free]
+                    youngest = max(live, key=self._admit_order.__getitem__)
+                    if youngest == i and len(live) == 1:
+                        self._finish(i, "length")
+                    else:
+                        self._preempt(youngest)
+        if not self.num_active:
+            return
         keys = np.zeros((k, self.batch_size, 2), np.uint32)
         for b, slot in enumerate(self.slots):
             if not slot.free:

@@ -73,10 +73,14 @@ class PagePool:
             if self._refcount[p] == 0:
                 self._free.append(p)
 
-    def table(self, slot: int, max_pages: int) -> np.ndarray:
-        """[MAXP] i32 page table (0-filled tail; mask via lengths)."""
+    def pages(self, slot: int) -> list[int]:
+        """The slot's current logical->physical page list (possibly empty)."""
+        return list(self._slots.get(slot, []))
+
+    def table(self, slot: int, max_pages: int, fill: int = 0) -> np.ndarray:
+        """[MAXP] i32 page table (`fill`-padded tail; mask via lengths)."""
         pages = self._slots.get(slot, [])
-        out = np.zeros(max_pages, np.int32)
+        out = np.full(max_pages, fill, np.int32)
         out[: len(pages)] = pages
         return out
 

@@ -23,11 +23,11 @@ import sys
 import time
 
 
-def _load_chat(model_dir: str, max_context: int):
+def _load_chat(model_dir: str, max_context: int, tp=None, dp=None):
     from uzu_tpu import LanguageModel
     from uzu_tpu.sessions import ChatSession, Tokenizer
 
-    lm = LanguageModel.from_dir(model_dir, max_context=max_context)
+    lm = LanguageModel.from_dir(model_dir, max_context=max_context, tp=tp, dp=dp)
     tok = Tokenizer(model_dir)
     speculator = None
     spec_cfg = os.path.join(model_dir, "speculator", "config.json")
@@ -53,7 +53,7 @@ def cmd_bench(args) -> int:
 
     with open(args.task) as f:
         task = json.load(f)
-    session = _load_chat(args.model_dir, args.max_context)
+    session = _load_chat(args.model_dir, args.max_context, args.tp, args.dp)
 
     messages = [
         {"role": m["role"], "content": m["content"]} for m in task.get("messages", [])
@@ -121,12 +121,13 @@ def cmd_serve(args) -> int:
         from uzu_tpu.server import serve_batched
         from uzu_tpu.sessions import Tokenizer
 
-        lm = LanguageModel.from_dir(args.model_dir, max_context=args.max_context)
+        lm = LanguageModel.from_dir(args.model_dir, max_context=args.max_context,
+                                    tp=args.tp, dp=args.dp)
         httpd = serve_batched(lm, Tokenizer(args.model_dir), host=args.host,
                               port=args.port, model_name=name,
                               batch_size=args.batch_size)
     else:
-        session = _load_chat(args.model_dir, args.max_context)
+        session = _load_chat(args.model_dir, args.max_context, args.tp, args.dp)
         from uzu_tpu.server import serve
 
         httpd = serve(session, host=args.host, port=args.port, model_name=name)
@@ -142,7 +143,7 @@ def cmd_serve(args) -> int:
 def cmd_chat(args) -> int:
     from uzu_tpu.engine.sampling import SamplingParams
 
-    session = _load_chat(args.model_dir, args.max_context)
+    session = _load_chat(args.model_dir, args.max_context, args.tp, args.dp)
     sampling = SamplingParams(temperature=args.temperature, top_p=0.95) \
         if args.temperature else SamplingParams()
     print("(interactive chat; empty line or Ctrl-D to exit)")
@@ -249,7 +250,7 @@ def cmd_ppl(args) -> int:
     from uzu_tpu.tools.quality import sequence_nll
 
     lm = LanguageModel.from_dir(args.model_dir, max_context=args.max_context,
-                                kv_quant=args.kv_quant)
+                                kv_quant=args.kv_quant, tp=args.tp, dp=args.dp)
     tok = Tokenizer(args.model_dir)
     with open(args.textfile) as f:
         ids = tok.encode(f.read())[: args.max_context]
@@ -272,6 +273,15 @@ def _version() -> str:
     return getattr(uzu_tpu, "__version__", "0.1.0")
 
 
+def _mesh_flags(sp) -> None:
+    """Multi-chip serving flags: shard the model over a (dp, tp) device mesh
+    (GSPMD; no flags = single-device)."""
+    sp.add_argument("--tp", type=int, default=None,
+                    help="tensor-parallel ways (shards heads/hidden over chips)")
+    sp.add_argument("--dp", type=int, default=None,
+                    help="data-parallel ways (shards batch slots over chips)")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="uzu_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -279,6 +289,7 @@ def main(argv=None) -> int:
     b = sub.add_parser("bench")
     b.add_argument("model_dir"); b.add_argument("task"); b.add_argument("out")
     b.add_argument("--max-context", type=int, default=4096, dest="max_context")
+    _mesh_flags(b)
     b.set_defaults(fn=cmd_bench)
 
     s = sub.add_parser("serve")
@@ -288,6 +299,7 @@ def main(argv=None) -> int:
     s.add_argument("--batched", action="store_true",
                    help="continuous batching (concurrent requests share the chip)")
     s.add_argument("--batch-size", type=int, default=4, dest="batch_size")
+    _mesh_flags(s)
     s.set_defaults(fn=cmd_serve)
 
     c = sub.add_parser("chat")
@@ -295,6 +307,7 @@ def main(argv=None) -> int:
     c.add_argument("--max-tokens", type=int, default=512, dest="max_tokens")
     c.add_argument("--temperature", type=float, default=None)
     c.add_argument("--max-context", type=int, default=4096, dest="max_context")
+    _mesh_flags(c)
     c.set_defaults(fn=cmd_chat)
 
     cl = sub.add_parser("classify")
@@ -320,6 +333,7 @@ def main(argv=None) -> int:
     pp.add_argument("model_dir"); pp.add_argument("textfile")
     pp.add_argument("--max-context", type=int, default=2048, dest="max_context")
     pp.add_argument("--kv-quant", action="store_true", dest="kv_quant")
+    _mesh_flags(pp)
     pp.set_defaults(fn=cmd_ppl)
 
     args = p.parse_args(argv)

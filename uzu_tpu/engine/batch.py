@@ -89,6 +89,14 @@ class BatchEngine:
         self.lm = lm
         self.batch_size = batch_size
         self.decode_chunk = decode_chunk
+        if lm.mesh is not None:
+            from ..parallel.mesh import dp_size
+
+            if batch_size % dp_size(lm.mesh):
+                raise ValueError(
+                    f"batch_size={batch_size} must be a multiple of the mesh's "
+                    f"dp={dp_size(lm.mesh)} (slots shard over dp)"
+                )
         self.sampling = sampling or SamplingParams()
         self.stop_ids = tuple(
             sorted(

@@ -76,6 +76,9 @@ class LanguageModel:
         max_context: int = 4096,
         prefill_buckets=DEFAULT_PREFILL_BUCKETS,
         shard_fn=None,
+        mesh=None,
+        tp: int | None = None,
+        dp: int | None = None,
         kv_quant: bool = False,
         ring_windows: bool = False,
     ):
@@ -89,7 +92,25 @@ class LanguageModel:
         self.max_decode_chunk = 64
         self.kv_quant = kv_quant
         self.ring_windows = ring_windows
-        self.params = shard_fn(params) if shard_fn is not None else params
+        # multi-chip: a (dp, tp) mesh makes THIS model a distributed model —
+        # params get Megatron-style GSPMD shardings, every state this model
+        # creates is sharded to match, and the existing jitted steps compile
+        # over the mesh with XLA-inserted collectives (no separate code path;
+        # the parallel/ layer provides the partition specs). `tp=`/`dp=`
+        # build the mesh over all visible devices.
+        if mesh is None and (tp is not None or dp is not None):
+            from ..parallel import make_mesh
+
+            mesh = make_mesh(tp=tp, dp=dp)
+        self.mesh = mesh
+        if shard_fn is not None:
+            self.params = shard_fn(params)
+        elif mesh is not None:
+            from ..parallel import shard_decoder_params
+
+            self.params = shard_decoder_params(self.decoder_config, params, mesh)
+        else:
+            self.params = params
         self._prefill_jit = {}
         self._decode_jit = {}
 
@@ -132,7 +153,20 @@ class LanguageModel:
                     )
                 return state
 
-            cache[key] = jax.jit(build)
+            if self.mesh is not None:
+                # the fresh state comes out of the compiled builder already
+                # sharded (KV heads over tp, slot dim over dp when batched) —
+                # no host round-trip or resharding transfer afterwards
+                from ..parallel.sharding import state_specs
+
+                shapes = jax.eval_shape(build)
+                specs = state_specs(
+                    self.decoder_config, shapes, self.mesh,
+                    batched=batch_size > 0,
+                )
+                cache[key] = jax.jit(build, out_shardings=specs)
+            else:
+                cache[key] = jax.jit(build)
         return cache[key]()
 
     def recommended_max_context(self, memory_budget_bytes: int | None = None,

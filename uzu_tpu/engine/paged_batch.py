@@ -65,6 +65,19 @@ class PagedBatchEngine:
         self.pool = PagePool(num_pages=num_pages - 1, page_size=page_size)
         self._trash_page = num_pages - 1
         self.pools = init_pools(lm.decoder_config, num_pages, page_size)
+        if lm.mesh is not None:
+            # the page pools are GLOBAL (shared across slots), so only the
+            # kv-head dim shards (over tp); slots do not split over dp here —
+            # a dp>1 mesh simply replicates the pools across dp rows
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import TP_AXIS
+
+            s = NamedSharding(lm.mesh, P(TP_AXIS, None, None, None))
+            self.pools = [
+                None if pk is None else tuple(jax.device_put(x, s) for x in pk)
+                for pk in self.pools
+            ]
         self.sampling = sampling or SamplingParams()
         self.stop_ids = tuple(sorted(
             stop_token_ids if stop_token_ids is not None

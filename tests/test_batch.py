@@ -153,3 +153,67 @@ def test_batched_server_concurrent_requests(tmp_path_factory):
     finally:
         httpd.batch_server.shutdown()
         httpd.shutdown()
+
+
+def test_long_admission_does_not_stall_decode(lm):
+    """Head-of-line fix: admitting a long (multi-chunk) prompt interleaves
+    its prefill chunks with decode chunks, so an active stream keeps
+    producing tokens throughout the admission window instead of freezing
+    for the whole prefill."""
+    # long prompt: 96 tokens through 16-token buckets = 6 prefill chunks
+    long_prompt = [(i * 11) % 256 for i in range(96)]
+    want_a = lm.generate_list(np.asarray([1, 2, 3]), 40, stop_token_ids=[])
+    want_b = lm.generate_list(np.asarray(long_prompt), 8, stop_token_ids=[])
+
+    eng = BatchEngine(lm, batch_size=2, decode_chunk=4, stop_token_ids=[])
+    ra = eng.submit([1, 2, 3], 40)
+    eng.step()  # ra admitted + first decode chunk in flight
+    rb = eng.submit(long_prompt, 8)
+
+    gains = []  # ra tokens gained per scheduler step while rb is admitting
+    admit_steps = 0
+    while eng._admitting is not None or not any(
+        (not s.free) and s.request is rb for s in eng.slots
+    ):
+        before = len(ra.tokens)
+        eng.step()
+        gains.append(len(ra.tokens) - before)
+        admit_steps += 1
+        assert admit_steps < 50, "admission never completed"
+    # admission spanned multiple scheduler steps (one prefill chunk each)...
+    assert admit_steps >= 6, f"expected chunked admission, got {admit_steps} steps"
+    # ...and ra kept streaming during the window (pipelined fetch lags one
+    # chunk, so allow the first step to gain nothing)
+    assert sum(gains) >= (admit_steps - 2) * 4, (gains, admit_steps)
+    eng.run()
+    assert ra.tokens == want_a and rb.tokens == want_b
+
+
+def test_long_admission_paged_engine_interleaves(model_dir):
+    """Same head-of-line property for the paged engine."""
+    from uzu_tpu.engine.paged_batch import PagedBatchEngine
+
+    lm = LanguageModel.from_dir(model_dir, max_context=256, prefill_buckets=(16,))
+    long_prompt = [(i * 11) % 256 for i in range(96)]
+    want_a = lm.generate_list(np.asarray([1, 2, 3]), 40, stop_token_ids=[])
+    want_b = lm.generate_list(np.asarray(long_prompt), 8, stop_token_ids=[])
+
+    eng = PagedBatchEngine(lm, batch_size=2, decode_chunk=4, num_pages=33,
+                           page_size=8, stop_token_ids=[])
+    ra = eng.submit([1, 2, 3], 40)
+    eng.step()
+    rb = eng.submit(long_prompt, 8)
+    gains = []
+    admit_steps = 0
+    while eng._admitting is not None or not any(
+        (not s.free) and s.request is rb for s in eng.slots
+    ):
+        before = len(ra.tokens)
+        eng.step()
+        gains.append(len(ra.tokens) - before)
+        admit_steps += 1
+        assert admit_steps < 50, "admission never completed"
+    assert admit_steps >= 6, f"expected chunked admission, got {admit_steps} steps"
+    assert sum(gains) >= (admit_steps - 2) * 4, (gains, admit_steps)
+    eng.run()
+    assert ra.tokens == want_a and rb.tokens == want_b

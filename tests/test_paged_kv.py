@@ -218,7 +218,8 @@ def test_paged_finished_slot_cannot_corrupt_live_pages(tmp_path):
 
     ra = eng.submit(list(range(1, 13)), 24)  # slot 0; prompt fills page 0
     rb = eng.submit([7, 7], 2)               # slot 1; finishes in chunk 1
-    eng.step()
+    eng.step()  # admits ra (goes live) + first decode chunk
+    eng.step()  # admits rb + decode chunk that finishes it
     assert rb.finished
     pages_a = eng.pool.pages(0)
     assert pages_a[0] == 0  # the allocator's first page — the corruption target

@@ -117,6 +117,12 @@ class BatchEngine:
         # so an overrun chunk can never produce extra state transitions
         self._remaining = jnp.zeros((batch_size,), jnp.int32)
         self._pending = None  # (emitted array [K, B], snapshot {slot: req})
+        # in-progress LONG-prompt admission: [req, fresh_state, consumed,
+        # slot_i]. Long prefills advance ONE chunk per scheduler step,
+        # interleaved with decode chunks, so admitting a max_context prompt
+        # never stalls active streams (head-of-line blocking fix); the slot
+        # is reserved but stays halted until the insert.
+        self._admitting = None
         # executable caches live on the model so engines are cheap to build
         self._decode_jit = lm.__dict__.setdefault("_batch_decode_jit", {})
         self._insert_cache = lm.__dict__.setdefault("_batch_insert_jit", {})
@@ -249,49 +255,81 @@ class BatchEngine:
         return sum(0 if s.free else 1 for s in self.slots)
 
     def _admit(self) -> bool:
-        """Prefill the next queued request into a free slot. Returns True if
-        a request was admitted."""
+        """Advance admission by ONE dispatch of work. A short prompt (fits
+        the largest prefill bucket) admits in one fused dispatch; a long
+        prompt prefills one chunk per call into a reserved slot's fresh
+        state and inserts when complete. Returns True if any admission work
+        was done — the scheduler interleaves these calls with decode chunks
+        so active streams never stall behind a long admission."""
+        if self._admitting is not None:
+            return self._admit_advance_long()
         if not self.queue:
             return False
-        slot_i = next((i for i, s in enumerate(self.slots) if s.free), None)
+        slot_i = next(
+            (i for i, s in enumerate(self.slots) if s.free), None
+        )
         if slot_i is None:
             return False
         req = self.queue.popleft()
-        slot = self.slots[slot_i]
-        remaining0 = np.int32(max(0, req.max_new_tokens - 1))
 
         n = len(req.prompt)
-        if n <= self.lm.prefill_buckets[-1]:
-            bucket = next(b for b in self.lm.prefill_buckets if b >= n)
-            chunk = np.zeros(bucket, np.int32)
-            chunk[:n] = req.prompt
-            admit = self._admit_fn(bucket, self.lm._ctx_bucket(bucket))
-            (self._state, self._tokens, self._halted, self._remaining,
-             first) = admit(
-                self.lm.params, self._state, self._tokens, self._halted,
-                self._remaining, jnp.asarray(chunk), np.int32(n),
-                np.uint32(req.seed), remaining0, np.int32(slot_i),
-            )
-        else:
-            # long prompt: chunked prefill into a fresh state, then insert
-            state = self.lm.new_state()
-            logits, state = self.lm.prefill(state, np.asarray(req.prompt, np.int32))
-            fs = self.lm._first_sample_fn(self.sampling, False)
-            first = fs(logits, np.uint32(req.seed))
-            insert = self._insert_fn()
-            self._state, self._tokens, self._halted, self._remaining = insert(
-                self._state, state, first, jnp.asarray(False),
-                self._tokens, self._halted, self._remaining,
-                jnp.asarray(remaining0), slot_i,
-            )
+        if n > self.lm.prefill_buckets[-1]:
+            self._admitting = [req, self.lm.new_state(), 0, slot_i]
+            return self._admit_advance_long()
+        remaining0 = np.int32(max(0, req.max_new_tokens - 1))
+        bucket = next(b for b in self.lm.prefill_buckets if b >= n)
+        chunk = np.zeros(bucket, np.int32)
+        chunk[:n] = req.prompt
+        admit = self._admit_fn(bucket, self.lm._ctx_bucket(bucket))
+        (self._state, self._tokens, self._halted, self._remaining,
+         first) = admit(
+            self.lm.params, self._state, self._tokens, self._halted,
+            self._remaining, jnp.asarray(chunk), np.int32(n),
+            np.uint32(req.seed), remaining0, np.int32(slot_i),
+        )
+        self._finish_admission(slot_i, req, first)
+        return True
+
+    def _admit_advance_long(self) -> bool:
+        """One prefill chunk of the in-progress long admission; inserts the
+        finished state into its reserved slot on the last chunk."""
+        req, state, i, slot_i = self._admitting
+        prompt = req.prompt
+        n = len(prompt)
+        max_chunk = self.lm.prefill_buckets[-1]
+        take = min(n - i, max_chunk)
+        bucket = next(b for b in self.lm.prefill_buckets if b >= take)
+        chunk = np.zeros(bucket, np.int32)
+        chunk[:take] = prompt[i : i + take]
+        fn = self.lm._prefill_fn(bucket, self.lm._ctx_bucket(i + bucket))
+        logits, state = fn(self.lm.params, jnp.asarray(chunk), state,
+                           jnp.asarray(take, jnp.int32))
+        i += take
+        if i < n:
+            self._admitting = [req, state, i, slot_i]
+            return True
+        self._admitting = None
+        fs = self.lm._first_sample_fn(self.sampling, False)
+        first = fs(logits, np.uint32(req.seed))
+        insert = self._insert_fn()
+        remaining0 = np.int32(max(0, req.max_new_tokens - 1))
+        self._state, self._tokens, self._halted, self._remaining = insert(
+            self._state, state, first, jnp.asarray(False),
+            self._tokens, self._halted, self._remaining,
+            jnp.asarray(remaining0), slot_i,
+        )
+        self._finish_admission(slot_i, req, first)
+        return True
+
+    def _finish_admission(self, slot_i: int, req: Request, first) -> None:
         # no fetch here: the first token rides the next chunk's device_get
+        slot = self.slots[slot_i]
         slot.request = req
         slot.produced = 0
         slot.pos = len(req.prompt)
         slot.pending_first = first
         self._seeds[slot_i] = req.seed ^ 0xBA7C
         self._steps[slot_i] = 0
-        return True
 
     def _finish(self, slot_i: int, reason: str):
         slot = self.slots[slot_i]
@@ -386,11 +424,17 @@ class BatchEngine:
 
     def step(self) -> bool:
         """One scheduling action; returns False when fully idle."""
-        # admit as many as fit before decoding: prefill dispatches queue
-        # behind the in-flight chunk and nothing here blocks the host
+        # Admission budget: while any stream is active, at most ONE
+        # admission dispatch (a fused short admit or a single long-prompt
+        # prefill chunk) runs between decode chunks, so a max_context
+        # admission cannot stall in-flight streams (head-of-line blocking
+        # fix). With nothing decoding there is nobody to starve — keep
+        # admitting until a stream goes live.
         admitted = False
         while self._admit():
             admitted = True
+            if self.num_active:
+                break
         pending, self._pending = self._pending, None
         # drain-first: if the in-flight chunk provably finishes every active
         # slot and nothing is queued, process it instead of dispatching a
@@ -402,9 +446,11 @@ class BatchEngine:
             self._pending = self._dispatch_decode()
         if pending is not None:
             self._process_emitted(*pending)
-        return bool(self._pending or pending or admitted or self.queue)
+        return bool(self._pending or pending or admitted or self.queue
+                    or self._admitting)
 
     def run(self) -> None:
         """Drive until all submitted requests finish."""
-        while self.queue or self.num_active or self._pending:
+        while (self.queue or self.num_active or self._pending
+               or self._admitting):
             self.step()

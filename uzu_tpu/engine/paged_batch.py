@@ -92,6 +92,10 @@ class PagedBatchEngine:
         self._tokens = jnp.zeros((batch_size,), jnp.int32)
         self._positions = jnp.zeros((batch_size,), jnp.int32)
         self._halted = jnp.ones((batch_size,), bool)
+        # in-progress admission prefill [req, state, consumed, slot_i]: long
+        # prompts advance one chunk per scheduler step (interleaved with
+        # decode chunks — no head-of-line blocking)
+        self._admitting = None
         self._jit = {}
 
     # -- jitted pieces -----------------------------------------------------
@@ -189,6 +193,8 @@ class PagedBatchEngine:
     def _admit(self) -> bool:
         import time
 
+        if self._admitting is not None:
+            return self._admit_advance()
         if not self.queue:
             return False
         slot_i = next((i for i, s in enumerate(self.slots) if s.free), None)
@@ -216,11 +222,32 @@ class PagedBatchEngine:
         if needed > self.pool.free_pages:
             return False
         req = self.queue.popleft()
-        slot = self.slots[slot_i]
-        n = len(req.prompt)
+        self._admitting = [req, self.lm.new_state(), 0, slot_i]
+        return self._admit_advance()
 
-        state = self.lm.new_state()
-        logits, state = self.lm.prefill(state, np.asarray(req.prompt, np.int32))
+    def _admit_advance(self) -> bool:
+        """One prefill chunk of the in-progress admission; on the last chunk
+        the dense prompt KV copies into the slot's pages and the first token
+        samples. The scheduler interleaves these with decode chunks."""
+        import time
+
+        req, state, i, slot_i = self._admitting
+        prompt = req.prompt
+        n = len(prompt)
+        max_chunk = self.lm.prefill_buckets[-1]
+        take = min(n - i, max_chunk)
+        bucket = next(b for b in self.lm.prefill_buckets if b >= take)
+        chunk = np.zeros(bucket, np.int32)
+        chunk[:take] = prompt[i : i + take]
+        fn = self.lm._prefill_fn(bucket, self.lm._ctx_bucket(i + bucket))
+        logits, state = fn(self.lm.params, jnp.asarray(chunk), state,
+                           jnp.asarray(take, jnp.int32))
+        i += take
+        if i < n:
+            self._admitting = [req, state, i, slot_i]
+            return True
+        self._admitting = None
+        slot = self.slots[slot_i]
         fs = self.lm._first_sample_fn(self.sampling, False)
         first = fs(logits, np.uint32(req.seed))
 
@@ -245,7 +272,19 @@ class PagedBatchEngine:
             self.pool.share_prefix(best_src, slot_i, shared_pages)
         else:
             self.pool.release(slot_i)
-        pages = self.pool.ensure(slot_i, n + 1)
+        # decode growth during the interleaved prefill may have consumed the
+        # pages the admission pre-check saw: preempt the youngest live slot
+        # (recompute) until the prompt fits — the pre-check guarantees it
+        # fits an empty pool, so this terminates
+        while True:
+            try:
+                pages = self.pool.ensure(slot_i, n + 1)
+                break
+            except PagePoolOverflow:
+                live = [j for j in self._admit_order if not self.slots[j].free]
+                if not live:
+                    raise  # cannot happen: pre-check bounded the prompt
+                self._preempt(max(live, key=self._admit_order.__getitem__))
         page_arr = np.zeros(self.max_pages, np.int32)
         page_arr[: len(pages)] = pages
         dense = [st for st in state["layers"]]
@@ -376,14 +415,19 @@ class PagedBatchEngine:
     def step(self) -> bool:
         """One scheduling action (the BatchedChatServer scheduler-thread
         contract); returns False when fully idle."""
+        # admission budget mirrors BatchEngine.step: ONE admission dispatch
+        # between decode chunks while streams are active, greedy until the
+        # first stream goes live otherwise
         admitted = False
         while self._admit():
             admitted = True
+            if self.num_active:
+                break
         if self.num_active:
             self._decode_chunk()
             return True
-        return admitted or bool(self.queue)
+        return admitted or bool(self.queue) or self._admitting is not None
 
     def run(self) -> None:
-        while self.queue or self.num_active:
+        while self.queue or self.num_active or self._admitting:
             self.step()

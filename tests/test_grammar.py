@@ -217,6 +217,32 @@ def test_speculative_grammar_matches_plain(chat_dir):
     assert spec_py == plain_py == plain
 
 
+def test_speculative_grammar_on_hybrid_matches_plain(tmp_path_factory):
+    """Grammar speculation on a recurrent-mixer hybrid (GDN): the deferred
+    state commit must keep the constrained stream identical to the plain
+    one-token-per-dispatch grammar path."""
+    from uzu_tpu.engine.speculation import NgramSpeculator
+    from uzu_tpu.tools.synth import qwen35_config
+
+    d = synth_chat_model(
+        str(tmp_path_factory.mktemp("grammar_hybrid")),
+        config=qwen35_config(num_layers=3, model_dim=64, hidden_dim=160,
+                             num_heads=4, num_groups=2, head_dim=16,
+                             value_head_dim=16, attn_every=3),
+    )
+    schema = {
+        "type": "object",
+        "properties": {"city": {"enum": ["Paris", "Rome"]}},
+        "required": ["city"],
+    }
+    plain, tok = _greedy_constrained(d, schema)
+    spec, _ = _greedy_constrained(d, schema,
+                                  speculator=NgramSpeculator(max_ngram=3, k=6))
+    assert spec == plain
+    text = tok.decode(plain, skip_special_tokens=True).strip()
+    assert JsonMatcher(schema).feed_text(text), text
+
+
 def test_lookahead_masks_restore_state(chat_dir):
     """lookahead_masks must leave the session state untouched, truncate at
     grammar-forbidden draft tokens, and agree with sequential observation."""

@@ -80,12 +80,89 @@ def test_speculative_respects_stop_tokens(target):
     assert got[-1] == stop
 
 
-def test_speculation_gated_for_recurrent_models(tmp_path):
+def test_recurrent_chain_supported_tree_gated(tmp_path):
+    """Chain speculation works on recurrent mixers (deferred-commit replay);
+    tree/draft-rollback paths stay attention-only."""
+    from uzu_tpu.engine.speculation import (
+        TreeSpeculativeDecoder,
+        tree_speculation_supported,
+    )
+
     d = synthesize(lfm2_config(), str(tmp_path / "lfm2"), seed=1)
     lm = LanguageModel.from_dir(d, max_context=64)
-    assert not speculation_supported(lm.decoder_config)
+    assert speculation_supported(lm.decoder_config)
+    assert not tree_speculation_supported(lm.decoder_config)
+    SpeculativeDecoder(lm, NgramSpeculator())  # allowed
     with pytest.raises(ValueError):
-        SpeculativeDecoder(lm, NgramSpeculator())
+        TreeSpeculativeDecoder(lm)
+    with pytest.raises(ValueError):
+        DraftModelSpeculator(lm)  # recurrent draft cannot pos-reset
+
+
+def _hybrid_lm(tmp_path, name: str):
+    from uzu_tpu.tools.synth import (
+        lfm2_config,
+        mamba2_hybrid_config,
+        qwen35_config,
+    )
+
+    cfg = {"qwen35": qwen35_config, "lfm2": lfm2_config,
+           "mamba2": mamba2_hybrid_config}[name]()
+    d = synthesize(cfg, str(tmp_path / name), seed=3)
+    return LanguageModel.from_dir(d, max_context=128, prefill_buckets=(16,))
+
+
+@pytest.mark.parametrize("family", ["qwen35", "lfm2", "mamba2"])
+def test_chain_speculation_recurrent_bit_exact(tmp_path, family):
+    """Speculative == plain decoding on recurrent-mixer hybrids: the
+    deferred-commit replay must reproduce the plain per-token state
+    stream exactly (reference capability: delta_net/tree_verify.rs,
+    short_conv.rs trie — Qwen3.5-class hybrids get speculation)."""
+    lm = _hybrid_lm(tmp_path, family)
+    prompt = np.array([1, 2, 3, 4, 1, 2, 3, 4, 1, 2])
+    want = lm.generate_list(prompt, 24, stop_token_ids=[])
+    dec = SpeculativeDecoder(lm, NgramSpeculator(max_ngram=3, k=4))
+    metrics = SpeculationMetrics()
+    got = list(dec.generate(prompt, 24, stop_token_ids=[], metrics=metrics))
+    assert got == want
+    assert metrics.num_verify_passes > 0
+
+
+def test_chain_speculation_recurrent_stop_and_budget(tmp_path):
+    """Mid-acceptance stop tokens and the generation budget clip the
+    on-device commit: every exit path leaves the recurrent state covering
+    exactly the emitted tokens (no rewind exists for scanned state)."""
+    lm = _hybrid_lm(tmp_path, "qwen35")
+    prompt = np.array([1, 2, 3] * 5)
+    plain = lm.generate_list(prompt, 24, stop_token_ids=[])
+    stop = plain[7]
+    want = lm.generate_list(prompt, 24, stop_token_ids=[stop])
+    dec = SpeculativeDecoder(lm, NgramSpeculator(max_ngram=3, k=4))
+    got = list(dec.generate(prompt, 24, stop_token_ids=[stop]))
+    assert got == want and got[-1] == stop
+    # budget exactly mid-round
+    want5 = lm.generate_list(prompt, 5, stop_token_ids=[])
+    got5 = list(dec.generate(prompt, 5, stop_token_ids=[]))
+    assert got5 == want5 and len(got5) == 5
+
+
+def test_chain_speculation_recurrent_resumable_state(tmp_path):
+    """The committed state after a speculative run continues identically
+    to plain decoding (session prefix-cache contract)."""
+    lm = _hybrid_lm(tmp_path, "qwen35")
+    prompt = np.array([1, 2, 3, 4] * 4)
+    dec = SpeculativeDecoder(lm, NgramSpeculator(max_ngram=3, k=4))
+    stream = dec.generate(prompt, 10, stop_token_ids=[])
+    got = list(stream)
+    assert stream.state is not None
+    # resume: feed the last emitted token from the preserved state
+    cont = dec.generate(
+        np.array([got[-1]]), 8, stop_token_ids=[], state=stream.state,
+        history_tokens=list(prompt) + got,
+    )
+    got2 = list(cont)
+    want = lm.generate_list(np.concatenate([prompt, got]), 8, stop_token_ids=[])
+    assert got2 == want
 
 
 def test_acceptance_metrics_counted(target):

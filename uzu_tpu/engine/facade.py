@@ -120,10 +120,10 @@ class Engine:
                     from .dflash import DFlashDraft
                     from .speculation import (
                         DFlashSpeculativeDecoder,
-                        speculation_supported,
+                        tree_speculation_supported,
                     )
 
-                    if speculation_supported(lm.decoder_config):
+                    if tree_speculation_supported(lm.decoder_config):
                         draft = DFlashDraft.from_dir(spec_dir, max_context=max_context)
                         speculator = DFlashSpeculativeDecoder(lm, draft)
                 except Exception:

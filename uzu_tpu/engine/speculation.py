@@ -15,9 +15,15 @@ redesigned for XLA's static shapes:
   slots at indices >= pos are invisible to the causal mask, so rejecting
   tokens is just not advancing `pos` (the reference needs KVCacheUpdate
   copies; the TPU layout avoids them);
-- recurrent mixers cannot roll back a scanned state, so speculation is gated
-  to attention-only models (the reference's Mamba2 mixer equally reports
-  speculation_supported() = false, mamba2.rs:232-234).
+- recurrent mixers (GDN/Mamba2/ShortConv) verify via DEFERRED COMMIT: the
+  forward returns replay aux instead of committed state (defer_ssm), the
+  exact-match acceptance is computed ON DEVICE in the same dispatch, and the
+  recurrent state is then replayed over just the accepted prefix
+  (ssm_commit) — the TPU redesign of the reference's dedicated tree-verify
+  kernels (encodable_block/mixer/delta_net/tree_verify.rs, short_conv.rs:7)
+  that costs one tiny scan, not a second weight stream. Tree speculation
+  and draft-state rollback still need slot-addressable KV and stay
+  attention-only (tree_speculation_supported).
 
 Speculators:
 - NgramSpeculator: model-free prompt-lookup (longest recent n-gram match in
@@ -36,11 +42,28 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config.model import AttentionConfig
-from ..models.decoder import decoder_forward
+from ..models.decoder import decoder_commit_deferred, decoder_forward
 from .sampling import SamplingParams, sample
 
 
 def speculation_supported(decoder_config) -> bool:
+    """Chain speculation works for EVERY mixer family: attention rolls back
+    by pos-reset, recurrent mixers by deferred commit + prefix replay. Only
+    KV-shared attention is excluded (the shared read would see the source
+    layer's uncommitted speculative rows)."""
+    return all(
+        not (
+            isinstance(lc.mixer_config, AttentionConfig)
+            and lc.mixer_config.is_kv_sharing
+        )
+        for lc in decoder_config.transformer_config.layer_configs
+    )
+
+
+def tree_speculation_supported(decoder_config) -> bool:
+    """Tree verification and draft-model state rollback require
+    slot-addressable KV (per-node position slots, free pos-reset):
+    attention-only, non-KV-shared."""
     return all(
         isinstance(lc.mixer_config, AttentionConfig)
         and not lc.mixer_config.is_kv_sharing
@@ -97,7 +120,7 @@ class DraftModelSpeculator:
     """
 
     def __init__(self, draft_lm, k: int = 4):
-        if not speculation_supported(draft_lm.decoder_config):
+        if not tree_speculation_supported(draft_lm.decoder_config):
             raise ValueError("draft model must be attention-only")
         self.draft = draft_lm
         self.k = k
@@ -143,30 +166,55 @@ class SpeculativeDecoder:
 
     def __init__(self, lm, speculator, *, sampling: SamplingParams | None = None):
         if not speculation_supported(lm.decoder_config):
-            raise ValueError("speculation requires attention-only, non-KV-shared models")
+            raise ValueError("chain speculation unsupported (KV-shared attention)")
         self.lm = lm
         self.speculator = speculator
         self.sampling = sampling or SamplingParams()
         self._verify_jit = {}
 
-    def _verify_fn(self, n: int):
-        """(k+1)-token forward with a sampled token at EVERY row."""
-        if n not in self._verify_jit:
+    def _verify_fn(self, n: int, stop_ids: tuple):
+        """ONE dispatch: (k+1)-token deferred forward, a sampled token at
+        every row, exact-match acceptance ON DEVICE, and a state commit
+        clipped to the tokens the host loop will actually keep (first stop
+        token / generation budget) — so recurrent state never needs the
+        rewind that slot-addressable KV gets for free."""
+        key = (n, stop_ids)
+        if key not in self._verify_jit:
             cfg = self.lm.decoder_config
             sampling = self.sampling
 
             @partial(jax.jit, donate_argnums=(1,))
-            def verify(params, state, tokens, keys):
-                logits, state = decoder_forward(
-                    cfg, params, tokens, state, last_only=False
+            def verify(params, state, tokens, keys, draft_len, remaining):
+                logits, pending = decoder_forward(
+                    cfg, params, tokens, state, last_only=False, defer_ssm=True
                 )
                 sampled = jax.vmap(lambda l, k: sample(l, sampling, key=k))(
                     logits, keys
                 )
-                return state, sampled
+                if n > 1:
+                    match = (sampled[:-1] == tokens[1:]) & (
+                        jnp.arange(n - 1) < draft_len
+                    )
+                    accepted = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))
+                else:
+                    accepted = jnp.zeros((), jnp.int32)
+                emit_len = 1 + accepted  # tokens the host emit loop covers
+                commit = emit_len
+                if stop_ids:
+                    rows = jnp.arange(n)
+                    is_stop = jnp.zeros(n, bool)
+                    for t in stop_ids:
+                        is_stop = is_stop | (sampled == t)
+                    first_stop = jnp.min(
+                        jnp.where(is_stop & (rows < emit_len), rows, n)
+                    )
+                    commit = jnp.minimum(commit, first_stop + 1)
+                commit = jnp.minimum(commit, remaining)
+                new_state = decoder_commit_deferred(cfg, pending, commit)
+                return new_state, sampled, accepted, commit
 
-            self._verify_jit[n] = verify
-        return self._verify_jit[n]
+            self._verify_jit[key] = verify
+        return self._verify_jit[key]
 
     def generate(
         self,
@@ -216,7 +264,11 @@ class SpeculativeDecoder:
         base = pos
         produced = 0
         token = first
-        keys = jax.random.split(jax.random.PRNGKey(seed ^ 0xD15C), max_new_tokens * 4 + 8)
+        # pool must exceed the wrap point (len - 32) by the largest block, so
+        # a small max_new_tokens can't drive the wrap modulus non-positive
+        keys = jax.random.split(
+            jax.random.PRNGKey(seed ^ 0xD15C), max(max_new_tokens * 4 + 8, 72)
+        )
         key_i = 0
 
         while produced < max_new_tokens:
@@ -241,32 +293,31 @@ class SpeculativeDecoder:
             block[0] = token
             block[1 : 1 + len(draft)] = draft
 
-            verify = self._verify_fn(n_pad)
-            state, sampled = verify(
+            verify = self._verify_fn(n_pad, tuple(sorted(stop)))
+            state, sampled, accepted_d, commit_d = verify(
                 lm.params,
                 state,
                 jnp.asarray(block),
                 keys[key_i : key_i + n_pad],
+                jnp.asarray(len(draft), jnp.int32),
+                jnp.asarray(max_new_tokens - produced, jnp.int32),
             )
             key_i = (key_i + n_pad) % (len(keys) - 32)
-            vals = np.asarray(jax.device_get(sampled))
+            vals, accepted, commit = jax.device_get((sampled, accepted_d, commit_d))
+            accepted = int(accepted)
             if metrics is not None:
                 metrics.num_verify_passes += 1
                 metrics.num_tokens_proposed += len(draft)
 
-            # exact-match acceptance over the real (unpadded) rows
-            accepted = 0
-            while accepted < len(draft) and int(vals[accepted]) == draft[accepted]:
-                accepted += 1
             emit = [int(v) for v in vals[: accepted + 1]]
             if metrics is not None:
                 metrics.num_tokens_accepted += accepted
 
-            # state advanced n_pad positions; only 1 + accepted are real.
-            # Slot-per-position KV: roll back by resetting pos (stale slots
-            # at >= pos are masked and later overwritten).
-            pos = pos + 1 + accepted
-            state["pos"] = jnp.asarray(pos, jnp.int32)
+            # the dispatch committed exactly the tokens the emit loop below
+            # will keep: 1 + accepted, clipped at the first stop token and
+            # the generation budget (attention: pos; recurrent: replayed
+            # prefix state). Host mirrors the committed position.
+            pos = pos + int(commit)
 
             for i, v in enumerate(emit[:-1]):
                 yield v
@@ -400,7 +451,7 @@ class TreeSpeculativeDecoder:
 
     def __init__(self, lm, speculator=None, *, sampling: SamplingParams | None = None,
                  max_nodes: int = 16):
-        if not speculation_supported(lm.decoder_config):
+        if not tree_speculation_supported(lm.decoder_config):
             raise ValueError("tree speculation requires attention-only models")
         if getattr(lm, "ring_windows", False):
             raise ValueError("tree speculation requires the full KV layout")
@@ -571,7 +622,7 @@ class DFlashSpeculativeDecoder:
 
     def __init__(self, lm, dflash, *, sampling: SamplingParams | None = None,
                  max_nodes: int = 16, children: int = 2):
-        if not speculation_supported(lm.decoder_config):
+        if not tree_speculation_supported(lm.decoder_config):
             raise ValueError("speculation requires attention-only models")
         self.lm = lm
         self.dflash = dflash

@@ -107,18 +107,35 @@ _masked_verify_cache: dict = {}
 
 
 def _masked_verify_fn(lm, sampling: SamplingParams, n: int):
+    """Fused grammar-speculative verify: per-row bitmasked sampling,
+    exact-match acceptance ON DEVICE, and a deferred state commit of the
+    1 + accepted kept tokens — so recurrent mixers (GDN/Mamba2/ShortConv)
+    get grammar speculation too (their state replays over the accepted
+    prefix instead of relying on attention's free pos-reset)."""
     key = (id(lm), sampling, n)
     if key not in _masked_verify_cache:
+        from ..models.decoder import decoder_commit_deferred
 
         @partial(jax.jit, donate_argnums=(1,))
-        def verify(params, state, tokens, keys, masks):
-            logits, state = decoder_forward(
-                lm.decoder_config, params, tokens, state, last_only=False
+        def verify(params, state, tokens, keys, masks, draft_len):
+            logits, pending = decoder_forward(
+                lm.decoder_config, params, tokens, state, last_only=False,
+                defer_ssm=True,
             )
             sampled = jax.vmap(
                 lambda l, k, m: sample(l, sampling, key=k, bitmask=m)
             )(logits, keys, masks)
-            return state, sampled
+            if n > 1:
+                match = (sampled[:-1] == tokens[1:]) & (
+                    jnp.arange(n - 1) < draft_len
+                )
+                accepted = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))
+            else:
+                accepted = jnp.zeros((), jnp.int32)
+            new_state = decoder_commit_deferred(
+                lm.decoder_config, pending, 1 + accepted
+            )
+            return new_state, sampled, accepted
 
         _masked_verify_cache[key] = verify
     return _masked_verify_cache[key]
@@ -131,7 +148,7 @@ def _speculative_constrained(
     from ..engine.speculation import speculation_supported
 
     if not speculation_supported(lm.decoder_config):
-        raise ValueError("speculation requires attention-only, non-KV-shared models")
+        raise ValueError("grammar speculation unsupported (KV-shared attention)")
     sampling = sampling or SamplingParams()
     stop = set(
         stop_token_ids
@@ -159,7 +176,10 @@ def _speculative_constrained(
     pos = len(history)
     produced = 0
     token = first
-    keys = jax.random.split(jax.random.PRNGKey(seed ^ 0x6A3), max_new_tokens * 4 + 8)
+    # pool must exceed the wrap point (len - 32) by the largest block
+    keys = jax.random.split(
+        jax.random.PRNGKey(seed ^ 0x6A3), max(max_new_tokens * 4 + 8, 72)
+    )
     key_i = 0
 
     while produced < max_new_tokens:
@@ -189,20 +209,19 @@ def _speculative_constrained(
             mask_rows[i] = dev_mask(m)
 
         verify = _masked_verify_fn(lm, sampling, n_pad)
-        state, sampled = verify(
+        state, sampled, accepted_d = verify(
             lm.params, state, jnp.asarray(block),
             keys[key_i : key_i + n_pad], jnp.asarray(mask_rows),
+            jnp.asarray(len(draft), jnp.int32),
         )
         key_i = (key_i + n_pad) % (len(keys) - 32)
-        vals = np.asarray(jax.device_get(sampled))
-
-        accepted = 0
-        while accepted < len(draft) and int(vals[accepted]) == draft[accepted]:
-            accepted += 1
+        vals, accepted = jax.device_get((sampled, accepted_d))
+        accepted = int(accepted)
         emit = [int(v) for v in vals[: accepted + 1]]
 
+        # the dispatch committed 1 + accepted tokens (pos + replayed
+        # recurrent state); mirror the position on host
         pos = pos + 1 + accepted
-        state["pos"] = jnp.asarray(pos, jnp.int32)
 
         for v in emit[:-1]:
             yield v

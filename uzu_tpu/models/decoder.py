@@ -237,6 +237,7 @@ def layer_forward(
     tree=None,
     seq_axis=None,
     ctx_limit=None,
+    defer_ssm=False,
 ):
     mixer_cfg = layer_cfg.mixer_config
     pls = params.get("post_layer_scalar")
@@ -261,7 +262,8 @@ def layer_forward(
         from .ssm import ssm_forward
 
         a, new_state = ssm_forward(
-            mixer_cfg, params["mixer"], h, positions, layer_state, true_length
+            mixer_cfg, params["mixer"], h, positions, layer_state, true_length,
+            defer=defer_ssm,
         )
 
     if layer_cfg.post_mixer_norm_config is not None:
@@ -310,6 +312,9 @@ def decoder_forward(
     readout_row=None,  # explicit local row for last_only readout (the global
                        # last row lives on one device under seq_axis)
     ctx_limit: int | None = None,  # context bucket for attention reads
+    defer_ssm: bool = False,  # speculative verify: recurrent mixers return
+                              # replay aux instead of committed state; pair
+                              # with decoder_commit_deferred(commit_length)
 ):
     """Run the decoder; returns (logits, new_state).
 
@@ -351,6 +356,7 @@ def decoder_forward(
             tree,
             seq_axis,
             ctx_limit,
+            defer_ssm,
         )
         new_layer_states.append(new_state)
         if i in collect_layers:
@@ -368,10 +374,32 @@ def decoder_forward(
 
     out_state = {
         "layers": new_layer_states,
-        "pos": state["pos"] + jnp.asarray(true_length, jnp.int32),
+        # deferred: pos stays put — decoder_commit_deferred advances it by
+        # the accepted length along with the recurrent-state replays
+        "pos": state["pos"] if defer_ssm
+        else state["pos"] + jnp.asarray(true_length, jnp.int32),
     }
     if collect_layers:
         by_layer = dict(features)
         feats = jnp.stack([by_layer[i] for i in collect_layers], axis=1)  # [S, n_tap, D]
         return logits, out_state, feats
     return logits, out_state
+
+
+def decoder_commit_deferred(cfg: DecoderConfig, pending: dict, commit_length):
+    """Resolve a `defer_ssm=True` forward into a real decoding state
+    committed to `commit_length` tokens (a traced scalar, decided AFTER the
+    forward — e.g. from on-device speculative acceptance). Attention layers
+    are already slot-committed (pos governs visibility); recurrent layers
+    replay their state recurrence over the accepted prefix (ssm_commit)."""
+    from .ssm import ssm_commit
+
+    layers = []
+    for layer_cfg, entry in zip(cfg.transformer_config.layer_configs, pending["layers"]):
+        if entry is not None and not isinstance(layer_cfg.mixer_config, AttentionConfig):
+            entry = ssm_commit(layer_cfg.mixer_config, entry, commit_length)
+        layers.append(entry)
+    return {
+        "layers": layers,
+        "pos": pending["pos"] + jnp.asarray(commit_length, jnp.int32),
+    }

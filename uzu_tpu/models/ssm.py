@@ -81,7 +81,7 @@ def _next_conv_state(padded: jax.Array, true_length, taps: int) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
-def _short_conv_forward(cfg: ShortConvConfig, params, x, state, true_length):
+def _short_conv_forward(cfg: ShortConvConfig, params, x, state, true_length, defer=False):
     s, d = x.shape
     k = cfg.kernel_size
     proj = linear_apply(params["in"]["w"], x).astype(jnp.float32)  # [S, 3D]
@@ -91,7 +91,10 @@ def _short_conv_forward(cfg: ShortConvConfig, params, x, state, true_length):
     padded = jnp.concatenate([state["conv"].astype(jnp.float32), xg])  # [k-1+S, D]
     conv = _causal_depthwise_conv(padded, params["conv_w"], params.get("conv_b"), s)
     y = (conv * post).astype(x.dtype)
-    new_state = {"conv": _next_conv_state(padded, true_length, k - 1).astype(state["conv"].dtype)}
+    if defer:
+        new_state = {"padded": padded, "conv0": state["conv"]}
+    else:
+        new_state = {"conv": _next_conv_state(padded, true_length, k - 1).astype(state["conv"].dtype)}
     return linear_apply(params["out"]["w"], y), new_state
 
 
@@ -222,7 +225,7 @@ def _mamba2_chunked(xs, bs, cs, log_decay, ssm0, chunk):
 # --------------------------------------------------------------------------
 
 
-def _mamba2_forward(cfg: Mamba2Config, params, x, state, true_length):
+def _mamba2_forward(cfg: Mamba2Config, params, x, state, true_length, defer=False):
     s, d = x.shape
     h, g, dh, n, k = cfg.num_heads, cfg.num_groups, cfg.head_dim, cfg.state_dim, cfg.kernel_size
     inner = h * dh
@@ -263,7 +266,11 @@ def _mamba2_forward(cfg: Mamba2Config, params, x, state, true_length):
     ys = ys + params["skip_weight"].astype(jnp.float32)[None, :, None] * xs
     ys = ys.reshape(s, inner) * jax.nn.silu(z)
     out = linear_apply(params["out"]["w"], ys.astype(x.dtype), params["out"].get("b"))
-    new_state = {"conv": _next_conv_state(padded, true_length, k - 1), "ssm": ssm}
+    if defer:
+        new_state = {"padded": padded, "xs": xs, "bs": bs_h,
+                     "log_decay": log_decay, "ssm0": state["ssm"]}
+    else:
+        new_state = {"conv": _next_conv_state(padded, true_length, k - 1), "ssm": ssm}
     return out, new_state
 
 
@@ -272,7 +279,7 @@ def _mamba2_forward(cfg: Mamba2Config, params, x, state, true_length):
 # --------------------------------------------------------------------------
 
 
-def _delta_net_forward(cfg: DeltaNetConfig, params, x, state, true_length):
+def _delta_net_forward(cfg: DeltaNetConfig, params, x, state, true_length, defer=False):
     s, d = x.shape
     h, g = cfg.num_heads, cfg.num_groups
     dk, dv, k = cfg.head_dim, cfg.value_head_dim, cfg.kernel_size
@@ -333,7 +340,11 @@ def _delta_net_forward(cfg: DeltaNetConfig, params, x, state, true_length):
     inv_rms = jax.lax.rsqrt(jnp.mean(os_ * os_, axis=-1, keepdims=True) + cfg.norm_config.epsilon)
     gated = os_ * inv_rms * params["norm_scales"].astype(jnp.float32) * jax.nn.silu(z)
     out = linear_apply(params["out"]["w"], gated.reshape(s, value_dim).astype(x.dtype))
-    new_state = {"conv": _next_conv_state(padded, true_length, k - 1), "ssm": ssm}
+    if defer:
+        new_state = {"padded": padded, "ks": ks, "vs": vs, "beta": beta,
+                     "log_decay": log_decay, "ssm0": state["ssm"]}
+    else:
+        new_state = {"conv": _next_conv_state(padded, true_length, k - 1), "ssm": ssm}
     return out, new_state
 
 
@@ -342,15 +353,62 @@ def _delta_net_forward(cfg: DeltaNetConfig, params, x, state, true_length):
 # --------------------------------------------------------------------------
 
 
-def ssm_forward(mixer_cfg, params, x, positions, state, true_length=None):
-    if true_length is None:
+def ssm_forward(mixer_cfg, params, x, positions, state, true_length=None, defer=False):
+    """defer=True (speculative verify): outputs are computed for ALL rows
+    (true_length forced to S) and NO state is committed — instead an `aux`
+    dict is returned holding the recurrence inputs, and `ssm_commit` later
+    replays the state update for a traced prefix length. This is the
+    chunk-replay verify for recurrent mixers (role of the reference's
+    delta_net/tree_verify.rs + short_conv.rs trie kernels): the replay
+    touches no weights, so acceptance-dependent rollback costs only the
+    tiny per-token state recurrence, not a second weight stream."""
+    if true_length is None or defer:
         true_length = x.shape[0]
     if isinstance(mixer_cfg, ShortConvConfig):
-        return _short_conv_forward(mixer_cfg, params, x, state, true_length)
+        return _short_conv_forward(mixer_cfg, params, x, state, true_length, defer)
     if isinstance(mixer_cfg, Mamba2Config):
-        return _mamba2_forward(mixer_cfg, params, x, state, true_length)
+        return _mamba2_forward(mixer_cfg, params, x, state, true_length, defer)
     if isinstance(mixer_cfg, DeltaNetConfig):
-        return _delta_net_forward(mixer_cfg, params, x, state, true_length)
+        return _delta_net_forward(mixer_cfg, params, x, state, true_length, defer)
+    raise ValueError(f"unsupported mixer {type(mixer_cfg).__name__}")
+
+
+def ssm_commit(mixer_cfg, aux, commit_length):
+    """Commit a deferred `ssm_forward` to `commit_length` tokens (a traced
+    scalar). Rows >= commit_length replay as identity transitions — exactly
+    the masking the partial-chunk prefill path uses — so the committed state
+    is bit-identical to a plain forward over the accepted prefix."""
+    k = mixer_cfg.kernel_size
+    conv = _next_conv_state(aux["padded"], commit_length, k - 1)
+    if isinstance(mixer_cfg, ShortConvConfig):
+        return {"conv": conv.astype(aux["conv0"].dtype)}
+
+    s = aux["log_decay"].shape[0]
+    live = (jnp.arange(s) < commit_length)[:, None]
+    log_decay = jnp.where(live, aux["log_decay"], 0.0)
+    decay = jnp.exp(log_decay)
+    if isinstance(mixer_cfg, Mamba2Config):
+        xs = jnp.where(live[:, :, None], aux["xs"], 0.0)
+
+        def step(ssm, inp):
+            x_t, b_t, decay_t = inp
+            return ssm * decay_t[:, None, None] + x_t[:, :, None] * b_t[:, None, :], None
+
+        ssm, _ = jax.lax.scan(step, aux["ssm0"], (xs, aux["bs"], decay))
+        return {"conv": conv, "ssm": ssm}
+
+    if isinstance(mixer_cfg, DeltaNetConfig):
+        beta = jnp.where(live, aux["beta"], 0.0)
+
+        def step(ssm, inp):
+            k_t, v_t, beta_t, decay_t = inp
+            sk = jnp.einsum("hvk,hk->hv", ssm, k_t)
+            delta = beta_t[:, None] * (v_t - decay_t[:, None] * sk)
+            ssm = decay_t[:, None, None] * ssm + delta[:, :, None] * k_t[:, None, :]
+            return ssm, None
+
+        ssm, _ = jax.lax.scan(step, aux["ssm0"], (aux["ks"], aux["vs"], beta, decay))
+        return {"conv": conv, "ssm": ssm}
     raise ValueError(f"unsupported mixer {type(mixer_cfg).__name__}")
 
 

@@ -697,10 +697,12 @@ def synth_tokenizer(out_dir: str, vocab_size: int = 512) -> str:
     return out_dir
 
 
-def synth_chat_model(out_dir: str, *, seed: int = 0, vocab_size: int = 512, **config_kw) -> str:
+def synth_chat_model(out_dir: str, *, seed: int = 0, vocab_size: int = 512,
+                     config=None, **config_kw) -> str:
     """Full offline chat model dir: config + weights + tokenizer, with the
-    model's stop ids aligned to the tokenizer's <|end|>."""
-    cfg = llama_config(vocab_size=vocab_size, **config_kw)
+    model's stop ids aligned to the tokenizer's <|end|>. `config` overrides
+    the default llama architecture (its vocab_size must match)."""
+    cfg = config if config is not None else llama_config(vocab_size=vocab_size, **config_kw)
     synthesize(cfg, out_dir, seed=seed)
     synth_tokenizer(out_dir, vocab_size=vocab_size)
     from ..sessions.tokenizer import Tokenizer

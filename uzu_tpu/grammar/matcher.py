@@ -432,7 +432,9 @@ class GrammarSession:
 
     def __init__(self, tokenizer, schema: Optional[dict] = None,
                  stop_token_ids=(), trigger: str | None = None,
-                 backend: str = "auto"):
+                 backend: str = "auto", regex: str | None = None):
+        """Exactly one constraint kind: a JSON `schema` (None = any JSON) or
+        a `regex` pattern (reference Grammar::Regex, grammar/mod.rs:65-68)."""
         self.tokenizer = tokenizer
         strings = []
         specials = tokenizer.special_token_strings
@@ -444,17 +446,32 @@ class GrammarSession:
             strings.append(tokenizer.decode([i]))
         self.token_strings = strings
         self.schema = schema
+        self.regex = regex
         self.stop_token_ids = list(stop_token_ids)
         self.trigger = trigger
         self.engaged = trigger is None
         self._text_tail = ""
 
-        # backend select: the C++ engine (native/grammar.cpp) computes
-        # vocabulary masks ~100x faster; the Python matcher is the semantic
-        # reference and covers schema features outside the flattened subset.
+        # backend select: the C++ engines (native/grammar.cpp, regex_dfa.cpp)
+        # compute vocabulary masks ~100x faster; the Python matchers are the
+        # semantic reference and cover schema features outside the flattened
+        # subset.
         self.native = None
         self.mask_cache = None
         self.matcher = None
+        if regex is not None:
+            if schema is not None:
+                raise GrammarError("schema and regex are mutually exclusive")
+            from .regex import RegexDFA, RegexMatcher, RegexTokenMasks
+
+            dfa = RegexDFA(regex)
+            self.mask_cache = RegexTokenMasks(dfa, strings)
+            if backend == "native" and self.mask_cache.backend != "native":
+                raise GrammarError("native regex engine unavailable")
+            if backend == "python":
+                self.mask_cache._native = None  # force the numpy walk
+            self.matcher = RegexMatcher(dfa)
+            return
         if backend in ("auto", "native"):
             try:
                 from .native_backend import NativeGrammar, SchemaUnsupported
@@ -469,11 +486,17 @@ class GrammarSession:
 
     @property
     def backend(self) -> str:
+        if self.regex is not None:
+            return self.mask_cache.backend
         return "native" if self.native is not None else "python"
 
     def reset(self):
         if self.native is not None:
             self.native.reset()
+        elif self.regex is not None:
+            from .regex import RegexMatcher
+
+            self.matcher = RegexMatcher(self.matcher.dfa)
         else:
             self.matcher = JsonMatcher(self.schema)
         self.engaged = self.trigger is None
@@ -489,10 +512,14 @@ class GrammarSession:
             m = self.native.mask()
         else:
             m = self.mask_cache.mask(self.matcher).copy()
-        if self._is_complete():
+        complete = self._is_complete()
+        if complete and self.regex is None:
+            # a closed JSON value admits only trailing whitespace — force
+            # termination. A regex accepting state may still extend (e.g.
+            # [a-z]+): keep viable continuations AND allow stopping.
             m[:] = False
-        for sid in self.stop_token_ids:
-            if self._is_complete():
+        if complete:
+            for sid in self.stop_token_ids:
                 m[sid] = True
         if not m.any():
             # dead end: allow stop tokens so generation can terminate

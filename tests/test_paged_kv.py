@@ -217,9 +217,11 @@ def test_paged_finished_slot_cannot_corrupt_live_pages(tmp_path):
     assert (np.asarray(eng._tables()) == eng._trash_page).all()
 
     ra = eng.submit(list(range(1, 13)), 24)  # slot 0; prompt fills page 0
-    rb = eng.submit([7, 7], 2)               # slot 1; finishes in chunk 1
-    eng.step()  # admits ra (goes live) + first decode chunk
-    eng.step()  # admits rb + decode chunk that finishes it
+    rb = eng.submit([7, 7], 2)               # slot 1; finishes fast
+    for _ in range(6):  # pipelined: processing lags dispatch by one step
+        eng.step()
+        if rb.finished:
+            break
     assert rb.finished
     pages_a = eng.pool.pages(0)
     assert pages_a[0] == 0  # the allocator's first page — the corruption target
@@ -274,3 +276,47 @@ def w_prefix(lm, prompt, got):
     """The solo-run stream truncated to len(got) (overflow-finish prefix)."""
     want = lm.generate_list(np.asarray(prompt), len(got), stop_token_ids=[])
     return want
+
+
+def test_paged_prefill_skips_shared_prefix(tmp_path):
+    """v2 paged prefill starts PAST fully-shared prefix pages: their KV is
+    already resident, so the admission chunk loop begins at the first
+    unshared token (the v1 dense detour recomputed the whole prompt) —
+    and the stream stays exactly the single-request output."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.paged_batch import PagedBatchEngine
+    from uzu_tpu.tools.synth import llama_config, synthesize
+
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160, num_heads=4,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    d = synthesize(cfg, str(tmp_path / "skip_model"), seed=13, dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(32,))
+
+    shared = [(i * 7) % 256 for i in range(20)]  # 2 full pages of 8 + tail
+    p1 = shared + [3, 4]
+    p2 = shared + [200, 201, 202]
+    w2 = lm.generate_list(np.asarray(p2), 8, stop_token_ids=[])
+
+    eng = PagedBatchEngine(lm, batch_size=2, decode_chunk=4, num_pages=33,
+                           page_size=8, stop_token_ids=[])
+    r1 = eng.submit(p1, 8)
+    eng.step()  # r1 admitted (no sharing available: full prompt prefilled)
+
+    calls = []
+    orig = eng._prefill_fn
+
+    def spy(bucket, ctx_pages):
+        fn = orig(bucket, ctx_pages)
+
+        def wrapped(params, pools, tokens, table, pos0, take):
+            calls.append((int(pos0), int(take)))
+            return fn(params, pools, tokens, table, pos0, take)
+
+        return wrapped
+
+    eng._prefill_fn = spy
+    r2 = eng.submit(p2, 8)
+    eng.run()
+    assert r2.tokens == w2
+    # r2's first prefill chunk began at token 16 (2 shared pages x 8)
+    assert calls and calls[0][0] == 16, calls

@@ -14,11 +14,13 @@ argmax near-ties can pick differently (verified on-chip: the engine runs
 end-to-end; the kernel itself matches its gather oracle to 4e-4). On the
 CPU oracle path the streams are bit-exact (tests pin this).
 
-v1 scope: greedy/sampled decode correctness with host-side scheduling —
-admission via the dense chunked prefill (then one jitted copy of the
-prompt KV into the slot's pages), K fused decode steps per dispatch with
-device-side identity transitions for halted slots. Pipelined dispatch and
-COW prefix sharing follow the dense engine's path in a later round.
+v2: paged prefill (admission chunks write K/V straight into the slot's
+pages — no dense state allocation, no copy pass, and prefix-shared
+admissions SKIP the shared prefix's prefill compute), one-chunk-ahead
+pipelined dispatch with a device-side generation budget (the host mirror
+lags one chunk), K fused decode steps per dispatch with device-side
+identity transitions for halted slots, recompute preemption under pool
+pressure, and overflow backpressure instead of scheduler-killing raises.
 """
 
 from __future__ import annotations
@@ -92,55 +94,47 @@ class PagedBatchEngine:
         self._tokens = jnp.zeros((batch_size,), jnp.int32)
         self._positions = jnp.zeros((batch_size,), jnp.int32)
         self._halted = jnp.ones((batch_size,), bool)
-        # in-progress admission prefill [req, state, consumed, slot_i]: long
+        # device-side generation budget (mirrors the host finish conditions
+        # so a pipelined in-flight chunk cannot overrun them)
+        self._remaining = jnp.zeros((batch_size,), jnp.int32)
+        # in-progress admission prefill [req, consumed, slot_i, table]: long
         # prompts advance one chunk per scheduler step (interleaved with
         # decode chunks — no head-of-line blocking)
         self._admitting = None
+        # one-chunk-ahead pipelining: (emitted [K, B], snapshot)
+        self._pending = None
+        self._seeds = np.zeros(batch_size, np.int64)
+        self._steps = np.zeros(batch_size, np.int64)
         self._jit = {}
 
     # -- jitted pieces -----------------------------------------------------
 
-    def _copy_in_fn(self):
-        """Scatter a dense prefill cache's rows into a slot's pages."""
-        if "copy" not in self._jit:
-            page = self.page_size
-            maxp = self.max_pages
-            trash = self._trash_page
+    def _ctx_pages(self, needed_tokens: int) -> int:
+        """Pages covering the smallest dense context bucket for a prefill
+        chunk's reads (bounds the gather like the dense engine's
+        CTX_BUCKET read-slicing bounds its cache stream)."""
+        b = self.lm._ctx_bucket(needed_tokens)
+        ctx = b if b is not None else self.lm.max_context
+        return min(-(-ctx // self.page_size), self.max_pages)
 
-            @partial(jax.jit, donate_argnums=(0,))
-            def copy_in(pools, dense_caches, page_arr, n_pages, skip_below):
-                out = []
-                for pool_kv, cache in zip(pools, dense_caches):
-                    k_pool, v_pool = pool_kv
-                    k_t = jnp.swapaxes(cache["k"], 0, 1)  # [G, C, Dh]
-                    v_t = jnp.swapaxes(cache["v"], 0, 1)
+    def _prefill_fn(self, bucket: int, ctx_pages: int):
+        """One slot's prefill chunk written directly into the pools (v2:
+        no dense-prefill + copy-in detour, no dense state allocation)."""
+        key = ("prefill", bucket, ctx_pages)
+        if key not in self._jit:
+            from ..models.paged_decode import paged_prefill_chunk
 
-                    def body(j, kv):
-                        kp, vp = kv
-                        dest = jnp.where(
-                            (j >= skip_below) & (j < n_pages), page_arr[j], trash
-                        )
-                        src_k = jax.lax.dynamic_slice(
-                            k_t, (0, j * page, 0),
-                            (k_t.shape[0], page, k_t.shape[2]),
-                        ).astype(kp.dtype)
-                        src_v = jax.lax.dynamic_slice(
-                            v_t, (0, j * page, 0),
-                            (v_t.shape[0], page, v_t.shape[2]),
-                        ).astype(vp.dtype)
-                        kp = jax.lax.dynamic_update_slice(
-                            kp, src_k[:, None], (0, dest, 0, 0))
-                        vp = jax.lax.dynamic_update_slice(
-                            vp, src_v[:, None], (0, dest, 0, 0))
-                        return kp, vp
+            cfg = self.lm.decoder_config
 
-                    k_pool, v_pool = jax.lax.fori_loop(
-                        0, maxp, body, (k_pool, v_pool))
-                    out.append((k_pool, v_pool))
-                return out
+            @partial(jax.jit, donate_argnums=(1,))
+            def prefill(params, pools, tokens, table, pos0, true_length):
+                return paged_prefill_chunk(
+                    cfg, params, pools, tokens, table, pos0, true_length,
+                    ctx_pages,
+                )
 
-            self._jit["copy"] = copy_in
-        return self._jit["copy"]
+            self._jit[key] = prefill
+        return self._jit[key]
 
     def _decode_fn(self, k: int):
         key = ("decode", k, self.sampling, self.stop_ids)
@@ -151,25 +145,30 @@ class PagedBatchEngine:
             max_pos = self.lm.max_context - 1
 
             @partial(jax.jit, donate_argnums=(1,))
-            def decode_k(params, pools, tokens, positions, halted, tables, keys):
+            def decode_k(params, pools, tokens, positions, halted, remaining,
+                         tables, keys):
                 def body(carry, key_t):
-                    pools, tokens, positions, halted = carry
+                    pools, tokens, positions, halted, remaining = carry
                     logits, pools = paged_decode_step(
                         cfg, params, pools, tokens, tables, positions)
                     nxt = jax.vmap(lambda l, kk: sample(l, sampling, key=kk))(
                         logits, key_t)
                     nxt = jnp.where(halted, tokens, nxt)
+                    remaining = remaining - jnp.where(halted, 0, 1)
                     if stop_arr is not None:
                         halted = halted | jnp.any(
                             nxt[:, None] == stop_arr[None, :], axis=1)
                     positions = jnp.where(halted, positions, positions + 1)
-                    halted = halted | (positions >= max_pos)
-                    return (pools, nxt, positions, halted), nxt
+                    # device-side budget/context halt mirrors the host's
+                    # finish conditions so an in-flight chunk can't overrun
+                    # them while the host lags one chunk (pipelining)
+                    halted = halted | (positions >= max_pos) | (remaining <= 0)
+                    return (pools, nxt, positions, halted, remaining), nxt
 
-                (pools, tokens, positions, halted), emitted = jax.lax.scan(
-                    body, (pools, tokens, positions, halted),
+                (pools, tokens, positions, halted, remaining), emitted = jax.lax.scan(
+                    body, (pools, tokens, positions, halted, remaining),
                     keys.reshape(k, -1, 2))
-                return pools, tokens, positions, halted, emitted
+                return pools, tokens, positions, halted, remaining, emitted
 
             self._jit[key] = decode_k
         return self._jit[key]
@@ -222,39 +221,15 @@ class PagedBatchEngine:
         if needed > self.pool.free_pages:
             return False
         req = self.queue.popleft()
-        self._admitting = [req, self.lm.new_state(), 0, slot_i]
-        return self._admit_advance()
+        n = len(req.prompt)
 
-    def _admit_advance(self) -> bool:
-        """One prefill chunk of the in-progress admission; on the last chunk
-        the dense prompt KV copies into the slot's pages and the first token
-        samples. The scheduler interleaves these with decode chunks."""
-        import time
-
-        req, state, i, slot_i = self._admitting
-        prompt = req.prompt
-        n = len(prompt)
-        max_chunk = self.lm.prefill_buckets[-1]
-        take = min(n - i, max_chunk)
-        bucket = next(b for b in self.lm.prefill_buckets if b >= take)
-        chunk = np.zeros(bucket, np.int32)
-        chunk[:take] = prompt[i : i + take]
-        fn = self.lm._prefill_fn(bucket, self.lm._ctx_bucket(i + bucket))
-        logits, state = fn(self.lm.params, jnp.asarray(chunk), state,
-                           jnp.asarray(take, jnp.int32))
-        i += take
-        if i < n:
-            self._admitting = [req, state, i, slot_i]
-            return True
-        self._admitting = None
-        slot = self.slots[slot_i]
-        fs = self.lm._first_sample_fn(self.sampling, False)
-        first = fs(logits, np.uint32(req.seed))
-
-        # prompt prefix sharing: FULL pages of the longest common prefix
-        # with a live slot's prompt point at the same physical pages (the
-        # KV there is deterministic-identical); decode writes always land
-        # at page indices >= the shared range, so no COW is needed
+        # prompt prefix sharing BEFORE prefill: FULL pages of the longest
+        # common prefix with a live slot point at the same physical pages
+        # (their KV is deterministic-identical), and the chunk loop STARTS
+        # past them — the shared prefix's prefill compute is skipped
+        # entirely (the v1 dense detour recomputed it and only skipped the
+        # copy). Decode writes land at page indices >= the shared range, so
+        # no COW is needed.
         shared_pages = 0
         best_src = None
         for src_i, src_prompt in self._slot_prompts.items():
@@ -272,41 +247,65 @@ class PagedBatchEngine:
             self.pool.share_prefix(best_src, slot_i, shared_pages)
         else:
             self.pool.release(slot_i)
-        # decode growth during the interleaved prefill may have consumed the
-        # pages the admission pre-check saw: preempt the youngest live slot
-        # (recompute) until the prompt fits — the pre-check guarantees it
-        # fits an empty pool, so this terminates
-        while True:
-            try:
-                pages = self.pool.ensure(slot_i, n + 1)
-                break
-            except PagePoolOverflow:
-                live = [j for j in self._admit_order if not self.slots[j].free]
-                if not live:
-                    raise  # cannot happen: pre-check bounded the prompt
-                self._preempt(max(live, key=self._admit_order.__getitem__))
-        page_arr = np.zeros(self.max_pages, np.int32)
-        page_arr[: len(pages)] = pages
-        dense = [st for st in state["layers"]]
-        self.pools = self._copy_in_fn()(
-            self.pools, dense, jnp.asarray(page_arr),
-            np.int32(-(-n // self.page_size)), np.int32(shared_pages),
+        # pages for the whole prompt allocate up-front within this call (no
+        # decode interleaves mid-call, so the free-page pre-check above
+        # guarantees this cannot overflow)
+        pages = self.pool.ensure(slot_i, n + 1)
+        # table rows beyond the allocation AND the sentinel entry [maxp]
+        # point at the trash page (padded prefill rows write there)
+        table_row = np.full(self.max_pages + 1, self._trash_page, np.int32)
+        table_row[: len(pages)] = pages
+        # keep at least one token to prefill so the last chunk yields the
+        # first-sample logits even for a fully page-shared prompt
+        start = min(shared_pages * self.page_size, max(0, n - 1))
+        self._admitting = [req, start, slot_i, jnp.asarray(table_row)]
+        return self._admit_advance()
+
+    def _admit_advance(self) -> bool:
+        """One PAGED prefill chunk of the in-progress admission (K/V rows
+        written straight into the slot's pages); the last chunk's logits
+        sample the first token. The scheduler interleaves these calls with
+        decode chunks."""
+        import time
+
+        req, i, slot_i, table_row = self._admitting
+        prompt = req.prompt
+        n = len(prompt)
+        max_chunk = self.lm.prefill_buckets[-1]
+        take = min(n - i, max_chunk)
+        bucket = next(b for b in self.lm.prefill_buckets if b >= take)
+        chunk = np.zeros(bucket, np.int32)
+        chunk[:take] = prompt[i : i + take]
+        fn = self._prefill_fn(bucket, self._ctx_pages(i + bucket))
+        logits, self.pools = fn(
+            self.lm.params, self.pools, jnp.asarray(chunk), table_row,
+            jnp.asarray(i, jnp.int32), jnp.asarray(take, jnp.int32),
         )
+        i += take
+        if i < n:
+            self._admitting = [req, i, slot_i, table_row]
+            return True
+        self._admitting = None
+        slot = self.slots[slot_i]
+        fs = self.lm._first_sample_fn(self.sampling, False)
+        first = fs(logits, np.uint32(req.seed))
         self._slot_prompts[slot_i] = list(req.prompt)
         self._tokens = self._tokens.at[slot_i].set(first)
         self._positions = self._positions.at[slot_i].set(n)
         self._halted = self._halted.at[slot_i].set(False)
+        self._remaining = self._remaining.at[slot_i].set(
+            max(0, req.max_new_tokens - 1))
 
-        val = int(jax.device_get(self._tokens[slot_i]))
-        req.tokens.append(val)
-        req.first_token_at = time.perf_counter()
+        # no fetch here: the first token rides the next chunk's device_get
+        # (pipelined, like the dense engine's admission)
         slot.request = req
-        slot.produced = 1
+        slot.produced = 0
         slot.pos = n
+        slot.pending_first = first
+        self._seeds[slot_i] = req.seed ^ 0xBA7C
+        self._steps[slot_i] = 0
         self._admit_order[slot_i] = self._admit_seq
         self._admit_seq += 1
-        if val in self.stop_ids or req.max_new_tokens <= 1:
-            self._finish(slot_i, "stop" if val in self.stop_ids else "length")
         return True
 
     def _finish(self, slot_i: int, reason: str):
@@ -356,21 +355,24 @@ class PagedBatchEngine:
             rows[i, : len(pages)] = pages
         return jnp.asarray(rows)
 
-    def _decode_chunk(self):
+    def _dispatch_decode(self):
+        """Dispatch one fused K-step chunk WITHOUT fetching its tokens —
+        the caller processes them one chunk behind so the host<->device
+        roundtrip overlaps the next chunk's compute (same pipelining as the
+        dense engine). Pages pre-allocate with a 2K margin because the host
+        position mirror lags the in-flight chunk."""
         k = self.decode_chunk
-        # pre-allocate pages covering the whole chunk for every live slot.
         # Growth overflow preempts the YOUNGEST live slot for recompute
         # (FCFS completes; the evictee reproduces its exact stream later);
         # if the overflowing slot is alone it is capacity-bound — finish it
         # as "length" rather than raising out of the scheduler loop.
         for i, slot in enumerate(self.slots):
             while not slot.free:
-                # the chunk appends K/V at positions pos .. pos+steps-1
-                # (device steps past the budget are discarded by the host
-                # and their writes land on the trash page)
-                steps = min(k, slot.request.max_new_tokens - slot.produced)
+                budget = slot.request.max_new_tokens - slot.produced
+                steps = min(2 * k, max(budget, 1))
                 try:
-                    self.pool.ensure(i, slot.pos + max(steps, 1))
+                    self.pool.ensure(i, min(slot.pos + steps,
+                                            self.lm.max_context))
                     break
                 except PagePoolOverflow:
                     live = [j for j in self._admit_order if not self.slots[j].free]
@@ -380,28 +382,54 @@ class PagedBatchEngine:
                     else:
                         self._preempt(youngest)
         if not self.num_active:
-            return
+            return None
         keys = np.zeros((k, self.batch_size, 2), np.uint32)
-        for b, slot in enumerate(self.slots):
-            if not slot.free:
-                keys[:, b, 0] = np.uint32(slot.request.seed ^ 0xBA7C)
-                keys[:, b, 1] = (np.arange(k, dtype=np.uint64)
-                                 + np.uint64(slot.produced)).astype(np.uint32)
+        for b in range(self.batch_size):
+            keys[:, b, 0] = np.uint32(self._seeds[b] & 0xFFFFFFFF)
+            keys[:, b, 1] = (
+                np.arange(k, dtype=np.uint64)
+                + np.uint64(self._steps[b]) * np.uint64(k)
+            ).astype(np.uint32)
         decode = self._decode_fn(k)
         (self.pools, self._tokens, self._positions, self._halted,
-         emitted) = decode(self.lm.params, self.pools, self._tokens,
-                           self._positions, self._halted, self._tables(),
-                           jnp.asarray(keys))
-        vals = np.asarray(jax.device_get(emitted))
+         self._remaining, emitted) = decode(
+            self.lm.params, self.pools, self._tokens, self._positions,
+            self._halted, self._remaining, self._tables(), jnp.asarray(keys))
+        snapshot = {}
         for b, slot in enumerate(self.slots):
-            if slot.free:
+            if not slot.free:
+                self._steps[b] += 1
+                snapshot[b] = (slot.request, slot.pending_first,
+                               slot.request.preempted)
+                slot.pending_first = None
+        return emitted, snapshot
+
+    def _process_emitted(self, emitted, snapshot):
+        """Fetch a dispatched chunk's tokens (plus admitted-but-unfetched
+        first tokens) in ONE device_get and route them to requests. Finish
+        detection mirrors the device-side halt conditions exactly, so the
+        host can lag one chunk behind without divergence. A request
+        preempted while its chunk was in flight is skipped — its stream
+        restarts from scratch on re-admission."""
+        import time
+
+        firsts = {b: f for b, (_, f, _) in snapshot.items() if f is not None}
+        vals, first_vals = jax.device_get((emitted, firsts))
+        vals = np.asarray(vals)  # [K, B]
+        k = vals.shape[0]
+        for b, (req, _, preempted) in snapshot.items():
+            if req is None or req.finished or req.preempted != preempted:
                 continue
-            req = slot.request
-            for step in range(k):
-                v = int(vals[step, b])
+            slot = self.slots[b]
+            stream = []
+            if b in first_vals:
+                stream.append((int(first_vals[b]), 0))  # pos set at admission
+                req.first_token_at = time.perf_counter()
+            stream.extend((int(vals[s, b]), 1) for s in range(k))
+            for v, adv in stream:
                 req.tokens.append(v)
                 slot.produced += 1
-                slot.pos += 1
+                slot.pos += adv
                 if v in self.stop_ids:
                     self._finish(b, "stop")
                     break
@@ -411,6 +439,22 @@ class PagedBatchEngine:
                 if slot.pos >= self.lm.max_context - 1:
                     self._finish(b, "length")
                     break
+
+    def _drains_all(self, snapshot) -> bool:
+        """True if the in-flight chunk provably finishes every active slot,
+        so another chunk would only run discarded identity steps."""
+        k = self.decode_chunk
+        for b, slot in enumerate(self.slots):
+            if slot.free:
+                continue
+            entry = snapshot.get(b)
+            if entry is None:
+                return False  # admitted after the dispatch; needs a chunk
+            req, first, _ = entry
+            budget = slot.produced + (1 if first is not None else 0) + k
+            if budget < req.max_new_tokens and slot.pos + k < self.lm.max_context - 1:
+                return False
+        return True
 
     def step(self) -> bool:
         """One scheduling action (the BatchedChatServer scheduler-thread
@@ -423,11 +467,18 @@ class PagedBatchEngine:
             admitted = True
             if self.num_active:
                 break
+        pending, self._pending = self._pending, None
+        if pending is not None and not self.queue and self._drains_all(pending[1]):
+            self._process_emitted(*pending)
+            pending = None
         if self.num_active:
-            self._decode_chunk()
-            return True
-        return admitted or bool(self.queue) or self._admitting is not None
+            self._pending = self._dispatch_decode()
+        if pending is not None:
+            self._process_emitted(*pending)
+        return bool(self._pending or pending or admitted or self.queue
+                    or self._admitting)
 
     def run(self) -> None:
-        while self.queue or self.num_active or self._admitting:
+        while (self.queue or self.num_active or self._pending
+               or self._admitting):
             self.step()

@@ -123,6 +123,140 @@ def _attention_paged(cfg, layer_cfg, params, x, positions, pool_kv,
     return out, (k_pool, v_pool)
 
 
+def _attention_paged_prefill(cfg, layer_cfg, params, x, positions, pool_kv,
+                             table, ctx_pages, true_length):
+    """Prefill S rows of ONE slot straight into its pages (no dense
+    detour): K/V rows scatter at (table[pos // page], pos %% page), the
+    read gathers the slot's first `ctx_pages` pages into a dense
+    slot-per-position view and reuses the dense attention core — so the
+    paged prefill is bit-identical to the dense engine's on the oracle
+    path. Rows >= true_length write into the slot's own future in-page
+    offsets (overwritten by decode later) or the engine's trash page
+    (table's unused tail), and the causal mask hides them from every real
+    query."""
+    s, d = x.shape
+    h, g, dh = cfg.num_heads, cfg.num_groups, cfg.head_dim
+    q_dim = h * dh
+
+    qkv = linear_apply(params["qkv"]["w"], x, params["qkv"].get("b"))
+    q = qkv[:, :q_dim].reshape(s, h, dh)
+    k_new = qkv[:, q_dim : q_dim + g * dh].reshape(s, g, dh)
+    v_new = qkv[:, q_dim + g * dh :].reshape(s, g, dh)
+
+    if cfg.query_norm_config is not None:
+        q = _head_norm(q, cfg.query_norm_config, params["q_norm_scales"])
+    if cfg.key_norm_config is not None:
+        k_new = _head_norm(k_new, cfg.key_norm_config, params["k_norm_scales"])
+
+    if layer_cfg.rope_config is not None:
+        inv_freq, attn_scale = _inv_freq_cached(layer_cfg.rope_config)
+        cos, sin = rope_tables(jnp.asarray(inv_freq), attn_scale, positions)
+        q = apply_rope(q, cos, sin)
+        k_new = apply_rope(k_new, cos, sin)
+
+    k_pool, v_pool = pool_kv
+    page = k_pool.shape[2]
+    maxp = table.shape[0] - 1  # table[maxp] is the engine's trash page
+    # padded rows (>= true_length) redirect to the trash page: a padded
+    # position past max_context would otherwise clamp into the slot's LAST
+    # real page and overwrite live rows
+    valid = jnp.arange(s) < true_length
+    pidx = jnp.where(
+        valid, table[jnp.clip(positions // page, 0, maxp - 1)], table[maxp]
+    )
+    off = positions % page
+    k_pool = k_pool.at[:, pidx, off].set(
+        jnp.swapaxes(k_new, 0, 1).astype(k_pool.dtype))
+    v_pool = v_pool.at[:, pidx, off].set(
+        jnp.swapaxes(v_new, 0, 1).astype(v_pool.dtype))
+
+    # dense read view of the slot's context: [C, G, Dh], slot-per-position
+    sel = table[:ctx_pages]
+    k_dense = jnp.moveaxis(
+        k_pool[:, sel].reshape(g, ctx_pages * page, dh), 0, 1)
+    v_dense = jnp.moveaxis(
+        v_pool[:, sel].reshape(g, ctx_pages * page, dh), 0, 1)
+
+    from ..ops.attention import attention_reference
+
+    scale = cfg.scale if cfg.scale is not None else float(dh) ** -0.5
+    attn = attention_reference(
+        q, k_dense, v_dense, positions, scale=scale, is_causal=True,
+        logit_soft_cap=cfg.logit_soft_cap,
+    )
+    attn = attn.reshape(s, q_dim)
+
+    if "gate" in params:
+        gate = linear_apply(params["gate"]["w"], x)
+        attn = (attn.astype(jnp.float32) * jax.nn.sigmoid(gate.astype(jnp.float32))).astype(attn.dtype)
+
+    out = linear_apply(params["out"]["w"], attn, params["out"].get("b"))
+    return out, (k_pool, v_pool)
+
+
+def paged_prefill_chunk(
+    cfg: DecoderConfig,
+    params: dict,
+    pools: list,  # per-layer (k_pool, v_pool)
+    tokens: jax.Array,  # [S] i32 — one slot's (padded) prompt chunk
+    table: jax.Array,  # [MAXP] i32 — the slot's page table (trash-filled tail)
+    pos0: jax.Array,  # scalar i32 — absolute position of row 0
+    true_length: jax.Array,  # scalar i32 — real rows in the chunk
+    ctx_pages: int,  # static: pages of context visible to this chunk
+):
+    """One prefill chunk of one slot written directly into the paged pools;
+    returns (last-real-row logits [V], new pools). Replaces the v1
+    dense-prefill + copy-in admission detour: no dense max_context state is
+    ever allocated, and prefix-shared admissions can start past the shared
+    pages (their K/V is already resident)."""
+    tcfg = cfg.transformer_config
+    ecfg = cfg.embedding_config
+    s = tokens.shape[0]
+    positions = pos0 + jnp.arange(s, dtype=jnp.int32)
+
+    emb = params["embedding"].get("tied", params["embedding"].get("input"))
+    x = embedding_lookup(emb, tokens)
+    if ecfg.input_scale is not None:
+        x = (x.astype(jnp.float32) * ecfg.input_scale).astype(x.dtype)
+
+    new_pools = []
+    for i, layer_cfg in enumerate(tcfg.layer_configs):
+        p = params["layers"][i]
+        pls = p.get("post_layer_scalar")
+        h = (
+            normalize(x, layer_cfg.pre_mixer_norm_config,
+                      p["pre_mixer_norm"]["scales"], p["pre_mixer_norm"].get("biases"))
+            if layer_cfg.pre_mixer_norm_config else x
+        )
+        a, pool_kv = _attention_paged_prefill(
+            layer_cfg.mixer_config, layer_cfg, p["mixer"], h, positions,
+            pools[i], table, ctx_pages, true_length,
+        )
+        new_pools.append(pool_kv)
+        if layer_cfg.post_mixer_norm_config is not None:
+            a = normalize(a, layer_cfg.post_mixer_norm_config,
+                          p["post_mixer_norm"]["scales"], p["post_mixer_norm"].get("biases"))
+        x = (x.astype(jnp.float32) + a.astype(jnp.float32)).astype(x.dtype)
+        if pls is not None:
+            x = (x.astype(jnp.float32) * pls[0]).astype(x.dtype)
+        hh = normalize(x, layer_cfg.pre_mlp_norm_config,
+                       p["pre_mlp_norm"]["scales"], p["pre_mlp_norm"].get("biases"))
+        m = mlp_forward(layer_cfg.mlp_config, p["mlp"], hh)
+        if layer_cfg.post_mlp_norm_config is not None:
+            m = normalize(m, layer_cfg.post_mlp_norm_config,
+                          p["post_mlp_norm"]["scales"], p["post_mlp_norm"].get("biases"))
+            if pls is not None:
+                m = (m.astype(jnp.float32) * pls[0]).astype(m.dtype)
+        x = (x.astype(jnp.float32) + m.astype(jnp.float32)).astype(x.dtype)
+
+    x = normalize(x, tcfg.output_norm_config, params["output_norm"]["scales"],
+                  params["output_norm"].get("biases"))
+    x = jax.lax.dynamic_slice_in_dim(x, true_length - 1, 1, axis=0)
+    out_table = params["embedding"].get("tied", params["embedding"].get("output"))
+    logits = embedding_readout(out_table, x, ecfg.logit_soft_cap)
+    return logits[0], new_pools
+
+
 def paged_decode_step(
     cfg: DecoderConfig,
     params: dict,

@@ -26,6 +26,7 @@ import dataclasses
 import json
 import os
 import time
+import urllib.error
 import urllib.request
 import zlib
 from typing import Optional
@@ -151,24 +152,33 @@ def download_file(spec: FileSpec, dest_dir: str, *, chunk: int = 1 << 20,
         if offset:
             req.add_header("Range", f"bytes={offset}-")
         mode = "ab" if offset else "wb"
-        with urllib.request.urlopen(req) as resp:
-            ranged = getattr(resp, "status", 200) == 206
-            if offset and not ranged:
-                # server (or file://) ignored the range: skip what we have
-                to_skip = offset
-                while to_skip > 0:
-                    skipped = resp.read(min(chunk, to_skip))
-                    if not skipped:
-                        break
-                    to_skip -= len(skipped)
-            with open(part, mode) as f:
-                while True:
-                    block = resp.read(chunk)
-                    if not block:
-                        break
-                    f.write(block)
-                    if progress:
-                        progress(spec.name, f.tell(), spec.size)
+        try:
+            with urllib.request.urlopen(req) as resp:
+                ranged = getattr(resp, "status", 200) == 206
+                if offset and not ranged:
+                    # server (or file://) ignored the range: skip what we have
+                    to_skip = offset
+                    while to_skip > 0:
+                        skipped = resp.read(min(chunk, to_skip))
+                        if not skipped:
+                            break
+                        to_skip -= len(skipped)
+                with open(part, mode) as f:
+                    while True:
+                        block = resp.read(chunk)
+                        if not block:
+                            break
+                        f.write(block)
+                        if progress:
+                            progress(spec.name, f.tell(), spec.size)
+        except (urllib.error.URLError, ConnectionError, TimeoutError, OSError) as e:
+            # transient server/socket failure (incl. HTTP 5xx, dropped
+            # connections mid-transfer): whatever landed in .part stays,
+            # the next attempt re-plans and RESUMES from it (the reference's
+            # wiremock Behavior fault matrix, mock-registry behavior.rs)
+            if attempt == 0:
+                continue
+            raise DownloadError(f"{spec.name}: transfer failed ({e})") from e
 
         have = os.path.getsize(part)
         if spec.size is not None and have != spec.size:

@@ -52,6 +52,10 @@ class LocalRegistry:
     def __init__(self, root: str):
         self.root = root
 
+    @property
+    def identifier(self) -> str:
+        return f"local:{self.root}"
+
     def models(self) -> list[ModelInfo]:
         out = []
         if not os.path.isdir(self.root):
@@ -76,20 +80,36 @@ class LocalRegistry:
 
 
 class Engine:
-    """Product-facing engine: registry + session factories."""
+    """Product-facing engine: registry + session factories.
 
-    def __init__(self, models_dir: str):
-        self.registry = LocalRegistry(models_dir)
+    The registry stack mirrors the reference's Engine::new composition
+    (uzu/src/engine/mod.rs: merged(cached(local), extras...)): the local
+    directory scan is cached per process (refresh() re-lists), and extra
+    registries (FixedRegistry, a remote catalog, ...) merge behind it."""
+
+    def __init__(self, models_dir: str, extra_registries=()):
+        from .registry import CachedRegistry, MergedRegistry
+
+        self._local = LocalRegistry(models_dir)
+        self._cached = CachedRegistry(self._local)
+        if extra_registries:
+            self.registry = MergedRegistry([self._cached, *extra_registries])
+        else:
+            self.registry = self._cached
         self._cache: dict = {}
 
     def models(self) -> list[ModelInfo]:
         return self.registry.models()
 
+    def refresh(self) -> None:
+        """Drop the cached catalog (reference CachedRegistry::clear)."""
+        self._cached.clear()
+
     def model(self, model_id: str) -> ModelInfo:
         for m in self.models():
             if m.id == model_id:
                 return m
-        raise KeyError(f"model {model_id!r} not found under {self.registry.root}")
+        raise KeyError(f"model {model_id!r} not found under {self._local.root}")
 
     def language_model(self, model_id: str, **kw) -> LanguageModel:
         info = self.model(model_id)
@@ -149,6 +169,6 @@ class Engine:
             from huggingface_hub import snapshot_download
         except ImportError as e:
             raise RuntimeError("huggingface_hub not available") from e
-        dest = os.path.join(self.registry.root, repo_id.replace("/", "--"))
+        dest = os.path.join(self._local.root, repo_id.replace("/", "--"))
         snapshot_download(repo_id, revision=revision, local_dir=dest)
         return dest

@@ -395,6 +395,7 @@ def qwen3_config(
     head_dim: int = 64,
     vocab_size: int = 1024,
     max_seq: int = 4096,
+    qk_norm_eps: float = 1e-6,
 ) -> LanguageModelConfig:
     """Qwen3-style: GQA + per-head QK-norm, untied ok; tied by default."""
     base = llama_config(
@@ -408,7 +409,7 @@ def qwen3_config(
         max_seq=max_seq,
         rope_base=1000000.0,
     )
-    qk_norm = _rms(eps=1e-6, upcast=UpcastMode.FULL_LAYER)
+    qk_norm = _rms(eps=qk_norm_eps, upcast=UpcastMode.FULL_LAYER)
     layers = tuple(
         TransformerLayerConfig(
             pre_mixer_norm_config=lc.pre_mixer_norm_config,

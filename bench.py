@@ -256,6 +256,31 @@ def main() -> None:
     batch_run(4, 64)  # warmup (compiles batched decode + admission)
     batch_tok_s = max(batch_run(4, 64) for _ in range(2))
 
+    # self-speculation at REALISTIC acceptance: layer-truncated self-draft
+    # (no extra weights) on a non-repetitive random prompt — reports
+    # acceptance + end-to-end rate so the speculation story is measured,
+    # not asserted. Skippable under tight budgets (UZU_BENCH_NOSPEC=1).
+    selfspec_tok_s = selfspec_accept = None
+    if not os.environ.get("UZU_BENCH_NOSPEC"):
+        from uzu_tpu.engine.speculation import (
+            SpeculationMetrics,
+            self_speculative_decoder,
+        )
+
+        spec_dec = self_speculative_decoder(lm, k=4)
+        list(spec_dec.generate(prompt, 32, stop_token_ids=[],
+                               metrics=SpeculationMetrics()))  # compile/warm
+        best = 0.0
+        sm = None
+        for _ in range(2):
+            sm = SpeculationMetrics()
+            t0 = time.perf_counter()
+            out_s = list(spec_dec.generate(prompt, gen_len, stop_token_ids=[],
+                                           metrics=sm))
+            best = max(best, len(out_s) / (time.perf_counter() - t0))
+        selfspec_tok_s = best
+        selfspec_accept = sm.acceptance_rate
+
     # wider batch, opt-in only: the B=16 executables add many minutes of
     # remote-AOT compile under congestion (a guarded run still blew a 25 min
     # budget). Measured separately on v5e: B=16 -> 1800 tok/s aggregate,
@@ -285,6 +310,10 @@ def main() -> None:
                     "quant_matmul_up_ms": round(qm_ms, 4),
                     "quant_matmul_up_gbs": round(qm_gbs, 1),
                 },
+                **({
+                    "selfspec_tok_s": round(selfspec_tok_s, 2),
+                    "selfspec_acceptance": round(selfspec_accept, 4),
+                } if selfspec_tok_s is not None else {}),
                 "model": os.path.basename(model_dir),
                 "weight_bytes": wbytes,
                 "device": kind,

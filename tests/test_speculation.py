@@ -165,6 +165,29 @@ def test_chain_speculation_recurrent_resumable_state(tmp_path):
     assert got2 == want
 
 
+def test_self_speculative_matches_plain(target):
+    """Self-speculation (layer-truncated self-draft): no extra weights, and
+    the output is bit-identical to plain decoding on a NON-repetitive
+    prompt (acceptance only affects speed)."""
+    from uzu_tpu.engine.speculation import (
+        self_draft_model,
+        self_speculative_decoder,
+    )
+
+    draft = self_draft_model(target, 1)
+    # weight arrays are shared, not copied
+    assert draft.params["layers"][0] is target.params["layers"][0]
+    assert len(draft.decoder_config.transformer_config.layer_configs) == 1
+
+    prompt = np.array([9, 3, 57, 12, 88, 41, 7])
+    want = target.generate_list(prompt, 20, stop_token_ids=[])
+    dec = self_speculative_decoder(target, draft_layers=1, k=4)
+    metrics = SpeculationMetrics()
+    got = list(dec.generate(prompt, 20, stop_token_ids=[], metrics=metrics))
+    assert got == want
+    assert metrics.num_tokens_proposed > 0
+
+
 def test_acceptance_metrics_counted(target):
     # a prompt with heavy repetition: ngram speculation should accept some
     prompt = np.array([1, 2, 3] * 6)

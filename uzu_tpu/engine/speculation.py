@@ -161,6 +161,63 @@ class DraftModelSpeculator:
         return out
 
 
+def self_draft_model(lm, num_layers: int):
+    """A layer-truncated view of `lm` usable as a draft model
+    (self-speculative decoding, LayerSkip / Draft-and-Verify style): the
+    first `num_layers` transformer layers plus the shared embedding,
+    output norm, and readout. Weight arrays are SHARED with the target —
+    the draft costs only its own KV state, and its early-layer compute is
+    exactly the target's, which is what makes its proposals correlate."""
+    from .engine import LanguageModel
+    from ..config.model import (
+        DecoderConfig,
+        LanguageModelConfig,
+        TransformerConfig,
+    )
+
+    dc = lm.decoder_config
+    tc = dc.transformer_config
+    if not 0 < num_layers <= len(tc.layer_configs):
+        raise ValueError(f"num_layers must be in [1, {len(tc.layer_configs)}]")
+    for lc in tc.layer_configs[:num_layers]:
+        src = lc.kv_source_layer_index
+        if src is not None and src >= num_layers:
+            raise ValueError("truncation cuts a KV-share source layer")
+    cfg = LanguageModelConfig(
+        decoder_config=DecoderConfig(
+            embedding_config=dc.embedding_config,
+            transformer_config=TransformerConfig(
+                layer_configs=tc.layer_configs[:num_layers],
+                output_norm_config=tc.output_norm_config,
+                model_dim=tc.model_dim,
+                hidden_dim=tc.hidden_dim,
+            ),
+            vocab_size=dc.vocab_size,
+            ple_model_config=dc.ple_model_config,
+        ),
+        generation_config=lm.config.generation_config,
+    )
+    params = dict(lm.params)
+    params["layers"] = list(lm.params["layers"][:num_layers])
+    return LanguageModel(
+        cfg, params, max_context=lm.max_context,
+        prefill_buckets=lm.prefill_buckets, mesh=lm.mesh,
+        kv_quant=lm.kv_quant, ring_windows=lm.ring_windows,
+    )
+
+
+def self_speculative_decoder(lm, *, draft_layers: int | None = None,
+                             k: int = 4, sampling=None):
+    """SpeculativeDecoder whose draft is the target's own first layers
+    (half the stack by default). No extra weights, no training artifact —
+    the zero-dependency realistic-acceptance speculation path."""
+    n = len(lm.decoder_config.transformer_config.layer_configs)
+    draft = self_draft_model(lm, draft_layers or max(1, n // 2))
+    return SpeculativeDecoder(
+        lm, DraftModelSpeculator(draft, k=k), sampling=sampling
+    )
+
+
 class SpeculativeDecoder:
     """Chain-speculative generation loop over a LanguageModel."""
 

@@ -68,7 +68,7 @@ def attention_reference(
     # pipeline barrier (flash 1.77 ms vs online 1.47 ms standalone at
     # S=512/C=4096; whole-prefill 18.0 ms vs 16.3 ms at C=1024). Revisit on
     # hardware where attention HBM traffic, not weight streaming, dominates.
-    if runtime.use_pallas() and not runtime.on_tpu():
+    if runtime.use_pallas() and (not runtime.on_tpu() or runtime.force_flash()):
         from .pallas import flash_attention as fa
 
         if fa.supported(

@@ -45,3 +45,10 @@ def use_pallas() -> bool:
     if mode == "xla":
         return False
     return on_tpu()
+
+
+def force_flash() -> bool:
+    """UZU_TPU_FLASH=1 overrides the measured-in-context dispatch policy and
+    engages the Pallas flash-attention kernel ON TPU (A/B experiments at
+    context lengths the default policy was not measured at)."""
+    return os.environ.get("UZU_TPU_FLASH", "") == "1"

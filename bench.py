@@ -256,6 +256,27 @@ def main() -> None:
     batch_run(4, 64)  # warmup (compiles batched decode + admission)
     batch_tok_s = max(batch_run(4, 64) for _ in range(2))
 
+    # paged engine at B=8 (the width where it becomes the default):
+    # per-token KV pools + paged prefill + pipelined dispatch
+    paged8_tok_s = None
+    if not os.environ.get("UZU_BENCH_NOPAGED"):
+        from uzu_tpu.engine.paged_batch import PagedBatchEngine
+
+        def paged_run(bsz, gen_b):
+            eng = PagedBatchEngine(
+                lm, batch_size=bsz, decode_chunk=16, num_pages=256,
+                page_size=64, sampling=sampling, stop_token_ids=[])
+            reqs = [
+                eng.submit(rng.integers(0, lm.decoder_config.vocab_size, 32), gen_b)
+                for _ in range(bsz)
+            ]
+            tb = time.perf_counter()
+            eng.run()
+            return sum(len(r.tokens) for r in reqs) / (time.perf_counter() - tb)
+
+        paged_run(8, 48)  # warmup/compile
+        paged8_tok_s = max(paged_run(8, 48) for _ in range(2))
+
     # self-speculation at REALISTIC acceptance: layer-truncated self-draft
     # (no extra weights) on a non-repetitive random prompt — reports
     # acceptance + end-to-end rate so the speculation story is measured,
@@ -296,6 +317,8 @@ def main() -> None:
                 "metric": "decode_tok_s",
                 "value": round(decode_tok_s, 2),
                 "batch4_tok_s": round(batch_tok_s, 2),
+                **({"paged8_tok_s": round(paged8_tok_s, 2)}
+                   if paged8_tok_s is not None else {}),
                 **({"batch16_tok_s": round(batch16_tok_s, 2)} if batch16_tok_s else {}),
                 "unit": "tok/s",
                 "vs_baseline": round(decode_tok_s / sol_tok_s, 4),

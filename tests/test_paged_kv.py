@@ -278,6 +278,33 @@ def w_prefix(lm, prompt, got):
     return want
 
 
+def test_paged_int8_pools_match_dense_int8(tmp_path):
+    """INT8 page pools (codes + per-(token, kv-head) scales, half the KV
+    bytes) produce exactly the dense INT8-KV engine's streams: the pools
+    quantize with the same scheme at write and dequantize only the
+    gathered slice at read."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.paged_batch import PagedBatchEngine
+    from uzu_tpu.tools.synth import llama_config, synthesize
+
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160, num_heads=4,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    d = synthesize(cfg, str(tmp_path / "int8_model"), seed=13, dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(16,),
+                                kv_quant=True)
+
+    prompts = [[1, 2, 3], [(i * 7) % 256 for i in range(40)]]
+    wants = [lm.generate_list(np.asarray(p), 12, stop_token_ids=[])
+             for p in prompts]
+    eng = PagedBatchEngine(lm, batch_size=2, decode_chunk=4, num_pages=33,
+                           page_size=8, stop_token_ids=[])
+    assert len(eng.pools[0]) == 4  # quantized pool layout engaged
+    reqs = [eng.submit(p, 12) for p in prompts]
+    eng.run()
+    for r, w in zip(reqs, wants):
+        assert r.tokens == w, (r.tokens, w)
+
+
 def test_paged_prefill_skips_shared_prefix(tmp_path):
     """v2 paged prefill starts PAST fully-shared prefix pages: their KV is
     already resident, so the admission chunk loop begins at the first

@@ -54,8 +54,8 @@ class PagedBatchEngine:
     ):
         if not paged_supported(lm.decoder_config):
             raise ValueError("paged engine supports standard attention-only models")
-        if lm.kv_quant or lm.ring_windows:
-            raise ValueError("paged engine v1 uses bf16 full-layout pools")
+        if lm.ring_windows:
+            raise ValueError("paged engine uses full-layout pools (no ring)")
         if lm.max_context % page_size:
             raise ValueError("max_context must be a multiple of page_size")
         self.lm = lm
@@ -66,7 +66,8 @@ class PagedBatchEngine:
         # last page is the scratch target for masked admission writes
         self.pool = PagePool(num_pages=num_pages - 1, page_size=page_size)
         self._trash_page = num_pages - 1
-        self.pools = init_pools(lm.decoder_config, num_pages, page_size)
+        self.pools = init_pools(lm.decoder_config, num_pages, page_size,
+                                quantized=lm.kv_quant)
         if lm.mesh is not None:
             # the page pools are GLOBAL (shared across slots), so only the
             # kv-head dim shards (over tp); slots do not split over dp here —
@@ -75,9 +76,12 @@ class PagedBatchEngine:
 
             from ..parallel.mesh import TP_AXIS
 
-            s = NamedSharding(lm.mesh, P(TP_AXIS, None, None, None))
+            def shard(x):  # codes are 4D, scale planes 3D — both G-major
+                spec = P(TP_AXIS, *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(lm.mesh, spec))
+
             self.pools = [
-                None if pk is None else tuple(jax.device_put(x, s) for x in pk)
+                None if pk is None else tuple(shard(x) for x in pk)
                 for pk in self.pools
             ]
         self.sampling = sampling or SamplingParams()

@@ -83,17 +83,39 @@ def _attention_paged(cfg, layer_cfg, params, x, positions, pool_kv,
         q = apply_rope(q, cos, sin)
         k_new = apply_rope(k_new, cos, sin)
 
-    k_pool, v_pool = pool_kv
-    # scatter each slot's K/V rows at (page, offset) — B tiny writes
-    for i in range(b):
-        k_pool = jax.lax.dynamic_update_slice(
-            k_pool, k_new[i].astype(k_pool.dtype)[:, None, None, :],
-            (0, pages[i], offsets[i], 0),
-        )
-        v_pool = jax.lax.dynamic_update_slice(
-            v_pool, v_new[i].astype(v_pool.dtype)[:, None, None, :],
-            (0, pages[i], offsets[i], 0),
-        )
+    quantized = len(pool_kv) == 4
+    if quantized:
+        # INT8 pools: quantize the new rows with the dense caches' exact
+        # per-(token, kv-head) absmax scheme, scatter codes + scales
+        from .kv_cache import _quantize_rows
+
+        k_pool, k_s, v_pool, v_s = pool_kv
+        k_q, k_sc = _quantize_rows(k_new)  # [B, G, Dh] i8 / [B, G] f32
+        v_q, v_sc = _quantize_rows(v_new)
+        for i in range(b):
+            k_pool = jax.lax.dynamic_update_slice(
+                k_pool, k_q[i][:, None, None, :], (0, pages[i], offsets[i], 0))
+            v_pool = jax.lax.dynamic_update_slice(
+                v_pool, v_q[i][:, None, None, :], (0, pages[i], offsets[i], 0))
+            k_s = jax.lax.dynamic_update_slice(
+                k_s, k_sc[i][:, None, None], (0, pages[i], offsets[i]))
+            v_s = jax.lax.dynamic_update_slice(
+                v_s, v_sc[i][:, None, None], (0, pages[i], offsets[i]))
+        new_pool = (k_pool, k_s, v_pool, v_s)
+    else:
+        k_pool, v_pool = pool_kv
+        k_s = v_s = None
+        # scatter each slot's K/V rows at (page, offset) — B tiny writes
+        for i in range(b):
+            k_pool = jax.lax.dynamic_update_slice(
+                k_pool, k_new[i].astype(k_pool.dtype)[:, None, None, :],
+                (0, pages[i], offsets[i], 0),
+            )
+            v_pool = jax.lax.dynamic_update_slice(
+                v_pool, v_new[i].astype(v_pool.dtype)[:, None, None, :],
+                (0, pages[i], offsets[i], 0),
+            )
+        new_pool = (k_pool, v_pool)
 
     from ..ops.pallas.paged_attention import (
         paged_attention_reference,
@@ -103,15 +125,17 @@ def _attention_paged(cfg, layer_cfg, params, x, positions, pool_kv,
     scale = cfg.scale if cfg.scale is not None else float(dh) ** -0.5
     from .. import runtime
 
-    if runtime.use_pallas() and runtime.on_tpu():
+    if not quantized and runtime.use_pallas() and runtime.on_tpu():
         attn = paged_decode_attention(
             q, k_pool, v_pool, tables, lengths, scale=scale,
             logit_soft_cap=cfg.logit_soft_cap,
         )
     else:
+        # quantized pools take the gather path: dequant fuses into the
+        # gathered slice (the Pallas kernel's int8 variant is future work)
         attn = paged_attention_reference(
             q, k_pool, v_pool, tables, lengths, scale=scale,
-            logit_soft_cap=cfg.logit_soft_cap,
+            logit_soft_cap=cfg.logit_soft_cap, k_scales=k_s, v_scales=v_s,
         )
     attn = attn.reshape(b, q_dim)
 
@@ -120,7 +144,7 @@ def _attention_paged(cfg, layer_cfg, params, x, positions, pool_kv,
         attn = (attn.astype(jnp.float32) * jax.nn.sigmoid(gate.astype(jnp.float32))).astype(attn.dtype)
 
     out = linear_apply(params["out"]["w"], attn, params["out"].get("b"))
-    return out, (k_pool, v_pool)
+    return out, new_pool
 
 
 def _attention_paged_prefill(cfg, layer_cfg, params, x, positions, pool_kv,
@@ -154,7 +178,12 @@ def _attention_paged_prefill(cfg, layer_cfg, params, x, positions, pool_kv,
         q = apply_rope(q, cos, sin)
         k_new = apply_rope(k_new, cos, sin)
 
-    k_pool, v_pool = pool_kv
+    quantized = len(pool_kv) == 4
+    if quantized:
+        k_pool, k_s, v_pool, v_s = pool_kv
+    else:
+        k_pool, v_pool = pool_kv
+        k_s = v_s = None
     page = k_pool.shape[2]
     maxp = table.shape[0] - 1  # table[maxp] is the engine's trash page
     # padded rows (>= true_length) redirect to the trash page: a padded
@@ -165,17 +194,35 @@ def _attention_paged_prefill(cfg, layer_cfg, params, x, positions, pool_kv,
         valid, table[jnp.clip(positions // page, 0, maxp - 1)], table[maxp]
     )
     off = positions % page
-    k_pool = k_pool.at[:, pidx, off].set(
-        jnp.swapaxes(k_new, 0, 1).astype(k_pool.dtype))
-    v_pool = v_pool.at[:, pidx, off].set(
-        jnp.swapaxes(v_new, 0, 1).astype(v_pool.dtype))
+    if quantized:
+        from .kv_cache import _quantize_rows
+
+        k_q, k_sc = _quantize_rows(k_new)  # [S, G, Dh] i8 / [S, G] f32
+        v_q, v_sc = _quantize_rows(v_new)
+        k_pool = k_pool.at[:, pidx, off].set(jnp.swapaxes(k_q, 0, 1))
+        v_pool = v_pool.at[:, pidx, off].set(jnp.swapaxes(v_q, 0, 1))
+        k_s = k_s.at[:, pidx, off].set(jnp.swapaxes(k_sc, 0, 1))
+        v_s = v_s.at[:, pidx, off].set(jnp.swapaxes(v_sc, 0, 1))
+        new_pool = (k_pool, k_s, v_pool, v_s)
+    else:
+        k_pool = k_pool.at[:, pidx, off].set(
+            jnp.swapaxes(k_new, 0, 1).astype(k_pool.dtype))
+        v_pool = v_pool.at[:, pidx, off].set(
+            jnp.swapaxes(v_new, 0, 1).astype(v_pool.dtype))
+        new_pool = (k_pool, v_pool)
 
     # dense read view of the slot's context: [C, G, Dh], slot-per-position
+    # (quantized pools dequantize only the gathered slice)
     sel = table[:ctx_pages]
     k_dense = jnp.moveaxis(
         k_pool[:, sel].reshape(g, ctx_pages * page, dh), 0, 1)
     v_dense = jnp.moveaxis(
         v_pool[:, sel].reshape(g, ctx_pages * page, dh), 0, 1)
+    if quantized:
+        ks_dense = jnp.moveaxis(k_s[:, sel].reshape(g, ctx_pages * page), 0, 1)
+        vs_dense = jnp.moveaxis(v_s[:, sel].reshape(g, ctx_pages * page), 0, 1)
+        k_dense = k_dense.astype(jnp.float32) * ks_dense[..., None]
+        v_dense = v_dense.astype(jnp.float32) * vs_dense[..., None]
 
     from ..ops.attention import attention_reference
 
@@ -191,7 +238,7 @@ def _attention_paged_prefill(cfg, layer_cfg, params, x, positions, pool_kv,
         attn = (attn.astype(jnp.float32) * jax.nn.sigmoid(gate.astype(jnp.float32))).astype(attn.dtype)
 
     out = linear_apply(params["out"]["w"], attn, params["out"].get("b"))
-    return out, (k_pool, v_pool)
+    return out, new_pool
 
 
 def paged_prefill_chunk(
@@ -291,11 +338,11 @@ def paged_decode_step(
                       p["pre_mixer_norm"]["scales"], p["pre_mixer_norm"].get("biases"))
             if layer_cfg.pre_mixer_norm_config else x
         )
-        a, pool_kv = _attention_paged(
+        a, new_pool = _attention_paged(
             layer_cfg.mixer_config, layer_cfg, p["mixer"], h, positions,
             pools[i], pages_idx, offsets, tables, lengths,
         )
-        new_pools.append(pool_kv)
+        new_pools.append(new_pool)
         if layer_cfg.post_mixer_norm_config is not None:
             a = normalize(a, layer_cfg.post_mixer_norm_config,
                           p["post_mixer_norm"]["scales"], p["post_mixer_norm"].get("biases"))

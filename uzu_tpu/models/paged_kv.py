@@ -86,9 +86,13 @@ class PagePool:
 
 
 def init_pools(decoder_config, num_pages: int, page_size: int,
-               dtype=jnp.bfloat16) -> list:
-    """Per-layer (k_pool, v_pool) [G, P, page, Dh] arrays (None for
-    non-attention / KV-shared layers)."""
+               dtype=jnp.bfloat16, quantized: bool = False) -> list:
+    """Per-layer page pools (None for non-attention / KV-shared layers):
+    bf16 -> (k_pool, v_pool) [G, P, page, Dh]; quantized (INT8 KV, same
+    per-(token, kv-head) absmax scheme as the dense ring/full caches) ->
+    (k_q, k_s, v_q, v_s) with codes [G, P, page, Dh] i8 + scales
+    [G, P, page] f32 — half the paged KV bytes, which is the pool's whole
+    capacity purpose. Tuple arity is the dispatch tag."""
     from ..config.model import AttentionConfig
 
     pools = []
@@ -97,7 +101,14 @@ def init_pools(decoder_config, num_pages: int, page_size: int,
         if isinstance(m, AttentionConfig) and not m.is_kv_sharing \
                 and lc.kv_source_layer_index is None:
             shape = (m.num_groups, num_pages, page_size, m.head_dim)
-            pools.append((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)))
+            if quantized:
+                sshape = shape[:3]
+                pools.append((
+                    jnp.zeros(shape, jnp.int8), jnp.ones(sshape, jnp.float32),
+                    jnp.zeros(shape, jnp.int8), jnp.ones(sshape, jnp.float32),
+                ))
+            else:
+                pools.append((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)))
         else:
             pools.append(None)
     return pools

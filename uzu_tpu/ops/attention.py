@@ -90,10 +90,16 @@ def attention_reference(
     if (
         suffix_mask is None
         and c >= ONLINE_ATTENTION_MIN_C
+        and s >= ONLINE_MIN_S
         and c % ONLINE_CHUNK == 0
     ):
-        # long contexts: chunked online softmax avoids the O(S*C) score
-        # materialization (reference two-pass core selection, core/mod.rs:89)
+        # long contexts at PREFILL widths: chunked online softmax avoids the
+        # O(S*C) score materialization (reference two-pass core selection,
+        # core/mod.rs:89). Decode/verify widths (s < ONLINE_MIN_S) stay on
+        # the single fused einsum at every context: their score block is
+        # tiny, and the scan's 8-16 sequential chunk steps per layer are
+        # pure latency (measured on v5e flagship: decode 118 -> 138 tok/s
+        # at ctx 8k, 102 -> 118 at 14k, from this dispatch change alone)
         return attention_online(
             q, k_cache, v_cache, q_positions, scale=scale, is_causal=is_causal,
             sliding_window_size=sliding_window_size, logit_soft_cap=logit_soft_cap,
@@ -151,6 +157,7 @@ def attention_reference(
 
 ONLINE_ATTENTION_MIN_C = 4096
 ONLINE_CHUNK = 1024
+ONLINE_MIN_S = 64  # below this many query rows the fused einsum wins
 
 
 def attention_online(

@@ -156,8 +156,11 @@ def paged_decode_attention(
 
 
 def paged_attention_reference(q, k_pool, v_pool, page_table, lengths, *,
-                              scale, logit_soft_cap=None):
-    """Pure-XLA oracle: gather pages, mask by length, softmax-attend."""
+                              scale, logit_soft_cap=None,
+                              k_scales=None, v_scales=None):
+    """Pure-XLA oracle: gather pages, mask by length, softmax-attend.
+    k_scales/v_scales [G, P, page] dequantize INT8 pools on the gathered
+    slice only (same per-(token, kv-head) scheme as the dense caches)."""
     bsz, h, dh = q.shape
     g, p_total, page, _ = k_pool.shape
     rep = h // g
@@ -167,6 +170,11 @@ def paged_attention_reference(q, k_pool, v_pool, page_table, lengths, *,
     v = v_pool[:, page_table]
     k = jnp.moveaxis(k, 1, 0).reshape(bsz, g, maxp * page, dh)
     v = jnp.moveaxis(v, 1, 0).reshape(bsz, g, maxp * page, dh)
+    if k_scales is not None:
+        ks = jnp.moveaxis(k_scales[:, page_table], 1, 0).reshape(bsz, g, maxp * page)
+        vs = jnp.moveaxis(v_scales[:, page_table], 1, 0).reshape(bsz, g, maxp * page)
+        k = k.astype(jnp.float32) * ks[..., None]
+        v = v.astype(jnp.float32) * vs[..., None]
     qf = q.reshape(bsz, g, rep, dh).astype(jnp.float32)
     scores = jnp.einsum("bgrd,bgcd->bgrc", qf, k.astype(jnp.float32)) * scale
     if logit_soft_cap is not None:

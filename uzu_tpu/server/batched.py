@@ -32,9 +32,13 @@ class BatchedChatServer:
         batch_size: int = 4,
         decode_chunk: int = 8,
         sampling: SamplingParams | None = None,
-        paged: bool = False,
+        paged: bool | str = "auto",
         **engine_kw,
     ):
+        """paged: "auto" uses the paged engine from batch_size >= 8 when the
+        model supports it (per-token KV memory beats B x max_context slot
+        caches at that width, and prefix-shared admissions skip prefill);
+        True forces it, False keeps the slot-cache dense engine."""
         self.lm = lm
         self.tokenizer = tokenizer
         self.template = ChatTemplate(tokenizer.chat_template)
@@ -44,6 +48,12 @@ class BatchedChatServer:
             if i not in stop_ids:
                 stop_ids.append(i)
         engine_cls = BatchEngine
+        if paged == "auto":
+            from ..models.paged_decode import paged_supported
+
+            paged = (batch_size >= 8 and paged_supported(lm.decoder_config)
+                     and not lm.ring_windows
+                     and lm.max_context % engine_kw.get("page_size", 64) == 0)
         if paged:
             from ..engine.paged_batch import PagedBatchEngine
 

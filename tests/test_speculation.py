@@ -188,6 +188,54 @@ def test_self_speculative_matches_plain(target):
     assert metrics.num_tokens_proposed > 0
 
 
+def test_tree_accept_compacts_nonconsecutive_path(target):
+    """Accepting a NON-first branch (path [0, 2, 3], skipping node 1) must
+    leave the KV slots holding the accepted path's rows — regression for
+    the accept compaction reading at pos instead of the verify dispatch's
+    write base (pos - m), which silently no-ops whenever the path is not
+    the identity chain."""
+    import jax
+    import jax.numpy as jnp
+
+    from uzu_tpu.engine.speculation import NgramTreeSpeculator, TokenTree, TreeSpeculativeDecoder
+
+    lm = target
+    prompt = np.array([5, 9, 2, 7])
+    state = lm.new_state()
+    _, state = lm.prefill(state, prompt)
+    pos = len(prompt)
+
+    root, b_wrong, b_right, b_right2 = 11, 22, 33, 44
+    tree = TokenTree(root)
+    tree.add(0, b_wrong)
+    n2 = tree.add(0, b_right)
+    tree.add(n2, b_right2)
+    m = 4
+    positions = np.array([pos + d for d in tree.depths()], np.int32)
+
+    dec = TreeSpeculativeDecoder(lm, NgramTreeSpeculator(), max_nodes=8)
+    keys = jax.random.split(jax.random.PRNGKey(0), m)
+    state, _ = dec._verify_fn(m)(
+        lm.params, state, jnp.asarray(np.array(tree.tokens, np.int32)),
+        jnp.asarray(positions), jnp.asarray(tree.ancestor_mask(m)), keys,
+    )
+    path = [0, 2, 3]
+    idx = np.full(8, path[-1], np.int32)
+    idx[:3] = path
+    state = dec._accept_fn(m, 8)(
+        state, jnp.asarray(idx), jnp.asarray(pos + 3, jnp.int32))
+
+    # ground truth: teacher-forced prefill of the accepted sequence
+    want_state = lm.new_state()
+    _, want_state = lm.prefill(
+        want_state, np.concatenate([prompt, [root, b_right, b_right2]]))
+    probe = np.array([77], np.int32)
+    la, _ = lm.prefill(state, probe)
+    lb, _ = lm.prefill(want_state, probe)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_acceptance_metrics_counted(target):
     # a prompt with heavy repetition: ngram speculation should accept some
     prompt = np.array([1, 2, 3] * 6)

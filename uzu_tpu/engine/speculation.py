@@ -538,13 +538,17 @@ class TreeSpeculativeDecoder:
 
     def _accept_fn(self, m: int, a: int):
         """Compact accepted node rows (slots pos0+idx) to consecutive slots
-        pos0..pos0+a, then set pos."""
+        pos0..pos0+a, then set pos. pos0 is the verify dispatch's WRITE
+        base: the verify forward advanced state pos by its m rows, so the
+        original base is pos - m (an off-by-m here silently turns the
+        compaction into a no-op on the live region — caught by the
+        non-consecutive-acceptance regression test)."""
         key = (m, a)
         if key not in self._accept_jit:
 
             @partial(jax.jit, donate_argnums=(0,))
             def accept(state, idx, new_pos):
-                pos0 = state["pos"]
+                pos0 = state["pos"] - m
 
                 def fix(cache):
                     if cache is None or "k" not in cache and "k_q" not in cache:
@@ -731,7 +735,9 @@ class DFlashSpeculativeDecoder:
 
             @partial(jax.jit, donate_argnums=(0,))
             def accept(state, idx, new_pos):
-                pos0 = state["pos"]
+                # write base of the verify dispatch (its forward advanced
+                # pos by the m tree rows) — see TreeSpeculativeDecoder
+                pos0 = state["pos"] - m
 
                 def fix(cache):
                     if cache is None:

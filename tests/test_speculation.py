@@ -80,9 +80,10 @@ def test_speculative_respects_stop_tokens(target):
     assert got[-1] == stop
 
 
-def test_recurrent_chain_supported_tree_gated(tmp_path):
-    """Chain speculation works on recurrent mixers (deferred-commit replay);
-    tree/draft-rollback paths stay attention-only."""
+def test_recurrent_speculation_gates(tmp_path):
+    """Chain AND tree speculation work on recurrent mixers (deferred
+    commit + ancestor-edge recurrence); only draft-STATE rollback (the
+    draft model's own pos-reset) stays attention-only."""
     from uzu_tpu.engine.speculation import (
         TreeSpeculativeDecoder,
         tree_speculation_supported,
@@ -93,8 +94,8 @@ def test_recurrent_chain_supported_tree_gated(tmp_path):
     assert speculation_supported(lm.decoder_config)
     assert not tree_speculation_supported(lm.decoder_config)
     SpeculativeDecoder(lm, NgramSpeculator())  # allowed
-    with pytest.raises(ValueError):
-        TreeSpeculativeDecoder(lm)
+    dec = TreeSpeculativeDecoder(lm)  # allowed (deferred tree verify)
+    assert dec._recurrent
     with pytest.raises(ValueError):
         DraftModelSpeculator(lm)  # recurrent draft cannot pos-reset
 
@@ -144,6 +145,90 @@ def test_chain_speculation_recurrent_stop_and_budget(tmp_path):
     want5 = lm.generate_list(prompt, 5, stop_token_ids=[])
     got5 = list(dec.generate(prompt, 5, stop_token_ids=[]))
     assert got5 == want5 and len(got5) == 5
+
+
+@pytest.mark.parametrize("family", ["qwen35", "lfm2", "mamba2"])
+def test_tree_speculation_recurrent_bit_exact(tmp_path, family):
+    """TREE speculation on recurrent-mixer hybrids (the reference's
+    delta_net/tree_verify.rs + ShortConvTrieKernel capability): the
+    ancestor-edge recurrence + path replay must emit exactly the plain
+    greedy stream."""
+    from uzu_tpu.engine.speculation import (
+        NgramTreeSpeculator,
+        TreeSpeculativeDecoder,
+    )
+
+    lm = _hybrid_lm(tmp_path, family)
+    prompt = np.array([1, 2, 3, 4, 1, 2, 3, 4, 1, 2])
+    want = lm.generate_list(prompt, 20, stop_token_ids=[])
+    dec = TreeSpeculativeDecoder(
+        lm, NgramTreeSpeculator(max_ngram=3, depth=3, branches=2),
+        max_nodes=8)
+    metrics = SpeculationMetrics()
+    got = list(dec.generate(prompt, 20, stop_token_ids=[], metrics=metrics))
+    assert got == want
+    assert metrics.num_verify_passes > 0
+
+
+def test_tree_recurrent_nonconsecutive_path_state(tmp_path):
+    """Forced acceptance of a NON-first branch on a GDN hybrid: the
+    replayed recurrent state + compacted attention rows must continue
+    exactly like a teacher-forced prefill of the accepted sequence."""
+    import jax
+    import jax.numpy as jnp
+
+    from uzu_tpu.engine.speculation import (
+        NgramTreeSpeculator,
+        TokenTree,
+        TreeSpeculativeDecoder,
+        _tree_conv_commit_idx,
+        _tree_conv_windows,
+    )
+
+    lm = _hybrid_lm(tmp_path, "qwen35")
+    prompt = np.array([5, 9, 2, 7])
+    state = lm.new_state()
+    _, state = lm.prefill(state, prompt)
+    pos = len(prompt)
+
+    root, b_wrong, b_right, b_right2 = 11, 22, 33, 44
+    tree = TokenTree(root)
+    tree.add(0, b_wrong)
+    n2 = tree.add(0, b_right)
+    tree.add(n2, b_right2)
+    m = 4
+    positions = np.array([pos + d for d in tree.depths()], np.int32)
+    parents_np = np.asarray(tree.parents, np.int32)
+
+    dec = TreeSpeculativeDecoder(lm, NgramTreeSpeculator(), max_nodes=8)
+    assert dec._recurrent
+    conv_src = {k: jnp.asarray(_tree_conv_windows(parents_np, k))
+                for k in dec._kernel_sizes}
+    keys = jax.random.split(jax.random.PRNGKey(0), m)
+    pending, _ = dec._verify_fn_deferred(m)(
+        lm.params, state, jnp.asarray(np.array(tree.tokens, np.int32)),
+        jnp.asarray(positions), jnp.asarray(tree.ancestor_mask(m)), keys,
+        jnp.asarray(parents_np), conv_src,
+    )
+    path = [0, 2, 3]
+    idx = np.full(8, path[-1], np.int32)
+    idx[:3] = path
+    path_idx = np.full(8, -1, np.int32)
+    path_idx[:3] = path
+    conv_commit = {k: jnp.asarray(_tree_conv_commit_idx(parents_np, 3, k))
+                   for k in dec._kernel_sizes}
+    state = dec._accept_fn_deferred()(
+        pending, jnp.asarray(idx), jnp.asarray(path_idx), conv_commit,
+        jnp.asarray(pos + 3, jnp.int32))
+
+    want_state = lm.new_state()
+    _, want_state = lm.prefill(
+        want_state, np.concatenate([prompt, [root, b_right, b_right2]]))
+    probe = np.array([77], np.int32)
+    la, _ = lm.prefill(state, probe)
+    lb, _ = lm.prefill(want_state, probe)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_chain_speculation_recurrent_resumable_state(tmp_path):

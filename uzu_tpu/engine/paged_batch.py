@@ -109,7 +109,11 @@ class PagedBatchEngine:
         self._pending = None
         self._seeds = np.zeros(batch_size, np.int64)
         self._steps = np.zeros(batch_size, np.int64)
-        self._jit = {}
+        # executable cache lives on the MODEL keyed by engine geometry, so
+        # rebuilding an engine (server restart, bench A/B) never recompiles
+        # (an engine-local cache cost ~30-90 s of remote AOT per rebuild)
+        self._geom = (batch_size, num_pages, page_size, lm.kv_quant)
+        self._jit = lm.__dict__.setdefault("_paged_jit", {})
 
     # -- jitted pieces -----------------------------------------------------
 
@@ -124,7 +128,7 @@ class PagedBatchEngine:
     def _prefill_fn(self, bucket: int, ctx_pages: int):
         """One slot's prefill chunk written directly into the pools (v2:
         no dense-prefill + copy-in detour, no dense state allocation)."""
-        key = ("prefill", bucket, ctx_pages)
+        key = ("prefill", bucket, ctx_pages, self._geom)
         if key not in self._jit:
             from ..models.paged_decode import paged_prefill_chunk
 
@@ -141,7 +145,7 @@ class PagedBatchEngine:
         return self._jit[key]
 
     def _decode_fn(self, k: int):
-        key = ("decode", k, self.sampling, self.stop_ids)
+        key = ("decode", k, self.sampling, self.stop_ids, self._geom)
         if key not in self._jit:
             cfg = self.lm.decoder_config
             sampling = self.sampling

@@ -500,22 +500,79 @@ class NgramTreeSpeculator:
         return tree
 
 
+def _tree_conv_windows(parents: np.ndarray, k: int) -> np.ndarray:
+    """[M, K] i32: each node's causal-conv tap sources, linearized into
+    concat([conv state rows (k-1, oldest first), node input rows (M)]).
+    Tap k-1 is the node itself; earlier taps walk the ancestor chain and
+    spill into the conv state tail past the root."""
+    m = len(parents)
+    src = np.zeros((m, k), np.int32)
+    for j in range(m):
+        chain = []
+        c = j
+        while c >= 0 and len(chain) < k:
+            chain.append(c)
+            c = parents[c]
+        for t in range(k):
+            back = k - 1 - t  # steps back from node j
+            if back < len(chain):
+                src[j, t] = (k - 1) + chain[back]
+            else:
+                src[j, t] = (k - 2) - (back - len(chain))
+    return src
+
+
+def _tree_conv_commit_idx(parents: np.ndarray, last: int, k: int) -> np.ndarray:
+    """[k-1] i32: the committed conv state's rows (oldest first) — the last
+    k-1 inputs along the accepted path ending at node `last`, same
+    linearization as _tree_conv_windows."""
+    out = np.zeros(max(k - 1, 0), np.int32)
+    chain = []
+    c = last
+    while c >= 0 and len(chain) < k - 1:
+        chain.append(c)
+        c = parents[c]
+    for i in range(k - 1):
+        back = k - 2 - i
+        if back < len(chain):
+            out[i] = (k - 1) + chain[back]
+        else:
+            out[i] = (k - 2) - (back - len(chain))
+    return out
+
+
 class TreeSpeculativeDecoder:
     """Tree-speculative generation: one dispatch verifies a whole token tree;
     the host walks the accept path (sampled token must match the child);
     accepted nodes' KV rows are compacted to consecutive position slots (the
-    reference's encode_accept / KVCacheUpdate, attention/state.rs:187-249)."""
+    reference's encode_accept / KVCacheUpdate, attention/state.rs:187-249).
+
+    Recurrent mixers (GDN/Mamba2/ShortConv) verify over the tree too — the
+    reference's delta_net/tree_verify.rs + ShortConvTrieKernel capability:
+    the verify forward runs each mixer's recurrence ALONG ANCESTOR EDGES
+    (ssm_tree_forward: host-linearized conv windows, parent-indexed state
+    buffer) without committing, and the accept dispatch replays the state
+    over just the accepted path (ssm_tree_commit) while compacting the
+    attention rows."""
 
     def __init__(self, lm, speculator=None, *, sampling: SamplingParams | None = None,
                  max_nodes: int = 16):
-        if not tree_speculation_supported(lm.decoder_config):
-            raise ValueError("tree speculation requires attention-only models")
+        if not speculation_supported(lm.decoder_config):
+            raise ValueError("tree speculation unsupported (KV-shared attention)")
         if getattr(lm, "ring_windows", False):
             raise ValueError("tree speculation requires the full KV layout")
         self.lm = lm
         self.speculator = speculator or NgramTreeSpeculator()
         self.sampling = sampling or SamplingParams()
         self.max_nodes = max_nodes
+        lcs = lm.decoder_config.transformer_config.layer_configs
+        self._recurrent = any(
+            not isinstance(lc.mixer_config, AttentionConfig) for lc in lcs
+        )
+        self._kernel_sizes = sorted({
+            lc.mixer_config.kernel_size for lc in lcs
+            if not isinstance(lc.mixer_config, AttentionConfig)
+        })
         self._verify_jit = {}
         self._accept_jit = {}
 
@@ -535,6 +592,72 @@ class TreeSpeculativeDecoder:
 
             self._verify_jit[m] = verify
         return self._verify_jit[m]
+
+    def _verify_fn_deferred(self, m: int):
+        """Tree verify for models WITH recurrent mixers: attention rows
+        land at suffix slots (pos untouched), recurrent layers run along
+        ancestor edges and return replay aux; nothing commits until the
+        host picks the accept path."""
+        key = ("deferred", m)
+        if key not in self._verify_jit:
+            cfg = self.lm.decoder_config
+            sampling = self.sampling
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def verify(params, state, tokens, positions, tree_mask, keys,
+                       parents, conv_src):
+                logits, pending = decoder_forward(
+                    cfg, params, tokens, state, last_only=False,
+                    positions=positions, tree_mask=tree_mask, defer_ssm=True,
+                    tree_parents=parents, tree_conv_src=conv_src,
+                )
+                sampled = jax.vmap(lambda l, k: sample(l, sampling, key=k))(
+                    logits, keys)
+                return pending, sampled
+
+            self._verify_jit[key] = verify
+        return self._verify_jit[key]
+
+    def _accept_fn_deferred(self):
+        """Combined accept: compact attention rows (write base = pending
+        pos, unchanged by the deferred verify) AND replay recurrent state
+        over the accepted path."""
+        key = "accept_deferred"
+        if key not in self._accept_jit:
+            from ..models.ssm import ssm_tree_commit
+
+            lcs = self.lm.decoder_config.transformer_config.layer_configs
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def accept(pending, idx, path_idx, conv_commit, new_pos):
+                pos0 = pending["pos"]
+
+                def fix(cache):
+                    if cache is None or ("k" not in cache and "k_q" not in cache):
+                        return cache
+                    out = dict(cache)
+                    for name in ("k", "v", "k_q", "v_q", "k_s", "v_s"):
+                        if name not in cache:
+                            continue
+                        buf = cache[name]
+                        rows = buf[pos0 + idx]
+                        out[name] = jax.lax.dynamic_update_slice(
+                            buf, rows, (pos0,) + (0,) * (buf.ndim - 1)
+                        )
+                    return out
+
+                layers = []
+                for lc, entry in zip(lcs, pending["layers"]):
+                    if isinstance(lc.mixer_config, AttentionConfig):
+                        layers.append(fix(entry))
+                    else:
+                        layers.append(ssm_tree_commit(
+                            lc.mixer_config, entry, path_idx,
+                            conv_commit[lc.mixer_config.kernel_size]))
+                return {"layers": layers, "pos": new_pos}
+
+            self._accept_jit[key] = accept
+        return self._accept_jit[key]
 
     def _accept_fn(self, m: int, a: int):
         """Compact accepted node rows (slots pos0+idx) to consecutive slots
@@ -620,12 +743,28 @@ class TreeSpeculativeDecoder:
             positions[:m_real] = [pos + d for d in depths]
             mask = tree.ancestor_mask(m)
 
-            verify = self._verify_fn(m)
-            state, sampled = verify(
-                lm.params, state, jnp.asarray(tokens),
-                jnp.asarray(np.minimum(positions, lm.max_context - 1)),
-                jnp.asarray(mask), keys[key_i : key_i + m],
-            )
+            parents_np = None
+            if self._recurrent:
+                parents_np = np.arange(-1, m - 1, dtype=np.int32)
+                parents_np[:m_real] = tree.parents[:m_real]
+                conv_src = {
+                    k: jnp.asarray(_tree_conv_windows(parents_np, k))
+                    for k in self._kernel_sizes
+                }
+                verify = self._verify_fn_deferred(m)
+                state, sampled = verify(
+                    lm.params, state, jnp.asarray(tokens),
+                    jnp.asarray(np.minimum(positions, lm.max_context - 1)),
+                    jnp.asarray(mask), keys[key_i : key_i + m],
+                    jnp.asarray(parents_np), conv_src,
+                )
+            else:
+                verify = self._verify_fn(m)
+                state, sampled = verify(
+                    lm.params, state, jnp.asarray(tokens),
+                    jnp.asarray(np.minimum(positions, lm.max_context - 1)),
+                    jnp.asarray(mask), keys[key_i : key_i + m],
+                )
             key_i = (key_i + m) % (len(keys) - self.max_nodes)
             vals = np.asarray(jax.device_get(sampled))
             if metrics is not None:
@@ -659,9 +798,20 @@ class TreeSpeculativeDecoder:
             idx = np.zeros(self.max_nodes, np.int32)
             idx[:a] = path
             idx[a:] = path[-1]
-            accept = self._accept_fn(m, self.max_nodes)
             new_pos = pos + a
-            state = accept(state, jnp.asarray(idx), jnp.asarray(new_pos, jnp.int32))
+            if self._recurrent:
+                path_idx = np.full(self.max_nodes, -1, np.int32)
+                path_idx[:a] = path
+                conv_commit = {
+                    k: jnp.asarray(_tree_conv_commit_idx(parents_np, path[-1], k))
+                    for k in self._kernel_sizes
+                }
+                state = self._accept_fn_deferred()(
+                    state, jnp.asarray(idx), jnp.asarray(path_idx),
+                    conv_commit, jnp.asarray(new_pos, jnp.int32))
+            else:
+                accept = self._accept_fn(m, self.max_nodes)
+                state = accept(state, jnp.asarray(idx), jnp.asarray(new_pos, jnp.int32))
             pos = new_pos
 
             for v in emit[:-1]:

@@ -238,6 +238,8 @@ def layer_forward(
     seq_axis=None,
     ctx_limit=None,
     defer_ssm=False,
+    tree_parents=None,
+    tree_conv_src=None,
 ):
     mixer_cfg = layer_cfg.mixer_config
     pls = params.get("post_layer_scalar")
@@ -259,12 +261,20 @@ def layer_forward(
                 "sequence-parallel prefill supports attention mixers only "
                 "(recurrent-state mixers need cross-device state propagation)"
             )
-        from .ssm import ssm_forward
+        from .ssm import ssm_forward, ssm_tree_forward
 
-        a, new_state = ssm_forward(
-            mixer_cfg, params["mixer"], h, positions, layer_state, true_length,
-            defer=defer_ssm,
-        )
+        if tree_parents is not None:
+            # tree verification: rows are tree nodes, the recurrence runs
+            # along ancestor edges, nothing commits (aux returned instead)
+            a, new_state = ssm_tree_forward(
+                mixer_cfg, params["mixer"], h, layer_state, tree_parents,
+                tree_conv_src[mixer_cfg.kernel_size],
+            )
+        else:
+            a, new_state = ssm_forward(
+                mixer_cfg, params["mixer"], h, positions, layer_state, true_length,
+                defer=defer_ssm,
+            )
 
     if layer_cfg.post_mixer_norm_config is not None:
         a = _norm("post_mixer_norm", layer_cfg.post_mixer_norm_config, params, a)
@@ -315,6 +325,10 @@ def decoder_forward(
     defer_ssm: bool = False,  # speculative verify: recurrent mixers return
                               # replay aux instead of committed state; pair
                               # with decoder_commit_deferred(commit_length)
+    tree_parents=None,  # [S] i32 node parents (tree verify on recurrent
+                        # mixers; -1 = root reads the incoming state)
+    tree_conv_src=None,  # {kernel_size: [S, K] i32} host-linearized conv
+                         # windows into [state rows; node rows]
 ):
     """Run the decoder; returns (logits, new_state).
 
@@ -357,6 +371,8 @@ def decoder_forward(
             seq_axis,
             ctx_limit,
             defer_ssm,
+            tree_parents,
+            tree_conv_src,
         )
         new_layer_states.append(new_state)
         if i in collect_layers:

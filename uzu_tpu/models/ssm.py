@@ -373,6 +373,198 @@ def ssm_forward(mixer_cfg, params, x, positions, state, true_length=None, defer=
     raise ValueError(f"unsupported mixer {type(mixer_cfg).__name__}")
 
 
+def ssm_tree_forward(mixer_cfg, params, x, state, parents, conv_src):
+    """Recurrent-mixer forward over a TOKEN TREE (the reference's
+    delta_net/tree_verify.rs + ShortConvTrieKernel role, TPU-style).
+
+    x [M, D] holds one row per tree node (parents[j] < j, -1 = root whose
+    predecessor state is `state`); conv_src [M, K] i32 indexes each node's
+    causal conv window into concat([state conv rows (k-1), node inputs]) —
+    the host linearizes every ancestor walk, so the device does pure
+    gathers. The recurrence runs as a sequential fori_loop over nodes with
+    a [M+1] state buffer (node j reads its PARENT's state, not the
+    previous row's): M <= 32 steps of vector work per layer.
+
+    Returns (out [M, D], aux) where aux feeds ssm_tree_commit — no state
+    is committed here (speculative nodes are hypotheses)."""
+    if isinstance(mixer_cfg, ShortConvConfig):
+        return _short_conv_tree(mixer_cfg, params, x, state, conv_src)
+    if isinstance(mixer_cfg, Mamba2Config):
+        return _mamba2_tree(mixer_cfg, params, x, state, parents, conv_src)
+    if isinstance(mixer_cfg, DeltaNetConfig):
+        return _delta_net_tree(mixer_cfg, params, x, state, parents, conv_src)
+    raise ValueError(f"unsupported mixer {type(mixer_cfg).__name__}")
+
+
+def _tree_conv(padded, conv_src, w, bias):
+    """Gathered causal depthwise conv: out[j] = sum_t w[:, t] *
+    padded[conv_src[j, t]]. padded [k-1+M, C] f32, conv_src [M, K].
+    Tap accumulation order matches _causal_depthwise_conv exactly so tree
+    verification stays bit-identical to the plain per-token path."""
+    win = padded[conv_src]  # [M, K, C]
+    k = w.shape[1]
+    out = jnp.zeros((win.shape[0], win.shape[2]), jnp.float32)
+    for tap in range(k):
+        out = out + win[:, tap] * w[:, tap].astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out
+
+
+def _short_conv_tree(cfg, params, x, state, conv_src):
+    m, d = x.shape
+    proj = linear_apply(params["in"]["w"], x).astype(jnp.float32)
+    pre, post, xin = proj[:, :d], proj[:, d : 2 * d], proj[:, 2 * d :]
+    xg = xin * pre
+    padded = jnp.concatenate([state["conv"].astype(jnp.float32), xg])
+    conv = _tree_conv(padded, conv_src, params["conv_w"], params.get("conv_b"))
+    y = (conv * post).astype(x.dtype)
+    aux = {"padded": padded, "conv0": state["conv"]}
+    return linear_apply(params["out"]["w"], y), aux
+
+
+def _mamba2_tree(cfg, params, x, state, parents, conv_src):
+    m, d = x.shape
+    h, g, dh, n = cfg.num_heads, cfg.num_groups, cfg.head_dim, cfg.state_dim
+    inner = h * dh
+    conv_dim = inner + 2 * g * n
+
+    proj = linear_apply(params["in"]["w"], x, params["in"].get("b")).astype(jnp.float32)
+    conv_in = proj[:, :conv_dim]
+    z = proj[:, conv_dim : conv_dim + inner] + params["gate_bias"].astype(jnp.float32)
+    dt_raw = proj[:, conv_dim + inner :]
+
+    padded = jnp.concatenate([state["conv"], conv_in])
+    conv = _act(cfg.activation,
+                _tree_conv(padded, conv_src, params["conv_w"], params.get("conv_b")))
+    xs = conv[:, :inner].reshape(m, h, dh)
+    rep = h // g
+    bs = jnp.repeat(conv[:, inner : inner + g * n].reshape(m, g, n), rep, axis=1)
+    cs = jnp.repeat(conv[:, inner + g * n :].reshape(m, g, n), rep, axis=1)
+    log_decay = -_softplus(dt_raw)
+    decay = jnp.exp(log_decay)
+
+    states0 = jnp.zeros((m + 1,) + state["ssm"].shape, jnp.float32)
+    states0 = states0.at[0].set(state["ssm"])
+    outs0 = jnp.zeros((m, h, dh), jnp.float32)
+
+    def body(j, carry):
+        states, outs = carry
+        s_par = states[parents[j] + 1]
+        s_new = s_par * decay[j][:, None, None] + xs[j][:, :, None] * bs[j][:, None, :]
+        y = jnp.einsum("hdn,hn->hd", s_new, cs[j])
+        return states.at[j + 1].set(s_new), outs.at[j].set(y)
+
+    states, ys = jax.lax.fori_loop(0, m, body, (states0, outs0))
+    ys = ys + params["skip_weight"].astype(jnp.float32)[None, :, None] * xs
+    ys = ys.reshape(m, inner) * jax.nn.silu(z)
+    out = linear_apply(params["out"]["w"], ys.astype(x.dtype), params["out"].get("b"))
+    aux = {"padded": padded, "xs": xs, "bs": bs, "log_decay": log_decay,
+           "ssm0": state["ssm"]}
+    return out, aux
+
+
+def _delta_net_tree(cfg, params, x, state, parents, conv_src):
+    m, d = x.shape
+    h, g = cfg.num_heads, cfg.num_groups
+    dk, dv = cfg.head_dim, cfg.value_head_dim
+    key_dim, value_dim = g * dk, h * dv
+    conv_dim = 2 * key_dim + value_dim
+
+    proj = linear_apply(params["in"]["w"], x).astype(jnp.float32)
+    conv_in = proj[:, :conv_dim]
+    z = proj[:, conv_dim : conv_dim + value_dim].reshape(m, h, dv)
+    beta_raw = proj[:, conv_dim + value_dim : conv_dim + value_dim + h]
+    a_raw = proj[:, conv_dim + value_dim + h :]
+
+    padded = jnp.concatenate([state["conv"], conv_in])
+    conv = jax.nn.silu(
+        _tree_conv(padded, conv_src, params["conv_w"], params.get("conv_b")))
+
+    rep = h // g
+    qs = conv[:, :key_dim].reshape(m, g, dk)
+    ks = conv[:, key_dim : 2 * key_dim].reshape(m, g, dk)
+    vs = conv[:, 2 * key_dim :].reshape(m, h, dv)
+
+    def l2norm(v):
+        return v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-6)
+
+    qs = jnp.repeat(l2norm(qs) * (float(dk) ** -0.5), rep, axis=1)
+    ks = jnp.repeat(l2norm(ks), rep, axis=1)
+    beta = jax.nn.sigmoid(beta_raw)
+    log_decay = -jnp.exp(params["a_log"].astype(jnp.float32))[None, :] * _softplus(
+        a_raw + params["dt_bias"].astype(jnp.float32)[None, :]
+    )
+    decay = jnp.exp(log_decay)
+
+    states0 = jnp.zeros((m + 1,) + state["ssm"].shape, jnp.float32)
+    states0 = states0.at[0].set(state["ssm"])
+    outs0 = jnp.zeros((m, h, dv), jnp.float32)
+
+    def body(j, carry):
+        states, outs = carry
+        s_par = states[parents[j] + 1]
+        sk = jnp.einsum("hvk,hk->hv", s_par, ks[j])
+        sq = jnp.einsum("hvk,hk->hv", s_par, qs[j])
+        delta = beta[j][:, None] * (vs[j] - decay[j][:, None] * sk)
+        kq = jnp.sum(ks[j] * qs[j], axis=-1)
+        o = decay[j][:, None] * sq + delta * kq[:, None]
+        s_new = decay[j][:, None, None] * s_par + delta[:, :, None] * ks[j][:, None, :]
+        return states.at[j + 1].set(s_new), outs.at[j].set(o)
+
+    states, os_ = jax.lax.fori_loop(0, m, body, (states0, outs0))
+    inv_rms = jax.lax.rsqrt(jnp.mean(os_ * os_, axis=-1, keepdims=True) + cfg.norm_config.epsilon)
+    gated = os_ * inv_rms * params["norm_scales"].astype(jnp.float32) * jax.nn.silu(z)
+    out = linear_apply(params["out"]["w"], gated.reshape(m, value_dim).astype(x.dtype))
+    aux = {"padded": padded, "ks": ks, "vs": vs, "beta": beta,
+           "log_decay": log_decay, "ssm0": state["ssm"]}
+    return out, aux
+
+
+def ssm_tree_commit(mixer_cfg, aux, path_idx, conv_commit_src):
+    """Commit a tree verify to an accepted root-to-node path.
+
+    path_idx [P] i32: accepted node indices in order, -1 padding (identity
+    transitions); conv_commit_src [k-1] i32: the host-linearized indices of
+    the committed conv window's rows into aux["padded"]. The state replay
+    gathers the path rows and runs the SAME per-token recurrence the plain
+    decode path uses — bit-identical continuation."""
+    k = mixer_cfg.kernel_size
+    conv = aux["padded"][conv_commit_src]
+    live = (path_idx >= 0)[:, None]
+    safe = jnp.maximum(path_idx, 0)
+    if isinstance(mixer_cfg, ShortConvConfig):
+        return {"conv": conv.astype(aux["conv0"].dtype)}
+
+    log_decay = jnp.where(live, aux["log_decay"][safe], 0.0)
+    decay = jnp.exp(log_decay)
+    if isinstance(mixer_cfg, Mamba2Config):
+        xs = jnp.where(live[:, :, None], aux["xs"][safe], 0.0)
+
+        def step(ssm, inp):
+            x_t, b_t, decay_t = inp
+            return ssm * decay_t[:, None, None] + x_t[:, :, None] * b_t[:, None, :], None
+
+        ssm, _ = jax.lax.scan(step, aux["ssm0"], (xs, aux["bs"][safe], decay))
+        return {"conv": conv, "ssm": ssm}
+
+    if isinstance(mixer_cfg, DeltaNetConfig):
+        beta = jnp.where(live, aux["beta"][safe], 0.0)
+
+        def step(ssm, inp):
+            k_t, v_t, beta_t, decay_t = inp
+            sk = jnp.einsum("hvk,hk->hv", ssm, k_t)
+            delta = beta_t[:, None] * (v_t - decay_t[:, None] * sk)
+            ssm = decay_t[:, None, None] * ssm + delta[:, :, None] * k_t[:, None, :]
+            return ssm, None
+
+        ssm, _ = jax.lax.scan(
+            step, aux["ssm0"],
+            (aux["ks"][safe], aux["vs"][safe], beta, decay))
+        return {"conv": conv, "ssm": ssm}
+    raise ValueError(f"unsupported mixer {type(mixer_cfg).__name__}")
+
+
 def ssm_commit(mixer_cfg, aux, commit_length):
     """Commit a deferred `ssm_forward` to `commit_length` tokens (a traced
     scalar). Rows >= commit_length replay as identity transitions — exactly

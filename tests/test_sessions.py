@@ -342,6 +342,38 @@ def test_tts_session_streaming_and_cancel():
     assert sess.state == "idle"
 
 
+def test_tts_token_lm_synthesizer(tmp_path):
+    """Audio-token-LM synthesis: the LM streams codec tokens on the fused
+    decode path, each decoding to an overlap-added PCM frame — continuous
+    sample count, deterministic streams, works through the session."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.sessions.tts import (
+        TextToSpeechSession,
+        TokenLMSynthesizer,
+        codebook_sine,
+    )
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path / "tts_model"), num_layers=2,
+                         model_dim=64, hidden_dim=160, num_heads=4,
+                         num_groups=2, head_dim=16)
+    lm = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16,))
+    tok = Tokenizer(d)
+    cb = codebook_sine(lm.decoder_config.vocab_size, frame_len=320)
+    synth = TokenLMSynthesizer(lm, tok, cb, max_frames=24,
+                               tokens_per_chunk=8)
+    sess = TextToSpeechSession(synth)
+    out = sess.synthesize("say something")
+    assert out.pcm.sample_rate == 16000
+    hop = synth.frame_hop
+    # continuous overlap-add: hop per frame plus the final tail
+    assert len(out.pcm.samples) % hop == (320 - hop) % hop
+    assert np.abs(out.pcm.samples).max() <= 1.0
+    assert out.stats.audio_seconds > 0
+    out2 = sess.synthesize("say something")
+    np.testing.assert_array_equal(out.pcm.samples, out2.pcm.samples)
+
+
 def test_chat_session_with_speculator(tmp_path):
     """Session-level speculation (the reference engages a model's bundled
     speculator in every stream): greedy reply text is identical with and

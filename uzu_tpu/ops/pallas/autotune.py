@@ -76,29 +76,48 @@ def lookup(bits: int, n: int, kdim: int, m_pad: int):
 
 
 def _time_config(x, qt, bn, bk, reps: int) -> float:
+    """Time one tile config with `reps` kernel calls folded into ONE
+    dispatch (lax.scan with per-iteration inputs — no CSE, no hoist): the
+    per-executable launch + tunnel roundtrip amortizes over reps, so even
+    decode-size (M=8) GEMV configs rank ABOVE the noise floor that a
+    dispatch-per-rep loop buried them under. Small-M runs scale reps up so
+    the in-dispatch compute dominates the constant overhead."""
     import time
 
     import jax
+    import jax.numpy as jnp
 
     from ...runtime import on_tpu
     from .quant_matmul import _quant_matmul_p
 
     interp = not on_tpu()
+    m = x.shape[0]
+    if m <= 16 and not interp:
+        reps = max(reps, 256)
+    scales_i = (1.0 + 1e-3 * jnp.arange(reps, dtype=jnp.float32)).astype(x.dtype)
+    xs = x[None] * scales_i[:, None, None]  # [reps, M, K] distinct inputs
 
-    def run():
-        return _quant_matmul_p(
-            x, qt.codes, qt.scales, qt.qbias, bits=qt.bits,
-            group_size=qt.group_size, block_n=bn, block_k=bk,
-            interpret=interp,
-        )
+    def scan_run(codes, scales, qbias, xs_):
+        def body(acc, xv):
+            y = _quant_matmul_p(
+                xv, codes, scales, qbias, bits=qt.bits,
+                group_size=qt.group_size, block_n=bn, block_k=bk,
+                interpret=interp,
+            )
+            return acc + jnp.sum(y.astype(jnp.float32)), None
 
-    out = run()
-    jax.device_get(out[0, :1])  # compile + settle
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run()
-    jax.device_get(out[0, :1])
-    return (time.perf_counter() - t0) / reps
+        acc, _ = jax.lax.scan(body, jnp.float32(0), xs_)
+        return acc
+
+    f = jax.jit(scan_run)
+    jax.device_get(f(qt.codes, qt.scales, qt.qbias, xs))  # compile + settle
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(f(qt.codes, qt.scales, qt.qbias, xs))
+        dt = (time.perf_counter() - t0) / reps
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def _valid(bits, n, kdim, g, bn, bk) -> bool:

@@ -347,3 +347,30 @@ def test_paged_prefill_skips_shared_prefix(tmp_path):
     assert r2.tokens == w2
     # r2's first prefill chunk began at token 16 (2 shared pages x 8)
     assert calls and calls[0][0] == 16, calls
+
+
+def test_paged_windowed_sinks_kvshare_matches_single(tmp_path):
+    """Paged engine == dense single-request generation on the windowed
+    feature mix (alternating sliding-window layers, attention sinks, tanh
+    soft cap, trailing cross-layer KV share) — the gpt-oss/Gemma2-class
+    feature set (ref attention.rs:8-31), previously dense-engine-only."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.paged_batch import PagedBatchEngine
+    from uzu_tpu.tools.synth import synthesize, windowed_config
+
+    cfg = windowed_config(num_layers=4, sliding_window=24, has_sinks=True,
+                          kv_share_last=1)
+    d = synthesize(cfg, str(tmp_path / "win_model"), seed=13, dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(16,))
+
+    prompts = [[1, 2, 3], list(range(2, 40)), [9, 8, 7, 6, 5]]
+    wants = [lm.generate_list(np.asarray(p), 10, stop_token_ids=[])
+             for p in prompts]
+
+    eng = PagedBatchEngine(lm, batch_size=2, decode_chunk=4, num_pages=33,
+                           page_size=8, stop_token_ids=[])
+    reqs = [eng.submit(p, 10) for p in prompts]
+    eng.run()
+    for r, want in zip(reqs, wants):
+        assert r.finished
+        assert r.tokens == want

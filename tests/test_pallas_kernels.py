@@ -253,3 +253,82 @@ def test_paged_decode_attention_matches_reference():
                                      interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_paged_decode_attention_window_sinks_matches_reference():
+    """Sliding-window masking (with DMA-skip page clamping) and attention
+    sinks (host-side stat fold) == the gather oracle, bf16 and i8 pools."""
+    from uzu_tpu.ops.pallas.paged_attention import (
+        paged_attention_reference,
+        paged_decode_attention,
+    )
+
+    rng = np.random.default_rng(5)
+    B, H, G, dh = 3, 8, 4, 32
+    P, page, maxp = 16, 32, 6
+    q = jnp.asarray(rng.standard_normal((B, H, dh)), jnp.float32)
+    k_pool = jnp.asarray(rng.standard_normal((G, P, page, dh)), jnp.float32)
+    v_pool = jnp.asarray(rng.standard_normal((G, P, page, dh)), jnp.float32)
+    table = jnp.asarray(rng.integers(0, P, (B, maxp), dtype=np.int64), jnp.int32)
+    lengths = jnp.asarray([77, 150, 9], jnp.int32)
+    sinks = jnp.asarray(rng.standard_normal(H), jnp.float32)
+    for window, s in [(40, None), (None, sinks), (40, sinks), (16, sinks)]:
+        want = paged_attention_reference(
+            q, k_pool, v_pool, table, lengths, scale=dh ** -0.5,
+            sliding_window_size=window, sinks=s)
+        got = paged_decode_attention(
+            q, k_pool, v_pool, table, lengths, scale=dh ** -0.5,
+            sliding_window_size=window, sinks=s, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2,
+                                   err_msg=f"window={window} sinks={s is not None}")
+
+    # i8 pools with window + sinks
+    k_i8 = jnp.asarray(
+        rng.integers(-127, 128, (G, P, page, dh), dtype=np.int64), jnp.int8)
+    v_i8 = jnp.asarray(
+        rng.integers(-127, 128, (G, P, page, dh), dtype=np.int64), jnp.int8)
+    k_s = jnp.asarray(rng.uniform(0.005, 0.03, (G, P, page)), jnp.float32)
+    v_s = jnp.asarray(rng.uniform(0.005, 0.03, (G, P, page)), jnp.float32)
+    want = paged_attention_reference(
+        q, k_i8, v_i8, table, lengths, scale=dh ** -0.5,
+        sliding_window_size=40, sinks=sinks, k_scales=k_s, v_scales=v_s)
+    got = paged_decode_attention(
+        q, k_i8, v_i8, table, lengths, scale=dh ** -0.5,
+        sliding_window_size=40, sinks=sinks, k_scales=k_s, v_scales=v_s,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_paged_decode_attention_int8_matches_reference():
+    """INT8-pool kernel variant (codes + per-(token, kv-head) scales folded
+    into the dots) == the dequantizing gather oracle."""
+    from uzu_tpu.ops.pallas.paged_attention import (
+        paged_attention_reference,
+        paged_decode_attention,
+    )
+
+    rng = np.random.default_rng(11)
+    B, H, G, dh = 3, 8, 2, 32
+    P, page, maxp = 12, 32, 5
+    q = jnp.asarray(rng.standard_normal((B, H, dh)), jnp.float32)
+    # codes + scales with realistic magnitudes (absmax quantization)
+    k_pool = jnp.asarray(
+        rng.integers(-127, 128, (G, P, page, dh), dtype=np.int64), jnp.int8)
+    v_pool = jnp.asarray(
+        rng.integers(-127, 128, (G, P, page, dh), dtype=np.int64), jnp.int8)
+    k_s = jnp.asarray(rng.uniform(0.005, 0.03, (G, P, page)), jnp.float32)
+    v_s = jnp.asarray(rng.uniform(0.005, 0.03, (G, P, page)), jnp.float32)
+    table = jnp.asarray(rng.integers(0, P, (B, maxp), dtype=np.int64), jnp.int32)
+    table = table.at[2].set(table[0])  # shared physical pages
+    lengths = jnp.asarray([41, 150, 9], jnp.int32)
+    for cap in (None, 25.0):
+        want = paged_attention_reference(
+            q, k_pool, v_pool, table, lengths, scale=dh ** -0.5,
+            logit_soft_cap=cap, k_scales=k_s, v_scales=v_s)
+        got = paged_decode_attention(
+            q, k_pool, v_pool, table, lengths, scale=dh ** -0.5,
+            logit_soft_cap=cap, k_scales=k_s, v_scales=v_s, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)

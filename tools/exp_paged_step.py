@@ -22,8 +22,10 @@ def main():
     from uzu_tpu.engine.paged_batch import PagedBatchEngine
 
     mode = os.environ.get("UZU_TPU_KERNELS", "auto")
+    kv_quant = bool(os.environ.get("UZU_EXP_KVQUANT"))
     model_dir, _ = bench.flagship_dir(True)
-    lm = LanguageModel.from_dir(model_dir, max_context=1024, prefill_buckets=(32, 512))
+    lm = LanguageModel.from_dir(model_dir, max_context=1024,
+                                prefill_buckets=(32, 512), kv_quant=kv_quant)
     rng = np.random.default_rng(0)
     eng = PagedBatchEngine(lm, batch_size=8, decode_chunk=16, num_pages=256,
                            page_size=64, stop_token_ids=[])

@@ -9,10 +9,13 @@ sequence), K/V rows scatter into the shared page pools at each slot's
 slot; that shape cannot express a POOL shared across slots, which is the
 whole point of paging — hence this dedicated step.
 
-Covers attention-mixer layers with the standard feature set (GQA, RoPE,
-QK norms, soft caps, gated attention, dense MLP / MoE, post scalars);
-recurrent mixers, KV sharing, PLE, and sliding windows stay on the dense
-engine (`paged_supported` gates).
+Covers attention-mixer layers with the full attention feature set (GQA,
+RoPE, QK norms, soft caps, sinks, sliding windows, cross-layer KV
+sharing, gated attention, dense MLP / MoE, post scalars); recurrent
+mixers and PLE stay on the dense engine (`paged_supported` gates).
+Window layers keep full page tables (one table drives every layer's
+pool, and full-attention layers need all pages — per-layer tables with
+slid-out-page reclamation would only pay off on all-window models).
 """
 
 from __future__ import annotations
@@ -46,34 +49,36 @@ def paged_supported(cfg: DecoderConfig) -> bool:
         m = lc.mixer_config
         if not isinstance(m, AttentionConfig):
             return False
-        if m.is_kv_sharing or lc.kv_source_layer_index is not None:
-            return False
-        if m.sliding_window_size is not None or m.has_sinks:
-            return False
         if lc.ple_config is not None:
             return False
     return True
 
 
 def _attention_paged(cfg, layer_cfg, params, x, positions, pool_kv,
-                     pages, offsets, tables, lengths):
+                     pages, offsets, tables, lengths, shared_kv=None):
     """x [B, D] (one token per slot); returns (attn_out [B, D], new pools).
 
     pages/offsets [B] i32: physical page + in-page offset for each slot's
     new token; tables [B, MAXP]; lengths [B] = tokens visible AFTER append.
+    shared_kv: a KV-sharing layer passes the SOURCE layer's already-updated
+    pools here (pool_kv is None) — Q-only projection, no append.
     """
     b, d = x.shape
     h, g, dh = cfg.num_heads, cfg.num_groups, cfg.head_dim
     q_dim = h * dh
 
     qkv = linear_apply(params["qkv"]["w"], x, params["qkv"].get("b"))
-    q = qkv[:, :q_dim].reshape(b, h, dh)
-    k_new = qkv[:, q_dim : q_dim + g * dh].reshape(b, g, dh)
-    v_new = qkv[:, q_dim + g * dh :].reshape(b, g, dh)
+    if cfg.is_kv_sharing:
+        q = qkv.reshape(b, h, dh)
+        k_new = v_new = None
+    else:
+        q = qkv[:, :q_dim].reshape(b, h, dh)
+        k_new = qkv[:, q_dim : q_dim + g * dh].reshape(b, g, dh)
+        v_new = qkv[:, q_dim + g * dh :].reshape(b, g, dh)
 
     if cfg.query_norm_config is not None:
         q = _head_norm(q, cfg.query_norm_config, params["q_norm_scales"])
-    if cfg.key_norm_config is not None:
+    if k_new is not None and cfg.key_norm_config is not None:
         k_new = _head_norm(k_new, cfg.key_norm_config, params["k_norm_scales"])
 
     if layer_cfg.rope_config is not None:
@@ -81,41 +86,53 @@ def _attention_paged(cfg, layer_cfg, params, x, positions, pool_kv,
         cos, sin = rope_tables(jnp.asarray(inv_freq), attn_scale, positions)
         # apply per row: fold B into the sequence dim of apply_rope
         q = apply_rope(q, cos, sin)
-        k_new = apply_rope(k_new, cos, sin)
+        if k_new is not None:
+            k_new = apply_rope(k_new, cos, sin)
 
-    quantized = len(pool_kv) == 4
-    if quantized:
-        # INT8 pools: quantize the new rows with the dense caches' exact
-        # per-(token, kv-head) absmax scheme, scatter codes + scales
-        from .kv_cache import _quantize_rows
-
-        k_pool, k_s, v_pool, v_s = pool_kv
-        k_q, k_sc = _quantize_rows(k_new)  # [B, G, Dh] i8 / [B, G] f32
-        v_q, v_sc = _quantize_rows(v_new)
-        for i in range(b):
-            k_pool = jax.lax.dynamic_update_slice(
-                k_pool, k_q[i][:, None, None, :], (0, pages[i], offsets[i], 0))
-            v_pool = jax.lax.dynamic_update_slice(
-                v_pool, v_q[i][:, None, None, :], (0, pages[i], offsets[i], 0))
-            k_s = jax.lax.dynamic_update_slice(
-                k_s, k_sc[i][:, None, None], (0, pages[i], offsets[i]))
-            v_s = jax.lax.dynamic_update_slice(
-                v_s, v_sc[i][:, None, None], (0, pages[i], offsets[i]))
-        new_pool = (k_pool, k_s, v_pool, v_s)
+    if shared_kv is not None:
+        read_pool = shared_kv
+        new_pool = None
+        quantized = len(read_pool) == 4
     else:
-        k_pool, v_pool = pool_kv
+        quantized = len(pool_kv) == 4
+        if quantized:
+            # INT8 pools: quantize the new rows with the dense caches' exact
+            # per-(token, kv-head) absmax scheme, scatter codes + scales
+            from .kv_cache import _quantize_rows
+
+            k_pool, k_s, v_pool, v_s = pool_kv
+            k_q, k_sc = _quantize_rows(k_new)  # [B, G, Dh] i8 / [B, G] f32
+            v_q, v_sc = _quantize_rows(v_new)
+            for i in range(b):
+                k_pool = jax.lax.dynamic_update_slice(
+                    k_pool, k_q[i][:, None, None, :], (0, pages[i], offsets[i], 0))
+                v_pool = jax.lax.dynamic_update_slice(
+                    v_pool, v_q[i][:, None, None, :], (0, pages[i], offsets[i], 0))
+                k_s = jax.lax.dynamic_update_slice(
+                    k_s, k_sc[i][:, None, None], (0, pages[i], offsets[i]))
+                v_s = jax.lax.dynamic_update_slice(
+                    v_s, v_sc[i][:, None, None], (0, pages[i], offsets[i]))
+            new_pool = (k_pool, k_s, v_pool, v_s)
+        else:
+            k_pool, v_pool = pool_kv
+            k_s = v_s = None
+            # scatter each slot's K/V rows at (page, offset) — B tiny writes
+            for i in range(b):
+                k_pool = jax.lax.dynamic_update_slice(
+                    k_pool, k_new[i].astype(k_pool.dtype)[:, None, None, :],
+                    (0, pages[i], offsets[i], 0),
+                )
+                v_pool = jax.lax.dynamic_update_slice(
+                    v_pool, v_new[i].astype(v_pool.dtype)[:, None, None, :],
+                    (0, pages[i], offsets[i], 0),
+                )
+            new_pool = (k_pool, v_pool)
+        read_pool = new_pool
+    if quantized:
+        k_pool, k_s, v_pool, v_s = read_pool
+    else:
+        k_pool, v_pool = read_pool
         k_s = v_s = None
-        # scatter each slot's K/V rows at (page, offset) — B tiny writes
-        for i in range(b):
-            k_pool = jax.lax.dynamic_update_slice(
-                k_pool, k_new[i].astype(k_pool.dtype)[:, None, None, :],
-                (0, pages[i], offsets[i], 0),
-            )
-            v_pool = jax.lax.dynamic_update_slice(
-                v_pool, v_new[i].astype(v_pool.dtype)[:, None, None, :],
-                (0, pages[i], offsets[i], 0),
-            )
-        new_pool = (k_pool, v_pool)
 
     from ..ops.pallas.paged_attention import (
         paged_attention_reference,
@@ -125,17 +142,26 @@ def _attention_paged(cfg, layer_cfg, params, x, positions, pool_kv,
     scale = cfg.scale if cfg.scale is not None else float(dh) ** -0.5
     from .. import runtime
 
-    if not quantized and runtime.use_pallas() and runtime.on_tpu():
+    page = k_pool.shape[2]
+    # i8 code blocks are (page, Dh): Mosaic's int8 sublane tile is 32
+    kernel_ok = not quantized or page % 32 == 0
+    if kernel_ok and runtime.use_pallas() and runtime.on_tpu():
+        # the i8 kernel streams codes + per-token scales through the same
+        # page-table DMAs (half the KV bytes of the bf16 pool); the gather
+        # fallback measured 8.5x slower at B=8 (62.9 vs 7.4 ms/step,
+        # tools/exp_paged_step.py)
         attn = paged_decode_attention(
             q, k_pool, v_pool, tables, lengths, scale=scale,
             logit_soft_cap=cfg.logit_soft_cap,
+            sliding_window_size=cfg.sliding_window_size,
+            sinks=params.get("sinks"), k_scales=k_s, v_scales=v_s,
         )
     else:
-        # quantized pools take the gather path: dequant fuses into the
-        # gathered slice (the Pallas kernel's int8 variant is future work)
         attn = paged_attention_reference(
             q, k_pool, v_pool, tables, lengths, scale=scale,
-            logit_soft_cap=cfg.logit_soft_cap, k_scales=k_s, v_scales=v_s,
+            logit_soft_cap=cfg.logit_soft_cap,
+            sliding_window_size=cfg.sliding_window_size,
+            sinks=params.get("sinks"), k_scales=k_s, v_scales=v_s,
         )
     attn = attn.reshape(b, q_dim)
 
@@ -148,7 +174,7 @@ def _attention_paged(cfg, layer_cfg, params, x, positions, pool_kv,
 
 
 def _attention_paged_prefill(cfg, layer_cfg, params, x, positions, pool_kv,
-                             table, ctx_pages, true_length):
+                             table, ctx_pages, true_length, shared_kv=None):
     """Prefill S rows of ONE slot straight into its pages (no dense
     detour): K/V rows scatter at (table[pos // page], pos %% page), the
     read gathers the slot's first `ctx_pages` pages into a dense
@@ -163,53 +189,69 @@ def _attention_paged_prefill(cfg, layer_cfg, params, x, positions, pool_kv,
     q_dim = h * dh
 
     qkv = linear_apply(params["qkv"]["w"], x, params["qkv"].get("b"))
-    q = qkv[:, :q_dim].reshape(s, h, dh)
-    k_new = qkv[:, q_dim : q_dim + g * dh].reshape(s, g, dh)
-    v_new = qkv[:, q_dim + g * dh :].reshape(s, g, dh)
+    if cfg.is_kv_sharing:
+        q = qkv.reshape(s, h, dh)
+        k_new = v_new = None
+    else:
+        q = qkv[:, :q_dim].reshape(s, h, dh)
+        k_new = qkv[:, q_dim : q_dim + g * dh].reshape(s, g, dh)
+        v_new = qkv[:, q_dim + g * dh :].reshape(s, g, dh)
 
     if cfg.query_norm_config is not None:
         q = _head_norm(q, cfg.query_norm_config, params["q_norm_scales"])
-    if cfg.key_norm_config is not None:
+    if k_new is not None and cfg.key_norm_config is not None:
         k_new = _head_norm(k_new, cfg.key_norm_config, params["k_norm_scales"])
 
     if layer_cfg.rope_config is not None:
         inv_freq, attn_scale = _inv_freq_cached(layer_cfg.rope_config)
         cos, sin = rope_tables(jnp.asarray(inv_freq), attn_scale, positions)
         q = apply_rope(q, cos, sin)
-        k_new = apply_rope(k_new, cos, sin)
+        if k_new is not None:
+            k_new = apply_rope(k_new, cos, sin)
 
-    quantized = len(pool_kv) == 4
-    if quantized:
-        k_pool, k_s, v_pool, v_s = pool_kv
+    if shared_kv is not None:
+        read_pool = shared_kv
+        new_pool = None
+        quantized = len(read_pool) == 4
+        if quantized:
+            k_pool, k_s, v_pool, v_s = read_pool
+        else:
+            k_pool, v_pool = read_pool
+            k_s = v_s = None
+        page = k_pool.shape[2]
     else:
-        k_pool, v_pool = pool_kv
-        k_s = v_s = None
-    page = k_pool.shape[2]
-    maxp = table.shape[0] - 1  # table[maxp] is the engine's trash page
-    # padded rows (>= true_length) redirect to the trash page: a padded
-    # position past max_context would otherwise clamp into the slot's LAST
-    # real page and overwrite live rows
-    valid = jnp.arange(s) < true_length
-    pidx = jnp.where(
-        valid, table[jnp.clip(positions // page, 0, maxp - 1)], table[maxp]
-    )
-    off = positions % page
-    if quantized:
-        from .kv_cache import _quantize_rows
+        quantized = len(pool_kv) == 4
+        if quantized:
+            k_pool, k_s, v_pool, v_s = pool_kv
+        else:
+            k_pool, v_pool = pool_kv
+            k_s = v_s = None
+        page = k_pool.shape[2]
+        maxp = table.shape[0] - 1  # table[maxp] is the engine's trash page
+        # padded rows (>= true_length) redirect to the trash page: a padded
+        # position past max_context would otherwise clamp into the slot's
+        # LAST real page and overwrite live rows
+        valid = jnp.arange(s) < true_length
+        pidx = jnp.where(
+            valid, table[jnp.clip(positions // page, 0, maxp - 1)], table[maxp]
+        )
+        off = positions % page
+        if quantized:
+            from .kv_cache import _quantize_rows
 
-        k_q, k_sc = _quantize_rows(k_new)  # [S, G, Dh] i8 / [S, G] f32
-        v_q, v_sc = _quantize_rows(v_new)
-        k_pool = k_pool.at[:, pidx, off].set(jnp.swapaxes(k_q, 0, 1))
-        v_pool = v_pool.at[:, pidx, off].set(jnp.swapaxes(v_q, 0, 1))
-        k_s = k_s.at[:, pidx, off].set(jnp.swapaxes(k_sc, 0, 1))
-        v_s = v_s.at[:, pidx, off].set(jnp.swapaxes(v_sc, 0, 1))
-        new_pool = (k_pool, k_s, v_pool, v_s)
-    else:
-        k_pool = k_pool.at[:, pidx, off].set(
-            jnp.swapaxes(k_new, 0, 1).astype(k_pool.dtype))
-        v_pool = v_pool.at[:, pidx, off].set(
-            jnp.swapaxes(v_new, 0, 1).astype(v_pool.dtype))
-        new_pool = (k_pool, v_pool)
+            k_q, k_sc = _quantize_rows(k_new)  # [S, G, Dh] i8 / [S, G] f32
+            v_q, v_sc = _quantize_rows(v_new)
+            k_pool = k_pool.at[:, pidx, off].set(jnp.swapaxes(k_q, 0, 1))
+            v_pool = v_pool.at[:, pidx, off].set(jnp.swapaxes(v_q, 0, 1))
+            k_s = k_s.at[:, pidx, off].set(jnp.swapaxes(k_sc, 0, 1))
+            v_s = v_s.at[:, pidx, off].set(jnp.swapaxes(v_sc, 0, 1))
+            new_pool = (k_pool, k_s, v_pool, v_s)
+        else:
+            k_pool = k_pool.at[:, pidx, off].set(
+                jnp.swapaxes(k_new, 0, 1).astype(k_pool.dtype))
+            v_pool = v_pool.at[:, pidx, off].set(
+                jnp.swapaxes(v_new, 0, 1).astype(v_pool.dtype))
+            new_pool = (k_pool, v_pool)
 
     # dense read view of the slot's context: [C, G, Dh], slot-per-position
     # (quantized pools dequantize only the gathered slice)
@@ -229,7 +271,8 @@ def _attention_paged_prefill(cfg, layer_cfg, params, x, positions, pool_kv,
     scale = cfg.scale if cfg.scale is not None else float(dh) ** -0.5
     attn = attention_reference(
         q, k_dense, v_dense, positions, scale=scale, is_causal=True,
-        logit_soft_cap=cfg.logit_soft_cap,
+        sliding_window_size=cfg.sliding_window_size,
+        logit_soft_cap=cfg.logit_soft_cap, sinks=params.get("sinks"),
     )
     attn = attn.reshape(s, q_dim)
 
@@ -275,9 +318,11 @@ def paged_prefill_chunk(
                       p["pre_mixer_norm"]["scales"], p["pre_mixer_norm"].get("biases"))
             if layer_cfg.pre_mixer_norm_config else x
         )
+        src = layer_cfg.kv_source_layer_index
         a, pool_kv = _attention_paged_prefill(
             layer_cfg.mixer_config, layer_cfg, p["mixer"], h, positions,
             pools[i], table, ctx_pages, true_length,
+            shared_kv=new_pools[src] if src is not None else None,
         )
         new_pools.append(pool_kv)
         if layer_cfg.post_mixer_norm_config is not None:
@@ -317,7 +362,7 @@ def paged_decode_step(
     lengths = positions + 1."""
     tcfg = cfg.transformer_config
     ecfg = cfg.embedding_config
-    page = pools[0][0].shape[2]
+    page = next(p for p in pools if p is not None)[0].shape[2]
     pages_idx = jnp.take_along_axis(
         tables, (positions // page)[:, None], axis=1
     )[:, 0]
@@ -338,9 +383,11 @@ def paged_decode_step(
                       p["pre_mixer_norm"]["scales"], p["pre_mixer_norm"].get("biases"))
             if layer_cfg.pre_mixer_norm_config else x
         )
+        src = layer_cfg.kv_source_layer_index
         a, new_pool = _attention_paged(
             layer_cfg.mixer_config, layer_cfg, p["mixer"], h, positions,
             pools[i], pages_idx, offsets, tables, lengths,
+            shared_kv=new_pools[src] if src is not None else None,
         )
         new_pools.append(new_pool)
         if layer_cfg.post_mixer_norm_config is not None:

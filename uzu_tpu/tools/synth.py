@@ -718,6 +718,85 @@ def synth_chat_model(out_dir: str, *, seed: int = 0, vocab_size: int = 512,
     return out_dir
 
 
+def windowed_config(
+    *, num_layers: int = 4, model_dim: int = 64, hidden_dim: int = 160,
+    vocab_size: int = 256, num_heads: int = 4, num_groups: int = 2,
+    head_dim: int = 16, sliding_window: int = 24, has_sinks: bool = True,
+    kv_share_last: int = 1, logit_soft_cap: float | None = 30.0,
+) -> LanguageModelConfig:
+    """gpt-oss/Gemma2-flavored feature mix WITHOUT PLE: alternating
+    sliding-window layers, attention sinks, tanh soft cap, and trailing
+    cross-layer KV sharing — the feature set the paged engine must cover
+    beyond plain GQA (ref attention config attention.rs:8-31)."""
+    norm = _rms(eps=1e-6)
+    rope = UnscaledRoPEConfig(base=10000.0, max_sequence_length=4096,
+                              head_dim=head_dim)
+    layers = []
+    kv_source = num_layers - kv_share_last - 1
+    for i in range(num_layers):
+        shared = kv_share_last > 0 and i >= num_layers - kv_share_last
+        attn = AttentionConfig(
+            qkv_projection_config=LinearConfig(),
+            out_projection_config=LinearConfig(),
+            query_norm_config=None,
+            key_norm_config=None,
+            num_heads=num_heads,
+            num_groups=num_groups,
+            head_dim=head_dim,
+            is_causal=True,
+            scale=None,
+            sliding_window_size=sliding_window if i % 2 == 0 else None,
+            logit_soft_cap=logit_soft_cap,
+            has_sinks=has_sinks,
+            has_qkv_biases=False,
+            has_out_biases=False,
+            gate_projection_config=None,
+            normalize_values=False,
+            is_kv_sharing=shared,
+        )
+        mlp = DenseMLPConfig(
+            linear_config=LinearConfig(),
+            activation=SiLU(alpha=1.0),
+            has_up_biases=False,
+            has_down_biases=False,
+            gate_clipping=None,
+            up_clipping=None,
+        )
+        layers.append(TransformerLayerConfig(
+            pre_mixer_norm_config=norm,
+            mixer_config=attn,
+            post_mixer_norm_config=None,
+            pre_mlp_norm_config=norm,
+            mlp_config=mlp,
+            post_mlp_norm_config=None,
+            hidden_dim=None,
+            ple_config=None,
+            has_post_layer_scalar=False,
+            kv_source_layer_index=kv_source if shared else None,
+            rope_config=rope,
+        ))
+    decoder = DecoderConfig(
+        embedding_config=TiedEmbeddingConfig(input_scale=None, logit_soft_cap=None),
+        transformer_config=TransformerConfig(
+            layer_configs=tuple(layers),
+            output_norm_config=_rms(eps=1e-6),
+            model_dim=model_dim,
+            hidden_dim=hidden_dim,
+        ),
+        vocab_size=vocab_size,
+        ple_model_config=None,
+    )
+    return LanguageModelConfig(
+        decoder_config=decoder,
+        generation_config=GenerationConfig(
+            stop_token_ids=(0,), temperature=None, top_k=None, top_p=None,
+            min_p=None, banned_tokens=None, repetition_penalty=None,
+            presence_penalty=None, frequency_penalty=None,
+            suffix_repetition_length=None,
+        ),
+    )
+
+
 def gemma_config(
     *, num_layers: int = 4, model_dim: int = 96, hidden_dim: int = 192,
     vocab_size: int = 512, num_heads: int = 4, num_groups: int = 2,

@@ -163,6 +163,16 @@ def _timeit(fn) -> float:
     return time.perf_counter() - t0
 
 
+_T0 = time.perf_counter()
+
+
+def _stage(name: str) -> None:
+    """Progress marker on stderr (stdout carries only the JSON line): a
+    hung/slow stage must be attributable when a run blows its budget."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {name}",
+          file=sys.stderr, flush=True)
+
+
 def main() -> None:
     import jax
 
@@ -176,6 +186,7 @@ def main() -> None:
     kind, bw = device_bandwidth()
     model_dir, dims = flagship_dir(tpu)
 
+    _stage("load model")
     t0 = time.perf_counter()
     max_context = 1024
     lm = LanguageModel.from_dir(model_dir, max_context=max_context, prefill_buckets=(32, 512))
@@ -186,10 +197,10 @@ def main() -> None:
     prompt = rng.integers(0, lm.decoder_config.vocab_size, prompt_len)
     sampling = SamplingParams()  # greedy
 
-    # warmup: compile prefill + every decode chunk size the measured run uses
+    _stage("warmup single-stream (compiles)")
     list(lm.generate(prompt, gen_len, sampling=sampling, stop_token_ids=[]))
 
-    # median of 3 runs: the chip is shared and single measurements swing ±20%
+    _stage("single-stream decode x3")
     decode_runs, ttft_runs, prefill_runs = [], [], []
     for _ in range(3):
         metrics = StreamMetrics()
@@ -209,6 +220,7 @@ def main() -> None:
 
     import jax as _jax
 
+    _stage("sustained prefill")
     sustain = 1024
     long_prompt = rng.integers(0, lm.decoder_config.vocab_size, sustain)
     prefill_tok_s = 0.0
@@ -222,7 +234,9 @@ def main() -> None:
     # in-window achievable stream rate + per-kernel microbench: regressions
     # in the hot kernels must be visible between rounds even when the
     # end-to-end number moves with shared-chip noise
+    _stage("hbm probe")
     practical_bw = hbm_probe(tpu)
+    _stage("quant matmul probe")
     qm_ms, qm_gbs = quant_matmul_probe(lm)
 
     # speed-of-light: bytes touched per decode step
@@ -253,7 +267,9 @@ def main() -> None:
         eng.run()
         return sum(len(r.tokens) for r in reqs) / (time.perf_counter() - tb)
 
+    _stage("batch4 warmup (compiles)")
     batch_run(4, 64)  # warmup (compiles batched decode + admission)
+    _stage("batch4 measure")
     batch_tok_s = max(batch_run(4, 64) for _ in range(2))
 
     # paged engine at B=8 (the width where it becomes the default):
@@ -262,20 +278,28 @@ def main() -> None:
     if not os.environ.get("UZU_BENCH_NOPAGED"):
         from uzu_tpu.engine.paged_batch import PagedBatchEngine
 
-        def paged_run(bsz, gen_b):
+        def paged_run(nreq, gen_b):
+            # oversubscribed queue (nreq > slots): finished slots re-admit
+            # from the queue, so the run holds the engine at serving
+            # steady-state; aggregate = total tokens / wall time including
+            # the interleaved admission chunks (that IS serving throughput;
+            # timing only a from-all-live window cannot exist here — slots
+            # finish before the last admission with interleaved admission)
             eng = PagedBatchEngine(
-                lm, batch_size=bsz, decode_chunk=16, num_pages=256,
+                lm, batch_size=8, decode_chunk=16, num_pages=256,
                 page_size=64, sampling=sampling, stop_token_ids=[])
             reqs = [
                 eng.submit(rng.integers(0, lm.decoder_config.vocab_size, 32), gen_b)
-                for _ in range(bsz)
+                for _ in range(nreq)
             ]
             tb = time.perf_counter()
             eng.run()
             return sum(len(r.tokens) for r in reqs) / (time.perf_counter() - tb)
 
-        paged_run(8, 48)  # warmup/compile
-        paged8_tok_s = max(paged_run(8, 48) for _ in range(2))
+        _stage("paged8 warmup (compiles)")
+        paged_run(8, 32)  # warmup/compile
+        _stage("paged8 measure")
+        paged8_tok_s = max(paged_run(24, 64) for _ in range(2))
 
     # self-speculation at REALISTIC acceptance: layer-truncated self-draft
     # (no extra weights) on a non-repetitive random prompt — reports
@@ -288,6 +312,7 @@ def main() -> None:
             self_speculative_decoder,
         )
 
+        _stage("self-spec warmup (compiles)")
         spec_dec = self_speculative_decoder(lm, k=4)
         list(spec_dec.generate(prompt, 32, stop_token_ids=[],
                                metrics=SpeculationMetrics()))  # compile/warm
@@ -311,6 +336,7 @@ def main() -> None:
         batch_run(16, 48)
         batch16_tok_s = max(batch_run(16, 48) for _ in range(2))
 
+    _stage("done")
     print(
         json.dumps(
             {

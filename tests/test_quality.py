@@ -122,3 +122,35 @@ def test_logs_and_event_journal(tmp_path):
     assert "hello log" in open(path).read()
     events = [_json.loads(l) for l in open(str(tmp_path / "logs" / "events.jsonl"))]
     assert events[0]["event"] == "reply_finished" and events[0]["tokens"] == 42
+
+
+def test_profile_capture_one_shot(tmp_path, monkeypatch):
+    """UZU_TPU_PROFILE arms a one-shot jax.profiler capture of the first
+    prefill/decode dispatch (ref capture.rs UZU_CAPTURE_FIRST_*)."""
+    import os
+
+    import numpy as np
+
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.tools import profile as prof
+    from uzu_tpu.tools.synth import llama_config, synthesize
+
+    monkeypatch.setenv("UZU_TPU_PROFILE", "prefill,decode")
+    monkeypatch.setenv("UZU_TPU_PROFILE_DIR", str(tmp_path / "traces"))
+    prof.reset()
+    try:
+        cfg = llama_config(num_layers=1, model_dim=32, hidden_dim=64,
+                           num_heads=2, num_groups=1, head_dim=16,
+                           vocab_size=64)
+        d = synthesize(cfg, str(tmp_path / "m"), seed=0, dtype=np.float32)
+        lm = LanguageModel.from_dir(d, max_context=64, prefill_buckets=(8,))
+        lm.generate_list(np.asarray([1, 2, 3]), 4, stop_token_ids=[])
+        entries = os.listdir(str(tmp_path / "traces"))
+        assert any(e.startswith("prefill_") for e in entries), entries
+        assert any(e.startswith("decode_") for e in entries), entries
+        # one-shot: a second run must not add captures
+        before = len(entries)
+        lm.generate_list(np.asarray([1, 2, 3]), 4, stop_token_ids=[])
+        assert len(os.listdir(str(tmp_path / "traces"))) == before
+    finally:
+        prof.reset()

@@ -8,6 +8,10 @@ reference lacks (GSPMD tensor parallelism, continuous batching).
 
 __version__ = "0.1.0"
 
+from .runtime import enable_compilation_cache
+
+enable_compilation_cache()  # remote AOT compiles cost 10-90 s each
+
 from .config import LanguageModelConfig, load_language_model_config  # noqa: F401
 from .engine.engine import LanguageModel, StreamMetrics  # noqa: F401
 from .engine.sampling import SamplingParams  # noqa: F401

@@ -344,7 +344,11 @@ class LanguageModel:
             chunk = np.zeros(bucket, np.int32)
             chunk[:take] = tokens[i : i + take]
             fn = self._prefill_fn(bucket, self._ctx_bucket(pos + i + bucket))
-            logits, state = fn(self.params, jnp.asarray(chunk), state, jnp.asarray(take, jnp.int32))
+            from ..tools.profile import profiled
+
+            logits, state = profiled(
+                "prefill", fn, self.params, jnp.asarray(chunk), state,
+                jnp.asarray(take, jnp.int32))
             i += take
         return logits, state
 
@@ -470,7 +474,10 @@ class LanguageModel:
                     sampling, k, stop_ids,
                     self._ctx_bucket(base + dispatched + k),
                 )
-                state, tokens, halted = decode(
+                from ..tools.profile import profiled
+
+                state, tokens, halted = profiled(
+                    "decode", decode,
                     self.params, state, token, halted, keys[step : step + k]
                 )
                 step += k

@@ -15,6 +15,35 @@ from __future__ import annotations
 import os
 from functools import lru_cache
 
+_CACHE_CONFIGURED = False
+
+
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (UZU_TPU_JAX_CACHE overrides the
+    location; =0 disables). Remote AOT compiles on the tunnel cost 10-90 s
+    PER EXECUTABLE and an engine warms a dozen of them — without this
+    cache every fresh process pays minutes of pure recompilation. Keys
+    include the HLO, so kernel changes invalidate cleanly."""
+    global _CACHE_CONFIGURED
+    if _CACHE_CONFIGURED:
+        return
+    _CACHE_CONFIGURED = True
+    loc = os.environ.get("UZU_TPU_JAX_CACHE")
+    if loc == "0":
+        return
+    if not loc:
+        loc = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache")
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without these knobs: stay with in-process cache
+
 
 @lru_cache(maxsize=None)
 def _platform() -> str:

@@ -374,3 +374,25 @@ def test_paged_windowed_sinks_kvshare_matches_single(tmp_path):
     for r, want in zip(reqs, wants):
         assert r.finished
         assert r.tokens == want
+
+
+def test_paged_moe_model_matches_single(tmp_path):
+    """Paged engine == dense single-request generation on an MoE model
+    (router + expert gather runs per slot row inside the paged step)."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.paged_batch import PagedBatchEngine
+    from uzu_tpu.tools.synth import moe_config, synthesize
+
+    cfg = moe_config(num_layers=2, num_experts=4, num_active=2)
+    d = synthesize(cfg, str(tmp_path / "moe_model"), seed=5, dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(16,))
+
+    prompts = [[1, 2, 3], list(range(2, 30)), [9, 8, 7]]
+    wants = [lm.generate_list(np.asarray(p), 8, stop_token_ids=[])
+             for p in prompts]
+    eng = PagedBatchEngine(lm, batch_size=2, decode_chunk=4, num_pages=33,
+                           page_size=8, stop_token_ids=[])
+    reqs = [eng.submit(p, 8) for p in prompts]
+    eng.run()
+    for r, want in zip(reqs, wants):
+        assert r.finished and r.tokens == want

@@ -51,6 +51,51 @@ def test_quant_matmul_matches_reference(rng, bits, g, method, m):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("bits", [4, 8])
+def test_quant_matmul_deep_k_chunked_scales(rng, bits):
+    """K=8192 @ g=32 has kg=256 > 128: decode-M engages the chunked-scales
+    blocks (per-chunk 128-group scale tiles, grid-invariant expansion
+    matrix). Oracle parity + identity with the whole-kg layout."""
+    from uzu_tpu.ops.pallas.quant_matmul import _quant_matmul_p
+
+    n, k = 256, 8192
+    qt = _make_qt(rng, n, k, bits, 32, "scale_symmetric")
+    x = jnp.asarray(rng.standard_normal((1, k), dtype=np.float32))
+    want = x @ dequantize(qt, jnp.float32).T
+    got = quant_matmul_pallas(qt, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3,
+                               atol=1e-3)
+    # forcing the legacy whole-kg block layout at the SAME K-chunk size
+    # (same accumulation order) must be bit-identical — the chunked scale
+    # blocks select exactly the same scale values.
+    gsub = 32 // (2 if bits == 4 else 1)
+    legacy = _quant_matmul_p(x, qt.codes, qt.scales, qt.qbias, bits=bits,
+                             group_size=32, interpret=True,
+                             block_k=128 * gsub)[:1]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(legacy), rtol=0,
+                               atol=0)
+
+
+def test_quant_matmul_bf16_scales_expansion_exact(rng):
+    """bf16-stored scales take the single-pass bf16 expansion dot; every
+    output column of the expansion selects exactly one scale, so the result
+    must match the f32-scales kernel on identical values bit-for-bit."""
+    n, k = 256, 512
+    w = rng.standard_normal((n, k), dtype=np.float32) * 0.1
+    parts = quantize_reference(w, 4, 32, "scale_symmetric")
+    qt_bf16 = from_disk_tensors("scale_symmetric", parts["weights"],
+                                parts["scales"], 4, 32, dtype=jnp.bfloat16)
+    qt_f32 = from_disk_tensors("scale_symmetric", parts["weights"],
+                               np.asarray(qt_bf16.scales, np.float32), 4, 32,
+                               dtype=jnp.float32)
+    # identical stored values, different dtypes -> identical dequant
+    x = jnp.asarray(rng.standard_normal((1, k), dtype=np.float32))
+    got_bf16 = quant_matmul_pallas(qt_bf16, x, interpret=True)
+    got_f32 = quant_matmul_pallas(qt_f32, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_bf16), np.asarray(got_f32),
+                               rtol=0, atol=0)
+
+
 def test_quant_matmul_3d_input(rng):
     qt = _make_qt(rng, 256, 512, 4, 32, "scale_symmetric")
     x = jnp.asarray(rng.standard_normal((2, 3, 512), dtype=np.float32))

@@ -97,7 +97,8 @@ def _expansion_matrix(kg: int, kc: int, gsub: int, group_off) -> jax.Array:
 
 
 def _int4_kernel(x_even_ref, x_odd_ref, codes_ref, scales_ref, qbias_ref,
-                 o_ref, acc_ref, *, kg, kgc, kc, gsub, last_k, dot_dtype):
+                 o_ref, acc_ref, *, kg, kgc, kc, gsub, last_k, dot_dtype,
+                 exp_dtype, chunked_scales):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -109,10 +110,16 @@ def _int4_kernel(x_even_ref, x_odd_ref, codes_ref, scales_ref, qbias_ref,
     lo = (codes & 0xF).astype(jnp.float32)
     hi = (codes >> 4).astype(jnp.float32)
 
-    e = _expansion_matrix(kg, kc, gsub, k * kgc)
-    scale_exp = jnp.dot(scales_ref[:].astype(jnp.float32), e,
+    # the expansion dots run in the scales' native bf16: e is exact 0/1 and
+    # each output column sums exactly ONE nonzero term, so the result is
+    # bit-identical to the f32 dot at a single MXU pass instead of several
+    # (the expansion is the kernel's dominant FLOP stream at kg >> kgc).
+    # chunked_scales: the scale block covers only this K-chunk's groups
+    # (kg == kgc rows), so group_off is 0 and e is grid-invariant.
+    e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else k * kgc)
+    scale_exp = jnp.dot(scales_ref[:].astype(exp_dtype), e.astype(exp_dtype),
                         preferred_element_type=jnp.float32)
-    qbias_exp = jnp.dot(qbias_ref[:].astype(jnp.float32), e,
+    qbias_exp = jnp.dot(qbias_ref[:].astype(exp_dtype), e.astype(exp_dtype),
                         preferred_element_type=jnp.float32)
 
     # dequant in f32 on the VPU, then feed the MXU in bf16 (f32 dots
@@ -137,7 +144,8 @@ def _int4_kernel(x_even_ref, x_odd_ref, codes_ref, scales_ref, qbias_ref,
 
 
 def _int8_kernel(x_ref, codes_ref, scales_ref, qbias_ref, o_ref, acc_ref,
-                 *, kg, kgc, kc, gsub, last_k, dot_dtype):
+                 *, kg, kgc, kc, gsub, last_k, dot_dtype, exp_dtype,
+                 chunked_scales):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -145,10 +153,10 @@ def _int8_kernel(x_ref, codes_ref, scales_ref, qbias_ref, o_ref, acc_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     codes = codes_ref[:].astype(jnp.int32).astype(jnp.float32)
-    e = _expansion_matrix(kg, kc, gsub, k * kgc)
-    scale_exp = jnp.dot(scales_ref[:].astype(jnp.float32), e,
+    e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else k * kgc)
+    scale_exp = jnp.dot(scales_ref[:].astype(exp_dtype), e.astype(exp_dtype),
                         preferred_element_type=jnp.float32)
-    qbias_exp = jnp.dot(qbias_ref[:].astype(jnp.float32), e,
+    qbias_exp = jnp.dot(qbias_ref[:].astype(exp_dtype), e.astype(exp_dtype),
                         preferred_element_type=jnp.float32)
     w = (codes * scale_exp + qbias_exp).astype(dot_dtype)
 
@@ -188,6 +196,9 @@ def _quant_matmul_p(x, codes, scales, qbias, *, bits, group_size,
     # (CPU XLA lacks bf16 dots, and the oracle comparison wants precision).
     dot_dtype = jnp.bfloat16 if m_pad >= 32 and not interpret else jnp.float32
     x = x.astype(dot_dtype)
+    # expansion-dot dtype: bf16-native scales ride a single-pass MXU dot
+    # bit-exactly (see kernel comment); anything wider stays f32.
+    exp_dtype = jnp.bfloat16 if scales.dtype == jnp.bfloat16 else jnp.float32
 
     if bits == 4:
         k2 = kdim // 2
@@ -197,21 +208,36 @@ def _quant_matmul_p(x, codes, scales, qbias, *, bits, group_size,
         assert tn, f"N={n} not divisible by a supported tile"
         kc = block_k or kc_auto
         assert kc and kc % gsub == 0, (kdim, g)
+        # Chunked scales for deep-K decode GEMVs (kg > 128): widen the K
+        # chunk so each grid step's scale block covers exactly 128 groups —
+        # the lane-dim blocking minimum — and the expansion dot contracts
+        # over 128 rows instead of the whole kg (the expansion is what holds
+        # the down-projection GEMV to ~107 GB/s effective at kg=256).
+        chunked = (not block_k and m_pad < 32 and kg > 128 and kg % 128 == 0
+                   and k2 % (128 * gsub) == 0)
+        if chunked:
+            kc = 128 * gsub
         kgc = kc // gsub
         x_even = x[:, 0::2]
         x_odd = x[:, 1::2]
         n_k = k2 // kc
         grid = (n // tn, n_k)
+        scale_spec = (
+            pl.BlockSpec((tn, kgc), lambda i, k: (i, k))
+            if chunked else pl.BlockSpec((tn, kg), lambda i, k: (i, 0))
+        )
         out = pl.pallas_call(
-            functools.partial(_int4_kernel, kg=kg, kgc=kgc, kc=kc, gsub=gsub,
-                              last_k=n_k - 1, dot_dtype=dot_dtype),
+            functools.partial(_int4_kernel, kg=kgc if chunked else kg,
+                              kgc=kgc, kc=kc, gsub=gsub,
+                              last_k=n_k - 1, dot_dtype=dot_dtype,
+                              exp_dtype=exp_dtype, chunked_scales=chunked),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((m_pad, kc), lambda i, k: (0, k)),
                 pl.BlockSpec((m_pad, kc), lambda i, k: (0, k)),
                 pl.BlockSpec((tn, kc), lambda i, k: (i, k)),
-                pl.BlockSpec((tn, kg), lambda i, k: (i, 0)),
-                pl.BlockSpec((tn, kg), lambda i, k: (i, 0)),
+                scale_spec,
+                scale_spec,
             ],
             out_specs=pl.BlockSpec((m_pad, tn), lambda i, k: (0, i)),
             out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
@@ -225,18 +251,28 @@ def _quant_matmul_p(x, codes, scales, qbias, *, bits, group_size,
         assert tn, f"N={n} not divisible by a supported tile"
         kc = block_k or kc_auto
         assert kc and kc % gsub == 0, (kdim, g)
+        chunked = (not block_k and m_pad < 32 and kg > 128 and kg % 128 == 0
+                   and kdim % (128 * gsub) == 0)
+        if chunked:
+            kc = 128 * gsub
         kgc = kc // gsub
         n_k = kdim // kc
         grid = (n // tn, n_k)
+        scale_spec = (
+            pl.BlockSpec((tn, kgc), lambda i, k: (i, k))
+            if chunked else pl.BlockSpec((tn, kg), lambda i, k: (i, 0))
+        )
         out = pl.pallas_call(
-            functools.partial(_int8_kernel, kg=kg, kgc=kgc, kc=kc, gsub=gsub,
-                              last_k=n_k - 1, dot_dtype=dot_dtype),
+            functools.partial(_int8_kernel, kg=kgc if chunked else kg,
+                              kgc=kgc, kc=kc, gsub=gsub,
+                              last_k=n_k - 1, dot_dtype=dot_dtype,
+                              exp_dtype=exp_dtype, chunked_scales=chunked),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((m_pad, kc), lambda i, k: (0, k)),
                 pl.BlockSpec((tn, kc), lambda i, k: (i, k)),
-                pl.BlockSpec((tn, kg), lambda i, k: (i, 0)),
-                pl.BlockSpec((tn, kg), lambda i, k: (i, 0)),
+                scale_spec,
+                scale_spec,
             ],
             out_specs=pl.BlockSpec((m_pad, tn), lambda i, k: (0, i)),
             out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),

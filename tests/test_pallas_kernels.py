@@ -71,7 +71,8 @@ def test_quant_matmul_deep_k_chunked_scales(rng, bits):
     gsub = 32 // (2 if bits == 4 else 1)
     legacy = _quant_matmul_p(x, qt.codes, qt.scales, qt.qbias, bits=bits,
                              group_size=32, interpret=True,
-                             block_k=128 * gsub)[:1]
+                             block_k=128 * gsub,
+                             qbias_coeff=qt.qbias_coeff)[:1]
     np.testing.assert_allclose(np.asarray(got), np.asarray(legacy), rtol=0,
                                atol=0)
 

@@ -56,7 +56,10 @@ def embedding_lookup(table, tokens: jax.Array, dtype=None) -> jax.Array:
         g = table.group_size
         k = codes.shape[-1]
         scales = jnp.repeat(table.scales[tokens].astype(jnp.float32), g, axis=-1)[:, :k]
-        qbias = jnp.repeat(table.qbias[tokens].astype(jnp.float32), g, axis=-1)[:, :k]
+        if table.qbias is None:  # symmetric: derive qbias from the gathered
+            qbias = scales * table.qbias_coeff  # scales (exact, power of 2)
+        else:
+            qbias = jnp.repeat(table.qbias[tokens].astype(jnp.float32), g, axis=-1)[:, :k]
         return (codes * scales + qbias).astype(dtype)
     return table[tokens].astype(dtype)
 

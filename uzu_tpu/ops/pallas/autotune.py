@@ -102,7 +102,7 @@ def _time_config(x, qt, bn, bk, reps: int) -> float:
             y = _quant_matmul_p(
                 xv, codes, scales, qbias, bits=qt.bits,
                 group_size=qt.group_size, block_n=bn, block_k=bk,
-                interpret=interp,
+                interpret=interp, qbias_coeff=qt.qbias_coeff,
             )
             return acc + jnp.sum(y.astype(jnp.float32)), None
 
@@ -139,11 +139,15 @@ def autotune_shapes(shapes, *, bits=4, group_size=32, m_list=(8, 512),
     table = {}
     for n, kdim in shapes:
         kp = kdim // 2 if bits == 4 else kdim
+        # symmetric + bf16 scales: the flagship's layout (no qbias stream,
+        # single-pass bf16 expansion dot) — what the table will serve.
         qt = QuantizedTensor(
             codes=jnp.asarray(rng.integers(0, 255, (n, kp), dtype=np.uint8)),
-            scales=jnp.asarray((rng.random((n, kdim // group_size)) * 0.01).astype(np.float32)),
-            qbias=jnp.asarray(np.zeros((n, kdim // group_size), np.float32)),
+            scales=jnp.asarray((rng.random((n, kdim // group_size)) * 0.01)
+                               .astype(np.float32), dtype=jnp.bfloat16),
+            qbias=None,
             bits=bits, group_size=group_size,
+            qbias_coeff=-float(1 << (bits - 1)),
         )
         for m in m_list:
             x = jnp.asarray(rng.standard_normal((m, kdim)), jnp.bfloat16)

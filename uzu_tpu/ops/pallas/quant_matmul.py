@@ -96,9 +96,14 @@ def _expansion_matrix(kg: int, kc: int, gsub: int, group_off) -> jax.Array:
     return (cols // gsub + group_off == rows).astype(jnp.float32)
 
 
-def _int4_kernel(x_even_ref, x_odd_ref, codes_ref, scales_ref, qbias_ref,
-                 o_ref, acc_ref, *, kg, kgc, kc, gsub, last_k, dot_dtype,
-                 exp_dtype, chunked_scales):
+def _int4_kernel(x_even_ref, x_odd_ref, codes_ref, scales_ref, *rest,
+                 kg, kgc, kc, gsub, last_k, dot_dtype,
+                 exp_dtype, chunked_scales, qbias_coeff):
+    # symmetric tensors carry no qbias operand: qbias_exp = coeff*scale_exp
+    # (bit-identical — the coefficient is a power of two) and the whole
+    # [N, Kg] qbias stream disappears from HBM traffic.
+    qbias_ref, o_ref, acc_ref = ((None, *rest) if qbias_coeff is not None
+                                 else rest)
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -119,8 +124,11 @@ def _int4_kernel(x_even_ref, x_odd_ref, codes_ref, scales_ref, qbias_ref,
     e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else k * kgc)
     scale_exp = jnp.dot(scales_ref[:].astype(exp_dtype), e.astype(exp_dtype),
                         preferred_element_type=jnp.float32)
-    qbias_exp = jnp.dot(qbias_ref[:].astype(exp_dtype), e.astype(exp_dtype),
-                        preferred_element_type=jnp.float32)
+    if qbias_coeff is not None:
+        qbias_exp = scale_exp * qbias_coeff
+    else:
+        qbias_exp = jnp.dot(qbias_ref[:].astype(exp_dtype), e.astype(exp_dtype),
+                            preferred_element_type=jnp.float32)
 
     # dequant in f32 on the VPU, then feed the MXU in bf16 (f32 dots
     # decompose into multiple MXU passes on TPU); f32 accumulation. The
@@ -143,9 +151,11 @@ def _int4_kernel(x_even_ref, x_odd_ref, codes_ref, scales_ref, qbias_ref,
         o_ref[:] = acc_ref[:]
 
 
-def _int8_kernel(x_ref, codes_ref, scales_ref, qbias_ref, o_ref, acc_ref,
-                 *, kg, kgc, kc, gsub, last_k, dot_dtype, exp_dtype,
-                 chunked_scales):
+def _int8_kernel(x_ref, codes_ref, scales_ref, *rest,
+                 kg, kgc, kc, gsub, last_k, dot_dtype, exp_dtype,
+                 chunked_scales, qbias_coeff):
+    qbias_ref, o_ref, acc_ref = ((None, *rest) if qbias_coeff is not None
+                                 else rest)
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -156,8 +166,11 @@ def _int8_kernel(x_ref, codes_ref, scales_ref, qbias_ref, o_ref, acc_ref,
     e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else k * kgc)
     scale_exp = jnp.dot(scales_ref[:].astype(exp_dtype), e.astype(exp_dtype),
                         preferred_element_type=jnp.float32)
-    qbias_exp = jnp.dot(qbias_ref[:].astype(exp_dtype), e.astype(exp_dtype),
-                        preferred_element_type=jnp.float32)
+    if qbias_coeff is not None:
+        qbias_exp = scale_exp * qbias_coeff
+    else:
+        qbias_exp = jnp.dot(qbias_ref[:].astype(exp_dtype), e.astype(exp_dtype),
+                            preferred_element_type=jnp.float32)
     w = (codes * scale_exp + qbias_exp).astype(dot_dtype)
 
     acc_ref[:] += jax.lax.dot_general(
@@ -172,14 +185,18 @@ def _int8_kernel(x_ref, codes_ref, scales_ref, qbias_ref, o_ref, acc_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "group_size", "interpret", "block_n", "block_k"),
+    static_argnames=("bits", "group_size", "interpret", "block_n", "block_k",
+                     "qbias_coeff"),
 )
 def _quant_matmul_p(x, codes, scales, qbias, *, bits, group_size,
-                    interpret=False, block_n=0, block_k=0):
+                    interpret=False, block_n=0, block_k=0, qbias_coeff=None):
     """x [M, K] f32/bf16; codes [N, K/pack] u8; scales/qbias [N, Kg].
 
+    qbias may be None when the static qbias_coeff is given (symmetric
+    quantization: qbias == qbias_coeff * scales, derived in-kernel).
     Returns [M, N] f32. Static shape constraints checked by the caller.
     """
+    assert (qbias is None) == (qbias_coeff is not None)
     m, kdim = x.shape
     n = codes.shape[0]
     kg = scales.shape[1]
@@ -226,24 +243,29 @@ def _quant_matmul_p(x, codes, scales, qbias, *, bits, group_size,
             pl.BlockSpec((tn, kgc), lambda i, k: (i, k))
             if chunked else pl.BlockSpec((tn, kg), lambda i, k: (i, 0))
         )
+        operands = [x_even, x_odd, codes, scales]
+        specs = [
+            pl.BlockSpec((m_pad, kc), lambda i, k: (0, k)),
+            pl.BlockSpec((m_pad, kc), lambda i, k: (0, k)),
+            pl.BlockSpec((tn, kc), lambda i, k: (i, k)),
+            scale_spec,
+        ]
+        if qbias is not None:
+            operands.append(qbias)
+            specs.append(scale_spec)
         out = pl.pallas_call(
             functools.partial(_int4_kernel, kg=kgc if chunked else kg,
                               kgc=kgc, kc=kc, gsub=gsub,
                               last_k=n_k - 1, dot_dtype=dot_dtype,
-                              exp_dtype=exp_dtype, chunked_scales=chunked),
+                              exp_dtype=exp_dtype, chunked_scales=chunked,
+                              qbias_coeff=qbias_coeff),
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((m_pad, kc), lambda i, k: (0, k)),
-                pl.BlockSpec((m_pad, kc), lambda i, k: (0, k)),
-                pl.BlockSpec((tn, kc), lambda i, k: (i, k)),
-                scale_spec,
-                scale_spec,
-            ],
+            in_specs=specs,
             out_specs=pl.BlockSpec((m_pad, tn), lambda i, k: (0, i)),
             out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
             scratch_shapes=[pltpu.VMEM((m_pad, tn), jnp.float32)],
             interpret=interpret,
-        )(x_even, x_odd, codes, scales, qbias)
+        )(*operands)
     else:
         gsub = g
         tn_auto, kc_auto = _tile_policy(n, kdim, gsub, m_pad, bits=8, kdim=kdim)
@@ -262,23 +284,28 @@ def _quant_matmul_p(x, codes, scales, qbias, *, bits, group_size,
             pl.BlockSpec((tn, kgc), lambda i, k: (i, k))
             if chunked else pl.BlockSpec((tn, kg), lambda i, k: (i, 0))
         )
+        operands = [x, codes, scales]
+        specs = [
+            pl.BlockSpec((m_pad, kc), lambda i, k: (0, k)),
+            pl.BlockSpec((tn, kc), lambda i, k: (i, k)),
+            scale_spec,
+        ]
+        if qbias is not None:
+            operands.append(qbias)
+            specs.append(scale_spec)
         out = pl.pallas_call(
             functools.partial(_int8_kernel, kg=kgc if chunked else kg,
                               kgc=kgc, kc=kc, gsub=gsub,
                               last_k=n_k - 1, dot_dtype=dot_dtype,
-                              exp_dtype=exp_dtype, chunked_scales=chunked),
+                              exp_dtype=exp_dtype, chunked_scales=chunked,
+                              qbias_coeff=qbias_coeff),
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((m_pad, kc), lambda i, k: (0, k)),
-                pl.BlockSpec((tn, kc), lambda i, k: (i, k)),
-                scale_spec,
-                scale_spec,
-            ],
+            in_specs=specs,
             out_specs=pl.BlockSpec((m_pad, tn), lambda i, k: (0, i)),
             out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
             scratch_shapes=[pltpu.VMEM((m_pad, tn), jnp.float32)],
             interpret=interpret,
-        )(x, codes, scales, qbias)
+        )(*operands)
     return out[:m]
 
 
@@ -311,6 +338,7 @@ def _quant_matmul_flat(w, x, *, interpret):
         bits=w.bits,
         group_size=w.group_size,
         interpret=interpret,
+        qbias_coeff=w.qbias_coeff,
     )
     return out.reshape(*lead, out.shape[-1]).astype(x.dtype)
 

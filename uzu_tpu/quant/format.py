@@ -30,20 +30,28 @@ import numpy as np
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["codes", "scales", "qbias"],
-    meta_fields=["bits", "group_size"],
+    meta_fields=["bits", "group_size", "qbias_coeff"],
 )
 @dataclasses.dataclass
 class QuantizedTensor:
     """A [N, K] weight matrix stored as packed unsigned codes + group params.
 
     w[n, k] = scales[n, k//g] * code[n, k] + qbias[n, k//g]
+
+    For symmetric quantization qbias is exactly ``-2^(bits-1) * scales`` —
+    a power-of-two multiple, so deriving it from the scales is bit-identical
+    to storing it and saves the whole [N, Kg] qbias stream (~10% of the
+    weight bytes every decode step). Such tensors carry ``qbias=None`` and
+    the static ``qbias_coeff``; consumers either fold the coefficient
+    (kernels) or materialize via ``qbias_of``.
     """
 
     codes: jax.Array  # uint8 [N, K // (8//bits)]
     scales: jax.Array  # [N, ceil(K/g)] float
-    qbias: jax.Array  # [N, ceil(K/g)] float
+    qbias: jax.Array | None  # [N, ceil(K/g)] float, or None (see qbias_coeff)
     bits: int
     group_size: int
+    qbias_coeff: float | None = None  # qbias == qbias_coeff * scales
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -79,6 +87,14 @@ def pack_codes(codes: np.ndarray, bits: int) -> np.ndarray:
     raise ValueError(f"unsupported bits={bits}")
 
 
+def qbias_of(qt: "QuantizedTensor") -> jax.Array:
+    """Materialized [N, Kg] qbias — bit-identical to the stored form for
+    coefficient tensors (power-of-two multiply commutes with rounding)."""
+    if qt.qbias is not None:
+        return qt.qbias
+    return (qt.scales.astype(jnp.float32) * qt.qbias_coeff).astype(qt.scales.dtype)
+
+
 def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Reference dequantization (pure XLA); kernels fuse this instead."""
     n, k = qt.shape
@@ -87,7 +103,7 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     kg = qt.scales.shape[1]
     # broadcast group params over K (last group may be partial)
     scales = jnp.repeat(qt.scales.astype(jnp.float32), g, axis=1)[:, :k]
-    qbias = jnp.repeat(qt.qbias.astype(jnp.float32), g, axis=1)[:, :k]
+    qbias = jnp.repeat(qbias_of(qt).astype(jnp.float32), g, axis=1)[:, :k]
     del kg
     return (codes * scales + qbias).astype(dtype)
 
@@ -189,6 +205,17 @@ def from_disk_tensors(
     dtype=jnp.bfloat16,
 ) -> QuantizedTensor:
     """Build the canonical in-memory form from on-disk tensors."""
+    if method == "scale_symmetric":
+        # qbias == -midpoint * scales exactly: carry the coefficient, skip
+        # the stream (bit-identical — power-of-two multiply is exact).
+        return QuantizedTensor(
+            codes=jnp.asarray(weights),
+            scales=jnp.asarray(np.asarray(scales, np.float32), dtype=dtype),
+            qbias=None,
+            bits=bits,
+            group_size=group_size,
+            qbias_coeff=-float(1 << (bits - 1)),
+        )
     qbias = make_qbias(method, scales, bits, zero_points, biases)
     return QuantizedTensor(
         codes=jnp.asarray(weights),

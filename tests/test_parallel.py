@@ -148,6 +148,79 @@ def test_tp_gemma_model(tmp_path):
     np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("family", ["qwen35", "mamba2", "lfm2"])
+def test_tp_recurrent_mixer_model(tmp_path, family):
+    """Hybrid recurrent-mixer models under tp: the mixer's fused in-proj /
+    depthwise conv / recurrent state shard over the inner channel dim and
+    the sharded logits must match single-device (prefill through BOTH the
+    chunked cores and, via the short prompt, the per-token scan)."""
+    from uzu_tpu.tools.synth import lfm2_config, mamba2_hybrid_config, qwen35_config
+
+    cfg = {
+        "qwen35": lambda: qwen35_config(num_layers=3, model_dim=64,
+                                        hidden_dim=128, num_heads=4,
+                                        num_groups=2, head_dim=16,
+                                        value_head_dim=16, attn_every=3),
+        "mamba2": lambda: mamba2_hybrid_config(num_layers=3, model_dim=64,
+                                               hidden_dim=128, num_heads=4,
+                                               num_groups=2, head_dim=16,
+                                               state_dim=16, attn_every=3),
+        "lfm2": lambda: lfm2_config(num_layers=3, model_dim=64,
+                                    hidden_dim=128, attn_every=3),
+    }[family]()
+    d = synthesize(cfg, str(tmp_path / f"{family}_tp"), seed=11, dtype=np.float32)
+    toks = (np.arange(9) * 7) % 512
+    lm = LanguageModel.from_dir(d, max_context=64, prefill_buckets=(16,))
+    expected = _logits(lm, toks)
+    got = _sharded_logits(d, make_mesh(tp=2, dp=4), toks)
+    np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-3)
+
+
+def test_tp_recurrent_decode_stream(tmp_path):
+    """Sharded GDN-hybrid decode (the stateful scan path) == single-device
+    token stream through the product surface (LanguageModel(mesh=...))."""
+    from uzu_tpu.parallel import make_mesh as _mm
+    from uzu_tpu.tools.synth import qwen35_config
+
+    cfg = qwen35_config(num_layers=3, model_dim=64, hidden_dim=128,
+                        num_heads=4, num_groups=2, head_dim=16,
+                        value_head_dim=16, attn_every=3)
+    d = synthesize(cfg, str(tmp_path / "gdn_tp_stream"), seed=12, dtype=np.float32)
+    toks = list((np.arange(40) * 7) % 512)
+    want = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(64,)).generate_list(
+        toks, 8, stop_token_ids=[])
+    lm4 = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(64,),
+                                 mesh=_mm(tp=2, dp=4))
+    assert lm4.generate_list(toks, 8, stop_token_ids=[]) == want
+
+
+def test_tp_hybrid_linear_model(tmp_path):
+    """HybridSpec (RHT + QLoRA adapter) linears shard Megatron-style; the
+    32-block RHT stays intact within each shard and logits match."""
+    from uzu_tpu.config.model import (
+        HybridSpec,
+        IncoherenceProcessingMode,
+        LowRankSpec,
+    )
+
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=128, num_heads=4,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    spec = HybridSpec(
+        quantization_spec=IntSpec(bits=4, group_size=32, is_symmetric=True,
+                                  layout=Layout.OUTPUT_INPUT),
+        adapter_spec=LowRankSpec(rank=4),
+        incoherence_block_size=32,
+        incoherence_processing_mode=IncoherenceProcessingMode.INPUT_OUTPUT,
+    )
+    d = synthesize(cfg, str(tmp_path / "hybrid_tp"), seed=13,
+                   linear_spec=spec, dtype=np.float32)
+    toks = (np.arange(9) * 5) % 256
+    lm = LanguageModel.from_dir(d, max_context=64, prefill_buckets=(16,))
+    expected = _logits(lm, toks)
+    got = _sharded_logits(d, make_mesh(tp=2, dp=4), toks)
+    np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-3)
+
+
 def test_expert_parallel_all_to_all(tmp_path):
     """EP: experts sharded over 8 devices, tokens dispatched via all_to_all;
     with ample capacity the result equals single-device moe_forward exactly

@@ -29,8 +29,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config.model import (
     AttentionConfig,
     DecoderConfig,
+    DeltaNetConfig,
     DenseMLPConfig,
+    Mamba2Config,
     MixtureOfExpertsConfig,
+    ShortConvConfig,
     TransformerLayerConfig,
 )
 from .mesh import TP_AXIS, tp_size
@@ -60,14 +63,42 @@ def validate_tp(cfg: DecoderConfig, tp: int) -> None:
             )
 
 
+def _hybrid_specs(w, mesh: Mesh, *, shard_rows: bool):
+    """Spec tree for a HybridLinear (QLoRA/RHT) — same Megatron split as a
+    plain linear, applied leaf-wise. Row shard (output dim N): base rows +
+    adapter_up rows + output_signs; the input side (adapter_down,
+    input_signs) is replicated. Column shard (input dim K): base columns +
+    adapter_down columns + input_signs; output side replicated. The RHT
+    couples 32-blocks along the sharded dim — GSPMD keeps blocks local when
+    32 | N/tp (resp. K/tp), which holds for every supported head/hidden
+    size, and falls back to a reshard (still correct) otherwise."""
+    from ..quant.format import HybridLinear
+
+    if shard_rows:
+        return HybridLinear(
+            base=_ns(mesh, TP_AXIS, None),
+            adapter_down=None if w.adapter_down is None else _ns(mesh),
+            adapter_up=None if w.adapter_up is None else _ns(mesh, TP_AXIS, None),
+            input_signs=None if w.input_signs is None else _ns(mesh),
+            output_signs=None if w.output_signs is None else _ns(mesh, TP_AXIS),
+        )
+    return HybridLinear(
+        base=_ns(mesh, None, TP_AXIS),
+        adapter_down=None if w.adapter_down is None else _ns(mesh, None, TP_AXIS),
+        adapter_up=None if w.adapter_up is None else _ns(mesh),
+        input_signs=None if w.input_signs is None else _ns(mesh, TP_AXIS),
+        output_signs=None if w.output_signs is None else _ns(mesh),
+    )
+
+
 def _linear_specs(p: dict, mesh: Mesh, *, shard_rows: bool) -> dict:
     from ..quant.format import HybridLinear
 
     if isinstance(p.get("w"), HybridLinear):
-        # hybrid (QLoRA/RHT) linears are replicated for now: their leaves
-        # have mixed ranks/dims and the output RHT couples 32-blocks that a
-        # row shard would split; TP-sharding them is a later milestone
-        return _replicate_tree(p, mesh)
+        out = {"w": _hybrid_specs(p["w"], mesh, shard_rows=shard_rows)}
+        if "b" in p:
+            out["b"] = _ns(mesh, TP_AXIS) if shard_rows else _ns(mesh)
+        return out
     out = {"w": _ns(mesh, TP_AXIS, None) if shard_rows else _ns(mesh, None, TP_AXIS)}
     if "b" in p:
         # row-sharded linear => output dim sharded => bias sharded;
@@ -127,14 +158,36 @@ def _replicate_tree(p, mesh: Mesh):
     )
 
 
+def _ssm_specs(p: dict, mesh: Mesh) -> dict:
+    """Recurrent mixers (Mamba2/GDN/ShortConv): Megatron split over the
+    inner channel/head dim. The fused in-projection rows (sections
+    [q|k|v|z|beta|a] for GDN, [conv_in|z|dt] for Mamba2, [pre|post|x] for
+    ShortConv) shard like the fused QKV does — GSPMD re-aligns the section
+    slices; the depthwise conv is per-channel so conv_w rows co-shard; the
+    out-projection reduces over the inner dim (column shard, all-reduce
+    after). Small per-head vectors (a_log/dt_bias/gate_bias/skip_weight/
+    norm_scales) are replicated."""
+    out = {
+        "in": _linear_specs(p["in"], mesh, shard_rows=True),
+        "out": _linear_specs(p["out"], mesh, shard_rows=False),
+        "conv_w": _ns(mesh, TP_AXIS, None),
+    }
+    if "conv_b" in p:
+        out["conv_b"] = _ns(mesh, TP_AXIS)
+    for k in ("gate_bias", "skip_weight", "a_log", "dt_bias", "norm_scales"):
+        if k in p:
+            out[k] = _ns(mesh)
+    return out
+
+
 def _layer_specs(layer_cfg: TransformerLayerConfig, p: dict, mesh: Mesh) -> dict:
     out: dict = {}
     m = layer_cfg.mixer_config
     if isinstance(m, AttentionConfig):
         out["mixer"] = _attention_specs(p["mixer"], mesh)
+    elif isinstance(m, (Mamba2Config, DeltaNetConfig, ShortConvConfig)):
+        out["mixer"] = _ssm_specs(p["mixer"], mesh)
     else:
-        # recurrent mixers (Mamba2/GDN/ShortConv) are replicated for now;
-        # head-sharding them is a later milestone
         out["mixer"] = _replicate_tree(p["mixer"], mesh)
     out["mlp"] = _mlp_specs(layer_cfg.mlp_config, p["mlp"], mesh)
     for k in (
@@ -191,7 +244,18 @@ def state_specs(cfg: DecoderConfig, state: dict, mesh: Mesh, *, batched: bool = 
 
             layers.append({k: kv_spec(v) for k, v in layer_state.items()})
         else:
-            layers.append(jax.tree.map(lambda _: _ns(mesh, *lead), layer_state))
+            # recurrent state co-shards with the mixer weights: conv
+            # [k-1, conv_dim] channel dim over tp; ssm [H, dv, dk] head
+            # dim over tp; anything else replicated (per-dp when batched)
+            def rec_spec(name, arr):
+                nd = arr.ndim - len(lead)
+                if name == "conv" and nd == 2:
+                    return _ns(mesh, *lead, None, TP_AXIS)
+                if name == "ssm" and nd == 3:
+                    return _ns(mesh, *lead, TP_AXIS, None, None)
+                return _ns(mesh, *lead)
+
+            layers.append({k: rec_spec(k, v) for k, v in layer_state.items()})
     out = {"layers": layers, "pos": _ns(mesh, *lead)}
     for k in state:
         if k not in out:

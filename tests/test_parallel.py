@@ -576,3 +576,37 @@ def test_validate_pp_rejects_nonuniform(tmp_path):
                         num_groups=2, head_dim=16, vocab_size=256)
     with pytest.raises(ValueError):
         validate_pp(cfg2.decoder_config, 3)
+
+
+def test_pipeline_times_tensor_parallel(tmp_path):
+    """pp=2 × tp=4: the manual ppermute ring composes with GSPMD head
+    sharding inside each stage (partial-auto shard_map); logits match the
+    single-device step."""
+    from uzu_tpu.parallel import (
+        make_pp_mesh,
+        pipeline_forward,
+        stack_pipeline_params,
+        stack_pipeline_states,
+    )
+
+    cfg = llama_config(num_layers=4, model_dim=64, hidden_dim=128, num_heads=8,
+                       num_groups=4, head_dim=16, vocab_size=256)
+    d = synthesize(cfg, str(tmp_path / "pptp_llama"), seed=22, dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=64, prefill_buckets=(8,))
+    mesh = make_pp_mesh(pp=2, tp=4)
+
+    batch, s = 4, 8
+    tokens = np.random.default_rng(1).integers(0, 256, (batch, s)).astype(np.int32)
+    states = jax.tree.map(lambda *xs: jnp.stack(xs), *[lm.new_state() for _ in range(batch)])
+    pp_params = stack_pipeline_params(lm.decoder_config, lm.params, mesh)
+    pp_states = stack_pipeline_states(lm.decoder_config, states, mesh, microbatches=2)
+
+    def one(t, st):
+        return decoder_forward(lm.decoder_config, lm.params, t, st, true_length=s)
+
+    want, _ = jax.vmap(one)(jnp.asarray(tokens), states)
+    got, _ = pipeline_forward(
+        lm.decoder_config, pp_params, jnp.asarray(tokens), pp_states, mesh,
+        microbatches=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want[:, 0]),
+                               rtol=2e-4, atol=2e-4)

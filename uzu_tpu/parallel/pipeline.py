@@ -40,17 +40,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config.model import AttentionConfig, DecoderConfig
+from .mesh import TP_AXIS
 
 PP_AXIS = "pp"
 
 
-def make_pp_mesh(pp: int | None = None, devices: Sequence[jax.Device] | None = None) -> Mesh:
+def make_pp_mesh(
+    pp: int | None = None,
+    tp: int = 1,
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """(pp, tp) mesh: pipeline stages × tensor shards within each stage.
+    On real topologies, lay pp over DCN (hosts) and tp over ICI."""
     devices = list(devices if devices is not None else jax.devices())
     if pp is None:
-        pp = len(devices)
-    if pp != len(devices):
-        raise ValueError(f"pp={pp} != device count {len(devices)}")
-    return Mesh(np.asarray(devices).reshape(pp), (PP_AXIS,))
+        pp = len(devices) // tp
+    if pp * tp != len(devices):
+        raise ValueError(f"pp*tp = {pp}*{tp} != {len(devices)} devices")
+    return Mesh(np.asarray(devices).reshape(pp, tp), (PP_AXIS, TP_AXIS))
 
 
 def validate_pp(cfg: DecoderConfig, pp: int) -> None:
@@ -77,14 +84,28 @@ def _stack_layers(trees):
 
 def stack_pipeline_params(cfg: DecoderConfig, params: dict, mesh: Mesh) -> dict:
     """Reshape the per-layer param list to [P, L/P, ...] leaves sharded over
-    pp. Non-layer params (embedding, output norm) are replicated."""
+    pp, with the per-layer Megatron TP specs (heads/hidden over tp) applied
+    to the trailing dims when the mesh carries a tp axis. Non-layer params
+    (embedding, output norm) are replicated."""
+    from .sharding import _layer_specs, validate_tp
+
     pp = mesh.shape[PP_AXIS]
+    tp = mesh.shape.get(TP_AXIS, 1)
     validate_pp(cfg, pp)
+    if tp > 1:
+        validate_tp(cfg, tp)
     stacked = _stack_layers(params["layers"])
     stacked = jax.tree.map(
         lambda a: a.reshape(pp, a.shape[0] // pp, *a.shape[1:]), stacked
     )
-    spec = jax.tree.map(lambda _: NamedSharding(mesh, P(PP_AXIS)), stacked)
+    inner = _layer_specs(
+        cfg.transformer_config.layer_configs[0], params["layers"][0], mesh
+    )
+    # prefix-spec tree: prepend (pp, layer-in-stage) dims to each layer spec;
+    # device_put broadcasts a spec leaf over QuantizedTensor/Hybrid subtrees
+    spec = jax.tree.map(
+        lambda ns: NamedSharding(mesh, P(PP_AXIS, None, *ns.spec)), inner
+    )
     rep = NamedSharding(mesh, P())
     out = {
         "layers": jax.device_put(stacked, spec),
@@ -106,7 +127,19 @@ def stack_pipeline_states(cfg: DecoderConfig, states: dict, mesh: Mesh, microbat
     kv = jax.tree.map(
         lambda a: a.reshape(pp, a.shape[0] // pp, microbatches, mb, *a.shape[2:]), kv
     )
-    spec = jax.tree.map(lambda _: NamedSharding(mesh, P(PP_AXIS)), kv)
+    def kv_spec(a):
+        # trailing dims after [P, Lp, M, mb]: [C, G, Dh] / [C, G] scales get
+        # the kv-head dim over tp (ALWAYS annotated, even at tp=1 — the
+        # explicit-sharding propagation inside the pipelined region needs
+        # cache and appended K/V types to agree); [C] ring pos replicated
+        trail = a.ndim - 4
+        if trail >= 2:
+            inner = (None, TP_AXIS) + (None,) * (trail - 2)
+        else:
+            inner = (None,) * trail
+        return NamedSharding(mesh, P(PP_AXIS, None, None, None, *inner))
+
+    spec = jax.tree.map(kv_spec, kv)
     rep = NamedSharding(mesh, P())
     return {
         "kv": jax.device_put(kv, spec),
@@ -190,7 +223,12 @@ def pipeline_forward(
             P(),
         ),
         out_specs=(P(), jax.tree.map(lambda _: P(PP_AXIS), pp_states["kv"])),
-        check_vma=False,
+        axis_names={PP_AXIS},  # pp is manual (the ppermute ring); tp stays
+        # auto so GSPMD shards each stage's head/hidden math from the
+        # operand shardings — PP over DCN composing with TP over ICI.
+        # check_vma must stay True: the check_vma=False eager path rewraps
+        # outputs over ALL mesh axes and trips on the auto tp axis
+        check_vma=True,
     )
     def pp_run(stage_params, kv, xs, pos_m, tl_m):
         # local views: stage_params [1, L/P, ...], kv [1, L/P, M, mb, ...]
@@ -199,8 +237,10 @@ def pipeline_forward(
         p = jax.lax.axis_index(PP_AXIS)
         last = pp - 1
         perm = [(i, (i + 1) % pp) for i in range(pp)]
-        outs0 = jnp.zeros((m, mb, s, d), xs.dtype)
-        x0 = jnp.zeros((mb, s, d), xs.dtype)
+        # loop carries must be pp-varying from the start (the vma type
+        # system unifies them with the ppermute/stage outputs)
+        outs0 = jax.lax.pvary(jnp.zeros((m, mb, s, d), xs.dtype), PP_AXIS)
+        x0 = jax.lax.pvary(jnp.zeros((mb, s, d), xs.dtype), PP_AXIS)
 
         def step(t, carry):
             x_cur, outs, kv = carry
@@ -230,8 +270,14 @@ def pipeline_forward(
             return x_next, outs, kv
 
         _, outs, kv = jax.lax.fori_loop(0, m + pp - 1, step, (x0, outs0, kv))
-        # only the last stage wrote outs; psum replicates it across stages
-        outs = jax.lax.psum(jnp.where(p == last, outs, jnp.zeros_like(outs)), PP_AXIS)
+        # only the last stage wrote outs; psum replicates it across stages.
+        # The reduce runs in f32: XLA CPU fatally rejects a bf16 psum in
+        # partial-manual mode ("Invalid binary instruction opcode copy"),
+        # and one [M, mb, S, D] upcast per forward is noise anyway.
+        outs = jax.lax.psum(
+            jnp.where(p == last, outs, jnp.zeros_like(outs)).astype(jnp.float32),
+            PP_AXIS,
+        ).astype(outs.dtype)
         kv = jax.tree.map(lambda a: a[None], kv)
         return outs, kv
 

@@ -217,3 +217,119 @@ def test_long_admission_paged_engine_interleaves(model_dir):
     assert sum(gains) >= (admit_steps - 2) * 4, (gains, admit_steps)
     eng.run()
     assert ra.tokens == want_a and rb.tokens == want_b
+
+
+# -- speculative continuous batching -----------------------------------------
+
+
+def test_spec_batched_equals_single(lm):
+    """Batched chain-speculative greedy == single-request plain greedy,
+    across slot reuse and mixed repetitive/non-repetitive prompts."""
+    from uzu_tpu.engine.batch_spec import SpeculativeBatchEngine
+
+    prompts = [
+        [5, 6, 5, 6, 5, 6, 5],       # ngram-friendly
+        [1, 2, 3],                    # cold
+        [9, 9, 9, 9],                 # repetitive
+        [40, 41, 42, 40, 41, 42],
+        [17, 23],
+    ]
+    singles = [lm.generate_list(np.asarray(p), 12, stop_token_ids=[]) for p in prompts]
+    eng = SpeculativeBatchEngine(lm, batch_size=2, draft_block=4, stop_token_ids=[])
+    reqs = [eng.submit(p, 12) for p in prompts]
+    eng.run()
+    for i, (r, want) in enumerate(zip(reqs, singles)):
+        assert r.finished and r.finish_reason == "length"
+        assert r.tokens[:12] == want[:12], f"request {i} diverged"
+    assert eng.metrics.num_verify_passes > 0
+
+
+def test_spec_batched_stop_tokens(lm):
+    """Stop tokens inside an accepted block clip emission exactly like the
+    plain engine."""
+    from uzu_tpu.engine.batch_spec import SpeculativeBatchEngine
+
+    # find a stop token that actually occurs mid-stream
+    probe = lm.generate_list(np.asarray([5, 6, 5, 6, 5]), 12, stop_token_ids=[])
+    stop = probe[5]
+    singles = [
+        lm.generate_list(np.asarray(p), 12, stop_token_ids=[stop])
+        for p in ([5, 6, 5, 6, 5], [1, 2, 3])
+    ]
+    eng = SpeculativeBatchEngine(lm, batch_size=2, draft_block=4,
+                                 stop_token_ids=[stop])
+    reqs = [eng.submit(p, 12) for p in ([5, 6, 5, 6, 5], [1, 2, 3])]
+    eng.run()
+    for r, want in zip(reqs, singles):
+        assert r.finished
+        assert r.tokens == want
+
+
+def test_spec_batched_recurrent_mixer(tmp_path):
+    """Speculative batching on a GDN hybrid: the vmapped deferred-commit
+    replay (defer_ssm) must keep batched speculative greedy == plain."""
+    from uzu_tpu.engine.batch_spec import SpeculativeBatchEngine
+    from uzu_tpu.tools.synth import qwen35_config
+
+    cfg = qwen35_config(num_layers=3, model_dim=64, hidden_dim=128,
+                        num_heads=4, num_groups=2, head_dim=16,
+                        value_head_dim=16, attn_every=3)
+    d = synthesize(cfg, str(tmp_path / "spec_gdn"), seed=7, dtype=np.float32)
+    lm2 = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(16,))
+    prompts = [[5, 6, 5, 6, 5, 6], [1, 2, 3, 4]]
+    singles = [lm2.generate_list(np.asarray(p), 10, stop_token_ids=[]) for p in prompts]
+    eng = SpeculativeBatchEngine(lm2, batch_size=2, draft_block=4, stop_token_ids=[])
+    reqs = [eng.submit(p, 10) for p in prompts]
+    eng.run()
+    for r, want in zip(reqs, singles):
+        assert r.finished
+        assert r.tokens[:10] == want[:10]
+
+
+def test_spec_batched_server(tmp_path_factory):
+    """speculate=True server serves concurrent requests through the
+    speculative engine and matches the plain server's completions."""
+    import json
+    import threading
+    import urllib.request
+
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.server.batched import serve_batched
+    from uzu_tpu.sessions import Tokenizer
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path_factory.mktemp("spec_srv")),
+                         num_layers=2, model_dim=64, hidden_dim=160,
+                         num_heads=4, num_groups=2, head_dim=16)
+    lm = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16, 64))
+
+    def run_server(speculate):
+        httpd = serve_batched(lm, Tokenizer(d), port=0, batch_size=2,
+                              decode_chunk=4, speculate=speculate)
+        port = httpd.server_address[1]
+        results = {}
+
+        def call(i):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/chat/completions",
+                data=json.dumps({"messages": [{"role": "user",
+                                               "content": f"hello {i}"}],
+                                 "max_tokens": 6}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                results[i] = json.load(r)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        httpd.batch_server.shutdown()
+        httpd.shutdown()
+        return {i: r["choices"][0]["message"]["content"]
+                for i, r in results.items()}
+
+    spec = run_server(True)
+    plain = run_server(False)
+    assert spec == plain

@@ -125,7 +125,8 @@ def cmd_serve(args) -> int:
                                     tp=args.tp, dp=args.dp)
         httpd = serve_batched(lm, Tokenizer(args.model_dir), host=args.host,
                               port=args.port, model_name=name,
-                              batch_size=args.batch_size)
+                              batch_size=args.batch_size,
+                              speculate=args.speculate)
     else:
         session = _load_chat(args.model_dir, args.max_context, args.tp, args.dp)
         from uzu_tpu.server import serve
@@ -299,6 +300,9 @@ def main(argv=None) -> int:
     s.add_argument("--batched", action="store_true",
                    help="continuous batching (concurrent requests share the chip)")
     s.add_argument("--batch-size", type=int, default=4, dest="batch_size")
+    s.add_argument("--speculate", action="store_true",
+                   help="batched chain speculation (per-slot ngram drafts, "
+                        "one fused verify per round)")
     _mesh_flags(s)
     s.set_defaults(fn=cmd_serve)
 

@@ -1,0 +1,224 @@
+"""Speculative continuous batching: per-slot chain drafts, one fused verify.
+
+No reference counterpart on either axis — trymirai/uzu speculates only for a
+single session (stream.rs:553-578) and has no cross-request batching at all
+(SURVEY.md §2.7); this combines the repo's two from-scratch designs: the
+slot-based continuous-batching engine (engine/batch.py) and the deferred-
+commit chain verify (engine/speculation.py:232).
+
+Design:
+- every active slot drafts up to `draft_block` tokens host-side (per-slot
+  speculator, e.g. ngram over that request's own history);
+- ONE dispatch verifies all slots: a vmapped (m+1)-row deferred forward
+  (defer_ssm — recurrent mixers replay their state to the accepted prefix,
+  attention commits by pos visibility), a sampled token at every row,
+  exact-match acceptance, stop/budget clipping, and the per-slot state
+  commit — all on device; halted slots take commit=0 identity transitions;
+- the host fetches (sampled, commit) each round and routes emit rows
+  [:commit] per slot. Unlike the plain engine's one-chunk-ahead pipelining,
+  speculation is inherently synchronous: the NEXT round's drafts need THIS
+  round's tokens, so each round pays one host<->device roundtrip and earns
+  up to draft_block+1 tokens per slot for one weight stream. At acceptance
+  ~0 the plain chunked engine is faster on high-latency links; the server
+  picks per workload.
+
+Greedy outputs are bit-identical to single-request plain generation (the
+verify samples the same greedy argmax rows the plain loop would).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.decoder import decoder_commit_deferred, decoder_forward
+from .batch import BatchEngine
+from .sampling import sample
+from .speculation import NgramSpeculator, SpeculationMetrics, speculation_supported
+
+
+class SpeculativeBatchEngine(BatchEngine):
+    """BatchEngine whose decode path is a fused batched chain verify."""
+
+    def __init__(self, lm, *, draft_block: int = 8, make_speculator=None, **kw):
+        if not speculation_supported(lm.decoder_config):
+            raise ValueError("chain speculation unsupported (KV-shared attention)")
+        super().__init__(lm, **kw)
+        self.draft_block = draft_block
+        self._make_spec = make_speculator or (
+            lambda: NgramSpeculator(max_ngram=3, k=draft_block)
+        )
+        self._slot_spec = [None] * self.batch_size
+        self.metrics = SpeculationMetrics()
+        self._verify_jit = lm.__dict__.setdefault("_batch_verify_jit", {})
+
+    # -- jitted verify ------------------------------------------------------
+
+    def _verify_fn(self, m: int, ctx_bucket=None):
+        """m draft rows + 1 root row per slot, one donated dispatch."""
+        key = (self.sampling, m, self.stop_ids, self.batch_size, ctx_bucket)
+        if key not in self._verify_jit:
+            cfg = self.lm.decoder_config
+            sampling = self.sampling
+            stop_arr = jnp.asarray(self.stop_ids, jnp.int32) if self.stop_ids else None
+            ctx_last = self.lm.max_context - 1
+
+            def one(params, state, token, drafts, draft_len, halted, remaining, keys):
+                tokens = jnp.concatenate([token[None], drafts])  # [m+1]
+                logits, pending = decoder_forward(
+                    cfg, params, tokens, state, last_only=False, defer_ssm=True,
+                    ctx_limit=ctx_bucket,
+                )
+                sampled = jax.vmap(lambda l, kk: sample(l, sampling, key=kk))(
+                    logits, keys
+                )
+                match = (sampled[:-1] == tokens[1:]) & (jnp.arange(m) < draft_len)
+                accepted = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))
+                emit_len = 1 + accepted
+                commit = emit_len
+                rows = jnp.arange(m + 1)
+                if stop_arr is not None:
+                    is_stop = jnp.any(sampled[:, None] == stop_arr[None, :], axis=1)
+                    first_stop = jnp.min(jnp.where(is_stop & (rows < emit_len), rows, m + 1))
+                    commit = jnp.minimum(commit, first_stop + 1)
+                commit = jnp.minimum(commit, remaining)
+                commit = jnp.where(halted, 0, commit)
+                new_state = decoder_commit_deferred(cfg, pending, commit)
+                nxt = jnp.where(halted, token, sampled[jnp.maximum(commit - 1, 0)])
+                remaining = remaining - commit
+                stopped = jnp.zeros((), bool)
+                if stop_arr is not None:
+                    stopped = jnp.any(is_stop & (rows < commit))
+                halted = halted | stopped | (remaining <= 0) | (new_state["pos"] >= ctx_last)
+                return new_state, nxt, halted, remaining, sampled, commit
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def verify_b(params, state, tokens, drafts, draft_len, halted,
+                         remaining, keys):
+                return jax.vmap(
+                    lambda s, t, d, dl, h, r, kk: one(params, s, t, d, dl, h, r, kk)
+                )(state, tokens, drafts, draft_len, halted, remaining, keys)
+
+            self._verify_jit[key] = verify_b
+        return self._verify_jit[key]
+
+    # -- scheduling ---------------------------------------------------------
+
+    def _finish_admission(self, slot_i, req, first):
+        super()._finish_admission(slot_i, req, first)
+        self._slot_spec[slot_i] = self._make_spec()
+        if hasattr(self._slot_spec[slot_i], "reset"):
+            self._slot_spec[slot_i].reset()
+
+    def _fetch_first_tokens(self):
+        """Route freshly admitted slots' first tokens (one device_get) so
+        every active slot's host history ends at its root token."""
+        import time
+
+        firsts = {
+            b: s.pending_first
+            for b, s in enumerate(self.slots)
+            if not s.free and s.pending_first is not None
+        }
+        if not firsts:
+            return
+        vals = jax.device_get(firsts)
+        for b, v in vals.items():
+            slot = self.slots[b]
+            req = slot.request
+            slot.pending_first = None
+            req.first_token_at = time.perf_counter()
+            tok = int(v)
+            req.tokens.append(tok)
+            slot.produced += 1
+            if tok in self.stop_ids:
+                self._finish(b, "stop")
+            elif slot.produced >= req.max_new_tokens:
+                self._finish(b, "length")
+
+    def _verify_round(self):
+        m = self.draft_block
+        # context horizon: a verify writes m+1 KV rows, so a slot must
+        # finish once fewer than m+2 slots of context remain (slightly
+        # earlier than the plain engine's ctx_last — the write-room cost of
+        # block verification)
+        for b, slot in enumerate(self.slots):
+            if not slot.free and slot.pos >= self.lm.max_context - (m + 2):
+                self._finish(b, "length")
+        self._fetch_first_tokens()
+        if not self.num_active:
+            return
+
+        drafts = np.zeros((self.batch_size, m), np.int32)
+        draft_len = np.zeros(self.batch_size, np.int32)
+        tracked = {}
+        for b, slot in enumerate(self.slots):
+            if slot.free:
+                continue
+            req = slot.request
+            history = req.prompt + req.tokens
+            proposal = list(self._slot_spec[b].propose(history))[:m]
+            proposal = proposal[: max(0, req.max_new_tokens - slot.produced - 1)]
+            drafts[b, : len(proposal)] = proposal
+            draft_len[b] = len(proposal)
+            tracked[b] = req
+
+        keys = np.zeros((self.batch_size, m + 1, 2), np.uint32)
+        for b in tracked:
+            keys[b, :, 0] = np.uint32(self._seeds[b] & 0xFFFFFFFF)
+            keys[b, :, 1] = (
+                np.arange(m + 1, dtype=np.uint64)
+                + np.uint64(self._steps[b]) * np.uint64(m + 1)
+            ).astype(np.uint32)
+            self._steps[b] += 1
+
+        max_pos = max((s.pos for s in self.slots if not s.free), default=0)
+        verify = self._verify_fn(m, self.lm._ctx_bucket(max_pos + m + 2))
+        (self._state, self._tokens, self._halted, self._remaining,
+         sampled, commit) = verify(
+            self.lm.params, self._state, self._tokens, jnp.asarray(drafts),
+            jnp.asarray(draft_len), self._halted, self._remaining,
+            jnp.asarray(keys),
+        )
+        vals, commits = jax.device_get((sampled, commit))
+        vals = np.asarray(vals)  # [B, m+1]
+        for b, req in tracked.items():
+            if req.finished:
+                continue
+            c = int(commits[b])
+            slot = self.slots[b]
+            self.metrics.num_verify_passes += 1
+            self.metrics.num_tokens_proposed += int(draft_len[b])
+            self.metrics.num_tokens_accepted += max(0, c - 1)
+            slot.pos += c
+            for v in (int(x) for x in vals[b, :c]):
+                req.tokens.append(v)
+                slot.produced += 1
+                if v in self.stop_ids:
+                    self._finish(b, "stop")
+                    break
+                if slot.produced >= req.max_new_tokens:
+                    self._finish(b, "length")
+                    break
+            else:
+                if slot.pos >= self.lm.max_context - 1:
+                    self._finish(b, "length")
+
+    def step(self) -> bool:
+        admitted = False
+        while self._admit():
+            admitted = True
+            if self.num_active:
+                break
+        if self.num_active or any(
+            not s.free and s.pending_first is not None for s in self.slots
+        ):
+            self._verify_round()
+        return bool(admitted or self.queue or self.num_active or self._admitting)
+
+    def run(self) -> None:
+        while self.queue or self.num_active or self._admitting:
+            self.step()

@@ -33,12 +33,17 @@ class BatchedChatServer:
         decode_chunk: int = 8,
         sampling: SamplingParams | None = None,
         paged: bool | str = "auto",
+        speculate: bool = False,
         **engine_kw,
     ):
         """paged: "auto" uses the paged engine from batch_size >= 8 when the
         model supports it (per-token KV memory beats B x max_context slot
         caches at that width, and prefix-shared admissions skip prefill);
-        True forces it, False keeps the slot-cache dense engine."""
+        True forces it, False keeps the slot-cache dense engine.
+        speculate: per-slot ngram chain drafts + one fused batched verify
+        per round (engine/batch_spec.py) — overrides paged; wins on
+        repetitive/structured workloads, loses its per-round sync cost at
+        near-zero acceptance."""
         self.lm = lm
         self.tokenizer = tokenizer
         self.template = ChatTemplate(tokenizer.chat_template)
@@ -48,6 +53,11 @@ class BatchedChatServer:
             if i not in stop_ids:
                 stop_ids.append(i)
         engine_cls = BatchEngine
+        if speculate:
+            from ..engine.batch_spec import SpeculativeBatchEngine
+
+            engine_cls = SpeculativeBatchEngine
+            paged = False
         if paged == "auto":
             from ..models.paged_decode import paged_supported
 

@@ -236,6 +236,12 @@ def cmd_autotune(args) -> int:
         save_table,
     )
 
+    if args.validate_e2e:
+        from uzu_tpu.ops.pallas.autotune import validate_e2e
+
+        out = validate_e2e(args.model_dir)
+        print(json.dumps(out))
+        return 0
     cfg = load_language_model_config(os.path.join(args.model_dir, "config.json"))
     shapes = model_linear_shapes(cfg.decoder_config)
     print(f"shapes: {shapes}")
@@ -326,6 +332,9 @@ def main(argv=None) -> int:
     at = sub.add_parser("autotune")
     at.add_argument("model_dir")
     at.add_argument("--reps", type=int, default=32)
+    at.add_argument("--validate-e2e", action="store_true", dest="validate_e2e",
+                    help="A/B the measured tile table vs the heuristics on "
+                         "the full decode loop (interleaved rounds)")
     at.set_defaults(fn=cmd_autotune)
 
     st = sub.add_parser("storage")

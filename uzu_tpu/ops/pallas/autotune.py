@@ -192,6 +192,61 @@ def model_linear_shapes(decoder_config) -> list:
     return sorted(shapes)
 
 
+def validate_e2e(model_dir: str, *, max_context: int = 1024, steps: int = 96,
+                 rounds: int = 5, warm: int = 24, verbose: bool = True) -> dict:
+    """A/B the MEASURED tile table against the built-in heuristics on the
+    full fused decode loop (the validation step CLAUDE.md demands before
+    shipping gemv-bucket entries: microbench rankings at decode sizes sit
+    under the launch-noise floor, so only the end-to-end step can promote
+    them). Interleaved rounds, median of per-round diffs — the house A/B
+    method for a time-shared chip. Returns ms/token for both policies and
+    the winner; does NOT modify the table."""
+    import time
+
+    import numpy as np
+
+    def build(table_off: bool):
+        # UZU_TPU_TILE_TABLE is read at trace time through _load_table;
+        # point it at an empty path to force pure heuristics, then build a
+        # FRESH model so every jitted step retraces under this policy
+        from ...engine.engine import LanguageModel
+
+        if table_off:
+            os.environ["UZU_TPU_TILE_TABLE"] = os.devnull
+        else:
+            os.environ.pop("UZU_TPU_TILE_TABLE", None)
+        _load_table.cache_clear()
+        return LanguageModel.from_dir(model_dir, max_context=max_context,
+                                      prefill_buckets=(64,))
+
+    prompt = (np.arange(48, dtype=np.int32) * 13) % 128
+    lms = {"heuristic": build(True), "table": build(False)}
+    times: dict = {"heuristic": [], "table": []}
+    del warm  # warm with the EXACT timed shape: a different step count
+    # compiles different fused-chunk executables inside the timed region
+    for name, lm in lms.items():
+        lm.generate_list(prompt, steps, stop_token_ids=[])
+    for _ in range(rounds):
+        for name, lm in lms.items():
+            t0 = time.perf_counter()
+            lm.generate_list(prompt, steps, stop_token_ids=[])
+            times[name].append((time.perf_counter() - t0) / steps * 1e3)
+    os.environ.pop("UZU_TPU_TILE_TABLE", None)
+    _load_table.cache_clear()
+    diffs = [h - t for h, t in zip(times["heuristic"], times["table"])]
+    out = {
+        "heuristic_ms": float(np.median(times["heuristic"])),
+        "table_ms": float(np.median(times["table"])),
+        "median_diff_ms": float(np.median(diffs)),
+        "winner": "table" if float(np.median(diffs)) > 0 else "heuristic",
+    }
+    if verbose:
+        print(f"heuristic: {out['heuristic_ms']:.3f} ms/tok  "
+              f"table: {out['table_ms']:.3f} ms/tok  "
+              f"diff: {out['median_diff_ms']:+.3f} -> {out['winner']}")
+    return out
+
+
 def save_table(table: dict, path: str | None = None) -> str:
     if path is None:
         os.makedirs(TABLE_DIR, exist_ok=True)

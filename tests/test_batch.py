@@ -284,6 +284,15 @@ def test_spec_batched_recurrent_mixer(tmp_path):
     for r, want in zip(reqs, singles):
         assert r.finished
         assert r.tokens[:10] == want[:10]
+    # fused self-draft over the hybrid: draft chain steps the recurrent
+    # mixers on the state view, verify replays via defer_ssm
+    eng2 = SpeculativeBatchEngine(lm2, batch_size=2, draft_block=3,
+                                  draft_layers=2, stop_token_ids=[])
+    reqs2 = [eng2.submit(p, 10) for p in prompts]
+    eng2.run()
+    for r, want in zip(reqs2, singles):
+        assert r.finished
+        assert r.tokens[:10] == want[:10]
 
 
 def test_spec_batched_server(tmp_path_factory):
@@ -333,3 +342,21 @@ def test_spec_batched_server(tmp_path_factory):
     spec = run_server(True)
     plain = run_server(False)
     assert spec == plain
+
+
+def test_spec_batched_self_draft(lm):
+    """Fused device-side self-draft (layer-truncated, KV shared with the
+    target's first layers): batched speculative greedy == plain greedy,
+    with nonzero acceptance measured."""
+    from uzu_tpu.engine.batch_spec import SpeculativeBatchEngine
+
+    prompts = [[5, 6, 5, 6, 5, 6, 5], [1, 2, 3], [9, 9, 9, 9], [17, 23]]
+    singles = [lm.generate_list(np.asarray(p), 12, stop_token_ids=[]) for p in prompts]
+    eng = SpeculativeBatchEngine(lm, batch_size=2, draft_block=4,
+                                 draft_layers=1, stop_token_ids=[])
+    reqs = [eng.submit(p, 12) for p in prompts]
+    eng.run()
+    for i, (r, want) in enumerate(zip(reqs, singles)):
+        assert r.finished and r.finish_reason == "length"
+        assert r.tokens[:12] == want[:12], f"request {i} diverged"
+    assert eng.metrics.num_tokens_proposed > 0

@@ -306,9 +306,11 @@ def main(argv=None) -> int:
     s.add_argument("--batched", action="store_true",
                    help="continuous batching (concurrent requests share the chip)")
     s.add_argument("--batch-size", type=int, default=4, dest="batch_size")
-    s.add_argument("--speculate", action="store_true",
-                   help="batched chain speculation (per-slot ngram drafts, "
-                        "one fused verify per round)")
+    s.add_argument("--speculate", nargs="?", const="ngram", default=False,
+                   choices=("ngram", "self"),
+                   help="batched chain speculation: 'ngram' (per-slot host "
+                        "drafts) or 'self' (fused device-side layer-"
+                        "truncated self-draft)")
     _mesh_flags(s)
     s.set_defaults(fn=cmd_serve)
 

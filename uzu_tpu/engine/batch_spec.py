@@ -41,13 +41,38 @@ from .speculation import NgramSpeculator, SpeculationMetrics, speculation_suppor
 
 
 class SpeculativeBatchEngine(BatchEngine):
-    """BatchEngine whose decode path is a fused batched chain verify."""
+    """BatchEngine whose decode path is a fused batched chain verify.
 
-    def __init__(self, lm, *, draft_block: int = 8, make_speculator=None, **kw):
+    Two draft sources:
+    - host ngram per slot (default): zero draft compute, wins on
+      repetitive/structured output;
+    - ``draft_layers=n``: a layer-truncated SELF-draft chained ON DEVICE in
+      the same dispatch as the verify. The truncated model shares weights
+      AND KV with the target's first n layers, so the draft chain runs on a
+      functional VIEW of the target state — its KV writes are discarded and
+      the verify rewrites the identical rows (same weights, same inputs).
+      No draft state, no draft prefill, no host drafting roundtrip: the
+      whole speculative round is ONE dispatch per scheduler step. Extra
+      bytes per round ~= draft_block * (n/L) weight streams for up to
+      draft_block+1 tokens per slot.
+    """
+
+    def __init__(self, lm, *, draft_block: int = 8, make_speculator=None,
+                 draft_layers: int | None = None, **kw):
         if not speculation_supported(lm.decoder_config):
             raise ValueError("chain speculation unsupported (KV-shared attention)")
         super().__init__(lm, **kw)
         self.draft_block = draft_block
+        self.draft_layers = draft_layers
+        if draft_layers is not None:
+            n_total = len(lm.decoder_config.transformer_config.layer_configs)
+            if not 0 < draft_layers < n_total:
+                raise ValueError(f"draft_layers must be in [1, {n_total - 1}]")
+            from .speculation import self_draft_model
+
+            # config/shape validation only — weights are sliced from the
+            # target params at trace time, no copy
+            self._draft_cfg = self_draft_model(lm, draft_layers).decoder_config
         self._make_spec = make_speculator or (
             lambda: NgramSpeculator(max_ngram=3, k=draft_block)
         )
@@ -59,14 +84,40 @@ class SpeculativeBatchEngine(BatchEngine):
 
     def _verify_fn(self, m: int, ctx_bucket=None):
         """m draft rows + 1 root row per slot, one donated dispatch."""
-        key = (self.sampling, m, self.stop_ids, self.batch_size, ctx_bucket)
+        key = (self.sampling, m, self.stop_ids, self.batch_size, ctx_bucket,
+               self.draft_layers)
         if key not in self._verify_jit:
             cfg = self.lm.decoder_config
             sampling = self.sampling
             stop_arr = jnp.asarray(self.stop_ids, jnp.int32) if self.stop_ids else None
             ctx_last = self.lm.max_context - 1
+            nd = self.draft_layers
+            draft_cfg = self._draft_cfg if nd is not None else None
 
             def one(params, state, token, drafts, draft_len, halted, remaining, keys):
+                if nd is not None:
+                    # device-side self-draft: greedy chain on a functional
+                    # VIEW of the target's first nd layer states — the
+                    # chain's KV writes die with the view; verify rewrites
+                    # the identical rows from the same weights
+                    dparams = dict(params)
+                    dparams["layers"] = list(params["layers"][:nd])
+                    dview = {"layers": list(state["layers"][:nd]),
+                             "pos": state["pos"]}
+
+                    def dstep(carry, _):
+                        ds, t = carry
+                        dlogits, ds = decoder_forward(
+                            draft_cfg, dparams, t.reshape(1), ds,
+                            last_only=True, ctx_limit=ctx_bucket,
+                        )
+                        nt = jnp.argmax(dlogits[0]).astype(jnp.int32)
+                        return (ds, nt), nt
+
+                    _, drafts = jax.lax.scan(
+                        dstep, (dview, token), None, length=m
+                    )
+                    draft_len = jnp.asarray(m, jnp.int32)
                 tokens = jnp.concatenate([token[None], drafts])  # [m+1]
                 logits, pending = decoder_forward(
                     cfg, params, tokens, state, last_only=False, defer_ssm=True,
@@ -159,11 +210,14 @@ class SpeculativeBatchEngine(BatchEngine):
             if slot.free:
                 continue
             req = slot.request
-            history = req.prompt + req.tokens
-            proposal = list(self._slot_spec[b].propose(history))[:m]
-            proposal = proposal[: max(0, req.max_new_tokens - slot.produced - 1)]
-            drafts[b, : len(proposal)] = proposal
-            draft_len[b] = len(proposal)
+            if self.draft_layers is None:
+                history = req.prompt + req.tokens
+                proposal = list(self._slot_spec[b].propose(history))[:m]
+                proposal = proposal[: max(0, req.max_new_tokens - slot.produced - 1)]
+                drafts[b, : len(proposal)] = proposal
+                draft_len[b] = len(proposal)
+            else:
+                draft_len[b] = m  # drafted on device inside the dispatch
             tracked[b] = req
 
         keys = np.zeros((self.batch_size, m + 1, 2), np.uint32)

@@ -33,17 +33,17 @@ class BatchedChatServer:
         decode_chunk: int = 8,
         sampling: SamplingParams | None = None,
         paged: bool | str = "auto",
-        speculate: bool = False,
+        speculate: bool | str = False,
         **engine_kw,
     ):
         """paged: "auto" uses the paged engine from batch_size >= 8 when the
         model supports it (per-token KV memory beats B x max_context slot
         caches at that width, and prefix-shared admissions skip prefill);
         True forces it, False keeps the slot-cache dense engine.
-        speculate: per-slot ngram chain drafts + one fused batched verify
-        per round (engine/batch_spec.py) — overrides paged; wins on
-        repetitive/structured workloads, loses its per-round sync cost at
-        near-zero acceptance."""
+        speculate: True/"ngram" = per-slot host ngram drafts + one fused
+        batched verify per round; "self" = fused device-side self-draft
+        (layer-truncated, half the stack) — zero host drafting, realistic
+        acceptance on non-repetitive text. Overrides paged."""
         self.lm = lm
         self.tokenizer = tokenizer
         self.template = ChatTemplate(tokenizer.chat_template)
@@ -58,6 +58,9 @@ class BatchedChatServer:
 
             engine_cls = SpeculativeBatchEngine
             paged = False
+            if speculate == "self":
+                n = len(lm.decoder_config.transformer_config.layer_configs)
+                engine_kw.setdefault("draft_layers", max(1, n // 2))
         if paged == "auto":
             from ..models.paged_decode import paged_supported
 

@@ -610,3 +610,26 @@ def test_pipeline_times_tensor_parallel(tmp_path):
         microbatches=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want[:, 0]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_spec_batch_engine_over_mesh(model_dir):
+    """Speculative continuous batching (fused self-draft) over a (dp, tp)
+    mesh matches the unsharded engine's streams."""
+    from uzu_tpu.engine.batch_spec import SpeculativeBatchEngine
+
+    prompts = [[5, 6, 5, 6, 5], [1, 2, 3], [9, 9, 9, 9], [40, 41, 42]]
+    lm1 = LanguageModel.from_dir(model_dir, max_context=64, prefill_buckets=(16,))
+    eng1 = SpeculativeBatchEngine(lm1, batch_size=2, draft_block=3,
+                                  draft_layers=1, stop_token_ids=[])
+    want = [eng1.submit(p, 8) for p in prompts]
+    eng1.run()
+
+    lm4 = LanguageModel.from_dir(model_dir, max_context=64, prefill_buckets=(16,),
+                                 mesh=make_mesh(tp=4, dp=2))
+    eng4 = SpeculativeBatchEngine(lm4, batch_size=2, draft_block=3,
+                                  draft_layers=1, stop_token_ids=[])
+    got = [eng4.submit(p, 8) for p in prompts]
+    eng4.run()
+    for a, b in zip(want, got):
+        assert a.finished and b.finished
+        assert a.tokens == b.tokens

@@ -396,3 +396,64 @@ def test_paged_moe_model_matches_single(tmp_path):
     eng.run()
     for r, want in zip(reqs, wants):
         assert r.finished and r.tokens == want
+
+
+# -- speculative paged batching ----------------------------------------------
+
+
+def test_spec_paged_equals_dense(tmp_path_factory):
+    """Paged chain-speculative greedy (ngram and fused self-draft) ==
+    single-request dense greedy, with slot reuse and prefix sharing live."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.batch_spec import SpeculativePagedBatchEngine
+    from uzu_tpu.tools.synth import llama_config, synthesize
+
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160, num_heads=4,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    d = synthesize(cfg, str(tmp_path_factory.mktemp("spec_paged")), seed=13,
+                   dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(16,))
+    prompts = [
+        [5, 6, 5, 6, 5, 6, 5],
+        [1, 2, 3],
+        [5, 6, 5, 6, 5, 6, 9],  # shares a prefix with prompt 0
+        [9, 9, 9, 9],
+        [17, 23],
+    ]
+    singles = [lm.generate_list(np.asarray(p), 12, stop_token_ids=[]) for p in prompts]
+    for mode in ({"draft_layers": None}, {"draft_layers": 1}):
+        eng = SpeculativePagedBatchEngine(
+            lm, batch_size=2, draft_block=4, num_pages=33, page_size=8,
+            stop_token_ids=[], **mode)
+        reqs = [eng.submit(p, 12) for p in prompts]
+        eng.run()
+        for i, (r, want) in enumerate(zip(reqs, singles)):
+            assert r.finished and r.finish_reason == "length", (mode, i)
+            assert r.tokens[:12] == want[:12], (mode, i)
+        assert eng.metrics.num_verify_passes > 0
+
+
+def test_spec_paged_int8_pools(tmp_path_factory):
+    """Speculative paged verify over INT8 pools: multi-row quantized
+    scatter + dequant reads keep the stream equal to the dense INT8-KV
+    stream."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.batch_spec import SpeculativePagedBatchEngine
+    from uzu_tpu.tools.synth import llama_config, synthesize
+
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160, num_heads=4,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    d = synthesize(cfg, str(tmp_path_factory.mktemp("spec_paged_i8")), seed=14,
+                   dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(16,),
+                                kv_quant=True)
+    prompts = [[5, 6, 5, 6, 5], [1, 2, 3]]
+    singles = [lm.generate_list(np.asarray(p), 10, stop_token_ids=[]) for p in prompts]
+    eng = SpeculativePagedBatchEngine(
+        lm, batch_size=2, draft_block=3, num_pages=33, page_size=8,
+        stop_token_ids=[], draft_layers=1)
+    reqs = [eng.submit(p, 10) for p in prompts]
+    eng.run()
+    for r, want in zip(reqs, singles):
+        assert r.finished
+        assert r.tokens[:10] == want[:10]

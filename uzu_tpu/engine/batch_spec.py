@@ -35,7 +35,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.decoder import decoder_commit_deferred, decoder_forward
+from ..models.paged_kv import PagePoolOverflow
 from .batch import BatchEngine
+from .paged_batch import PagedBatchEngine
 from .sampling import sample
 from .speculation import NgramSpeculator, SpeculationMetrics, speculation_supported
 
@@ -239,6 +241,255 @@ class SpeculativeBatchEngine(BatchEngine):
         )
         vals, commits = jax.device_get((sampled, commit))
         vals = np.asarray(vals)  # [B, m+1]
+        for b, req in tracked.items():
+            if req.finished:
+                continue
+            c = int(commits[b])
+            slot = self.slots[b]
+            self.metrics.num_verify_passes += 1
+            self.metrics.num_tokens_proposed += int(draft_len[b])
+            self.metrics.num_tokens_accepted += max(0, c - 1)
+            slot.pos += c
+            for v in (int(x) for x in vals[b, :c]):
+                req.tokens.append(v)
+                slot.produced += 1
+                if v in self.stop_ids:
+                    self._finish(b, "stop")
+                    break
+                if slot.produced >= req.max_new_tokens:
+                    self._finish(b, "length")
+                    break
+            else:
+                if slot.pos >= self.lm.max_context - 1:
+                    self._finish(b, "length")
+
+    def step(self) -> bool:
+        admitted = False
+        while self._admit():
+            admitted = True
+            if self.num_active:
+                break
+        if self.num_active or any(
+            not s.free and s.pending_first is not None for s in self.slots
+        ):
+            self._verify_round()
+        return bool(admitted or self.queue or self.num_active or self._admitting)
+
+    def run(self) -> None:
+        while self.queue or self.num_active or self._admitting:
+            self.step()
+
+
+class SpeculativePagedBatchEngine(PagedBatchEngine):
+    """Chain speculation over the PAGED engine: the same per-slot drafts
+    (host ngram or fused device-side self-draft) verified by ONE batched
+    multi-row forward straight into the page pools (paged_verify_step).
+    Rollback is the paged layout's pos-visibility contract: positions
+    advance by the accepted length and rejected rows stay invisible behind
+    lengths until the next round overwrites them in place."""
+
+    def __init__(self, lm, *, draft_block: int = 8, make_speculator=None,
+                 draft_layers: int | None = None, **kw):
+        super().__init__(lm, **kw)
+        self.draft_block = draft_block
+        self.draft_layers = draft_layers
+        if draft_layers is not None:
+            n_total = len(lm.decoder_config.transformer_config.layer_configs)
+            if not 0 < draft_layers < n_total:
+                raise ValueError(f"draft_layers must be in [1, {n_total - 1}]")
+            for lc in lm.decoder_config.transformer_config.layer_configs[:draft_layers]:
+                src = lc.kv_source_layer_index
+                if src is not None and src >= draft_layers:
+                    raise ValueError("draft truncation cuts a KV-share source")
+            from .speculation import self_draft_model
+
+            self._draft_cfg = self_draft_model(lm, draft_layers).decoder_config
+        self._make_spec = make_speculator or (
+            lambda: NgramSpeculator(max_ngram=3, k=draft_block)
+        )
+        self._slot_spec = [None] * self.batch_size
+        self.metrics = SpeculationMetrics()
+
+    def _verify_fn(self, m: int, ctx_pages: int):
+        key = ("spec_verify", m, self.sampling, self.stop_ids, self._geom,
+               ctx_pages, self.draft_layers)
+        if key not in self._jit:
+            from functools import partial as _partial
+
+            from ..models.paged_decode import paged_decode_step, paged_verify_step
+
+            cfg = self.lm.decoder_config
+            sampling = self.sampling
+            stop_arr = jnp.asarray(self.stop_ids, jnp.int32) if self.stop_ids else None
+            max_pos = self.lm.max_context - 1
+            nd = self.draft_layers
+            draft_cfg = self._draft_cfg if nd is not None else None
+
+            @_partial(jax.jit, donate_argnums=(1,))
+            def verify(params, pools, tokens, drafts, draft_len, positions,
+                       halted, remaining, tables_s, keys):
+                b = tokens.shape[0]
+                if nd is not None:
+                    # device-side self-draft over a functional VIEW of the
+                    # first nd layers' pools; chain writes are discarded —
+                    # verify rewrites the identical rows
+                    dparams = dict(params)
+                    dparams["layers"] = list(params["layers"][:nd])
+                    dpools = pools[:nd]
+
+                    def dstep(carry, _):
+                        dp, t, pos = carry
+                        dlogits, dp = paged_decode_step(
+                            draft_cfg, dparams, dp, t, tables_s[:, :-1], pos)
+                        nt = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
+                        nt = jnp.where(halted, t, nt)
+                        return (dp, nt, pos + 1), nt
+
+                    _, drafts_t = jax.lax.scan(
+                        dstep, (dpools, tokens, positions), None, length=m)
+                    drafts = jnp.swapaxes(drafts_t, 0, 1)  # [B, m]
+                    draft_len = jnp.full((b,), m, jnp.int32)
+
+                blk = jnp.concatenate([tokens[:, None], drafts], axis=1)
+                logits, pools = paged_verify_step(
+                    cfg, params, pools, blk, tables_s, positions, ~halted,
+                    ctx_pages,
+                )
+                sampled = jax.vmap(
+                    jax.vmap(lambda l, kk: sample(l, sampling, key=kk))
+                )(logits, keys)  # [B, m+1]
+                match = (sampled[:, :-1] == blk[:, 1:]) & (
+                    jnp.arange(m)[None, :] < draft_len[:, None]
+                )
+                accepted = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+                emit_len = 1 + accepted
+                commit = emit_len
+                rows = jnp.arange(m + 1)[None, :]
+                if stop_arr is not None:
+                    is_stop = jnp.any(
+                        sampled[:, :, None] == stop_arr[None, None, :], axis=2)
+                    first_stop = jnp.min(
+                        jnp.where(is_stop & (rows < emit_len[:, None]), rows, m + 1),
+                        axis=1,
+                    )
+                    commit = jnp.minimum(commit, first_stop + 1)
+                commit = jnp.minimum(commit, remaining)
+                commit = jnp.where(halted, 0, commit)
+                nxt = jnp.take_along_axis(
+                    sampled, jnp.maximum(commit - 1, 0)[:, None], axis=1)[:, 0]
+                nxt = jnp.where(halted, tokens, nxt)
+                positions = positions + commit
+                remaining = remaining - commit
+                stopped = jnp.zeros((b,), bool)
+                if stop_arr is not None:
+                    stopped = jnp.any(is_stop & (rows < commit[:, None]), axis=1)
+                halted = halted | stopped | (remaining <= 0) | (positions >= max_pos)
+                return pools, nxt, positions, halted, remaining, sampled, commit
+
+            self._jit[key] = verify
+        return self._jit[key]
+
+    # admission bookkeeping: per-slot speculator instances
+    def _admit_advance(self) -> bool:
+        done_before = self._admitting
+        out = super()._admit_advance()
+        if self._admitting is None and done_before is not None:
+            slot_i = done_before[2]
+            self._slot_spec[slot_i] = self._make_spec()
+            if hasattr(self._slot_spec[slot_i], "reset"):
+                self._slot_spec[slot_i].reset()
+        return out
+
+    def _fetch_first_tokens(self):
+        import time
+
+        firsts = {
+            b: s.pending_first
+            for b, s in enumerate(self.slots)
+            if not s.free and s.pending_first is not None
+        }
+        if not firsts:
+            return
+        vals = jax.device_get(firsts)
+        for b, v in vals.items():
+            slot = self.slots[b]
+            req = slot.request
+            slot.pending_first = None
+            req.first_token_at = time.perf_counter()
+            tok = int(v)
+            req.tokens.append(tok)
+            slot.produced += 1
+            if tok in self.stop_ids:
+                self._finish(b, "stop")
+            elif slot.produced >= req.max_new_tokens:
+                self._finish(b, "length")
+
+    def _verify_round(self):
+        m = self.draft_block
+        # context horizon: a verify writes m+1 rows per slot
+        for b, slot in enumerate(self.slots):
+            if not slot.free and slot.pos >= self.lm.max_context - (m + 2):
+                self._finish(b, "length")
+        self._fetch_first_tokens()
+        if not self.num_active:
+            return
+        # page growth for the m+1 verify rows (+1 margin), with the decode
+        # path's preemption/backpressure discipline
+        for i, slot in enumerate(self.slots):
+            while not slot.free:
+                try:
+                    self.pool.ensure(i, min(slot.pos + m + 2, self.lm.max_context))
+                    break
+                except PagePoolOverflow:
+                    live = [j for j in self._admit_order if not self.slots[j].free]
+                    youngest = max(live, key=self._admit_order.__getitem__)
+                    if youngest == i and len(live) == 1:
+                        self._finish(i, "length")
+                    else:
+                        self._preempt(youngest)
+        if not self.num_active:
+            return
+
+        drafts = np.zeros((self.batch_size, m), np.int32)
+        draft_len = np.zeros(self.batch_size, np.int32)
+        tracked = {}
+        for b, slot in enumerate(self.slots):
+            if slot.free:
+                continue
+            req = slot.request
+            if self.draft_layers is None:
+                history = req.prompt + req.tokens
+                proposal = list(self._slot_spec[b].propose(history))[:m]
+                drafts[b, : len(proposal)] = proposal
+                draft_len[b] = len(proposal)
+            else:
+                draft_len[b] = m
+            tracked[b] = req
+
+        keys = np.zeros((self.batch_size, m + 1, 2), np.uint32)
+        for b in tracked:
+            keys[b, :, 0] = np.uint32(self._seeds[b] & 0xFFFFFFFF)
+            keys[b, :, 1] = (
+                np.arange(m + 1, dtype=np.uint64)
+                + np.uint64(self._steps[b]) * np.uint64(m + 1)
+            ).astype(np.uint32)
+            self._steps[b] += 1
+
+        tables = np.asarray(self._tables())
+        tables_s = np.concatenate(
+            [tables, np.full((self.batch_size, 1), self._trash_page, np.int32)],
+            axis=1,
+        )
+        max_pos = max((s.pos for s in self.slots if not s.free), default=0)
+        verify = self._verify_fn(m, self._ctx_pages(max_pos + m + 2))
+        (self.pools, self._tokens, self._positions, self._halted,
+         self._remaining, sampled, commit) = verify(
+            self.lm.params, self.pools, self._tokens, jnp.asarray(drafts),
+            jnp.asarray(draft_len), self._positions, self._halted,
+            self._remaining, jnp.asarray(tables_s), jnp.asarray(keys),
+        )
+        vals, commits = jax.device_get((sampled, commit))
+        vals = np.asarray(vals)
         for b, req in tracked.items():
             if req.finished:
                 continue

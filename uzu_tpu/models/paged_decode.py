@@ -349,6 +349,186 @@ def paged_prefill_chunk(
     return logits[0], new_pools
 
 
+def _attention_paged_verify(cfg, layer_cfg, params, x, positions, pool_kv,
+                            tables, ctx_pages, valid, shared_kv=None):
+    """Multi-row batched attention straight into the pools: x [B, S, D]
+    (S = draft block + 1 rows per slot at absolute positions [B, S]).
+    `valid` [B] masks halted slots — their rows scatter into the trash page
+    (tables' sentinel entry) so a dead slot can never clobber live pages.
+    Reads reuse the prefill path's dense slot-per-position view, vmapped
+    per slot over the shared (already-updated) pools."""
+    b, s, d = x.shape
+    h, g, dh = cfg.num_heads, cfg.num_groups, cfg.head_dim
+    q_dim = h * dh
+
+    qkv = linear_apply(params["qkv"]["w"], x, params["qkv"].get("b"))
+    if cfg.is_kv_sharing:
+        q = qkv.reshape(b, s, h, dh)
+        k_new = v_new = None
+    else:
+        q = qkv[..., :q_dim].reshape(b, s, h, dh)
+        k_new = qkv[..., q_dim : q_dim + g * dh].reshape(b, s, g, dh)
+        v_new = qkv[..., q_dim + g * dh :].reshape(b, s, g, dh)
+
+    if cfg.query_norm_config is not None:
+        q = _head_norm(q, cfg.query_norm_config, params["q_norm_scales"])
+    if k_new is not None and cfg.key_norm_config is not None:
+        k_new = _head_norm(k_new, cfg.key_norm_config, params["k_norm_scales"])
+
+    if layer_cfg.rope_config is not None:
+        inv_freq, attn_scale = _inv_freq_cached(layer_cfg.rope_config)
+
+        def rope_one(qi, posi):
+            cos, sin = rope_tables(jnp.asarray(inv_freq), attn_scale, posi)
+            return apply_rope(qi, cos, sin), (cos, sin)
+
+        q, cs = jax.vmap(rope_one)(q, positions)
+        if k_new is not None:
+            k_new = jax.vmap(lambda ki, c: apply_rope(ki, c[0], c[1]))(k_new, cs)
+
+    if shared_kv is not None:
+        read_pool = shared_kv
+        new_pool = None
+        quantized = len(read_pool) == 4
+    else:
+        quantized = len(pool_kv) == 4
+        page = (pool_kv[0]).shape[2]
+        maxp = tables.shape[1] - 1  # sentinel entry = trash page
+        pidx_logical = jnp.clip(positions // page, 0, maxp - 1)
+        pidx = jnp.where(
+            valid[:, None],
+            jnp.take_along_axis(tables, pidx_logical, axis=1),
+            jnp.take_along_axis(tables, jnp.full_like(pidx_logical, maxp), axis=1),
+        )  # [B, S] physical pages
+        off = positions % page
+        if quantized:
+            from .kv_cache import _quantize_rows
+
+            k_pool, k_s, v_pool, v_s = pool_kv
+            k_q, k_sc = _quantize_rows(k_new.reshape(b * s, g, dh))
+            v_q, v_sc = _quantize_rows(v_new.reshape(b * s, g, dh))
+            fi, fo = pidx.reshape(-1), off.reshape(-1)
+            k_pool = k_pool.at[:, fi, fo].set(jnp.swapaxes(k_q, 0, 1))
+            v_pool = v_pool.at[:, fi, fo].set(jnp.swapaxes(v_q, 0, 1))
+            k_s = k_s.at[:, fi, fo].set(jnp.swapaxes(k_sc.reshape(b * s, g), 0, 1))
+            v_s = v_s.at[:, fi, fo].set(jnp.swapaxes(v_sc.reshape(b * s, g), 0, 1))
+            new_pool = (k_pool, k_s, v_pool, v_s)
+        else:
+            k_pool, v_pool = pool_kv
+            fi, fo = pidx.reshape(-1), off.reshape(-1)
+            k_pool = k_pool.at[:, fi, fo].set(
+                jnp.swapaxes(k_new.reshape(b * s, g, dh), 0, 1).astype(k_pool.dtype))
+            v_pool = v_pool.at[:, fi, fo].set(
+                jnp.swapaxes(v_new.reshape(b * s, g, dh), 0, 1).astype(v_pool.dtype))
+            new_pool = (k_pool, v_pool)
+        read_pool = new_pool
+    if quantized:
+        k_pool, k_s, v_pool, v_s = read_pool
+    else:
+        k_pool, v_pool = read_pool
+        k_s = v_s = None
+    page = k_pool.shape[2]
+
+    from ..ops.attention import attention_reference
+
+    scale = cfg.scale if cfg.scale is not None else float(dh) ** -0.5
+
+    def read_one(qi, posi, table):
+        sel = table[:ctx_pages]
+        k_dense = jnp.moveaxis(
+            k_pool[:, sel].reshape(g, ctx_pages * page, dh), 0, 1)
+        v_dense = jnp.moveaxis(
+            v_pool[:, sel].reshape(g, ctx_pages * page, dh), 0, 1)
+        if quantized:
+            ks = jnp.moveaxis(k_s[:, sel].reshape(g, ctx_pages * page), 0, 1)
+            vs = jnp.moveaxis(v_s[:, sel].reshape(g, ctx_pages * page), 0, 1)
+            k_dense = k_dense.astype(jnp.float32) * ks[..., None]
+            v_dense = v_dense.astype(jnp.float32) * vs[..., None]
+        return attention_reference(
+            qi, k_dense, v_dense, posi, scale=scale, is_causal=True,
+            sliding_window_size=cfg.sliding_window_size,
+            logit_soft_cap=cfg.logit_soft_cap, sinks=params.get("sinks"),
+        )
+
+    attn = jax.vmap(read_one)(q, positions, tables)  # [B, S, H, dh]
+    attn = attn.reshape(b, s, q_dim)
+
+    if "gate" in params:
+        gate = linear_apply(params["gate"]["w"], x)
+        attn = (attn.astype(jnp.float32) * jax.nn.sigmoid(gate.astype(jnp.float32))).astype(attn.dtype)
+
+    out = linear_apply(params["out"]["w"], attn, params["out"].get("b"))
+    return out, new_pool
+
+
+def paged_verify_step(
+    cfg: DecoderConfig,
+    params: dict,
+    pools: list,  # per-layer (k_pool, v_pool)
+    tokens: jax.Array,  # [B, S] i32 — verify block per slot (root + drafts)
+    tables: jax.Array,  # [B, MAXP] i32 (sentinel row maxp = trash page)
+    pos0: jax.Array,  # [B] i32 — absolute position of each slot's row 0
+    valid: jax.Array,  # [B] bool — False redirects a slot's writes to trash
+    ctx_pages: int,  # static: pages visible to the reads
+):
+    """Advance every slot S tokens at once with logits at EVERY row (the
+    chain-verify forward over the paged pools). The commit contract is the
+    dense verify's pos-visibility one: the caller advances positions by the
+    accepted length; rows written past it stay invisible behind lengths and
+    the next round overwrites them in place."""
+    tcfg = cfg.transformer_config
+    ecfg = cfg.embedding_config
+    b, s = tokens.shape
+    positions = pos0[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
+
+    emb = params["embedding"].get("tied", params["embedding"].get("input"))
+    # norms/MLP/readout run on flat [B*S, D] rows (mlp_forward and MoE are
+    # 2D row-wise); only attention sees the [B, S] structure
+    x = embedding_lookup(emb, tokens.reshape(b * s))
+    if ecfg.input_scale is not None:
+        x = (x.astype(jnp.float32) * ecfg.input_scale).astype(x.dtype)
+
+    new_pools = []
+    for i, layer_cfg in enumerate(tcfg.layer_configs):
+        p = params["layers"][i]
+        pls = p.get("post_layer_scalar")
+        h = (
+            normalize(x, layer_cfg.pre_mixer_norm_config,
+                      p["pre_mixer_norm"]["scales"], p["pre_mixer_norm"].get("biases"))
+            if layer_cfg.pre_mixer_norm_config else x
+        )
+        src = layer_cfg.kv_source_layer_index
+        a, pool_kv = _attention_paged_verify(
+            layer_cfg.mixer_config, layer_cfg, p["mixer"],
+            h.reshape(b, s, -1), positions,
+            pools[i], tables, ctx_pages, valid,
+            shared_kv=new_pools[src] if src is not None else None,
+        )
+        a = a.reshape(b * s, -1)
+        new_pools.append(pool_kv)
+        if layer_cfg.post_mixer_norm_config is not None:
+            a = normalize(a, layer_cfg.post_mixer_norm_config,
+                          p["post_mixer_norm"]["scales"], p["post_mixer_norm"].get("biases"))
+        x = (x.astype(jnp.float32) + a.astype(jnp.float32)).astype(x.dtype)
+        if pls is not None:
+            x = (x.astype(jnp.float32) * pls[0]).astype(x.dtype)
+        hh = normalize(x, layer_cfg.pre_mlp_norm_config,
+                       p["pre_mlp_norm"]["scales"], p["pre_mlp_norm"].get("biases"))
+        m = mlp_forward(layer_cfg.mlp_config, p["mlp"], hh)
+        if layer_cfg.post_mlp_norm_config is not None:
+            m = normalize(m, layer_cfg.post_mlp_norm_config,
+                          p["post_mlp_norm"]["scales"], p["post_mlp_norm"].get("biases"))
+            if pls is not None:
+                m = (m.astype(jnp.float32) * pls[0]).astype(m.dtype)
+        x = (x.astype(jnp.float32) + m.astype(jnp.float32)).astype(x.dtype)
+
+    x = normalize(x, tcfg.output_norm_config, params["output_norm"]["scales"],
+                  params["output_norm"].get("biases"))
+    out_table = params["embedding"].get("tied", params["embedding"].get("output"))
+    logits = embedding_readout(out_table, x, ecfg.logit_soft_cap)
+    return logits.reshape(b, s, -1), new_pools
+
+
 def paged_decode_step(
     cfg: DecoderConfig,
     params: dict,

@@ -53,14 +53,6 @@ class BatchedChatServer:
             if i not in stop_ids:
                 stop_ids.append(i)
         engine_cls = BatchEngine
-        if speculate:
-            from ..engine.batch_spec import SpeculativeBatchEngine
-
-            engine_cls = SpeculativeBatchEngine
-            paged = False
-            if speculate == "self":
-                n = len(lm.decoder_config.transformer_config.layer_configs)
-                engine_kw.setdefault("draft_layers", max(1, n // 2))
         if paged == "auto":
             from ..models.paged_decode import paged_supported
 
@@ -71,6 +63,17 @@ class BatchedChatServer:
             from ..engine.paged_batch import PagedBatchEngine
 
             engine_cls = PagedBatchEngine
+        if speculate:
+            from ..engine.batch_spec import (
+                SpeculativeBatchEngine,
+                SpeculativePagedBatchEngine,
+            )
+
+            engine_cls = (SpeculativePagedBatchEngine if paged
+                          else SpeculativeBatchEngine)
+            if speculate == "self":
+                n = len(lm.decoder_config.transformer_config.layer_configs)
+                engine_kw.setdefault("draft_layers", max(1, n // 2))
         self.engine = engine_cls(
             lm,
             batch_size=batch_size,

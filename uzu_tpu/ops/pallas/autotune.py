@@ -7,15 +7,15 @@ fleet). Here: measure every (block_n, block_k) candidate for a shape set on
 the CURRENT device, write a JSON table keyed by device kind, and let
 `_tile_policy` consult it before its heuristics.
 
-Timing method honors this environment's rules (CLAUDE.md): dispatch many
-reps back-to-back and sync ONCE with a device_get — per-dispatch launch
-overhead is constant across candidates, so the RANKING is valid even when
-the absolute numbers are launch-dominated. Caveat measured on v5e: in the
-decode regime (M=8, ~0.05 ms of real work under a ~1.4 ms launch floor)
-the rankings are NOISE — an A/B of the full decode step showed the
-microbench winners 5% slower end-to-end than the heuristics. Validate
-gemv-bucket entries against the end-to-end step before shipping them;
-the checked-in v5e table therefore carries only the large-M entries.
+Timing method honors this environment's rules (CLAUDE.md): reps fold into
+ONE dispatch (lax.scan) and sync once — per-dispatch launch overhead
+amortizes, so decode-size (M=8) configs rank above the noise floor that
+the earlier dispatch-per-rep loop buried them under. `validate_e2e` (cli
+autotune --validate-e2e) is the promotion gate: it A/Bs the measured
+table against the heuristics on the FULL fused decode loop. v5e result
+(2026-08-17, flagship 1B INT4): table 5.81 ms/tok vs heuristics 6.11 —
+the scan-folded table wins +5% end-to-end, so the checked-in v5e table is
+e2e-validated for decode sizes too.
 
 Tables live in tile_tables/<device_key>.json next to this file (packaged,
 checked in — the fleet-table analogue) or at UZU_TPU_TILE_TABLE.

@@ -360,3 +360,22 @@ def test_spec_batched_self_draft(lm):
         assert r.finished and r.finish_reason == "length"
         assert r.tokens[:12] == want[:12], f"request {i} diverged"
     assert eng.metrics.num_tokens_proposed > 0
+
+
+def test_spec_first_token_at_context_horizon(lm):
+    """A prompt admitted right at the verify write-room horizon must still
+    emit its already-sampled first token (regression: the horizon finish
+    used to run before first-token routing and dropped it)."""
+    from uzu_tpu.engine.batch_spec import SpeculativeBatchEngine
+
+    # max_context=128, draft_block=8 -> horizon at pos >= 118
+    prompt = list((np.arange(120) * 7) % 256)
+    want = lm.generate_list(np.asarray(prompt), 1, stop_token_ids=[])
+    eng = SpeculativeBatchEngine(lm, batch_size=2, draft_block=8,
+                                 stop_token_ids=[])
+    r = eng.submit(prompt, 4)
+    eng.run()
+    assert r.finished
+    assert len(r.tokens) >= 1
+    assert r.tokens[0] == want[0]
+    assert r.first_token_at > 0

@@ -457,3 +457,37 @@ def test_spec_paged_int8_pools(tmp_path_factory):
     for r, want in zip(reqs, singles):
         assert r.finished
         assert r.tokens[:10] == want[:10]
+
+
+def test_spec_paged_sampled_preemption_lossless(tmp_path_factory):
+    """Recompute preemption under SAMPLING stays lossless in the
+    speculative paged engine: keys index by produced-token count (not
+    round number), so a preempted request's replay reproduces the exact
+    stream an unconstrained run produces."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.batch_spec import SpeculativePagedBatchEngine
+    from uzu_tpu.engine.sampling import SamplingParams
+    from uzu_tpu.tools.synth import llama_config, synthesize
+
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160, num_heads=4,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    d = synthesize(cfg, str(tmp_path_factory.mktemp("spec_preempt")), seed=15,
+                   dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(16,))
+    sp = SamplingParams(temperature=0.9, top_k=50)
+    prompts = [[5, 6, 7, 8], [1, 2, 3], [9, 8, 7]]
+
+    def run(num_pages):
+        eng = SpeculativePagedBatchEngine(
+            lm, batch_size=3, draft_block=4, num_pages=num_pages, page_size=8,
+            sampling=sp, stop_token_ids=[], draft_layers=1)
+        reqs = [eng.submit(p, 24, seed=41 + i) for i, p in enumerate(prompts)]
+        eng.run()
+        return reqs
+
+    roomy = run(num_pages=41)   # plenty of pages: no preemption
+    tight = run(num_pages=11)   # 10 usable pages force growth preemption
+    assert any(r.preempted for r in tight), "preemption never triggered"
+    for a, b in zip(roomy, tight):
+        assert a.finished and b.finished
+        assert a.tokens == b.tokens

@@ -262,7 +262,7 @@ def test_autotune_shapes_smoke(monkeypatch, tmp_path):
     table = at.autotune_shapes([(128, 256)], m_list=(8,), reps=1, verbose=False)
     assert len(table) == 1
     ((key, val),) = table.items()
-    assert key == "4:128:256:gemv" and val[0] == 128
+    assert key == "4:128:256:gemv:sym" and val[0] == 128
     p = at.save_table(table, str(tmp_path / "t.json"))
     import json as _json
 

@@ -3,24 +3,34 @@
 No reference counterpart on either axis — trymirai/uzu speculates only for a
 single session (stream.rs:553-578) and has no cross-request batching at all
 (SURVEY.md §2.7); this combines the repo's two from-scratch designs: the
-slot-based continuous-batching engine (engine/batch.py) and the deferred-
-commit chain verify (engine/speculation.py:232).
+slot-based continuous-batching engines (engine/batch.py, paged_batch.py)
+and the deferred-commit chain verify (engine/speculation.py:232).
 
 Design:
-- every active slot drafts up to `draft_block` tokens host-side (per-slot
-  speculator, e.g. ngram over that request's own history);
-- ONE dispatch verifies all slots: a vmapped (m+1)-row deferred forward
-  (defer_ssm — recurrent mixers replay their state to the accepted prefix,
-  attention commits by pos visibility), a sampled token at every row,
-  exact-match acceptance, stop/budget clipping, and the per-slot state
-  commit — all on device; halted slots take commit=0 identity transitions;
+- every active slot drafts up to `draft_block` tokens — host-side (per-slot
+  ngram speculator over that request's own history) or ON DEVICE
+  (``draft_layers=n``: a layer-truncated self-draft chained inside the
+  verify dispatch; the truncated model shares weights AND KV with the
+  target's first n layers, so the chain runs on a functional VIEW of the
+  target state — its writes are discarded and the verify rewrites the
+  identical rows);
+- ONE dispatch verifies all slots: an (m+1)-row forward, a sampled token at
+  every row, exact-match acceptance, stop/budget clipping, and the per-slot
+  state commit — all on device; halted slots take commit=0 identity
+  transitions;
 - the host fetches (sampled, commit) each round and routes emit rows
-  [:commit] per slot. Unlike the plain engine's one-chunk-ahead pipelining,
+  [:commit] per slot. Unlike the plain engines' one-chunk-ahead pipelining,
   speculation is inherently synchronous: the NEXT round's drafts need THIS
   round's tokens, so each round pays one host<->device roundtrip and earns
   up to draft_block+1 tokens per slot for one weight stream. At acceptance
   ~0 the plain chunked engine is faster on high-latency links; the server
   picks per workload.
+
+Sampling keys are indexed by the slot's PRODUCED-TOKEN COUNT, not the round
+number: rejected rows consume no key, so the emitted stream is a
+deterministic function of (prompt, seed) — which keeps the paged engine's
+recompute preemption lossless under sampling (a preempted request replays
+its exact stream; see PagedBatchEngine._preempt).
 
 Greedy outputs are bit-identical to single-request plain generation (the
 verify samples the same greedy argmax rows the plain loop would).
@@ -42,34 +52,22 @@ from .sampling import sample
 from .speculation import NgramSpeculator, SpeculationMetrics, speculation_supported
 
 
-class SpeculativeBatchEngine(BatchEngine):
-    """BatchEngine whose decode path is a fused batched chain verify.
+class _SpecScheduling:
+    """Host-side round scheduling shared by the dense and paged speculative
+    engines (they differ only in device plumbing: state dict vs pools +
+    page tables)."""
 
-    Two draft sources:
-    - host ngram per slot (default): zero draft compute, wins on
-      repetitive/structured output;
-    - ``draft_layers=n``: a layer-truncated SELF-draft chained ON DEVICE in
-      the same dispatch as the verify. The truncated model shares weights
-      AND KV with the target's first n layers, so the draft chain runs on a
-      functional VIEW of the target state — its KV writes are discarded and
-      the verify rewrites the identical rows (same weights, same inputs).
-      No draft state, no draft prefill, no host drafting roundtrip: the
-      whole speculative round is ONE dispatch per scheduler step. Extra
-      bytes per round ~= draft_block * (n/L) weight streams for up to
-      draft_block+1 tokens per slot.
-    """
-
-    def __init__(self, lm, *, draft_block: int = 8, make_speculator=None,
-                 draft_layers: int | None = None, **kw):
-        if not speculation_supported(lm.decoder_config):
-            raise ValueError("chain speculation unsupported (KV-shared attention)")
-        super().__init__(lm, **kw)
+    def _init_spec(self, lm, draft_block, make_speculator, draft_layers):
         self.draft_block = draft_block
         self.draft_layers = draft_layers
         if draft_layers is not None:
             n_total = len(lm.decoder_config.transformer_config.layer_configs)
             if not 0 < draft_layers < n_total:
                 raise ValueError(f"draft_layers must be in [1, {n_total - 1}]")
+            for lc in lm.decoder_config.transformer_config.layer_configs[:draft_layers]:
+                src = lc.kv_source_layer_index
+                if src is not None and src >= draft_layers:
+                    raise ValueError("draft truncation cuts a KV-share source")
             from .speculation import self_draft_model
 
             # config/shape validation only — weights are sliced from the
@@ -80,6 +78,137 @@ class SpeculativeBatchEngine(BatchEngine):
         )
         self._slot_spec = [None] * self.batch_size
         self.metrics = SpeculationMetrics()
+
+    def _new_slot_spec(self, slot_i):
+        self._slot_spec[slot_i] = self._make_spec()
+        if hasattr(self._slot_spec[slot_i], "reset"):
+            self._slot_spec[slot_i].reset()
+
+    def _fetch_first_tokens(self):
+        """Route freshly admitted slots' first tokens (one device_get) so
+        every active slot's host history ends at its root token. Runs
+        BEFORE any horizon/finish decision — a slot admitted at the edge of
+        context must still emit its already-sampled first token."""
+        import time
+
+        firsts = {
+            b: s.pending_first
+            for b, s in enumerate(self.slots)
+            if not s.free and s.pending_first is not None
+        }
+        if not firsts:
+            return
+        vals = jax.device_get(firsts)
+        for b, v in vals.items():
+            slot = self.slots[b]
+            req = slot.request
+            slot.pending_first = None
+            req.first_token_at = time.perf_counter()
+            tok = int(v)
+            req.tokens.append(tok)
+            slot.produced += 1
+            if tok in self.stop_ids:
+                self._finish(b, "stop")
+            elif slot.produced >= req.max_new_tokens:
+                self._finish(b, "length")
+
+    def _build_drafts(self, m):
+        """(drafts [B, m], draft_len [B], tracked {slot: req}); host ngram
+        proposals clip to the remaining generation budget (over-proposing
+        only wastes verify rows and skews the acceptance metric)."""
+        drafts = np.zeros((self.batch_size, m), np.int32)
+        draft_len = np.zeros(self.batch_size, np.int32)
+        tracked = {}
+        for b, slot in enumerate(self.slots):
+            if slot.free:
+                continue
+            req = slot.request
+            budget = max(0, req.max_new_tokens - slot.produced - 1)
+            if self.draft_layers is None:
+                history = req.prompt + req.tokens
+                proposal = list(self._slot_spec[b].propose(history))[:m]
+                proposal = proposal[:budget]
+                drafts[b, : len(proposal)] = proposal
+                draft_len[b] = len(proposal)
+            else:
+                draft_len[b] = m  # drafted on device inside the dispatch
+            tracked[b] = req
+        return drafts, draft_len, tracked
+
+    def _spec_keys(self, tracked, m):
+        """Per-row sampling keys indexed by the slot's produced-token count:
+        row i of this round samples the request's (produced + i)-th token if
+        it commits, and rejected rows consume no index — so replay after
+        recompute preemption regenerates the identical stream."""
+        keys = np.zeros((self.batch_size, m + 1, 2), np.uint32)
+        for b in tracked:
+            keys[b, :, 0] = np.uint32(self._seeds[b] & 0xFFFFFFFF)
+            keys[b, :, 1] = (
+                np.uint64(self.slots[b].produced)
+                + np.arange(m + 1, dtype=np.uint64)
+            ).astype(np.uint32)
+        return keys
+
+    def _route_round(self, tracked, vals, commits, draft_len):
+        """Route one fetched round's committed tokens to requests; finish
+        detection mirrors the device-side halt conditions."""
+        for b, req in tracked.items():
+            if req.finished:
+                continue
+            c = int(commits[b])
+            slot = self.slots[b]
+            self.metrics.num_verify_passes += 1
+            self.metrics.num_tokens_proposed += int(draft_len[b])
+            self.metrics.num_tokens_accepted += max(0, c - 1)
+            slot.pos += c
+            for v in (int(x) for x in vals[b, :c]):
+                req.tokens.append(v)
+                slot.produced += 1
+                if v in self.stop_ids:
+                    self._finish(b, "stop")
+                    break
+                if slot.produced >= req.max_new_tokens:
+                    self._finish(b, "length")
+                    break
+            else:
+                if slot.pos >= self.lm.max_context - 1:
+                    self._finish(b, "length")
+
+    def _finish_horizon(self, m):
+        """A verify writes m+1 KV rows, so a slot finishes once fewer than
+        m+2 slots of context remain (slightly earlier than the plain
+        engine's ctx_last — the write-room cost of block verification)."""
+        for b, slot in enumerate(self.slots):
+            if not slot.free and slot.pos >= self.lm.max_context - (m + 2):
+                self._finish(b, "length")
+
+    def step(self) -> bool:
+        admitted = False
+        while self._admit():
+            admitted = True
+            if self.num_active:
+                break
+        if self.num_active or any(
+            not s.free and s.pending_first is not None for s in self.slots
+        ):
+            self._verify_round()
+        return bool(admitted or self.queue or self.num_active or self._admitting)
+
+    def run(self) -> None:
+        while self.queue or self.num_active or self._admitting:
+            self.step()
+
+
+class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
+    """BatchEngine whose decode path is a fused batched chain verify (see
+    module docstring for the draft sources and the key schedule)."""
+
+    def __init__(self, lm, *, draft_block: int = 8, make_speculator=None,
+                 draft_layers: int | None = None, **kw):
+        if not speculation_supported(lm.decoder_config):
+            raise ValueError("chain speculation unsupported (KV-shared attention)")
+        super().__init__(lm, **kw)
+        self._init_spec(lm, draft_block, make_speculator, draft_layers)
         self._verify_jit = lm.__dict__.setdefault("_batch_verify_jit", {})
 
     # -- jitted verify ------------------------------------------------------
@@ -162,75 +291,16 @@ class SpeculativeBatchEngine(BatchEngine):
 
     def _finish_admission(self, slot_i, req, first):
         super()._finish_admission(slot_i, req, first)
-        self._slot_spec[slot_i] = self._make_spec()
-        if hasattr(self._slot_spec[slot_i], "reset"):
-            self._slot_spec[slot_i].reset()
-
-    def _fetch_first_tokens(self):
-        """Route freshly admitted slots' first tokens (one device_get) so
-        every active slot's host history ends at its root token."""
-        import time
-
-        firsts = {
-            b: s.pending_first
-            for b, s in enumerate(self.slots)
-            if not s.free and s.pending_first is not None
-        }
-        if not firsts:
-            return
-        vals = jax.device_get(firsts)
-        for b, v in vals.items():
-            slot = self.slots[b]
-            req = slot.request
-            slot.pending_first = None
-            req.first_token_at = time.perf_counter()
-            tok = int(v)
-            req.tokens.append(tok)
-            slot.produced += 1
-            if tok in self.stop_ids:
-                self._finish(b, "stop")
-            elif slot.produced >= req.max_new_tokens:
-                self._finish(b, "length")
+        self._new_slot_spec(slot_i)
 
     def _verify_round(self):
         m = self.draft_block
-        # context horizon: a verify writes m+1 KV rows, so a slot must
-        # finish once fewer than m+2 slots of context remain (slightly
-        # earlier than the plain engine's ctx_last — the write-room cost of
-        # block verification)
-        for b, slot in enumerate(self.slots):
-            if not slot.free and slot.pos >= self.lm.max_context - (m + 2):
-                self._finish(b, "length")
         self._fetch_first_tokens()
+        self._finish_horizon(m)
         if not self.num_active:
             return
-
-        drafts = np.zeros((self.batch_size, m), np.int32)
-        draft_len = np.zeros(self.batch_size, np.int32)
-        tracked = {}
-        for b, slot in enumerate(self.slots):
-            if slot.free:
-                continue
-            req = slot.request
-            if self.draft_layers is None:
-                history = req.prompt + req.tokens
-                proposal = list(self._slot_spec[b].propose(history))[:m]
-                proposal = proposal[: max(0, req.max_new_tokens - slot.produced - 1)]
-                drafts[b, : len(proposal)] = proposal
-                draft_len[b] = len(proposal)
-            else:
-                draft_len[b] = m  # drafted on device inside the dispatch
-            tracked[b] = req
-
-        keys = np.zeros((self.batch_size, m + 1, 2), np.uint32)
-        for b in tracked:
-            keys[b, :, 0] = np.uint32(self._seeds[b] & 0xFFFFFFFF)
-            keys[b, :, 1] = (
-                np.arange(m + 1, dtype=np.uint64)
-                + np.uint64(self._steps[b]) * np.uint64(m + 1)
-            ).astype(np.uint32)
-            self._steps[b] += 1
-
+        drafts, draft_len, tracked = self._build_drafts(m)
+        keys = self._spec_keys(tracked, m)
         max_pos = max((s.pos for s in self.slots if not s.free), default=0)
         verify = self._verify_fn(m, self.lm._ctx_bucket(max_pos + m + 2))
         (self._state, self._tokens, self._halted, self._remaining,
@@ -240,82 +310,27 @@ class SpeculativeBatchEngine(BatchEngine):
             jnp.asarray(keys),
         )
         vals, commits = jax.device_get((sampled, commit))
-        vals = np.asarray(vals)  # [B, m+1]
-        for b, req in tracked.items():
-            if req.finished:
-                continue
-            c = int(commits[b])
-            slot = self.slots[b]
-            self.metrics.num_verify_passes += 1
-            self.metrics.num_tokens_proposed += int(draft_len[b])
-            self.metrics.num_tokens_accepted += max(0, c - 1)
-            slot.pos += c
-            for v in (int(x) for x in vals[b, :c]):
-                req.tokens.append(v)
-                slot.produced += 1
-                if v in self.stop_ids:
-                    self._finish(b, "stop")
-                    break
-                if slot.produced >= req.max_new_tokens:
-                    self._finish(b, "length")
-                    break
-            else:
-                if slot.pos >= self.lm.max_context - 1:
-                    self._finish(b, "length")
-
-    def step(self) -> bool:
-        admitted = False
-        while self._admit():
-            admitted = True
-            if self.num_active:
-                break
-        if self.num_active or any(
-            not s.free and s.pending_first is not None for s in self.slots
-        ):
-            self._verify_round()
-        return bool(admitted or self.queue or self.num_active or self._admitting)
-
-    def run(self) -> None:
-        while self.queue or self.num_active or self._admitting:
-            self.step()
+        self._route_round(tracked, np.asarray(vals), commits, draft_len)
 
 
-class SpeculativePagedBatchEngine(PagedBatchEngine):
+class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
     """Chain speculation over the PAGED engine: the same per-slot drafts
-    (host ngram or fused device-side self-draft) verified by ONE batched
-    multi-row forward straight into the page pools (paged_verify_step).
-    Rollback is the paged layout's pos-visibility contract: positions
-    advance by the accepted length and rejected rows stay invisible behind
-    lengths until the next round overwrites them in place."""
+    verified by ONE batched multi-row forward straight into the page pools
+    (paged_verify_step). Rollback is the paged layout's pos-visibility
+    contract: positions advance by the accepted length and rejected rows
+    stay invisible behind lengths until the next round overwrites them in
+    place. Recompute preemption stays lossless under sampling thanks to the
+    produced-count key schedule (module docstring)."""
 
     def __init__(self, lm, *, draft_block: int = 8, make_speculator=None,
                  draft_layers: int | None = None, **kw):
         super().__init__(lm, **kw)
-        self.draft_block = draft_block
-        self.draft_layers = draft_layers
-        if draft_layers is not None:
-            n_total = len(lm.decoder_config.transformer_config.layer_configs)
-            if not 0 < draft_layers < n_total:
-                raise ValueError(f"draft_layers must be in [1, {n_total - 1}]")
-            for lc in lm.decoder_config.transformer_config.layer_configs[:draft_layers]:
-                src = lc.kv_source_layer_index
-                if src is not None and src >= draft_layers:
-                    raise ValueError("draft truncation cuts a KV-share source")
-            from .speculation import self_draft_model
-
-            self._draft_cfg = self_draft_model(lm, draft_layers).decoder_config
-        self._make_spec = make_speculator or (
-            lambda: NgramSpeculator(max_ngram=3, k=draft_block)
-        )
-        self._slot_spec = [None] * self.batch_size
-        self.metrics = SpeculationMetrics()
+        self._init_spec(lm, draft_block, make_speculator, draft_layers)
 
     def _verify_fn(self, m: int, ctx_pages: int):
         key = ("spec_verify", m, self.sampling, self.stop_ids, self._geom,
                ctx_pages, self.draft_layers)
         if key not in self._jit:
-            from functools import partial as _partial
-
             from ..models.paged_decode import paged_decode_step, paged_verify_step
 
             cfg = self.lm.decoder_config
@@ -325,7 +340,7 @@ class SpeculativePagedBatchEngine(PagedBatchEngine):
             nd = self.draft_layers
             draft_cfg = self._draft_cfg if nd is not None else None
 
-            @_partial(jax.jit, donate_argnums=(1,))
+            @partial(jax.jit, donate_argnums=(1,))
             def verify(params, pools, tokens, drafts, draft_len, positions,
                        halted, remaining, tables_s, keys):
                 b = tokens.shape[0]
@@ -394,43 +409,13 @@ class SpeculativePagedBatchEngine(PagedBatchEngine):
         done_before = self._admitting
         out = super()._admit_advance()
         if self._admitting is None and done_before is not None:
-            slot_i = done_before[2]
-            self._slot_spec[slot_i] = self._make_spec()
-            if hasattr(self._slot_spec[slot_i], "reset"):
-                self._slot_spec[slot_i].reset()
+            self._new_slot_spec(done_before[2])
         return out
-
-    def _fetch_first_tokens(self):
-        import time
-
-        firsts = {
-            b: s.pending_first
-            for b, s in enumerate(self.slots)
-            if not s.free and s.pending_first is not None
-        }
-        if not firsts:
-            return
-        vals = jax.device_get(firsts)
-        for b, v in vals.items():
-            slot = self.slots[b]
-            req = slot.request
-            slot.pending_first = None
-            req.first_token_at = time.perf_counter()
-            tok = int(v)
-            req.tokens.append(tok)
-            slot.produced += 1
-            if tok in self.stop_ids:
-                self._finish(b, "stop")
-            elif slot.produced >= req.max_new_tokens:
-                self._finish(b, "length")
 
     def _verify_round(self):
         m = self.draft_block
-        # context horizon: a verify writes m+1 rows per slot
-        for b, slot in enumerate(self.slots):
-            if not slot.free and slot.pos >= self.lm.max_context - (m + 2):
-                self._finish(b, "length")
         self._fetch_first_tokens()
+        self._finish_horizon(m)
         if not self.num_active:
             return
         # page growth for the m+1 verify rows (+1 margin), with the decode
@@ -449,32 +434,8 @@ class SpeculativePagedBatchEngine(PagedBatchEngine):
                         self._preempt(youngest)
         if not self.num_active:
             return
-
-        drafts = np.zeros((self.batch_size, m), np.int32)
-        draft_len = np.zeros(self.batch_size, np.int32)
-        tracked = {}
-        for b, slot in enumerate(self.slots):
-            if slot.free:
-                continue
-            req = slot.request
-            if self.draft_layers is None:
-                history = req.prompt + req.tokens
-                proposal = list(self._slot_spec[b].propose(history))[:m]
-                drafts[b, : len(proposal)] = proposal
-                draft_len[b] = len(proposal)
-            else:
-                draft_len[b] = m
-            tracked[b] = req
-
-        keys = np.zeros((self.batch_size, m + 1, 2), np.uint32)
-        for b in tracked:
-            keys[b, :, 0] = np.uint32(self._seeds[b] & 0xFFFFFFFF)
-            keys[b, :, 1] = (
-                np.arange(m + 1, dtype=np.uint64)
-                + np.uint64(self._steps[b]) * np.uint64(m + 1)
-            ).astype(np.uint32)
-            self._steps[b] += 1
-
+        drafts, draft_len, tracked = self._build_drafts(m)
+        keys = self._spec_keys(tracked, m)
         tables = np.asarray(self._tables())
         tables_s = np.concatenate(
             [tables, np.full((self.batch_size, 1), self._trash_page, np.int32)],
@@ -489,41 +450,4 @@ class SpeculativePagedBatchEngine(PagedBatchEngine):
             self._remaining, jnp.asarray(tables_s), jnp.asarray(keys),
         )
         vals, commits = jax.device_get((sampled, commit))
-        vals = np.asarray(vals)
-        for b, req in tracked.items():
-            if req.finished:
-                continue
-            c = int(commits[b])
-            slot = self.slots[b]
-            self.metrics.num_verify_passes += 1
-            self.metrics.num_tokens_proposed += int(draft_len[b])
-            self.metrics.num_tokens_accepted += max(0, c - 1)
-            slot.pos += c
-            for v in (int(x) for x in vals[b, :c]):
-                req.tokens.append(v)
-                slot.produced += 1
-                if v in self.stop_ids:
-                    self._finish(b, "stop")
-                    break
-                if slot.produced >= req.max_new_tokens:
-                    self._finish(b, "length")
-                    break
-            else:
-                if slot.pos >= self.lm.max_context - 1:
-                    self._finish(b, "length")
-
-    def step(self) -> bool:
-        admitted = False
-        while self._admit():
-            admitted = True
-            if self.num_active:
-                break
-        if self.num_active or any(
-            not s.free and s.pending_first is not None for s in self.slots
-        ):
-            self._verify_round()
-        return bool(admitted or self.queue or self.num_active or self._admitting)
-
-    def run(self) -> None:
-        while self.queue or self.num_active or self._admitting:
-            self.step()
+        self._route_round(tracked, np.asarray(vals), commits, draft_len)

@@ -12,10 +12,10 @@ ONE dispatch (lax.scan) and sync once — per-dispatch launch overhead
 amortizes, so decode-size (M=8) configs rank above the noise floor that
 the earlier dispatch-per-rep loop buried them under. `validate_e2e` (cli
 autotune --validate-e2e) is the promotion gate: it A/Bs the measured
-table against the heuristics on the FULL fused decode loop. v5e result
-(2026-08-17, flagship 1B INT4): table 5.81 ms/tok vs heuristics 6.11 —
-the scan-folded table wins +5% end-to-end, so the checked-in v5e table is
-e2e-validated for decode sizes too.
+table against the heuristics on the FULL fused decode loop, warming each
+model while its policy env is in force (the table is read lazily at first
+trace — an earlier version flipped the env before anything compiled and
+measured table-vs-table noise).
 
 Tables live in tile_tables/<device_key>.json next to this file (packaged,
 checked in — the fleet-table analogue) or at UZU_TPU_TILE_TABLE.
@@ -64,9 +64,16 @@ def _load_table() -> dict:
         return {}
 
 
-def lookup(bits: int, n: int, kdim: int, m_pad: int):
-    """(block_n, block_k) from the measured table, or None."""
-    entry = _load_table().get(f"{bits}:{n}:{kdim}:{m_bucket(m_pad)}")
+def lookup(bits: int, n: int, kdim: int, m_pad: int, symmetric: bool = False):
+    """(block_n, block_k) from the measured table, or None.
+
+    Entries are preferred by operand layout (":sym" = symmetric no-qbias
+    kernels, ":asym" = stored-qbias stream — one more resident operand and
+    ~10% more HBM bytes can move the winner), falling back to un-suffixed
+    legacy entries measured before the layout split."""
+    table = _load_table()
+    base = f"{bits}:{n}:{kdim}:{m_bucket(m_pad)}"
+    entry = table.get(f"{base}:{'sym' if symmetric else 'asym'}") or table.get(base)
     return tuple(entry) if entry else None
 
 
@@ -161,7 +168,7 @@ def autotune_shapes(shapes, *, bits=4, group_size=32, m_list=(8, 512),
                 if best is None or dt < best[0]:
                     best = (dt, bn, bk)
             if best is not None:
-                key = f"{bits}:{n}:{kdim}:{m_bucket(max(8, -(-m // 8) * 8))}"
+                key = f"{bits}:{n}:{kdim}:{m_bucket(max(8, -(-m // 8) * 8))}:sym"
                 table[key] = [best[1], best[2]]
                 if verbose:
                     print(f"{key} -> {table[key]} ({best[0]*1e3:.3f} ms)")
@@ -205,33 +212,44 @@ def validate_e2e(model_dir: str, *, max_context: int = 1024, steps: int = 96,
 
     import numpy as np
 
-    def build(table_off: bool):
-        # UZU_TPU_TILE_TABLE is read at trace time through _load_table;
-        # point it at an empty path to force pure heuristics, then build a
-        # FRESH model so every jitted step retraces under this policy
+    prompt = (np.arange(48, dtype=np.int32) * 13) % 128
+    prior = os.environ.get("UZU_TPU_TILE_TABLE")
+
+    def build_and_warm(table_off: bool):
+        # UZU_TPU_TILE_TABLE is read LAZILY at first trace through
+        # _load_table, so the policy env must stay in force through this
+        # model's warm pass (which compiles every executable the timed
+        # loop reuses) — switching the env before warming would compile
+        # BOTH models under the same policy and reduce the A/B to
+        # run-ordering noise
         from ...engine.engine import LanguageModel
 
         if table_off:
             os.environ["UZU_TPU_TILE_TABLE"] = os.devnull
+        elif prior is not None:
+            os.environ["UZU_TPU_TILE_TABLE"] = prior
         else:
             os.environ.pop("UZU_TPU_TILE_TABLE", None)
         _load_table.cache_clear()
-        return LanguageModel.from_dir(model_dir, max_context=max_context,
-                                      prefill_buckets=(64,))
-
-    prompt = (np.arange(48, dtype=np.int32) * 13) % 128
-    lms = {"heuristic": build(True), "table": build(False)}
-    times: dict = {"heuristic": [], "table": []}
-    del warm  # warm with the EXACT timed shape: a different step count
-    # compiles different fused-chunk executables inside the timed region
-    for name, lm in lms.items():
+        lm = LanguageModel.from_dir(model_dir, max_context=max_context,
+                                    prefill_buckets=(64,))
+        # warm with the EXACT timed shape: a different step count would
+        # compile different fused-chunk executables inside the timed region
         lm.generate_list(prompt, steps, stop_token_ids=[])
+        return lm
+
+    lms = {"heuristic": build_and_warm(True), "table": build_and_warm(False)}
+    times: dict = {"heuristic": [], "table": []}
+    del warm
     for _ in range(rounds):
         for name, lm in lms.items():
             t0 = time.perf_counter()
             lm.generate_list(prompt, steps, stop_token_ids=[])
             times[name].append((time.perf_counter() - t0) / steps * 1e3)
-    os.environ.pop("UZU_TPU_TILE_TABLE", None)
+    if prior is not None:
+        os.environ["UZU_TPU_TILE_TABLE"] = prior
+    else:
+        os.environ.pop("UZU_TPU_TILE_TABLE", None)
     _load_table.cache_clear()
     diffs = [h - t for h, t in zip(times["heuristic"], times["table"])]
     out = {

@@ -53,7 +53,7 @@ def _pick_block(n: int, candidates) -> int:
 
 
 def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int,
-                 bits: int = 4, kdim: int = 0):
+                 bits: int = 4, kdim: int = 0, symmetric: bool = False):
     """(tn, kc) preference order — the role of uzu's fleet-tuned GEMV tile
     tables (matmul/gemv/policy.rs), measured on v5e. Decode-sized M (< 32,
     HBM-bound) wants the deepest K chunk per N tile (best code streaming:
@@ -66,7 +66,8 @@ def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int,
     the heuristics when it has an entry for the exact shape."""
     from .autotune import lookup
 
-    hit = lookup(bits, n, kdim or k_packed * (2 if bits == 4 else 1), m_pad)
+    hit = lookup(bits, n, kdim or k_packed * (2 if bits == 4 else 1), m_pad,
+                 symmetric=symmetric)
     if hit is not None:
         tn, kc = hit
         if n % tn == 0 and k_packed % kc == 0 and kc % gsub == 0:
@@ -220,7 +221,8 @@ def _quant_matmul_p(x, codes, scales, qbias, *, bits, group_size,
     if bits == 4:
         k2 = kdim // 2
         gsub = g // 2
-        tn_auto, kc_auto = _tile_policy(n, k2, gsub, m_pad, bits=4, kdim=kdim)
+        tn_auto, kc_auto = _tile_policy(n, k2, gsub, m_pad, bits=4, kdim=kdim,
+                                        symmetric=qbias_coeff is not None)
         tn = block_n or tn_auto
         assert tn, f"N={n} not divisible by a supported tile"
         kc = block_k or kc_auto
@@ -268,7 +270,8 @@ def _quant_matmul_p(x, codes, scales, qbias, *, bits, group_size,
         )(*operands)
     else:
         gsub = g
-        tn_auto, kc_auto = _tile_policy(n, kdim, gsub, m_pad, bits=8, kdim=kdim)
+        tn_auto, kc_auto = _tile_policy(n, kdim, gsub, m_pad, bits=8, kdim=kdim,
+                                        symmetric=qbias_coeff is not None)
         tn = block_n or tn_auto
         assert tn, f"N={n} not divisible by a supported tile"
         kc = block_k or kc_auto

@@ -73,7 +73,9 @@ class BatchedChatServer:
                           else SpeculativeBatchEngine)
             if speculate == "self":
                 n = len(lm.decoder_config.transformer_config.layer_configs)
-                engine_kw.setdefault("draft_layers", max(1, n // 2))
+                if n >= 2:  # a 1-layer model has nothing to truncate;
+                    # fall back to ngram drafts rather than rejecting
+                    engine_kw.setdefault("draft_layers", n // 2)
         self.engine = engine_cls(
             lm,
             batch_size=batch_size,

@@ -61,31 +61,41 @@ def make_pp_mesh(
 
 
 def validate_pp(cfg: DecoderConfig, pp: int) -> None:
+    """Stages must be structurally identical so their params/KV stack along
+    the pp axis: layer i of every stage needs the same config — i.e. the
+    model's layer pattern must repeat with a period dividing L/P. Covers
+    uniform attention decoders AND periodic hybrids (Qwen3.5's GDN+attn
+    blocks, LFM2's ShortConv+attn) when the stage size is a multiple of
+    the period."""
     tcfg = cfg.transformer_config
     n = len(tcfg.layer_configs)
     if n % pp:
         raise ValueError(f"pp={pp} must divide num_layers={n}")
-    first = tcfg.layer_configs[0]
+    lp = n // pp
     for i, lc in enumerate(tcfg.layer_configs):
-        if not isinstance(lc.mixer_config, AttentionConfig):
-            raise ValueError(f"layer {i}: pipeline v1 supports attention mixers only")
-        if lc != first:
-            raise ValueError(f"layer {i}: pipeline stages need uniform layer configs")
+        if lc != tcfg.layer_configs[i % lp]:
+            raise ValueError(
+                f"layer {i}: stages are not structurally identical (layer "
+                f"pattern must repeat with a period dividing L/P={lp})"
+            )
         if lc.kv_source_layer_index is not None:
-            raise ValueError(f"layer {i}: KV sharing crosses stage boundaries")
+            raise ValueError(f"layer {i}: KV sharing is unsupported under pp")
     if cfg.ple_model_config is not None:
-        raise ValueError("pipeline v1 does not support per-layer embeddings")
+        raise ValueError("pipeline does not support per-layer embeddings")
 
 
-def _stack_layers(trees):
-    """List of identical-structure pytrees -> one pytree of stacked leaves."""
+def _stack_stages(trees):
+    """List of identical-structure pytrees (one per stage) -> one pytree of
+    [P, ...]-stacked leaves."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 
 def stack_pipeline_params(cfg: DecoderConfig, params: dict, mesh: Mesh) -> dict:
-    """Reshape the per-layer param list to [P, L/P, ...] leaves sharded over
-    pp, with the per-layer Megatron TP specs (heads/hidden over tp) applied
-    to the trailing dims when the mesh carries a tp axis. Non-layer params
+    """Per slot-in-stage index i, stack layer (j*L/P + i) across stages j
+    into [P, ...] leaves sharded over pp — a LIST of L/P stacked trees
+    (hybrid patterns give different tree structures per slot, e.g. GDN vs
+    attention). Per-layer Megatron TP specs (heads/hidden over tp) apply to
+    the trailing dims when the mesh carries a tp axis. Non-layer params
     (embedding, output norm) are replicated."""
     from .sharding import _layer_specs, validate_tp
 
@@ -94,67 +104,90 @@ def stack_pipeline_params(cfg: DecoderConfig, params: dict, mesh: Mesh) -> dict:
     validate_pp(cfg, pp)
     if tp > 1:
         validate_tp(cfg, tp)
-    stacked = _stack_layers(params["layers"])
-    stacked = jax.tree.map(
-        lambda a: a.reshape(pp, a.shape[0] // pp, *a.shape[1:]), stacked
-    )
-    inner = _layer_specs(
-        cfg.transformer_config.layer_configs[0], params["layers"][0], mesh
-    )
-    # prefix-spec tree: prepend (pp, layer-in-stage) dims to each layer spec;
-    # device_put broadcasts a spec leaf over QuantizedTensor/Hybrid subtrees
-    spec = jax.tree.map(
-        lambda ns: NamedSharding(mesh, P(PP_AXIS, None, *ns.spec)), inner
-    )
+    lp = len(cfg.transformer_config.layer_configs) // pp
+    layers = []
+    for i in range(lp):
+        stacked = _stack_stages([params["layers"][j * lp + i] for j in range(pp)])
+        inner = _layer_specs(
+            cfg.transformer_config.layer_configs[i], params["layers"][i], mesh
+        )
+        # prefix-spec tree: prepend the stage dim to each layer spec;
+        # device_put broadcasts a spec leaf over QuantizedTensor/Hybrid
+        # subtrees
+        spec = jax.tree.map(
+            lambda ns: NamedSharding(mesh, P(PP_AXIS, *ns.spec)), inner
+        )
+        layers.append(jax.device_put(stacked, spec))
     rep = NamedSharding(mesh, P())
-    out = {
-        "layers": jax.device_put(stacked, spec),
+    return {
+        "layers": layers,
         "embedding": jax.device_put(params["embedding"], jax.tree.map(lambda _: rep, params["embedding"])),
         "output_norm": jax.device_put(params["output_norm"], jax.tree.map(lambda _: rep, params["output_norm"])),
     }
-    return out
+
+
+def _state_inner_spec(name: str, trail: int, is_attn: bool):
+    """Trailing-dim tp placement for a stacked state leaf: attention caches
+    shard the kv-head dim ([C, G, Dh] / [C, G] scales); recurrent states
+    shard channels (conv [k-1, D]) or heads (ssm [H, dv, dk]). ALWAYS
+    annotated, even at tp=1 — the sharding propagation inside the pipelined
+    region needs cache and appended K/V types to agree."""
+    if is_attn:
+        if trail >= 2:
+            return (None, TP_AXIS) + (None,) * (trail - 2)
+        return (None,) * trail
+    if name == "conv" and trail == 2:
+        return (None, TP_AXIS)
+    if name == "ssm" and trail == 3:
+        return (TP_AXIS, None, None)
+    return (None,) * trail
 
 
 def stack_pipeline_states(cfg: DecoderConfig, states: dict, mesh: Mesh, microbatches: int) -> dict:
     """Batched states {'layers': [per-layer leaves [B, ...]], 'pos': [B]} ->
-    {'kv': leaves [P, L/P, M, B/M, ...] sharded pp, 'pos': [B] replicated}."""
+    {'kv': list of L/P trees with leaves [P, M, B/M, ...] sharded pp,
+    'pos': [B] replicated}."""
     pp = mesh.shape[PP_AXIS]
+    lcfgs = cfg.transformer_config.layer_configs
+    lp = len(lcfgs) // pp
     b = states["pos"].shape[0]
     if b % microbatches:
         raise ValueError(f"batch {b} must divide into {microbatches} microbatches")
     mb = b // microbatches
-    kv = _stack_layers(states["layers"])  # [L, B, ...]
-    kv = jax.tree.map(
-        lambda a: a.reshape(pp, a.shape[0] // pp, microbatches, mb, *a.shape[2:]), kv
-    )
-    def kv_spec(a):
-        # trailing dims after [P, Lp, M, mb]: [C, G, Dh] / [C, G] scales get
-        # the kv-head dim over tp (ALWAYS annotated, even at tp=1 — the
-        # explicit-sharding propagation inside the pipelined region needs
-        # cache and appended K/V types to agree); [C] ring pos replicated
-        trail = a.ndim - 4
-        if trail >= 2:
-            inner = (None, TP_AXIS) + (None,) * (trail - 2)
-        else:
-            inner = (None,) * trail
-        return NamedSharding(mesh, P(PP_AXIS, None, None, None, *inner))
-
-    spec = jax.tree.map(kv_spec, kv)
+    kv = []
+    for i in range(lp):
+        stacked = _stack_stages([states["layers"][j * lp + i] for j in range(pp)])
+        stacked = jax.tree.map(
+            lambda a: a.reshape(pp, microbatches, mb, *a.shape[2:]), stacked
+        )
+        is_attn = isinstance(lcfgs[i].mixer_config, AttentionConfig)
+        spec = {
+            k: NamedSharding(
+                mesh,
+                P(PP_AXIS, None, None, *_state_inner_spec(k, v.ndim - 3, is_attn)),
+            )
+            for k, v in stacked.items()
+        }
+        kv.append(jax.device_put(stacked, spec))
     rep = NamedSharding(mesh, P())
     return {
-        "kv": jax.device_put(kv, spec),
+        "kv": kv,
         "pos": jax.device_put(states["pos"], rep),
     }
 
 
 def unstack_pipeline_states(states: dict) -> dict:
     """Inverse of stack_pipeline_states (for parity checks)."""
-    kv = jax.tree.map(
-        lambda a: a.reshape(a.shape[0] * a.shape[1], a.shape[2] * a.shape[3], *a.shape[4:]),
-        states["kv"],
-    )
-    n_layers = next(iter(jax.tree.leaves(kv))).shape[0]
-    layers = [jax.tree.map(lambda a: a[i], kv) for i in range(n_layers)]
+    lp = len(states["kv"])
+    pp = next(iter(jax.tree.leaves(states["kv"][0]))).shape[0]
+    layers = [None] * (pp * lp)
+    for i, tree in enumerate(states["kv"]):
+        flat = jax.tree.map(
+            lambda a: a.reshape(a.shape[0], a.shape[1] * a.shape[2], *a.shape[3:]),
+            tree,
+        )
+        for j in range(pp):
+            layers[j * lp + i] = jax.tree.map(lambda a: a[j], flat)
     return {"layers": layers, "pos": states["pos"]}
 
 
@@ -175,9 +208,9 @@ def pipeline_forward(
     from ..ops.norm import normalize
 
     tcfg = cfg.transformer_config
-    layer_cfg = tcfg.layer_configs[0]
     pp = mesh.shape[PP_AXIS]
     lp = len(tcfg.layer_configs) // pp
+    slot_cfgs = tcfg.layer_configs[:lp]  # identical across stages (validated)
     b, s = tokens.shape
     m = microbatches
     mb = b // m
@@ -198,19 +231,18 @@ def pipeline_forward(
     tl_m = true_lengths.reshape(m, mb)
 
     def stage_apply(sp, kv_m, xm, posm, tlm):
-        """Apply this stage's L/P layers to one microbatch ([mb, S, D])."""
+        """Apply this stage's L/P layers to one microbatch ([mb, S, D]);
+        sp / kv_m are LISTS of per-slot trees (hybrids mix mixer types)."""
+        new_kv = []
         for i in range(lp):
-            p_i = jax.tree.map(lambda a: a[i], sp)
-            kv_i = jax.tree.map(lambda a: a[i], kv_m)
+            p_i, kv_i, lc = sp[i], kv_m[i], slot_cfgs[i]
 
             def one(xi, posi, kvi, tli):
-                return layer_forward(layer_cfg, p_i, xi, posi, kvi, None, tli)
+                return layer_forward(lc, p_i, xi, posi, kvi, None, tli)
 
             xm, kv_new = jax.vmap(one)(xm, posm, kv_i, tlm)
-            kv_m = jax.tree.map(
-                lambda a, new: a.at[i].set(new), kv_m, kv_new
-            )
-        return xm, kv_m
+            new_kv.append(kv_new)
+        return xm, new_kv
 
     @functools.partial(
         jax.shard_map,
@@ -231,7 +263,7 @@ def pipeline_forward(
         check_vma=True,
     )
     def pp_run(stage_params, kv, xs, pos_m, tl_m):
-        # local views: stage_params [1, L/P, ...], kv [1, L/P, M, mb, ...]
+        # local views: per-slot trees with leading stage dim 1
         stage_params = jax.tree.map(lambda a: a[0], stage_params)
         kv = jax.tree.map(lambda a: a[0], kv)
         p = jax.lax.axis_index(PP_AXIS)
@@ -249,7 +281,7 @@ def pipeline_forward(
             active = (mi >= 0) & (mi < m)
             x_in = jnp.where(p == 0, jax.lax.dynamic_index_in_dim(xs, mc, keepdims=False), x_cur)
             kv_m = jax.tree.map(
-                lambda a: jax.lax.dynamic_index_in_dim(a, mc, axis=1, keepdims=False), kv
+                lambda a: jax.lax.dynamic_index_in_dim(a, mc, axis=0, keepdims=False), kv
             )
             posm = jax.lax.dynamic_index_in_dim(pos_m, mc, keepdims=False)
             tlm = jax.lax.dynamic_index_in_dim(tl_m, mc, keepdims=False)
@@ -257,7 +289,7 @@ def pipeline_forward(
             # masked state/result writes: inactive steps keep everything
             kv = jax.tree.map(
                 lambda a, old, new: jax.lax.dynamic_update_index_in_dim(
-                    a, jnp.where(active, new, old), mc, axis=1
+                    a, jnp.where(active, new, old), mc, axis=0
                 ),
                 kv, kv_m, kv_new,
             )

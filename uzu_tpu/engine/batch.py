@@ -47,6 +47,11 @@ class Request:
     prompt: list[int]
     max_new_tokens: int
     seed: int = 0
+    # optional grammar constraint (a grammar.GrammarSession); only the
+    # speculative engines support it — their synchronous rounds give the
+    # host a natural point to compute per-row lookahead masks (the batched
+    # analogue of the reference's per-step bitmask fill, stream.rs:632-675)
+    grammar: Optional[object] = None
     # filled by the engine:
     tokens: list[int] = dataclasses.field(default_factory=list)
     finished: bool = False
@@ -77,6 +82,10 @@ class _Slot:
 
 
 class BatchEngine:
+    #: grammar-constrained requests need per-round host masks; the fused
+    #: K-step chunk engines reject them (use the speculative engines)
+    supports_grammar = False
+
     def __init__(
         self,
         lm: LanguageModel,
@@ -150,13 +159,15 @@ class BatchEngine:
             self._insert_cache["fn"] = insert
         return self._insert_cache["fn"]
 
-    def _admit_fn(self, bucket: int, ctx_bucket=None):
+    def _admit_fn(self, bucket: int, ctx_bucket=None, masked: bool = False):
         """Fused admission: fresh state + prefill chunk + first-token sample
         + slot insert in ONE donated dispatch (the multi-dispatch path costs
         ~50 ms of launch overhead per admission on a remote-tunnel chip).
         Handles prompts up to the largest prefill bucket; longer prompts take
-        the chunked fallback path in _admit."""
-        key = (self.sampling, bucket, self.batch_size, ctx_bucket)
+        the chunked fallback path in _admit. `masked` adds a grammar bitmask
+        over the first sample (separate cache key, so grammar-free serving
+        keeps its existing executables byte-identical)."""
+        key = (self.sampling, bucket, self.batch_size, ctx_bucket, masked)
         cache = self.lm.__dict__.setdefault("_batch_admit_jit", {})
         if key not in cache:
             lm = self.lm
@@ -165,7 +176,7 @@ class BatchEngine:
 
             @partial(jax.jit, donate_argnums=(1, 2, 3, 4))
             def admit(params, batch_state, tokens_v, halted_v, remaining_v,
-                      chunk, true_len, seed, remaining0, slot_i):
+                      chunk, true_len, seed, remaining0, slot_i, *mask):
                 from ..models.state import init_state
 
                 fresh = init_state(
@@ -176,7 +187,8 @@ class BatchEngine:
                     cfg, params, chunk, fresh, last_only=True, true_length=true_len,
                     ctx_limit=ctx_bucket,
                 )
-                first = sample(logits[0], sampling, key=jax.random.PRNGKey(seed))
+                first = sample(logits[0], sampling, key=jax.random.PRNGKey(seed),
+                               bitmask=mask[0] if masked else None)
 
                 def put(b, s):
                     return jax.lax.dynamic_update_index_in_dim(
@@ -239,12 +251,24 @@ class BatchEngine:
 
     # -- public API ---------------------------------------------------------
 
-    def submit(self, prompt, max_new_tokens: int, seed: int = 0) -> Request:
+    def submit(self, prompt, max_new_tokens: int, seed: int = 0,
+               grammar=None) -> Request:
+        if grammar is not None:
+            if not self.supports_grammar:
+                raise ValueError(
+                    "grammar-constrained requests need per-round masks; use a "
+                    "speculative engine (SpeculativeBatchEngine / "
+                    "SpeculativePagedBatchEngine, server speculate=...)"
+                )
+            grammar.stop_token_ids = (
+                sorted(self.stop_ids) or grammar.stop_token_ids
+            )
         req = Request(
             id=next(self._ids),
             prompt=[int(t) for t in prompt],
             max_new_tokens=max_new_tokens,
             seed=seed,
+            grammar=grammar,
             submitted_at=time.perf_counter(),
         )
         self.queue.append(req)
@@ -253,6 +277,19 @@ class BatchEngine:
     @property
     def num_active(self) -> int:
         return sum(0 if s.free else 1 for s in self.slots)
+
+    def _grammar_first_mask(self, req: Request):
+        """Bitmask for a grammar request's FIRST sampled token (the
+        constrained loop masks the prefill sample too, grammar/decode.py:84);
+        None when unconstrained or the grammar trigger has not engaged."""
+        if req.grammar is None:
+            return None
+        m = req.grammar.current_mask()
+        if m is None:
+            return None
+        from ..grammar.decode import _pad_mask
+
+        return _pad_mask(m, self.lm.decoder_config.vocab_size)
 
     def _admit(self) -> bool:
         """Advance admission by ONE dispatch of work. A short prompt (fits
@@ -280,12 +317,15 @@ class BatchEngine:
         bucket = next(b for b in self.lm.prefill_buckets if b >= n)
         chunk = np.zeros(bucket, np.int32)
         chunk[:n] = req.prompt
-        admit = self._admit_fn(bucket, self.lm._ctx_bucket(bucket))
+        mask = self._grammar_first_mask(req)
+        admit = self._admit_fn(bucket, self.lm._ctx_bucket(bucket),
+                               masked=mask is not None)
+        extra = () if mask is None else (jnp.asarray(mask),)
         (self._state, self._tokens, self._halted, self._remaining,
          first) = admit(
             self.lm.params, self._state, self._tokens, self._halted,
             self._remaining, jnp.asarray(chunk), np.int32(n),
-            np.uint32(req.seed), remaining0, np.int32(slot_i),
+            np.uint32(req.seed), remaining0, np.int32(slot_i), *extra,
         )
         self._finish_admission(slot_i, req, first)
         return True
@@ -309,8 +349,11 @@ class BatchEngine:
             self._admitting = [req, state, i, slot_i]
             return True
         self._admitting = None
-        fs = self.lm._first_sample_fn(self.sampling, False)
-        first = fs(logits, np.uint32(req.seed))
+        mask = self._grammar_first_mask(req)
+        fs = self.lm._first_sample_fn(self.sampling, False,
+                                      masked=mask is not None)
+        first = (fs(logits, np.uint32(req.seed)) if mask is None
+                 else fs(logits, np.uint32(req.seed), jnp.asarray(mask)))
         insert = self._insert_fn()
         remaining0 = np.int32(max(0, req.max_new_tokens - 1))
         self._state, self._tokens, self._halted, self._remaining = insert(

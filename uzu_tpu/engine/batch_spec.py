@@ -60,6 +60,7 @@ class _SpecScheduling:
     def _init_spec(self, lm, draft_block, make_speculator, draft_layers):
         self.draft_block = draft_block
         self.draft_layers = draft_layers
+        self._vocab = lm.decoder_config.vocab_size
         if draft_layers is not None:
             n_total = len(lm.decoder_config.transformer_config.layer_configs)
             if not 0 < draft_layers < n_total:
@@ -111,29 +112,59 @@ class _SpecScheduling:
                 self._finish(b, "stop")
             elif slot.produced >= req.max_new_tokens:
                 self._finish(b, "length")
+            elif req.grammar is not None:
+                # the first token is the root of the next verify round —
+                # its lookahead masks start from the state AFTER it
+                req.grammar.observe(tok)
 
     def _build_drafts(self, m):
-        """(drafts [B, m], draft_len [B], tracked {slot: req}); host ngram
-        proposals clip to the remaining generation budget (over-proposing
-        only wastes verify rows and skews the acceptance metric)."""
+        """(drafts [B, m], draft_len [B], tracked {slot: req}, masks,
+        host_draft); host ngram proposals clip to the remaining generation
+        budget (over-proposing only wastes verify rows and skews the
+        acceptance metric).
+
+        Grammar slots ALWAYS draft on host (their per-row lookahead masks
+        must be computed from the proposed chain before the dispatch —
+        grammar/matcher.py lookahead_masks, the batched analogue of
+        stream.rs:632-675); in ``draft_layers`` mode `host_draft[b]` marks
+        them so the device self-draft is overridden per slot. `masks` is
+        None when no active slot is constrained — the unmasked verify
+        executable is reused untouched."""
         drafts = np.zeros((self.batch_size, m), np.int32)
         draft_len = np.zeros(self.batch_size, np.int32)
+        host_draft = np.zeros(self.batch_size, bool)
+        masks = None
         tracked = {}
         for b, slot in enumerate(self.slots):
             if slot.free:
                 continue
             req = slot.request
             budget = max(0, req.max_new_tokens - slot.produced - 1)
-            if self.draft_layers is None:
-                history = req.prompt + req.tokens
-                proposal = list(self._slot_spec[b].propose(history))[:m]
-                proposal = proposal[:budget]
-                drafts[b, : len(proposal)] = proposal
-                draft_len[b] = len(proposal)
-            else:
+            if req.grammar is None and self.draft_layers is not None:
                 draft_len[b] = m  # drafted on device inside the dispatch
+                tracked[b] = req
+                continue
+            history = req.prompt + req.tokens
+            proposal = list(self._slot_spec[b].propose(history))[:m]
+            proposal = proposal[:budget]
+            if req.grammar is not None:
+                from ..grammar.decode import _pad_mask
+
+                look = req.grammar.lookahead_masks(proposal)
+                proposal = proposal[: len(look) - 1]
+                host_draft[b] = True
+                if any(mk is not None for mk in look):
+                    if masks is None:
+                        masks = np.ones(
+                            (self.batch_size, m + 1, self._vocab), bool
+                        )
+                    for i, mk in enumerate(look):
+                        if mk is not None:
+                            masks[b, i] = _pad_mask(mk, self._vocab)
+            drafts[b, : len(proposal)] = proposal
+            draft_len[b] = len(proposal)
             tracked[b] = req
-        return drafts, draft_len, tracked
+        return drafts, draft_len, tracked, masks, host_draft
 
     def _spec_keys(self, tracked, m):
         """Per-row sampling keys indexed by the slot's produced-token count:
@@ -170,6 +201,11 @@ class _SpecScheduling:
                 if slot.produced >= req.max_new_tokens:
                     self._finish(b, "length")
                     break
+                if req.grammar is not None:
+                    # mirror the single-stream constrained loop's order
+                    # (grammar/decode.py:230): observe only tokens the
+                    # stream continues past
+                    req.grammar.observe(v)
             else:
                 if slot.pos >= self.lm.max_context - 1:
                     self._finish(b, "length")
@@ -203,6 +239,8 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
     """BatchEngine whose decode path is a fused batched chain verify (see
     module docstring for the draft sources and the key schedule)."""
 
+    supports_grammar = True
+
     def __init__(self, lm, *, draft_block: int = 8, make_speculator=None,
                  draft_layers: int | None = None, **kw):
         if not speculation_supported(lm.decoder_config):
@@ -213,10 +251,13 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
 
     # -- jitted verify ------------------------------------------------------
 
-    def _verify_fn(self, m: int, ctx_bucket=None):
-        """m draft rows + 1 root row per slot, one donated dispatch."""
+    def _verify_fn(self, m: int, ctx_bucket=None, masked: bool = False):
+        """m draft rows + 1 root row per slot, one donated dispatch.
+        `masked` adds per-row grammar bitmasks [B, m+1, V] and a per-slot
+        host-draft override flag (grammar slots keep host chains even in
+        ``draft_layers`` mode); the unmasked executable is untouched."""
         key = (self.sampling, m, self.stop_ids, self.batch_size, ctx_bucket,
-               self.draft_layers)
+               self.draft_layers, masked)
         if key not in self._verify_jit:
             cfg = self.lm.decoder_config
             sampling = self.sampling
@@ -225,7 +266,8 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
             nd = self.draft_layers
             draft_cfg = self._draft_cfg if nd is not None else None
 
-            def one(params, state, token, drafts, draft_len, halted, remaining, keys):
+            def one(params, state, token, drafts, draft_len, halted, remaining,
+                    keys, masks_r=None, hd=None):
                 if nd is not None:
                     # device-side self-draft: greedy chain on a functional
                     # VIEW of the target's first nd layer states — the
@@ -245,18 +287,30 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
                         nt = jnp.argmax(dlogits[0]).astype(jnp.int32)
                         return (ds, nt), nt
 
-                    _, drafts = jax.lax.scan(
+                    _, self_drafts = jax.lax.scan(
                         dstep, (dview, token), None, length=m
                     )
-                    draft_len = jnp.asarray(m, jnp.int32)
+                    if masked:
+                        drafts = jnp.where(hd, drafts, self_drafts)
+                        draft_len = jnp.where(
+                            hd, draft_len, jnp.asarray(m, jnp.int32)
+                        )
+                    else:
+                        drafts = self_drafts
+                        draft_len = jnp.asarray(m, jnp.int32)
                 tokens = jnp.concatenate([token[None], drafts])  # [m+1]
                 logits, pending = decoder_forward(
                     cfg, params, tokens, state, last_only=False, defer_ssm=True,
                     ctx_limit=ctx_bucket,
                 )
-                sampled = jax.vmap(lambda l, kk: sample(l, sampling, key=kk))(
-                    logits, keys
-                )
+                if masked:
+                    sampled = jax.vmap(
+                        lambda l, kk, mm: sample(l, sampling, key=kk, bitmask=mm)
+                    )(logits, keys, masks_r)
+                else:
+                    sampled = jax.vmap(lambda l, kk: sample(l, sampling, key=kk))(
+                        logits, keys
+                    )
                 match = (sampled[:-1] == tokens[1:]) & (jnp.arange(m) < draft_len)
                 accepted = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))
                 emit_len = 1 + accepted
@@ -277,12 +331,25 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
                 halted = halted | stopped | (remaining <= 0) | (new_state["pos"] >= ctx_last)
                 return new_state, nxt, halted, remaining, sampled, commit
 
-            @partial(jax.jit, donate_argnums=(1,))
-            def verify_b(params, state, tokens, drafts, draft_len, halted,
-                         remaining, keys):
-                return jax.vmap(
-                    lambda s, t, d, dl, h, r, kk: one(params, s, t, d, dl, h, r, kk)
-                )(state, tokens, drafts, draft_len, halted, remaining, keys)
+            if masked:
+
+                @partial(jax.jit, donate_argnums=(1,))
+                def verify_b(params, state, tokens, drafts, draft_len, halted,
+                             remaining, keys, masks, hd):
+                    return jax.vmap(
+                        lambda s, t, d, dl, h, r, kk, mm, hh: one(
+                            params, s, t, d, dl, h, r, kk, mm, hh)
+                    )(state, tokens, drafts, draft_len, halted, remaining,
+                      keys, masks, hd)
+
+            else:
+
+                @partial(jax.jit, donate_argnums=(1,))
+                def verify_b(params, state, tokens, drafts, draft_len, halted,
+                             remaining, keys):
+                    return jax.vmap(
+                        lambda s, t, d, dl, h, r, kk: one(params, s, t, d, dl, h, r, kk)
+                    )(state, tokens, drafts, draft_len, halted, remaining, keys)
 
             self._verify_jit[key] = verify_b
         return self._verify_jit[key]
@@ -299,15 +366,22 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
         self._finish_horizon(m)
         if not self.num_active:
             return
-        drafts, draft_len, tracked = self._build_drafts(m)
+        drafts, draft_len, tracked, masks, host_draft = self._build_drafts(m)
+        if masks is None and host_draft.any() and self.draft_layers is not None:
+            # unengaged grammar trigger: no masks yet, but the host chain
+            # must still override the device self-draft for those slots
+            masks = np.ones((self.batch_size, m + 1, self._vocab), bool)
         keys = self._spec_keys(tracked, m)
         max_pos = max((s.pos for s in self.slots if not s.free), default=0)
-        verify = self._verify_fn(m, self.lm._ctx_bucket(max_pos + m + 2))
+        verify = self._verify_fn(m, self.lm._ctx_bucket(max_pos + m + 2),
+                                 masked=masks is not None)
+        extra = () if masks is None else (jnp.asarray(masks),
+                                          jnp.asarray(host_draft))
         (self._state, self._tokens, self._halted, self._remaining,
          sampled, commit) = verify(
             self.lm.params, self._state, self._tokens, jnp.asarray(drafts),
             jnp.asarray(draft_len), self._halted, self._remaining,
-            jnp.asarray(keys),
+            jnp.asarray(keys), *extra,
         )
         vals, commits = jax.device_get((sampled, commit))
         self._route_round(tracked, np.asarray(vals), commits, draft_len)
@@ -322,14 +396,16 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
     place. Recompute preemption stays lossless under sampling thanks to the
     produced-count key schedule (module docstring)."""
 
+    supports_grammar = True
+
     def __init__(self, lm, *, draft_block: int = 8, make_speculator=None,
                  draft_layers: int | None = None, **kw):
         super().__init__(lm, **kw)
         self._init_spec(lm, draft_block, make_speculator, draft_layers)
 
-    def _verify_fn(self, m: int, ctx_pages: int):
+    def _verify_fn(self, m: int, ctx_pages: int, masked: bool = False):
         key = ("spec_verify", m, self.sampling, self.stop_ids, self._geom,
-               ctx_pages, self.draft_layers)
+               ctx_pages, self.draft_layers, masked)
         if key not in self._jit:
             from ..models.paged_decode import paged_decode_step, paged_verify_step
 
@@ -342,7 +418,7 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
 
             @partial(jax.jit, donate_argnums=(1,))
             def verify(params, pools, tokens, drafts, draft_len, positions,
-                       halted, remaining, tables_s, keys):
+                       halted, remaining, tables_s, keys, *mask_args):
                 b = tokens.shape[0]
                 if nd is not None:
                     # device-side self-draft over a functional VIEW of the
@@ -362,17 +438,30 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
 
                     _, drafts_t = jax.lax.scan(
                         dstep, (dpools, tokens, positions), None, length=m)
-                    drafts = jnp.swapaxes(drafts_t, 0, 1)  # [B, m]
-                    draft_len = jnp.full((b,), m, jnp.int32)
+                    self_drafts = jnp.swapaxes(drafts_t, 0, 1)  # [B, m]
+                    if masked:
+                        hd = mask_args[1]
+                        drafts = jnp.where(hd[:, None], drafts, self_drafts)
+                        draft_len = jnp.where(hd, draft_len,
+                                              jnp.full((b,), m, jnp.int32))
+                    else:
+                        drafts = self_drafts
+                        draft_len = jnp.full((b,), m, jnp.int32)
 
                 blk = jnp.concatenate([tokens[:, None], drafts], axis=1)
                 logits, pools = paged_verify_step(
                     cfg, params, pools, blk, tables_s, positions, ~halted,
                     ctx_pages,
                 )
-                sampled = jax.vmap(
-                    jax.vmap(lambda l, kk: sample(l, sampling, key=kk))
-                )(logits, keys)  # [B, m+1]
+                if masked:
+                    sampled = jax.vmap(
+                        jax.vmap(lambda l, kk, mm: sample(l, sampling, key=kk,
+                                                          bitmask=mm))
+                    )(logits, keys, mask_args[0])  # [B, m+1]
+                else:
+                    sampled = jax.vmap(
+                        jax.vmap(lambda l, kk: sample(l, sampling, key=kk))
+                    )(logits, keys)  # [B, m+1]
                 match = (sampled[:, :-1] == blk[:, 1:]) & (
                     jnp.arange(m)[None, :] < draft_len[:, None]
                 )
@@ -434,7 +523,9 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
                         self._preempt(youngest)
         if not self.num_active:
             return
-        drafts, draft_len, tracked = self._build_drafts(m)
+        drafts, draft_len, tracked, masks, host_draft = self._build_drafts(m)
+        if masks is None and host_draft.any() and self.draft_layers is not None:
+            masks = np.ones((self.batch_size, m + 1, self._vocab), bool)
         keys = self._spec_keys(tracked, m)
         tables = np.asarray(self._tables())
         tables_s = np.concatenate(
@@ -442,12 +533,15 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
             axis=1,
         )
         max_pos = max((s.pos for s in self.slots if not s.free), default=0)
-        verify = self._verify_fn(m, self._ctx_pages(max_pos + m + 2))
+        verify = self._verify_fn(m, self._ctx_pages(max_pos + m + 2),
+                                 masked=masks is not None)
+        extra = () if masks is None else (jnp.asarray(masks),
+                                          jnp.asarray(host_draft))
         (self.pools, self._tokens, self._positions, self._halted,
          self._remaining, sampled, commit) = verify(
             self.lm.params, self.pools, self._tokens, jnp.asarray(drafts),
             jnp.asarray(draft_len), self._positions, self._halted,
-            self._remaining, jnp.asarray(tables_s), jnp.asarray(keys),
+            self._remaining, jnp.asarray(tables_s), jnp.asarray(keys), *extra,
         )
         vals, commits = jax.device_get((sampled, commit))
         self._route_round(tracked, np.asarray(vals), commits, draft_len)

@@ -299,17 +299,27 @@ class LanguageModel:
             self._decode_jit[cache_key] = decode_k
         return self._decode_jit[cache_key]
 
-    def _first_sample_fn(self, sampling: SamplingParams, has_ring: bool):
+    def _first_sample_fn(self, sampling: SamplingParams, has_ring: bool,
+                         masked: bool = False):
         """Jitted first-token sample (prefill logits -> token). Eager sample()
-        is ~10 op-by-op dispatches — pure launch overhead on a remote chip."""
+        is ~10 op-by-op dispatches — pure launch overhead on a remote chip.
+        `masked` appends a grammar bitmask argument (separate cache entry so
+        unconstrained paths keep their existing executables)."""
         cache = self.__dict__.setdefault("_first_sample_jit", {})
-        key = (sampling, has_ring)
+        key = (sampling, has_ring, masked)
         if key not in cache:
             if has_ring:
 
                 @jax.jit
                 def fs(logits, seed, ring):
                     return sample(logits, sampling, key=jax.random.PRNGKey(seed), ring=ring)
+
+            elif masked:
+
+                @jax.jit
+                def fs(logits, seed, mask):
+                    return sample(logits, sampling, key=jax.random.PRNGKey(seed),
+                                  bitmask=mask)
 
             else:
 

@@ -183,11 +183,26 @@ class PagedBatchEngine:
 
     # -- scheduling --------------------------------------------------------
 
-    def submit(self, prompt, max_new_tokens: int, seed: int = 0) -> Request:
+    #: same contract as BatchEngine: grammar needs the speculative engines
+    supports_grammar = False
+
+    def submit(self, prompt, max_new_tokens: int, seed: int = 0,
+               grammar=None) -> Request:
         import time
 
+        if grammar is not None:
+            if not self.supports_grammar:
+                raise ValueError(
+                    "grammar-constrained requests need per-round masks; use a "
+                    "speculative engine (SpeculativeBatchEngine / "
+                    "SpeculativePagedBatchEngine, server speculate=...)"
+                )
+            grammar.stop_token_ids = (
+                sorted(self.stop_ids) or grammar.stop_token_ids
+            )
         req = Request(id=self._next_id, prompt=[int(t) for t in prompt],
                       max_new_tokens=max_new_tokens, seed=seed,
+                      grammar=grammar,
                       submitted_at=time.perf_counter())
         self._next_id += 1
         self.queue.append(req)
@@ -295,8 +310,17 @@ class PagedBatchEngine:
             return True
         self._admitting = None
         slot = self.slots[slot_i]
-        fs = self.lm._first_sample_fn(self.sampling, False)
-        first = fs(logits, np.uint32(req.seed))
+        mask = None
+        if req.grammar is not None:
+            m = req.grammar.current_mask()
+            if m is not None:
+                from ..grammar.decode import _pad_mask
+
+                mask = _pad_mask(m, self.lm.decoder_config.vocab_size)
+        fs = self.lm._first_sample_fn(self.sampling, False,
+                                      masked=mask is not None)
+        first = (fs(logits, np.uint32(req.seed)) if mask is None
+                 else fs(logits, np.uint32(req.seed), jnp.asarray(mask)))
         self._slot_prompts[slot_i] = list(req.prompt)
         self._tokens = self._tokens.at[slot_i].set(first)
         self._positions = self._positions.at[slot_i].set(n)
@@ -338,6 +362,9 @@ class PagedBatchEngine:
         req = slot.request
         req.tokens = []
         req.preempted += 1
+        if req.grammar is not None:
+            # the replayed stream re-observes every token from scratch
+            req.grammar.reset()
         slot.request = None
         self.pool.release(slot_i)
         self._slot_prompts.pop(slot_i, None)

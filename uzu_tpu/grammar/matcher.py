@@ -436,14 +436,22 @@ class GrammarSession:
         """Exactly one constraint kind: a JSON `schema` (None = any JSON) or
         a `regex` pattern (reference Grammar::Regex, grammar/mod.rs:65-68)."""
         self.tokenizer = tokenizer
-        strings = []
-        specials = tokenizer.special_token_strings
-        for i in range(tokenizer.vocab_size):
-            t = tokenizer.id_to_token(i)
-            if t is None or t in specials:
-                strings.append(None)
-                continue
-            strings.append(tokenizer.decode([i]))
+        # per-tokenizer cache: a server builds one session per constrained
+        # request, and the vocab-wide decode loop dominates construction
+        strings = getattr(tokenizer, "_grammar_token_strings", None)
+        if strings is None:
+            strings = []
+            specials = tokenizer.special_token_strings
+            for i in range(tokenizer.vocab_size):
+                t = tokenizer.id_to_token(i)
+                if t is None or t in specials:
+                    strings.append(None)
+                    continue
+                strings.append(tokenizer.decode([i]))
+            try:
+                tokenizer._grammar_token_strings = strings
+            except AttributeError:
+                pass
         self.token_strings = strings
         self.schema = schema
         self.regex = regex

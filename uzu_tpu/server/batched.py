@@ -108,14 +108,43 @@ class BatchedChatServer:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
 
-    def submit(self, prompt_ids, max_tokens: int, seed: int = 0):
+    def submit(self, prompt_ids, max_tokens: int, seed: int = 0, grammar=None):
         with self._lock:
-            req = self.engine.submit(prompt_ids, max_tokens, seed=seed)
+            req = self.engine.submit(prompt_ids, max_tokens, seed=seed,
+                                     grammar=grammar)
             ev = threading.Event()
             self._events[req.id] = ev
             self._requests[req.id] = req
         self._wake.set()
         return req, ev
+
+    def _grammar_for(self, body: dict):
+        """OpenAI ``response_format`` -> GrammarSession (reference:
+        Grammar::JsonSchema / Grammar::Regex, grammar/mod.rs:65-68). The
+        engine must be speculative (its rounds carry the per-row masks);
+        submit raises a ValueError -> HTTP 400 otherwise."""
+        rf = body.get("response_format")
+        if not rf:
+            return None
+        if not isinstance(rf, dict):
+            raise ValueError("response_format must be an object")
+        typ = rf.get("type")
+        if typ in (None, "text"):
+            return None
+        from ..grammar import GrammarSession
+
+        if typ == "json_object":
+            return GrammarSession(self.tokenizer, schema=None)
+        if typ == "json_schema":
+            js = rf.get("json_schema") or {}
+            schema = js.get("schema") if isinstance(js, dict) else None
+            return GrammarSession(self.tokenizer, schema=schema)
+        if typ == "regex":
+            pattern = rf.get("pattern") or rf.get("regex")
+            if not pattern:
+                raise ValueError("response_format regex needs a 'pattern'")
+            return GrammarSession(self.tokenizer, regex=pattern)
+        raise ValueError(f"unsupported response_format type {typ!r}")
 
     def shutdown(self):
         self._shutdown = True
@@ -129,7 +158,8 @@ class BatchedChatServer:
         stream = bool(body.get("stream", False))
         text = self.template.render(messages)
         ids = self.tokenizer.encode(text)
-        req, done = self.submit(ids, max_tokens, seed=int(body.get("seed", 0)))
+        req, done = self.submit(ids, max_tokens, seed=int(body.get("seed", 0)),
+                                grammar=self._grammar_for(body))
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         created = int(time.time())
         base = {"id": rid, "object": "chat.completion.chunk", "created": created,
@@ -219,6 +249,9 @@ def make_handler(server: BatchedChatServer):
                 return
             try:
                 result = server.handle_chat(body)
+            except ValueError as e:
+                self._json(400, {"error": {"message": str(e)}})
+                return
             except Exception as e:
                 self._json(500, {"error": {"message": str(e)}})
                 return

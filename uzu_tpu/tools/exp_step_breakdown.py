@@ -1,0 +1,128 @@
+"""Decode-step time breakdown: per-matmul-shape scan probes vs the full step.
+
+The bench's quant_matmul_probe times only the largest decode GEMV (up);
+this experiment times EVERY distinct quantized-linear shape of a model the
+same scan-folded way, sums them per decode step, and compares against the
+measured fused step — the residual is attention reads + norms + sampling +
+readout glue and any lost overlap. Run on the real chip:
+
+    PYTHONPATH=. python -m uzu_tpu.tools.exp_step_breakdown .bench_cache/llama1b_int4
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def time_shape(lm, w, m: int, reps: int = 64, rounds: int = 4) -> float:
+    """Best ms per call of linear_apply on weight `w` with [m, K] inputs,
+    reps folded into one dispatch (house timing rules)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.linear import linear_apply
+
+    k = w.shape[1]
+    scales_i = (1.0 + 1e-3 * jnp.arange(reps, dtype=jnp.float32)).astype(jnp.bfloat16)
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal((m, k)), jnp.bfloat16)
+    xs = x0[None] * scales_i[:, None, None]
+
+    @jax.jit
+    def run(w, xs):
+        def body(acc, xv):
+            y = linear_apply(w, xv)
+            return acc + jnp.sum(y.astype(jnp.float32)), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), xs)
+        return acc
+
+    jax.device_get(run(w, xs))
+    best = 1e9
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        jax.device_get(run(w, xs))
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best * 1e3
+
+
+def weight_nbytes(w) -> int:
+    import jax
+
+    return sum(x.nbytes for x in jax.tree.leaves(w))
+
+
+def main(model_dir: str, m: int = 8) -> dict:
+    from ..engine.engine import LanguageModel
+    from ..runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    lm = LanguageModel.from_dir(model_dir, max_context=1024, prefill_buckets=(64,))
+    cfg = lm.decoder_config.transformer_config
+
+    # distinct (role, weight) instances of layer 0 + the readout; every
+    # layer repeats the same shapes
+    l0 = lm.params["layers"][0]
+    probes = {
+        "qkv": l0["mixer"]["qkv"]["w"],
+        "out": l0["mixer"]["out"]["w"],
+        "up|gate": l0["mlp"]["up"]["w"],
+        "down": l0["mlp"]["down"]["w"],
+    }
+    emb = lm.params["embedding"].get("tied", lm.params["embedding"].get("output"))
+
+    rows = {}
+    per_layer_ms = 0.0
+    for name, w in probes.items():
+        ms = time_shape(lm, w, m)
+        nb = weight_nbytes(w)
+        rows[name] = {"ms": round(ms, 4), "mb": round(nb / 1e6, 1),
+                      "gbs": round(nb / ms / 1e6, 1)}
+        per_layer_ms += ms
+    ms_read = time_shape(lm, emb, 1)
+    nb_read = weight_nbytes(emb)
+    rows["readout"] = {"ms": round(ms_read, 4), "mb": round(nb_read / 1e6, 1),
+                       "gbs": round(nb_read / ms_read / 1e6, 1)}
+
+    n_layers = len(cfg.layer_configs)
+    matmul_total = per_layer_ms * n_layers + ms_read
+
+    # the fused step, same scan-folded discipline (single stream, pos ~ 64)
+    import jax
+    import jax.numpy as jnp
+
+    from ..engine.sampling import SamplingParams
+
+    state = lm.new_state()
+    _, state = lm.prefill(state, (np.arange(48) * 13) % 128)
+    decode = lm._decode_fn(SamplingParams(), 32, ())
+    keys = jax.random.split(jax.random.PRNGKey(0), 32)
+    state, toks, _ = decode(lm.params, state, jnp.asarray(7, jnp.int32),
+                            jnp.asarray(False), keys)
+    jax.device_get(toks)
+    best = 1e9
+    for _ in range(4):
+        t0 = time.perf_counter()
+        state, toks, _ = decode(lm.params, state, jnp.asarray(7, jnp.int32),
+                                jnp.asarray(False), keys)
+        jax.device_get(toks)
+        best = min(best, (time.perf_counter() - t0) / 32)
+    step_ms = best * 1e3
+
+    out = {
+        "per_shape": rows,
+        "n_layers": n_layers,
+        "matmul_sum_ms": round(matmul_total, 3),
+        "step_ms": round(step_ms, 3),
+        "residual_ms": round(step_ms - matmul_total, 3),
+        "residual_pct": round(100 * (step_ms - matmul_total) / step_ms, 1),
+    }
+    print(json.dumps(out, indent=1))
+    return out
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else ".bench_cache/llama1b_int4")

@@ -193,6 +193,54 @@ def test_regex_grammar_batched(lm, tok):
     assert re.fullmatch(pattern, text) or len(r.tokens) >= 16, text
 
 
+def test_chat_session_grammar(lm, tok):
+    """ChatSession.reply(grammar=...) constrains the turn; with a chain
+    speculator the stream is identical (grammar speculation is exact)."""
+    from uzu_tpu.engine.speculation import NgramSpeculator
+    from uzu_tpu.sessions.chat import ChatSession
+
+    plain = ChatSession(lm, tok).reply(
+        "give me json", sampling=SamplingParams(), max_new_tokens=32,
+        grammar=_grammar(tok),
+    )
+    m = JsonMatcher(SCHEMA)
+    assert m.feed_text(plain.text.strip()), plain.text
+
+    spec_sess = ChatSession(lm, tok,
+                            speculator=NgramSpeculator(max_ngram=3, k=4))
+    spec = spec_sess.reply("give me json", sampling=SamplingParams(),
+                           max_new_tokens=32, grammar=_grammar(tok))
+    assert spec.text == plain.text
+
+
+def test_openai_server_response_format(chat_dir):
+    """Single-stream ChatCompletionServer: response_format flows through
+    the session's grammar path."""
+    from uzu_tpu.server.openai import ChatCompletionServer
+    from uzu_tpu.sessions.chat import ChatSession
+
+    lm = LanguageModel.from_dir(chat_dir, max_context=256, prefill_buckets=(16,))
+    tok = Tokenizer(chat_dir)
+    srv = ChatCompletionServer(ChatSession(lm, tok))
+    out = srv.handle_chat({
+        "messages": [{"role": "user", "content": "json"}],
+        "max_tokens": 48,
+        "temperature": 1.0,
+        "top_k": 40,
+        "response_format": {
+            "type": "json_schema",
+            "json_schema": {"name": "trip", "schema": SCHEMA},
+        },
+    })
+    text = out["choices"][0]["message"]["content"].strip()
+    assert JsonMatcher(SCHEMA).feed_text(text), text
+    with pytest.raises(ValueError, match="response_format"):
+        srv.handle_chat({
+            "messages": [{"role": "user", "content": "x"}],
+            "response_format": {"type": "nope"},
+        })
+
+
 def test_server_response_format(chat_dir):
     """BatchedChatServer: OpenAI response_format=json_schema flows into a
     grammar slot; a non-speculative server rejects it with ValueError."""

@@ -119,32 +119,12 @@ class BatchedChatServer:
         return req, ev
 
     def _grammar_for(self, body: dict):
-        """OpenAI ``response_format`` -> GrammarSession (reference:
-        Grammar::JsonSchema / Grammar::Regex, grammar/mod.rs:65-68). The
-        engine must be speculative (its rounds carry the per-row masks);
-        submit raises a ValueError -> HTTP 400 otherwise."""
-        rf = body.get("response_format")
-        if not rf:
-            return None
-        if not isinstance(rf, dict):
-            raise ValueError("response_format must be an object")
-        typ = rf.get("type")
-        if typ in (None, "text"):
-            return None
-        from ..grammar import GrammarSession
+        """OpenAI ``response_format`` -> GrammarSession. The engine must be
+        speculative (its rounds carry the per-row masks); submit raises a
+        ValueError -> HTTP 400 otherwise."""
+        from .common import grammar_from_request
 
-        if typ == "json_object":
-            return GrammarSession(self.tokenizer, schema=None)
-        if typ == "json_schema":
-            js = rf.get("json_schema") or {}
-            schema = js.get("schema") if isinstance(js, dict) else None
-            return GrammarSession(self.tokenizer, schema=schema)
-        if typ == "regex":
-            pattern = rf.get("pattern") or rf.get("regex")
-            if not pattern:
-                raise ValueError("response_format regex needs a 'pattern'")
-            return GrammarSession(self.tokenizer, regex=pattern)
-        raise ValueError(f"unsupported response_format type {typ!r}")
+        return grammar_from_request(self.tokenizer, body)
 
     def shutdown(self):
         self._shutdown = True

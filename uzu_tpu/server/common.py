@@ -1,0 +1,41 @@
+"""Shared OpenAI request plumbing for both servers.
+
+Reference counterpart: the request-side grammar selection in
+crates/backend-uzu/src/engine/language_model/grammar/mod.rs:65-68
+(Grammar::JsonSchema / Grammar::Regex); the OpenAI ``response_format``
+object is this host's wire format for the same choice.
+"""
+
+from __future__ import annotations
+
+
+def grammar_from_request(tokenizer, body: dict):
+    """``response_format`` -> GrammarSession (or None when unconstrained).
+
+    Accepts the OpenAI shapes ``{"type": "json_object"}`` and
+    ``{"type": "json_schema", "json_schema": {"schema": ...}}`` plus the
+    common extension ``{"type": "regex", "pattern": ...}``. Raises
+    ValueError (mapped to HTTP 400 by the handlers) on anything else.
+    """
+    rf = body.get("response_format")
+    if not rf:
+        return None
+    if not isinstance(rf, dict):
+        raise ValueError("response_format must be an object")
+    typ = rf.get("type")
+    if typ in (None, "text"):
+        return None
+    from ..grammar import GrammarSession
+
+    if typ == "json_object":
+        return GrammarSession(tokenizer, schema=None)
+    if typ == "json_schema":
+        js = rf.get("json_schema") or {}
+        schema = js.get("schema") if isinstance(js, dict) else None
+        return GrammarSession(tokenizer, schema=schema)
+    if typ == "regex":
+        pattern = rf.get("pattern") or rf.get("regex")
+        if not pattern:
+            raise ValueError("response_format regex needs a 'pattern'")
+        return GrammarSession(tokenizer, regex=pattern)
+    raise ValueError(f"unsupported response_format type {typ!r}")

@@ -58,6 +58,9 @@ class ChatCompletionServer:
             self.session.model.config.generation_config
         )
         sampling = _sampling_from_request(body, default)
+        from .common import grammar_from_request
+
+        grammar = grammar_from_request(self.session.tokenizer, body)
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         created = int(time.time())
 
@@ -66,7 +69,8 @@ class ChatCompletionServer:
             self.session.reset()
             if not stream:
                 reply = self.session.reply(
-                    messages, sampling=sampling, max_new_tokens=max_tokens
+                    messages, sampling=sampling, max_new_tokens=max_tokens,
+                    grammar=grammar,
                 )
                 msg: dict = {"role": "assistant", "content": reply.text}
                 if reply.reasoning:
@@ -102,7 +106,8 @@ class ChatCompletionServer:
                 yield {**base, "choices": [{"index": 0, "delta": {"role": "assistant"}}]}
                 n_tool = 0
                 for ev in self.session.stream(
-                    messages, sampling=sampling, max_new_tokens=max_tokens
+                    messages, sampling=sampling, max_new_tokens=max_tokens,
+                    grammar=grammar,
                 ):
                     if ev.kind == "text":
                         delta = {"content": ev.delta}
@@ -169,6 +174,9 @@ def make_handler(server: ChatCompletionServer):
                 return
             try:
                 result = server.handle_chat(body)
+            except ValueError as e:
+                self._json(400, {"error": {"message": str(e), "type": type(e).__name__}})
+                return
             except Exception as e:
                 self._json(500, {"error": {"message": str(e), "type": type(e).__name__}})
                 return

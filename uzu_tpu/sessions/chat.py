@@ -124,9 +124,17 @@ class ChatSession:
         sampling: SamplingParams | None = None,
         max_new_tokens: int = 512,
         seed: int = 0,
+        grammar=None,
         _internal_messages: list[dict] | None = None,
     ) -> Iterator[Event]:
-        """Yields parse events; final ChatReply available as .last_reply."""
+        """Yields parse events; final ChatReply available as .last_reply.
+
+        `grammar`: a grammar.GrammarSession constraining this turn's output
+        (the reference applies its xgrammar bitmask inside session streams
+        the same way, stream.rs:632-675). Constrained turns run through the
+        grammar loop — with the session speculator's chain drafts when it
+        is a proposer — and re-prefill the full prompt (the grammar loop
+        does not hand its state back for prefix caching)."""
         if _internal_messages is None:
             if isinstance(message, str):
                 self.messages.append({"role": "user", "content": message})
@@ -160,7 +168,33 @@ class ChatSession:
         )
 
         spec_metrics = None
-        if self.speculator is not None:
+        if grammar is not None:
+            import time as _time
+
+            from ..engine.speculation import speculation_supported
+            from ..grammar.decode import constrained_generate
+
+            spec = self.speculator
+            if not (hasattr(spec, "propose")
+                    and speculation_supported(self.model.decoder_config)):
+                spec = None  # ready decoders (DFlash) have no mask hook
+            gen = constrained_generate(
+                self.model, np.asarray(tokens, np.int32), max_new_tokens,
+                grammar, sampling=sampling, stop_token_ids=stop_ids,
+                seed=seed, speculator=spec,
+            )
+            t0 = _time.perf_counter()
+            for tok in gen:
+                generated.append(tok)
+                delta = decoder.push(tok)
+                if delta:
+                    yield from parser.push(delta)
+            metrics.decode_seconds = _time.perf_counter() - t0
+            yield from parser.finish()
+            self._state = None
+            self._state_tokens = []
+            metrics.num_tokens_generated = len(generated)
+        elif self.speculator is not None:
             import time as _time
 
             from ..engine.speculation import SpeculationMetrics
@@ -253,10 +287,14 @@ class ChatSession:
         sampling: SamplingParams | None = None,
         max_new_tokens: int = 512,
         seed: int = 0,
+        grammar=None,
     ) -> ChatReply:
-        """Full reply with the tool-call agent loop (nagare mod.rs:347-400)."""
+        """Full reply with the tool-call agent loop (nagare mod.rs:347-400).
+        A grammar constrains the model's direct output, which in practice
+        precludes tool-call markup — the loop simply never engages."""
         for _ in self.stream(
-            message, sampling=sampling, max_new_tokens=max_new_tokens, seed=seed
+            message, sampling=sampling, max_new_tokens=max_new_tokens,
+            seed=seed, grammar=grammar,
         ):
             pass
         reply = self.last_reply

@@ -85,3 +85,21 @@ def test_cli_storage_list_and_delete(tmp_path, capsys):
     assert {r["id"] for r in rows} == {"m2"}
 
     assert main(["storage", str(tmp_path), "--delete", "nope"]) == 1
+
+
+def test_chat_constrained_flags(chat_dir, tmp_path, capsys, monkeypatch):
+    """`chat --json-schema` / `--regex` constrain the interactive stream."""
+    schema = {"type": "object", "properties": {"city": {"enum": ["Paris"]}},
+              "required": ["city"]}
+    sf = tmp_path / "schema.json"
+    sf.write_text(json.dumps(schema))
+    lines = iter(["hello", ""])
+    monkeypatch.setattr("builtins.input", lambda *_: next(lines))
+    rc = main(["chat", chat_dir, "--max-tokens", "32", "--max-context", "128",
+               "--json-schema", str(sf)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    body = out.split("exit)")[1].split("[")[0].strip()
+    from uzu_tpu.grammar import JsonMatcher
+
+    assert JsonMatcher(schema).feed_text(body), body

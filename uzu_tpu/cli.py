@@ -147,6 +147,22 @@ def cmd_chat(args) -> int:
     session = _load_chat(args.model_dir, args.max_context, args.tp, args.dp)
     sampling = SamplingParams(temperature=args.temperature, top_p=0.95) \
         if args.temperature else SamplingParams()
+
+    def make_grammar():
+        """Fresh per turn: a GrammarSession is single-use (its matcher
+        advances with the emitted stream)."""
+        if not (args.json_schema or args.regex):
+            return None
+        from uzu_tpu.grammar import GrammarSession
+
+        if args.regex:
+            return GrammarSession(session.tokenizer, regex=args.regex)
+        schema = None
+        if args.json_schema != "-":  # "-" = any JSON value
+            with open(args.json_schema) as f:
+                schema = json.load(f)
+        return GrammarSession(session.tokenizer, schema=schema)
+
     print("(interactive chat; empty line or Ctrl-D to exit)")
     while True:
         try:
@@ -155,7 +171,9 @@ def cmd_chat(args) -> int:
             break
         if not line:
             break
-        for ev in session.stream(line, sampling=sampling, max_new_tokens=args.max_tokens):
+        for ev in session.stream(line, sampling=sampling,
+                                 max_new_tokens=args.max_tokens,
+                                 grammar=make_grammar()):
             if ev.kind == "text":
                 print(ev.delta, end="", flush=True)
         print()
@@ -319,6 +337,10 @@ def main(argv=None) -> int:
     c.add_argument("--max-tokens", type=int, default=512, dest="max_tokens")
     c.add_argument("--temperature", type=float, default=None)
     c.add_argument("--max-context", type=int, default=4096, dest="max_context")
+    c.add_argument("--json-schema", default=None, dest="json_schema",
+                   help="constrain replies to a JSON schema file ('-' = any JSON)")
+    c.add_argument("--regex", default=None,
+                   help="constrain replies to a regex pattern")
     _mesh_flags(c)
     c.set_defaults(fn=cmd_chat)
 

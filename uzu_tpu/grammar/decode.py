@@ -52,6 +52,7 @@ def constrained_generate(
     seed: int = 0,
     state=None,
     speculator=None,
+    metrics=None,
 ):
     """Token generator with per-step grammar masks.
 
@@ -65,7 +66,7 @@ def constrained_generate(
         yield from _speculative_constrained(
             lm, prompt_tokens, max_new_tokens, grammar, speculator,
             sampling=sampling, stop_token_ids=stop_token_ids, seed=seed,
-            state=state,
+            state=state, metrics=metrics,
         )
         return
     sampling = sampling or SamplingParams()
@@ -143,7 +144,7 @@ def _masked_verify_fn(lm, sampling: SamplingParams, n: int):
 
 def _speculative_constrained(
     lm, prompt_tokens, max_new_tokens, grammar, speculator, *,
-    sampling, stop_token_ids, seed, state,
+    sampling, stop_token_ids, seed, state, metrics=None,
 ):
     from ..engine.speculation import speculation_supported
 
@@ -217,6 +218,10 @@ def _speculative_constrained(
         key_i = (key_i + n_pad) % (len(keys) - 32)
         vals, accepted = jax.device_get((sampled, accepted_d))
         accepted = int(accepted)
+        if metrics is not None:
+            metrics.num_verify_passes += 1
+            metrics.num_tokens_proposed += len(draft)
+            metrics.num_tokens_accepted += accepted
         emit = [int(v) for v in vals[: accepted + 1]]
 
         # the dispatch committed 1 + accepted tokens (pos + replayed

@@ -176,19 +176,44 @@ class BatchedChatServer:
         def chunks():
             yield {**base, "choices": [{"index": 0, "delta": {"role": "assistant"}}]}
             decoder = StreamDecoder(self.tokenizer)
+            parser = StreamParser()
+            n_tool = 0
+
+            def as_delta(ev):
+                nonlocal n_tool
+                if ev.kind == "text":
+                    return {"content": ev.delta}
+                if ev.kind == "reasoning":
+                    return {"reasoning_content": ev.delta}
+                tc = ev.tool_call
+                d = {"tool_calls": [{
+                    "index": n_tool, "id": f"call_{n_tool}", "type": "function",
+                    "function": {"name": tc["name"],
+                                 "arguments": json.dumps(tc["arguments"])},
+                }]}
+                n_tool += 1
+                return d
+
             sent = 0
             while True:
                 tokens = list(req.tokens)
                 for t in tokens[sent:]:
                     delta = decoder.push(t)
                     if delta:
-                        yield {**base, "choices": [{"index": 0, "delta": {"content": delta}}]}
+                        for ev in parser.push(delta):
+                            yield {**base, "choices": [{"index": 0,
+                                                        "delta": as_delta(ev)}]}
                 sent = len(tokens)
                 if req.finished and sent == len(req.tokens):
                     break
                 time.sleep(0.02)
+            for ev in parser.finish():
+                yield {**base, "choices": [{"index": 0, "delta": as_delta(ev)}]}
+            finish = req.finish_reason or "stop"
+            if parser.tool_calls:
+                finish = "tool_calls"
             yield {**base, "choices": [{"index": 0, "delta": {},
-                                        "finish_reason": req.finish_reason or "stop"}]}
+                                        "finish_reason": finish}]}
 
         return chunks()
 

@@ -178,10 +178,14 @@ class ChatSession:
             if not (hasattr(spec, "propose")
                     and speculation_supported(self.model.decoder_config)):
                 spec = None  # ready decoders (DFlash) have no mask hook
+            if spec is not None:
+                from ..engine.speculation import SpeculationMetrics
+
+                spec_metrics = SpeculationMetrics()
             gen = constrained_generate(
                 self.model, np.asarray(tokens, np.int32), max_new_tokens,
                 grammar, sampling=sampling, stop_token_ids=stop_ids,
-                seed=seed, speculator=spec,
+                seed=seed, speculator=spec, metrics=spec_metrics,
             )
             t0 = _time.perf_counter()
             for tok in gen:

@@ -173,7 +173,40 @@ def _stage(name: str) -> None:
           file=sys.stderr, flush=True)
 
 
+def _wait_for_device() -> None:
+    """The axon tunnel goes down for stretches; a bench launched into a dead
+    tunnel HANGS inside backend init (observed: jax.devices() blocks >2 min).
+    Probe it in a SUBPROCESS (bounded, restartable) and fall back to the CPU
+    platform once the grace budget (UZU_TPU_BENCH_WAIT seconds, default 900)
+    is exhausted — a CPU-labelled JSON line beats a hung round."""
+    import subprocess
+
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return
+    budget = float(os.environ.get("UZU_TPU_BENCH_WAIT", "900"))
+    deadline = time.perf_counter() + budget
+    attempt = 0
+    while time.perf_counter() < deadline:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=150, check=True, capture_output=True,
+            )
+            if attempt > 1:
+                _stage(f"device probe ok (attempt {attempt})")
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            _stage(f"device probe failed (attempt {attempt}); retrying")
+            time.sleep(min(60, max(1, deadline - time.perf_counter())))
+    _stage("device unavailable past grace budget — falling back to CPU")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def main() -> None:
+    _wait_for_device()
     import jax
 
     from uzu_tpu import LanguageModel

@@ -55,26 +55,39 @@ def test_quant_matmul_matches_reference(rng, bits, g, method, m):
 def test_quant_matmul_deep_k_chunked_scales(rng, bits):
     """K=8192 @ g=32 has kg=256 > 128: decode-M engages the chunked-scales
     blocks (per-chunk 128-group scale tiles, grid-invariant expansion
-    matrix). Oracle parity + identity with the whole-kg layout."""
+    matrix). Oracle parity for the auto tile AND for every explicit deep-K
+    autotune candidate — chunking derives from the FINAL tile, so measured
+    table entries and block_k overrides run the same layout the tuner
+    timed (chunked at kgc % 128 == 0, whole-kg resident otherwise)."""
     from uzu_tpu.ops.pallas.quant_matmul import _quant_matmul_p
 
     n, k = 256, 8192
     qt = _make_qt(rng, n, k, bits, 32, "scale_symmetric")
+    want_w = dequantize(qt, jnp.float32).T
     x = jnp.asarray(rng.standard_normal((1, k), dtype=np.float32))
-    want = x @ dequantize(qt, jnp.float32).T
+    want = x @ want_w
     got = quant_matmul_pallas(qt, x, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3,
                                atol=1e-3)
-    # forcing the legacy whole-kg block layout at the SAME K-chunk size
-    # (same accumulation order) must be bit-identical — the chunked scale
-    # blocks select exactly the same scale values.
     gsub = 32 // (2 if bits == 4 else 1)
-    legacy = _quant_matmul_p(x, qt.codes, qt.scales, qt.qbias, bits=bits,
-                             group_size=32, interpret=True,
-                             block_k=128 * gsub,
-                             qbias_coeff=qt.qbias_coeff)[:1]
-    np.testing.assert_allclose(np.asarray(got), np.asarray(legacy), rtol=0,
-                               atol=0)
+    kp = k // (2 if bits == 4 else 1)
+    # decode M=1 and prefill M=64, explicit tiles spanning unchunked
+    # (kgc=64), exactly-chunked (kgc=128), and multi-chunk (kgc=256)
+    x64 = jnp.asarray(rng.standard_normal((64, k), dtype=np.float32))
+    want64 = x64 @ want_w
+    for bk in (64 * gsub, 128 * gsub, 256 * gsub):
+        if kp % bk:
+            continue
+        got1 = _quant_matmul_p(x, qt.codes, qt.scales, qt.qbias, bits=bits,
+                               group_size=32, interpret=True, block_k=bk,
+                               qbias_coeff=qt.qbias_coeff)[:1]
+        np.testing.assert_allclose(np.asarray(got1), np.asarray(want),
+                                   rtol=1e-3, atol=1e-3, err_msg=f"bk={bk}")
+        got64 = _quant_matmul_p(x64, qt.codes, qt.scales, qt.qbias, bits=bits,
+                                group_size=32, interpret=True, block_k=bk,
+                                qbias_coeff=qt.qbias_coeff)
+        np.testing.assert_allclose(np.asarray(got64), np.asarray(want64),
+                                   rtol=2e-2, atol=2e-2, err_msg=f"bk={bk}")
 
 
 def test_quant_matmul_bf16_scales_expansion_exact(rng):

@@ -32,7 +32,13 @@ TABLE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tile_table
 # M buckets share an entry: decode-sized (HBM-bound), mid, large-M prefill
 M_BUCKETS = ((32, "gemv"), (256, "mid"), (10**9, "gemm"))
 
-CANDIDATES = ((512, 512), (512, 256), (256, 512), (256, 256), (128, 512), (512, 128))
+CANDIDATES = (
+    (512, 512), (512, 256), (256, 512), (256, 256), (128, 512), (512, 128),
+    # deep-K chunks: one/two K grid steps for d=2048-class shapes (scales
+    # read once) and chunked scale blocks on K>=4096 shapes (kgc >= 128);
+    # _valid skips them where K doesn't divide
+    (512, 1024), (256, 1024), (512, 2048), (256, 2048),
+)
 
 
 def m_bucket(m_pad: int) -> str:

@@ -71,6 +71,8 @@ def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int,
     if hit is not None:
         tn, kc = hit
         if n % tn == 0 and k_packed % kc == 0 and kc % gsub == 0:
+            # measured entries return EXACTLY as measured (the kernel derives
+            # scale chunking from the tile, so measurement == production)
             return tn, kc
     if m_pad < 32:
         tn_pref, kc_pref = (512, 256, 128), (512, 256, 128, 64, 32, 16)
@@ -84,6 +86,14 @@ def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int,
         tn_pref, kc_pref = (512, 256, 128), (512, 256, 128, 64, 32, 16)
     tn = _pick_block(n, tn_pref)
     kc = _pick_block(k_packed, [c for c in kc_pref if c % gsub == 0] or kc_pref)
+    # Deep-K decode GEMVs (kg > 128): widen the K chunk so each grid step's
+    # scale block covers exactly 128 groups — the lane-dim blocking minimum —
+    # and the expansion dot contracts over 128 rows instead of the whole kg
+    # (the full-kg expansion held the down-projection GEMV to ~107 GB/s
+    # effective at kg=256 before this).
+    kg = k_packed // gsub
+    if m_pad < 32 and kg > 128 and kg % 128 == 0 and k_packed % (128 * gsub) == 0:
+        kc = 128 * gsub
     return tn, kc
 
 
@@ -227,16 +237,13 @@ def _quant_matmul_p(x, codes, scales, qbias, *, bits, group_size,
         assert tn, f"N={n} not divisible by a supported tile"
         kc = block_k or kc_auto
         assert kc and kc % gsub == 0, (kdim, g)
-        # Chunked scales for deep-K decode GEMVs (kg > 128): widen the K
-        # chunk so each grid step's scale block covers exactly 128 groups —
-        # the lane-dim blocking minimum — and the expansion dot contracts
-        # over 128 rows instead of the whole kg (the expansion is what holds
-        # the down-projection GEMV to ~107 GB/s effective at kg=256).
-        chunked = (not block_k and m_pad < 32 and kg > 128 and kg % 128 == 0
-                   and k2 % (128 * gsub) == 0)
-        if chunked:
-            kc = 128 * gsub
+        # Chunked scale blocks whenever the tile allows them: each grid
+        # step's scale block covers exactly this chunk's groups iff that
+        # count meets the 128 lane-dim blocking minimum. Derived from the
+        # FINAL tile (policy pick, measured table entry, or explicit
+        # block_k alike), so autotune measures the production kernel.
         kgc = kc // gsub
+        chunked = kgc % 128 == 0 and kgc < kg
         x_even = x[:, 0::2]
         x_odd = x[:, 1::2]
         n_k = k2 // kc
@@ -276,11 +283,8 @@ def _quant_matmul_p(x, codes, scales, qbias, *, bits, group_size,
         assert tn, f"N={n} not divisible by a supported tile"
         kc = block_k or kc_auto
         assert kc and kc % gsub == 0, (kdim, g)
-        chunked = (not block_k and m_pad < 32 and kg > 128 and kg % 128 == 0
-                   and kdim % (128 * gsub) == 0)
-        if chunked:
-            kc = 128 * gsub
         kgc = kc // gsub
+        chunked = kgc % 128 == 0 and kgc < kg
         n_k = kdim // kc
         grid = (n // tn, n_k)
         scale_spec = (

@@ -38,7 +38,7 @@ import numpy as np
 
 from ..models.decoder import decoder_forward
 from .engine import LanguageModel, StreamMetrics
-from .sampling import SamplingParams, sample
+from .sampling import SamplingParams, pack_dynamic, sample, sample_dynamic
 
 
 @dataclasses.dataclass
@@ -52,6 +52,12 @@ class Request:
     # host a natural point to compute per-row lookahead masks (the batched
     # analogue of the reference's per-step bitmask fill, stream.rs:632-675)
     grammar: Optional[object] = None
+    # optional per-REQUEST sampling override (OpenAI requests each carry
+    # their own temperature/top_k/top_p/min_p): the step switches to the
+    # dynamic-sampling executable while any active slot overrides — one
+    # executable serves every parameter combination (sampling.sample_dynamic
+    # is pinned token-exact against the static pipeline)
+    sampling: Optional[SamplingParams] = None
     # filled by the engine:
     tokens: list[int] = dataclasses.field(default_factory=list)
     finished: bool = False
@@ -137,6 +143,33 @@ class BatchEngine:
         self._insert_cache = lm.__dict__.setdefault("_batch_insert_jit", {})
         self._seeds = np.zeros(batch_size, np.int64)
         self._steps = np.zeros(batch_size, np.int64)
+        # per-slot dynamic sampling parameters (engine default everywhere
+        # until a request overrides); _samp_custom tracks which slots do
+        self._samp = np.tile(np.asarray(pack_dynamic(self.sampling), np.float32),
+                             (batch_size, 1))
+        self._samp_custom = np.zeros(batch_size, bool)
+
+    def _set_slot_sampling(self, slot_i: int, req: "Request") -> None:
+        sp = req.sampling if req.sampling is not None else self.sampling
+        self._samp[slot_i] = np.asarray(pack_dynamic(sp), np.float32)
+        self._samp_custom[slot_i] = req.sampling is not None
+
+    def _dynamic_now(self) -> bool:
+        return any(self._samp_custom[b] for b, s in enumerate(self.slots)
+                   if not s.free)
+
+    @staticmethod
+    def _check_sampling_override(sampling: SamplingParams | None) -> None:
+        if sampling is None:
+            return
+        if sampling.repetition_penalty is not None:
+            raise ValueError(
+                "per-request repetition_penalty is not supported in batched "
+                "serving (no per-slot recent-token ring)")
+        if sampling.banned_tokens:
+            raise ValueError(
+                "per-request banned_tokens is not supported in batched "
+                "serving (set it on the engine's default SamplingParams)")
 
     # -- jitted pieces -----------------------------------------------------
 
@@ -159,15 +192,18 @@ class BatchEngine:
             self._insert_cache["fn"] = insert
         return self._insert_cache["fn"]
 
-    def _admit_fn(self, bucket: int, ctx_bucket=None, masked: bool = False):
+    def _admit_fn(self, bucket: int, ctx_bucket=None, masked: bool = False,
+                  dynamic: bool = False):
         """Fused admission: fresh state + prefill chunk + first-token sample
         + slot insert in ONE donated dispatch (the multi-dispatch path costs
         ~50 ms of launch overhead per admission on a remote-tunnel chip).
         Handles prompts up to the largest prefill bucket; longer prompts take
         the chunked fallback path in _admit. `masked` adds a grammar bitmask
-        over the first sample (separate cache key, so grammar-free serving
-        keeps its existing executables byte-identical)."""
-        key = (self.sampling, bucket, self.batch_size, ctx_bucket, masked)
+        over the first sample and `dynamic` a per-request sampling-parameter
+        row (separate cache keys, so default serving keeps its existing
+        executables byte-identical)."""
+        key = (self.sampling, bucket, self.batch_size, ctx_bucket, masked,
+               dynamic)
         cache = self.lm.__dict__.setdefault("_batch_admit_jit", {})
         if key not in cache:
             lm = self.lm
@@ -176,9 +212,11 @@ class BatchEngine:
 
             @partial(jax.jit, donate_argnums=(1, 2, 3, 4))
             def admit(params, batch_state, tokens_v, halted_v, remaining_v,
-                      chunk, true_len, seed, remaining0, slot_i, *mask):
+                      chunk, true_len, seed, remaining0, slot_i, *extra):
                 from ..models.state import init_state
 
+                mask = extra[0] if masked else None
+                samp = extra[1 if masked else 0] if dynamic else None
                 fresh = init_state(
                     cfg, lm.max_context, kv_quant=lm.kv_quant,
                     ring_windows=lm.ring_windows, ring_extra=max(lm.prefill_buckets),
@@ -187,8 +225,15 @@ class BatchEngine:
                     cfg, params, chunk, fresh, last_only=True, true_length=true_len,
                     ctx_limit=ctx_bucket,
                 )
-                first = sample(logits[0], sampling, key=jax.random.PRNGKey(seed),
-                               bitmask=mask[0] if masked else None)
+                if dynamic:
+                    first = sample_dynamic(
+                        logits[0], samp[0], samp[1].astype(jnp.int32), samp[2],
+                        samp[3], jax.random.PRNGKey(seed), bitmask=mask,
+                        banned_tokens=sampling.banned_tokens,
+                    )
+                else:
+                    first = sample(logits[0], sampling,
+                                   key=jax.random.PRNGKey(seed), bitmask=mask)
 
                 def put(b, s):
                     return jax.lax.dynamic_update_index_in_dim(
@@ -208,21 +253,31 @@ class BatchEngine:
             cache[key] = admit
         return cache[key]
 
-    def _decode_fn(self, k: int, ctx_bucket=None):
-        key = (self.sampling, k, self.stop_ids, self.batch_size, ctx_bucket)
+    def _decode_fn(self, k: int, ctx_bucket=None, dynamic: bool = False):
+        """`dynamic` samples with per-slot traced parameters ([B, 4]
+        temperature/top_k/top_p/min_p rows) instead of the engine-static
+        SamplingParams — one executable serves every request combination."""
+        key = (self.sampling, k, self.stop_ids, self.batch_size, ctx_bucket,
+               dynamic)
         if key not in self._decode_jit:
             cfg = self.lm.decoder_config
             sampling = self.sampling
             stop_arr = jnp.asarray(self.stop_ids, jnp.int32) if self.stop_ids else None
             ctx_last = self.lm.max_context - 1
 
-            def one_step(params, state, token, halted, remaining, key_t):
+            def one_step(params, state, token, halted, remaining, key_t, samp):
                 true_length = jnp.where(halted, 0, 1).astype(jnp.int32)
                 logits, state = decoder_forward(
                     cfg, params, token.reshape(1), state, last_only=True,
                     true_length=true_length, ctx_limit=ctx_bucket,
                 )
-                nxt = sample(logits[0], sampling, key=key_t)
+                if dynamic:
+                    nxt = sample_dynamic(
+                        logits[0], samp[0], samp[1].astype(jnp.int32), samp[2],
+                        samp[3], key_t, banned_tokens=sampling.banned_tokens,
+                    )
+                else:
+                    nxt = sample(logits[0], sampling, key=key_t)
                 nxt = jnp.where(halted, token, nxt)
                 remaining = remaining - jnp.where(halted, 0, 1)
                 if stop_arr is not None:
@@ -233,12 +288,20 @@ class BatchEngine:
                 return state, nxt, halted, remaining
 
             @partial(jax.jit, donate_argnums=(1,))
-            def decode_k(params, state, tokens, halted, remaining, keys):
+            def decode_k(params, state, tokens, halted, remaining, keys,
+                         *samp_arg):
+                # *samp_arg keeps the static variant's signature (and its
+                # cached executable) byte-identical: samp [B, 4] rides along
+                # only when dynamic
+                samp = samp_arg[0] if dynamic else jnp.zeros(
+                    (tokens.shape[0], 4), jnp.float32)
+
                 def body(carry, keys_t):
                     state, tokens, halted, remaining = carry
                     state, tokens, halted, remaining = jax.vmap(
-                        lambda s, t, h, r, kk: one_step(params, s, t, h, r, kk)
-                    )(state, tokens, halted, remaining, keys_t)
+                        lambda s, t, h, r, kk, sp: one_step(
+                            params, s, t, h, r, kk, sp)
+                    )(state, tokens, halted, remaining, keys_t, samp)
                     return (state, tokens, halted, remaining), tokens
 
                 (state, tokens, halted, remaining), emitted = jax.lax.scan(
@@ -252,7 +315,7 @@ class BatchEngine:
     # -- public API ---------------------------------------------------------
 
     def submit(self, prompt, max_new_tokens: int, seed: int = 0,
-               grammar=None) -> Request:
+               grammar=None, sampling: SamplingParams | None = None) -> Request:
         if grammar is not None:
             if not self.supports_grammar:
                 raise ValueError(
@@ -263,12 +326,16 @@ class BatchEngine:
             grammar.stop_token_ids = (
                 sorted(self.stop_ids) or grammar.stop_token_ids
             )
+        if sampling == self.sampling:
+            sampling = None  # engine default: stay on the static executables
+        self._check_sampling_override(sampling)
         req = Request(
             id=next(self._ids),
             prompt=[int(t) for t in prompt],
             max_new_tokens=max_new_tokens,
             seed=seed,
             grammar=grammar,
+            sampling=sampling,
             submitted_at=time.perf_counter(),
         )
         self.queue.append(req)
@@ -319,8 +386,11 @@ class BatchEngine:
         chunk[:n] = req.prompt
         mask = self._grammar_first_mask(req)
         admit = self._admit_fn(bucket, self.lm._ctx_bucket(bucket),
-                               masked=mask is not None)
+                               masked=mask is not None,
+                               dynamic=req.sampling is not None)
         extra = () if mask is None else (jnp.asarray(mask),)
+        if req.sampling is not None:
+            extra += (jnp.asarray(pack_dynamic(req.sampling), jnp.float32),)
         (self._state, self._tokens, self._halted, self._remaining,
          first) = admit(
             self.lm.params, self._state, self._tokens, self._halted,
@@ -350,10 +420,13 @@ class BatchEngine:
             return True
         self._admitting = None
         mask = self._grammar_first_mask(req)
+        dyn = req.sampling is not None
         fs = self.lm._first_sample_fn(self.sampling, False,
-                                      masked=mask is not None)
-        first = (fs(logits, np.uint32(req.seed)) if mask is None
-                 else fs(logits, np.uint32(req.seed), jnp.asarray(mask)))
+                                      masked=mask is not None, dynamic=dyn)
+        extra = () if mask is None else (jnp.asarray(mask),)
+        if dyn:
+            extra += (jnp.asarray(pack_dynamic(req.sampling), jnp.float32),)
+        first = fs(logits, np.uint32(req.seed), *extra)
         insert = self._insert_fn()
         remaining0 = np.int32(max(0, req.max_new_tokens - 1))
         self._state, self._tokens, self._halted, self._remaining = insert(
@@ -373,6 +446,7 @@ class BatchEngine:
         slot.pending_first = first
         self._seeds[slot_i] = req.seed ^ 0xBA7C
         self._steps[slot_i] = 0
+        self._set_slot_sampling(slot_i, req)
 
     def _finish(self, slot_i: int, reason: str):
         slot = self.slots[slot_i]
@@ -402,10 +476,13 @@ class BatchEngine:
         # context bucket from the host position mirror; +2k margin covers
         # the in-flight chunk the mirror has not processed yet (pipelining)
         max_pos = max((s.pos for s in self.slots if not s.free), default=0)
-        decode = self._decode_fn(k, self.lm._ctx_bucket(max_pos + 2 * k + 1))
+        dynamic = self._dynamic_now()
+        decode = self._decode_fn(k, self.lm._ctx_bucket(max_pos + 2 * k + 1),
+                                 dynamic=dynamic)
+        extra = (jnp.asarray(self._samp),) if dynamic else ()
         self._state, self._tokens, self._halted, self._remaining, emitted = decode(
             self.lm.params, self._state, self._tokens, self._halted,
-            self._remaining, jnp.asarray(keys),
+            self._remaining, jnp.asarray(keys), *extra,
         )
         snapshot = {}
         for b, slot in enumerate(self.slots):

@@ -48,7 +48,7 @@ from ..models.decoder import decoder_commit_deferred, decoder_forward
 from ..models.paged_kv import PagePoolOverflow
 from .batch import BatchEngine
 from .paged_batch import PagedBatchEngine
-from .sampling import sample
+from .sampling import sample, sample_dynamic
 from .speculation import NgramSpeculator, SpeculationMetrics, speculation_supported
 
 
@@ -251,13 +251,15 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
 
     # -- jitted verify ------------------------------------------------------
 
-    def _verify_fn(self, m: int, ctx_bucket=None, masked: bool = False):
+    def _verify_fn(self, m: int, ctx_bucket=None, masked: bool = False,
+                   dynamic: bool = False):
         """m draft rows + 1 root row per slot, one donated dispatch.
         `masked` adds per-row grammar bitmasks [B, m+1, V] and a per-slot
         host-draft override flag (grammar slots keep host chains even in
-        ``draft_layers`` mode); the unmasked executable is untouched."""
+        ``draft_layers`` mode); `dynamic` adds per-slot sampling-parameter
+        rows [B, 4]; the default executable is untouched."""
         key = (self.sampling, m, self.stop_ids, self.batch_size, ctx_bucket,
-               self.draft_layers, masked)
+               self.draft_layers, masked, dynamic)
         if key not in self._verify_jit:
             cfg = self.lm.decoder_config
             sampling = self.sampling
@@ -267,7 +269,7 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
             draft_cfg = self._draft_cfg if nd is not None else None
 
             def one(params, state, token, drafts, draft_len, halted, remaining,
-                    keys, masks_r=None, hd=None):
+                    keys, masks_r=None, hd=None, samp=None):
                 if nd is not None:
                     # device-side self-draft: greedy chain on a functional
                     # VIEW of the target's first nd layer states — the
@@ -303,12 +305,19 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
                     cfg, params, tokens, state, last_only=False, defer_ssm=True,
                     ctx_limit=ctx_bucket,
                 )
+                def row(l, kk, mm):
+                    if dynamic:
+                        return sample_dynamic(
+                            l, samp[0], samp[1].astype(jnp.int32), samp[2],
+                            samp[3], kk, bitmask=mm,
+                            banned_tokens=sampling.banned_tokens,
+                        )
+                    return sample(l, sampling, key=kk, bitmask=mm)
+
                 if masked:
-                    sampled = jax.vmap(
-                        lambda l, kk, mm: sample(l, sampling, key=kk, bitmask=mm)
-                    )(logits, keys, masks_r)
+                    sampled = jax.vmap(row)(logits, keys, masks_r)
                 else:
-                    sampled = jax.vmap(lambda l, kk: sample(l, sampling, key=kk))(
+                    sampled = jax.vmap(lambda l, kk: row(l, kk, None))(
                         logits, keys
                     )
                 match = (sampled[:-1] == tokens[1:]) & (jnp.arange(m) < draft_len)
@@ -331,25 +340,34 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
                 halted = halted | stopped | (remaining <= 0) | (new_state["pos"] >= ctx_last)
                 return new_state, nxt, halted, remaining, sampled, commit
 
-            if masked:
+            @partial(jax.jit, donate_argnums=(1,))
+            def verify_b(params, state, tokens, drafts, draft_len, halted,
+                         remaining, keys, *extra):
+                # extra rides per the variant flags: (masks [B,m+1,V],
+                # hd [B]) when masked, then samp [B,4] when dynamic — the
+                # default variant's signature stays unchanged
+                masks = extra[0] if masked else None
+                hd = extra[1] if masked else None
+                samp = extra[2 if masked else 0] if dynamic else None
 
-                @partial(jax.jit, donate_argnums=(1,))
-                def verify_b(params, state, tokens, drafts, draft_len, halted,
-                             remaining, keys, masks, hd):
-                    return jax.vmap(
-                        lambda s, t, d, dl, h, r, kk, mm, hh: one(
-                            params, s, t, d, dl, h, r, kk, mm, hh)
-                    )(state, tokens, drafts, draft_len, halted, remaining,
-                      keys, masks, hd)
+                def per_slot(s, t, d, dl, h, r, kk, *xs):
+                    i = 0
+                    mm = hh = sp = None
+                    if masked:
+                        mm, hh = xs[0], xs[1]
+                        i = 2
+                    if dynamic:
+                        sp = xs[i]
+                    return one(params, s, t, d, dl, h, r, kk, mm, hh, sp)
 
-            else:
-
-                @partial(jax.jit, donate_argnums=(1,))
-                def verify_b(params, state, tokens, drafts, draft_len, halted,
-                             remaining, keys):
-                    return jax.vmap(
-                        lambda s, t, d, dl, h, r, kk: one(params, s, t, d, dl, h, r, kk)
-                    )(state, tokens, drafts, draft_len, halted, remaining, keys)
+                xs = ()
+                if masked:
+                    xs += (masks, hd)
+                if dynamic:
+                    xs += (samp,)
+                return jax.vmap(per_slot)(
+                    state, tokens, drafts, draft_len, halted, remaining,
+                    keys, *xs)
 
             self._verify_jit[key] = verify_b
         return self._verify_jit[key]
@@ -373,10 +391,13 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
             masks = np.ones((self.batch_size, m + 1, self._vocab), bool)
         keys = self._spec_keys(tracked, m)
         max_pos = max((s.pos for s in self.slots if not s.free), default=0)
+        dynamic = self._dynamic_now()
         verify = self._verify_fn(m, self.lm._ctx_bucket(max_pos + m + 2),
-                                 masked=masks is not None)
+                                 masked=masks is not None, dynamic=dynamic)
         extra = () if masks is None else (jnp.asarray(masks),
                                           jnp.asarray(host_draft))
+        if dynamic:
+            extra += (jnp.asarray(self._samp),)
         (self._state, self._tokens, self._halted, self._remaining,
          sampled, commit) = verify(
             self.lm.params, self._state, self._tokens, jnp.asarray(drafts),
@@ -403,9 +424,10 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
         super().__init__(lm, **kw)
         self._init_spec(lm, draft_block, make_speculator, draft_layers)
 
-    def _verify_fn(self, m: int, ctx_pages: int, masked: bool = False):
+    def _verify_fn(self, m: int, ctx_pages: int, masked: bool = False,
+                   dynamic: bool = False):
         key = ("spec_verify", m, self.sampling, self.stop_ids, self._geom,
-               ctx_pages, self.draft_layers, masked)
+               ctx_pages, self.draft_layers, masked, dynamic)
         if key not in self._jit:
             from ..models.paged_decode import paged_decode_step, paged_verify_step
 
@@ -419,6 +441,8 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
             @partial(jax.jit, donate_argnums=(1,))
             def verify(params, pools, tokens, drafts, draft_len, positions,
                        halted, remaining, tables_s, keys, *mask_args):
+                samp_rows = (mask_args[2 if masked else 0] if dynamic
+                             else jnp.zeros((tokens.shape[0], 4), jnp.float32))
                 b = tokens.shape[0]
                 if nd is not None:
                     # device-side self-draft over a functional VIEW of the
@@ -453,15 +477,29 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
                     cfg, params, pools, blk, tables_s, positions, ~halted,
                     ctx_pages,
                 )
+                def slot_rows(l_rows, k_rows, m_rows, sp):
+                    def row(l, kk, mm):
+                        if dynamic:
+                            return sample_dynamic(
+                                l, sp[0], sp[1].astype(jnp.int32), sp[2],
+                                sp[3], kk, bitmask=mm,
+                                banned_tokens=sampling.banned_tokens,
+                            )
+                        return sample(l, sampling, key=kk, bitmask=mm)
+
+                    if m_rows is None:
+                        return jax.vmap(lambda l, kk: row(l, kk, None))(
+                            l_rows, k_rows)
+                    return jax.vmap(row)(l_rows, k_rows, m_rows)
+
                 if masked:
-                    sampled = jax.vmap(
-                        jax.vmap(lambda l, kk, mm: sample(l, sampling, key=kk,
-                                                          bitmask=mm))
-                    )(logits, keys, mask_args[0])  # [B, m+1]
+                    sampled = jax.vmap(slot_rows)(
+                        logits, keys, mask_args[0], samp_rows)  # [B, m+1]
                 else:
                     sampled = jax.vmap(
-                        jax.vmap(lambda l, kk: sample(l, sampling, key=kk))
-                    )(logits, keys)  # [B, m+1]
+                        lambda l_rows, k_rows, sp: slot_rows(
+                            l_rows, k_rows, None, sp)
+                    )(logits, keys, samp_rows)  # [B, m+1]
                 match = (sampled[:, :-1] == blk[:, 1:]) & (
                     jnp.arange(m)[None, :] < draft_len[:, None]
                 )
@@ -533,10 +571,14 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
             axis=1,
         )
         max_pos = max((s.pos for s in self.slots if not s.free), default=0)
+        dynamic = any(self._samp_custom[b] for b, s in enumerate(self.slots)
+                      if not s.free)
         verify = self._verify_fn(m, self._ctx_pages(max_pos + m + 2),
-                                 masked=masks is not None)
+                                 masked=masks is not None, dynamic=dynamic)
         extra = () if masks is None else (jnp.asarray(masks),
                                           jnp.asarray(host_draft))
+        if dynamic:
+            extra += (jnp.asarray(self._samp),)
         (self.pools, self._tokens, self._positions, self._halted,
          self._remaining, sampled, commit) = verify(
             self.lm.params, self.pools, self._tokens, jnp.asarray(drafts),

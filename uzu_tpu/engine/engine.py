@@ -300,19 +300,33 @@ class LanguageModel:
         return self._decode_jit[cache_key]
 
     def _first_sample_fn(self, sampling: SamplingParams, has_ring: bool,
-                         masked: bool = False):
+                         masked: bool = False, dynamic: bool = False):
         """Jitted first-token sample (prefill logits -> token). Eager sample()
         is ~10 op-by-op dispatches — pure launch overhead on a remote chip.
-        `masked` appends a grammar bitmask argument (separate cache entry so
-        unconstrained paths keep their existing executables)."""
+        `masked` appends a grammar bitmask argument, `dynamic` a per-request
+        sampling-parameter row [4] (separate cache entries so default paths
+        keep their existing executables)."""
         cache = self.__dict__.setdefault("_first_sample_jit", {})
-        key = (sampling, has_ring, masked)
+        key = (sampling, has_ring, masked, dynamic)
         if key not in cache:
             if has_ring:
 
                 @jax.jit
                 def fs(logits, seed, ring):
                     return sample(logits, sampling, key=jax.random.PRNGKey(seed), ring=ring)
+
+            elif dynamic:
+                from .sampling import sample_dynamic
+
+                @jax.jit
+                def fs(logits, seed, *extra):
+                    mask = extra[0] if masked else None
+                    samp = extra[1 if masked else 0]
+                    return sample_dynamic(
+                        logits, samp[0], samp[1].astype(jnp.int32), samp[2],
+                        samp[3], jax.random.PRNGKey(seed), bitmask=mask,
+                        banned_tokens=sampling.banned_tokens,
+                    )
 
             elif masked:
 

@@ -35,9 +35,9 @@ import numpy as np
 
 from ..models.paged_decode import paged_decode_step, paged_supported
 from ..models.paged_kv import PagePool, PagePoolOverflow, init_pools
-from .batch import Request, _Slot
+from .batch import BatchEngine, Request, _Slot
 from .engine import LanguageModel
-from .sampling import SamplingParams, sample
+from .sampling import SamplingParams, pack_dynamic, sample, sample_dynamic
 
 
 class PagedBatchEngine:
@@ -109,6 +109,11 @@ class PagedBatchEngine:
         self._pending = None
         self._seeds = np.zeros(batch_size, np.int64)
         self._steps = np.zeros(batch_size, np.int64)
+        # per-slot dynamic sampling rows (see BatchEngine): engine default
+        # until a request overrides
+        self._samp = np.tile(np.asarray(pack_dynamic(self.sampling), np.float32),
+                             (batch_size, 1))
+        self._samp_custom = np.zeros(batch_size, bool)
         # executable cache lives on the MODEL keyed by engine geometry, so
         # rebuilding an engine (server restart, bench A/B) never recompiles
         # (an engine-local cache cost ~30-90 s of remote AOT per rebuild)
@@ -144,8 +149,8 @@ class PagedBatchEngine:
             self._jit[key] = prefill
         return self._jit[key]
 
-    def _decode_fn(self, k: int):
-        key = ("decode", k, self.sampling, self.stop_ids, self._geom)
+    def _decode_fn(self, k: int, dynamic: bool = False):
+        key = ("decode", k, self.sampling, self.stop_ids, self._geom, dynamic)
         if key not in self._jit:
             cfg = self.lm.decoder_config
             sampling = self.sampling
@@ -154,13 +159,22 @@ class PagedBatchEngine:
 
             @partial(jax.jit, donate_argnums=(1,))
             def decode_k(params, pools, tokens, positions, halted, remaining,
-                         tables, keys):
+                         tables, keys, *samp_arg):
+                samp = samp_arg[0] if dynamic else jnp.zeros(
+                    (tokens.shape[0], 4), jnp.float32)
+
                 def body(carry, key_t):
                     pools, tokens, positions, halted, remaining = carry
                     logits, pools = paged_decode_step(
                         cfg, params, pools, tokens, tables, positions)
-                    nxt = jax.vmap(lambda l, kk: sample(l, sampling, key=kk))(
-                        logits, key_t)
+                    if dynamic:
+                        nxt = jax.vmap(lambda l, kk, sp: sample_dynamic(
+                            l, sp[0], sp[1].astype(jnp.int32), sp[2], sp[3],
+                            kk, banned_tokens=sampling.banned_tokens,
+                        ))(logits, key_t, samp)
+                    else:
+                        nxt = jax.vmap(lambda l, kk: sample(l, sampling, key=kk))(
+                            logits, key_t)
                     nxt = jnp.where(halted, tokens, nxt)
                     remaining = remaining - jnp.where(halted, 0, 1)
                     if stop_arr is not None:
@@ -187,7 +201,7 @@ class PagedBatchEngine:
     supports_grammar = False
 
     def submit(self, prompt, max_new_tokens: int, seed: int = 0,
-               grammar=None) -> Request:
+               grammar=None, sampling: SamplingParams | None = None) -> Request:
         import time
 
         if grammar is not None:
@@ -200,9 +214,12 @@ class PagedBatchEngine:
             grammar.stop_token_ids = (
                 sorted(self.stop_ids) or grammar.stop_token_ids
             )
+        if sampling == self.sampling:
+            sampling = None  # engine default: stay on the static executables
+        BatchEngine._check_sampling_override(sampling)
         req = Request(id=self._next_id, prompt=[int(t) for t in prompt],
                       max_new_tokens=max_new_tokens, seed=seed,
-                      grammar=grammar,
+                      grammar=grammar, sampling=sampling,
                       submitted_at=time.perf_counter())
         self._next_id += 1
         self.queue.append(req)
@@ -317,10 +334,13 @@ class PagedBatchEngine:
                 from ..grammar.decode import _pad_mask
 
                 mask = _pad_mask(m, self.lm.decoder_config.vocab_size)
+        dyn = req.sampling is not None
         fs = self.lm._first_sample_fn(self.sampling, False,
-                                      masked=mask is not None)
-        first = (fs(logits, np.uint32(req.seed)) if mask is None
-                 else fs(logits, np.uint32(req.seed), jnp.asarray(mask)))
+                                      masked=mask is not None, dynamic=dyn)
+        extra = () if mask is None else (jnp.asarray(mask),)
+        if dyn:
+            extra += (jnp.asarray(pack_dynamic(req.sampling), jnp.float32),)
+        first = fs(logits, np.uint32(req.seed), *extra)
         self._slot_prompts[slot_i] = list(req.prompt)
         self._tokens = self._tokens.at[slot_i].set(first)
         self._positions = self._positions.at[slot_i].set(n)
@@ -336,6 +356,9 @@ class PagedBatchEngine:
         slot.pending_first = first
         self._seeds[slot_i] = req.seed ^ 0xBA7C
         self._steps[slot_i] = 0
+        sp = req.sampling if req.sampling is not None else self.sampling
+        self._samp[slot_i] = np.asarray(pack_dynamic(sp), np.float32)
+        self._samp_custom[slot_i] = req.sampling is not None
         self._admit_order[slot_i] = self._admit_seq
         self._admit_seq += 1
         return True
@@ -425,11 +448,15 @@ class PagedBatchEngine:
                 np.arange(k, dtype=np.uint64)
                 + np.uint64(self._steps[b]) * np.uint64(k)
             ).astype(np.uint32)
-        decode = self._decode_fn(k)
+        dynamic = any(self._samp_custom[b] for b, s in enumerate(self.slots)
+                      if not s.free)
+        decode = self._decode_fn(k, dynamic=dynamic)
+        extra = (jnp.asarray(self._samp),) if dynamic else ()
         (self.pools, self._tokens, self._positions, self._halted,
          self._remaining, emitted) = decode(
             self.lm.params, self.pools, self._tokens, self._positions,
-            self._halted, self._remaining, self._tables(), jnp.asarray(keys))
+            self._halted, self._remaining, self._tables(), jnp.asarray(keys),
+            *extra)
         snapshot = {}
         for b, slot in enumerate(self.slots):
             if not slot.free:

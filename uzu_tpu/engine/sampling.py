@@ -113,3 +113,79 @@ def sample(
 def push_ring(ring: jax.Array, token: jax.Array) -> jax.Array:
     """Append a token to the recent-token ring (shift-left semantics)."""
     return jnp.concatenate([ring[1:], token.reshape(1)])
+
+
+# -- dynamic (per-call) sampling parameters ----------------------------------
+#
+# The static sample() specializes the jitted step on ONE SamplingParams — the
+# right trade for a single stream, but a continuous-batching server takes
+# per-REQUEST temperature/top_k/top_p/min_p (OpenAI request fields), and
+# compiling a fused batched step per parameter combination would explode the
+# AOT-compile budget. sample_dynamic takes the parameters as traced scalars
+# (one executable serves every combination); its masking pipeline reproduces
+# sample()'s static semantics exactly for any values (same operation order,
+# same tie handling, same sorted-space softmax/cumsum evaluation order), so
+# a request with the engine-default parameters emits the identical stream
+# through either path — tests pin this.
+
+DYNAMIC_OFF = (0.0, 0, 1.0, 0.0)  # temperature, top_k, top_p, min_p sentinels
+
+
+def pack_dynamic(params: SamplingParams):
+    """SamplingParams -> the 4 sentinel-encoded scalars (f32-storable)."""
+    return (
+        float(params.temperature or 0.0),
+        int(params.top_k or 0),
+        float(params.top_p if params.top_p is not None else 1.0),
+        float(params.min_p or 0.0),
+    )
+
+
+def sample_dynamic(
+    logits: jax.Array,  # [V] f32
+    temperature: jax.Array,  # scalar f32; <= 0 => greedy
+    top_k: jax.Array,  # scalar i32; <= 0 => off
+    top_p: jax.Array,  # scalar f32; >= 1 => off
+    min_p: jax.Array,  # scalar f32; <= 0 => off
+    key: jax.Array,
+    bitmask: jax.Array | None = None,
+    banned_tokens: tuple = (),
+) -> jax.Array:
+    logits = logits.astype(jnp.float32)
+    if banned_tokens:
+        banned = jnp.asarray(banned_tokens, jnp.int32)
+        logits = logits.at[banned].set(NEG_INF)
+    if bitmask is not None:
+        logits = jnp.where(bitmask, logits, NEG_INF)
+    v = logits.shape[-1]
+    greedy = temperature <= 0.0
+    l = logits / jnp.where(greedy, 1.0, temperature)
+
+    # one descending sort serves top-k (k-th largest VALUE — value-based
+    # masking keeps ties exactly like lax.top_k's kth-value threshold) and
+    # top-p (softmax/cumsum over the same sorted order the static path
+    # builds inside _mask_top_p, so cutoffs match bit-for-bit)
+    sl = jnp.sort(l)[::-1]
+    k_on = top_k > 0
+    k_eff = jnp.clip(jnp.where(k_on, top_k, v), 1, v)
+    kth = sl[k_eff - 1]
+    l = jnp.where(k_on & (l < kth), NEG_INF, l)
+    slk = jnp.where(k_on & (sl < kth), NEG_INF, sl)
+
+    p_on = top_p < 1.0
+    probs = jax.nn.softmax(slk)
+    cum = jnp.cumsum(probs)
+    keep = cum - probs < top_p
+    cutoff_p = jnp.min(jnp.where(keep, slk, jnp.inf))
+    l = jnp.where(p_on & (l < cutoff_p), NEG_INF, l)
+
+    # min_p mirrors _mask_min_p on the UNSORTED masked logits (identical
+    # softmax evaluation order)
+    m_on = min_p > 0.0
+    probs_u = jax.nn.softmax(l)
+    cutoff_m = jnp.max(probs_u) * min_p
+    l = jnp.where(m_on & (probs_u < cutoff_m), NEG_INF, l)
+
+    gumbel = jax.random.gumbel(key, l.shape, dtype=jnp.float32)
+    sampled = jnp.argmax(l + gumbel).astype(jnp.int32)
+    return jnp.where(greedy, jnp.argmax(logits).astype(jnp.int32), sampled)

@@ -108,10 +108,11 @@ class BatchedChatServer:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
 
-    def submit(self, prompt_ids, max_tokens: int, seed: int = 0, grammar=None):
+    def submit(self, prompt_ids, max_tokens: int, seed: int = 0, grammar=None,
+               sampling=None):
         with self._lock:
             req = self.engine.submit(prompt_ids, max_tokens, seed=seed,
-                                     grammar=grammar)
+                                     grammar=grammar, sampling=sampling)
             ev = threading.Event()
             self._events[req.id] = ev
             self._requests[req.id] = req
@@ -136,10 +137,17 @@ class BatchedChatServer:
         messages = body.get("messages", [])
         max_tokens = body.get("max_tokens") or body.get("max_completion_tokens") or 512
         stream = bool(body.get("stream", False))
+        from .common import sampling_from_request
+
         text = self.template.render(messages)
         ids = self.tokenizer.encode(text)
+        # per-request sampling fields route the engine onto its
+        # dynamic-sampling executables; requests at the server defaults
+        # stay on the static path
+        sampling = sampling_from_request(body, self.engine.sampling)
         req, done = self.submit(ids, max_tokens, seed=int(body.get("seed", 0)),
-                                grammar=self._grammar_for(body))
+                                grammar=self._grammar_for(body),
+                                sampling=sampling)
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         created = int(time.time())
         base = {"id": rid, "object": "chat.completion.chunk", "created": created,

@@ -9,6 +9,22 @@ object is this host's wire format for the same choice.
 from __future__ import annotations
 
 
+def sampling_from_request(body: dict, default):
+    """Per-request OpenAI sampling fields over the server defaults."""
+    from ..engine.sampling import SamplingParams
+
+    return SamplingParams(
+        temperature=body.get("temperature", default.temperature),
+        top_k=body.get("top_k", default.top_k),
+        top_p=body.get("top_p", default.top_p),
+        min_p=body.get("min_p", default.min_p),
+        repetition_penalty=body.get("repetition_penalty",
+                                    default.repetition_penalty),
+        suffix_repetition_length=default.suffix_repetition_length,
+        banned_tokens=default.banned_tokens,
+    )
+
+
 def grammar_from_request(tokenizer, body: dict):
     """``response_format`` -> GrammarSession (or None when unconstrained).
 

@@ -19,13 +19,9 @@ from ..sessions.chat import ChatSession
 
 
 def _sampling_from_request(body: dict, default: SamplingParams) -> SamplingParams:
-    return SamplingParams(
-        temperature=body.get("temperature", default.temperature),
-        top_k=body.get("top_k", default.top_k),
-        top_p=body.get("top_p", default.top_p),
-        min_p=body.get("min_p", default.min_p),
-        repetition_penalty=body.get("repetition_penalty", default.repetition_penalty),
-    )
+    from .common import sampling_from_request
+
+    return sampling_from_request(body, default)
 
 
 class ChatCompletionServer:

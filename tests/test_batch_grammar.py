@@ -271,3 +271,34 @@ def test_server_response_format(chat_dir):
             srv2.handle_chat(dict(body))
     finally:
         srv2.shutdown()
+
+
+def test_server_request_tools_roundtrip(chat_dir):
+    """Request-level tools render into the prompt, and tool-call markup in
+    the constrained output comes back as OpenAI tool_calls with
+    finish_reason "tool_calls" (a regex grammar forces the markup — the
+    grammar, not the random model, guarantees it)."""
+    from uzu_tpu.server.batched import BatchedChatServer
+
+    lm = LanguageModel.from_dir(chat_dir, max_context=256, prefill_buckets=(16,))
+    tok = Tokenizer(chat_dir)
+    srv = BatchedChatServer(lm, tok, batch_size=2, speculate="ngram",
+                            sampling=SamplingParams(temperature=1.0, top_k=40))
+    try:
+        out = srv.handle_chat({
+            "messages": [{"role": "user", "content": "what time is it"}],
+            "max_tokens": 64,
+            "tools": [{"type": "function", "function": {
+                "name": "get_time", "description": "clock", "parameters": {}}}],
+            "response_format": {
+                "type": "regex",
+                "pattern": '<tool_call>\\{"name": "get_time", '
+                           '"arguments": \\{\\}\\}</tool_call>',
+            },
+        })
+        choice = out["choices"][0]
+        assert choice["finish_reason"] == "tool_calls", choice
+        calls = choice["message"]["tool_calls"]
+        assert calls[0]["function"]["name"] == "get_time"
+    finally:
+        srv.shutdown()

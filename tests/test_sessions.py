@@ -453,3 +453,27 @@ def test_speculative_chat_keeps_prefix_cache(tmp_path):
         assert r2.text == r1.text
     assert spec._state is not None  # prefix cache survived speculation
     assert len(spec._state_tokens) > 0
+
+
+def test_request_level_tools_render_and_choice():
+    """OpenAI request-level tools render into the template; tool_choice
+    filters them (reference chat_completions.rs:203 choose_tools)."""
+    from uzu_tpu.server.common import tools_from_request
+
+    t1 = {"type": "function", "function": {"name": "get_weather",
+                                           "description": "w", "parameters": {}}}
+    t2 = {"type": "function", "function": {"name": "get_time",
+                                           "description": "t", "parameters": {}}}
+    body = {"tools": [t1, t2]}
+    assert tools_from_request(body) == [t1, t2]
+    assert tools_from_request({**body, "tool_choice": "none"}) is None
+    assert tools_from_request({**body, "tool_choice": "required"}) == [t1, t2]
+    assert tools_from_request(
+        {**body, "tool_choice": {"function": {"name": "get_time"}}}) == [t2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tool_choice"):
+        tools_from_request({**body, "tool_choice": "sometimes"})
+    with _pytest.raises(ValueError, match="undeclared"):
+        tools_from_request({**body, "tool_choice": {"function": {"name": "x"}}})
+    assert tools_from_request({}) is None

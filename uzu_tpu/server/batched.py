@@ -137,9 +137,10 @@ class BatchedChatServer:
         messages = body.get("messages", [])
         max_tokens = body.get("max_tokens") or body.get("max_completion_tokens") or 512
         stream = bool(body.get("stream", False))
-        from .common import sampling_from_request
+        from .common import sampling_from_request, tools_from_request
 
-        text = self.template.render(messages)
+        tools = tools_from_request(body)
+        text = self.template.render(messages, tools=tools)
         ids = self.tokenizer.encode(text)
         # per-request sampling fields route the engine onto its
         # dynamic-sampling executables; requests at the server defaults
@@ -167,13 +168,21 @@ class BatchedChatServer:
             msg = {"role": "assistant", "content": parser.text}
             if parser.reasoning:
                 msg["reasoning_content"] = parser.reasoning
+            finish = req.finish_reason or "stop"
+            if parser.tool_calls:
+                msg["tool_calls"] = [
+                    tc.as_openai(f"call_{i}")
+                    for i, tc in enumerate(parser.tool_calls)
+                ]
+                msg["content"] = parser.text or None
+                finish = "tool_calls"
             return {
                 "id": rid,
                 "object": "chat.completion",
                 "created": created,
                 "model": self.model_name,
                 "choices": [{"index": 0, "message": msg,
-                             "finish_reason": req.finish_reason or "stop"}],
+                             "finish_reason": finish}],
                 "usage": {
                     "prompt_tokens": len(ids),
                     "completion_tokens": len(req.tokens),

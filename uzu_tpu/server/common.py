@@ -9,6 +9,43 @@ object is this host's wire format for the same choice.
 from __future__ import annotations
 
 
+def tools_from_request(body: dict):
+    """OpenAI ``tools`` + ``tool_choice`` -> the tool-spec dicts to render
+    into the chat template, or None when the request declares none.
+
+    Reference semantics (cli/src/server/chat_tool_calls.rs choose_tools):
+    "none" hides every declared tool, "auto"/"required" keep the full set
+    (declarations are the only lever a local model has — "required" cannot
+    compel a call), and a function object exposes only the named tool.
+    Raises ValueError (-> HTTP 400) on unrecognized values."""
+    tools = body.get("tools") or []
+    if not isinstance(tools, list):
+        raise ValueError("tools must be an array of tool declarations")
+    choice = body.get("tool_choice")
+    if choice is None:
+        return tools or None
+    if isinstance(choice, str):
+        if choice == "none":
+            return None
+        if choice in ("auto", "required"):
+            return tools or None
+        raise ValueError(
+            'tool_choice must be "none", "auto", "required" or a function '
+            f"object, got {choice!r}")
+    if isinstance(choice, dict):
+        name = (choice.get("function") or {}).get("name")
+        if not name:
+            raise ValueError("tool_choice object needs function.name")
+        selected = [
+            t for t in tools
+            if (t.get("function") or {}).get("name") == name
+        ]
+        if not selected:
+            raise ValueError(f"tool_choice names an undeclared tool {name!r}")
+        return selected
+    raise ValueError("tool_choice is not a recognized value")
+
+
 def sampling_from_request(body: dict, default):
     """Per-request OpenAI sampling fields over the server defaults."""
     from ..engine.sampling import SamplingParams

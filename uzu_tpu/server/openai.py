@@ -54,9 +54,10 @@ class ChatCompletionServer:
             self.session.model.config.generation_config
         )
         sampling = _sampling_from_request(body, default)
-        from .common import grammar_from_request
+        from .common import grammar_from_request, tools_from_request
 
         grammar = grammar_from_request(self.session.tokenizer, body)
+        tools = tools_from_request(body)
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         created = int(time.time())
 
@@ -66,7 +67,7 @@ class ChatCompletionServer:
             if not stream:
                 reply = self.session.reply(
                     messages, sampling=sampling, max_new_tokens=max_tokens,
-                    grammar=grammar,
+                    grammar=grammar, tools=tools,
                 )
                 msg: dict = {"role": "assistant", "content": reply.text}
                 if reply.reasoning:
@@ -103,7 +104,7 @@ class ChatCompletionServer:
                 n_tool = 0
                 for ev in self.session.stream(
                     messages, sampling=sampling, max_new_tokens=max_tokens,
-                    grammar=grammar,
+                    grammar=grammar, tools=tools,
                 ):
                     if ev.kind == "text":
                         delta = {"content": ev.delta}

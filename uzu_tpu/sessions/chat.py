@@ -108,11 +108,13 @@ class ChatSession:
                 ids.append(i)
         return ids
 
-    def _render_tokens(self, messages: list[dict]) -> list[int]:
-        text = self.template.render(
-            messages,
-            tools=[t.spec() for t in self.tools.values()] or None,
-        )
+    def _render_tokens(self, messages: list[dict],
+                       extra_tools: list[dict] | None = None) -> list[int]:
+        """extra_tools: per-turn OpenAI tool-spec dicts (request-level tools,
+        reference chat_completions.rs:203) rendered alongside the session's
+        own bound tools."""
+        tools = [t.spec() for t in self.tools.values()] + list(extra_tools or [])
+        text = self.template.render(messages, tools=tools or None)
         return self.tokenizer.encode(text)
 
     # -- generation ----------------------------------------------------------
@@ -125,6 +127,7 @@ class ChatSession:
         max_new_tokens: int = 512,
         seed: int = 0,
         grammar=None,
+        tools: list[dict] | None = None,
         _internal_messages: list[dict] | None = None,
     ) -> Iterator[Event]:
         """Yields parse events; final ChatReply available as .last_reply.
@@ -142,7 +145,7 @@ class ChatSession:
                 self.messages.append(message)
             else:
                 self.messages.extend(message)
-        tokens = self._render_tokens(self.messages)
+        tokens = self._render_tokens(self.messages, tools)
 
         # longest-prefix reuse (token.rs:158-176): reuse iff the new render
         # extends the tokens already inside the state
@@ -292,13 +295,16 @@ class ChatSession:
         max_new_tokens: int = 512,
         seed: int = 0,
         grammar=None,
+        tools: list[dict] | None = None,
     ) -> ChatReply:
         """Full reply with the tool-call agent loop (nagare mod.rs:347-400).
         A grammar constrains the model's direct output, which in practice
-        precludes tool-call markup — the loop simply never engages."""
+        precludes tool-call markup — the loop simply never engages. `tools`
+        are per-turn request-level declarations (no bound callables): calls
+        to them come back in the reply rather than running the loop."""
         for _ in self.stream(
             message, sampling=sampling, max_new_tokens=max_new_tokens,
-            seed=seed, grammar=grammar,
+            seed=seed, grammar=grammar, tools=tools,
         ):
             pass
         reply = self.last_reply

@@ -647,6 +647,9 @@ SPECIAL_TOKENS = [
 ]
 
 SYNTH_CHAT_TEMPLATE = (
+    "{% if tools %}<|system|>tools:"
+    "{% for t in tools %} {{ t.function.name }}{% endfor %}<|end|>"
+    "{% endif %}"
     "{% for message in messages %}"
     "<|{{ message.role }}|>{% if message.tool_calls %}"
     "{% for tc in message.tool_calls %}<tool_call>"

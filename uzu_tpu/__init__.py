@@ -8,9 +8,11 @@ reference lacks (GSPMD tensor parallelism, continuous batching).
 
 __version__ = "0.1.0"
 
-from .runtime import enable_compilation_cache
-
-enable_compilation_cache()  # remote AOT compiles cost 10-90 s each
+from .runtime import enable_compilation_cache  # noqa: F401
+# NOTE: not called at import — it must inspect the resolved backend (TPU
+# only; see runtime.py), and resolving the backend here would lock the
+# platform before callers (tests, CPU tools) can force CPU. Model loaders
+# (LanguageModel.from_dir, ClassifierModel.from_dir) call it lazily.
 
 from .config import LanguageModelConfig, load_language_model_config  # noqa: F401
 from .engine.engine import LanguageModel, StreamMetrics  # noqa: F401

@@ -118,6 +118,9 @@ class LanguageModel:
 
     @classmethod
     def from_dir(cls, model_dir: str, *, random_seed: int | None = None, **kw) -> "LanguageModel":
+        from ..runtime import enable_compilation_cache
+
+        enable_compilation_cache()  # TPU-only; no-op on CPU (runtime.py)
         config = load_language_model_config(os.path.join(model_dir, "config.json"))
         loader = ParameterLoader(os.path.join(model_dir, "model.safetensors"), random_seed=random_seed)
         tree = loader.tree()

@@ -62,6 +62,9 @@ class ClassifierModel:
 
     @classmethod
     def from_dir(cls, model_dir: str) -> "ClassifierModel":
+        from ..runtime import enable_compilation_cache
+
+        enable_compilation_cache()  # TPU-only; no-op on CPU (runtime.py)
         with open(os.path.join(model_dir, "config.json")) as f:
             model_cfg = parse(ClassifierModelConfig, json.load(f))
         cfg = model_cfg.classifier_config

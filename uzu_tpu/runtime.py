@@ -18,15 +18,30 @@ from functools import lru_cache
 _CACHE_CONFIGURED = False
 
 
-def enable_compilation_cache() -> None:
+def enable_compilation_cache(force: bool = False) -> None:
     """Persistent XLA compilation cache (UZU_TPU_JAX_CACHE overrides the
     location; =0 disables). Remote AOT compiles on the tunnel cost 10-90 s
     PER EXECUTABLE and an engine warms a dozen of them — without this
     cache every fresh process pays minutes of pure recompilation. Keys
-    include the HLO, so kernel changes invalidate cleanly."""
+    include the HLO, so kernel changes invalidate cleanly.
+
+    TPU-backend only unless `force`: the repo volume is shared across
+    machines, and CPU-AOT entries written by one host load on another with
+    mismatched machine features (observed: cpu_aot_loader SIGILL warnings
+    on every CPU run). CPU compiles are cheap — they neither need nor
+    should touch the cache. Called lazily from LanguageModel.from_dir so
+    the backend is resolved by then."""
     global _CACHE_CONFIGURED
     if _CACHE_CONFIGURED:
         return
+    if not force:
+        try:
+            import jax
+
+            if jax.default_backend() == "cpu":
+                return  # not latched: a forced call can still enable later
+        except Exception:
+            return
     _CACHE_CONFIGURED = True
     loc = os.environ.get("UZU_TPU_JAX_CACHE")
     if loc == "0":

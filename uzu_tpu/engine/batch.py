@@ -345,6 +345,38 @@ class BatchEngine:
     def num_active(self) -> int:
         return sum(0 if s.free else 1 for s in self.slots)
 
+    def cancel(self, req: Request, reason: str = "cancelled") -> bool:
+        """Cancel a queued, admitting, or in-flight request (client
+        disconnects, server-side stop sequences). Immediate mid-pipeline
+        cancellation is safe: the device executes dispatches in program
+        order, so an in-flight chunk's writes to this slot land before any
+        later dispatch (admission into a reused slot) executes, and the
+        token router drops emissions for finished requests."""
+        import time as _time
+
+        if req.finished:
+            return False
+        if req in self.queue:
+            self.queue.remove(req)
+            req.finished = True
+            req.finish_reason = reason
+            req.finished_at = _time.perf_counter()
+            return True
+        if self._admitting is not None and self._admitting[0] is req:
+            self._cancel_admitting()
+            req.finished = True
+            req.finish_reason = reason
+            req.finished_at = _time.perf_counter()
+            return True
+        for b, slot in enumerate(self.slots):
+            if slot.request is req:
+                self._finish(b, reason)
+                return True
+        return False
+
+    def _cancel_admitting(self) -> None:
+        self._admitting = None
+
     def _grammar_first_mask(self, req: Request):
         """Bitmask for a grammar request's FIRST sampled token (the
         constrained loop masks the prefill sample too, grammar/decode.py:84);

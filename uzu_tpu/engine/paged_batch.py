@@ -363,6 +363,17 @@ class PagedBatchEngine:
         self._admit_seq += 1
         return True
 
+    # same semantics and mid-pipeline safety argument as BatchEngine.cancel
+    # (device program order: an in-flight chunk's page writes land before
+    # any later dispatch — admission prefill into reused pages — executes)
+    cancel = BatchEngine.cancel
+
+    def _cancel_admitting(self) -> None:
+        _, _, slot_i, _ = self._admitting
+        self._admitting = None
+        self.pool.release(slot_i)
+        self._slot_prompts.pop(slot_i, None)
+
     def _finish(self, slot_i: int, reason: str):
         import time
 

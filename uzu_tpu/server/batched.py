@@ -88,16 +88,40 @@ class BatchedChatServer:
         self._wake = threading.Event()
         self._events: dict[int, threading.Event] = {}
         self._requests: dict[int, object] = {}
+        # requests with OpenAI `stop` sequences: [req, decoder, monitor,
+        # scanned-token-count] — scanned by the scheduler to CANCEL
+        # generation early; the response paths do their own independent
+        # clipping, so correctness never depends on this scan's timing
+        self._stop_watch: dict[int, list] = {}
         self._shutdown = False
         self._thread = threading.Thread(target=self._scheduler, daemon=True)
         self._thread.start()
 
     # -- scheduling ---------------------------------------------------------
 
+    def _scan_stop_watch(self):
+        for rid, entry in list(self._stop_watch.items()):
+            req, decoder, mon, scanned = entry
+            if req.finished:
+                del self._stop_watch[rid]
+                continue
+            tokens = list(req.tokens)
+            hit = False
+            for t in tokens[scanned:]:
+                delta = decoder.push(t)
+                if delta and mon.push(delta)[1]:
+                    hit = True
+                    break
+            entry[3] = len(tokens)
+            if hit:
+                self.engine.cancel(req, "stop")
+                del self._stop_watch[rid]
+
     def _scheduler(self):
         while not self._shutdown:
             with self._lock:
                 busy = self.engine.step()
+                self._scan_stop_watch()
                 for rid, ev in list(self._events.items()):
                     req = self._requests.get(rid)
                     if req is not None and req.finished:
@@ -137,9 +161,14 @@ class BatchedChatServer:
         messages = body.get("messages", [])
         max_tokens = body.get("max_tokens") or body.get("max_completion_tokens") or 512
         stream = bool(body.get("stream", False))
-        from .common import sampling_from_request, tools_from_request
+        from .common import (
+            sampling_from_request,
+            stops_from_request,
+            tools_from_request,
+        )
 
         tools = tools_from_request(body)
+        stops = stops_from_request(body)
         text = self.template.render(messages, tools=tools)
         ids = self.tokenizer.encode(text)
         # per-request sampling fields route the engine onto its
@@ -149,6 +178,12 @@ class BatchedChatServer:
         req, done = self.submit(ids, max_tokens, seed=int(body.get("seed", 0)),
                                 grammar=self._grammar_for(body),
                                 sampling=sampling)
+        if stops:
+            from ..sessions.parser import StopStrings
+
+            with self._lock:
+                self._stop_watch[req.id] = [
+                    req, StreamDecoder(self.tokenizer), StopStrings(stops), 0]
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         created = int(time.time())
         base = {"id": rid, "object": "chat.completion.chunk", "created": created,
@@ -158,17 +193,36 @@ class BatchedChatServer:
             done.wait()
             decoder = StreamDecoder(self.tokenizer)
             parser = StreamParser()
+            # independent stop-sequence clip over the full decoded text:
+            # exact char-level truncation regardless of how far generation
+            # ran before the scheduler's early-cancel scan caught up
+            mon = None
+            if stops:
+                from ..sessions.parser import StopStrings
+
+                mon = StopStrings(stops)
+            stopped = False
             for t in req.tokens:
                 delta = decoder.push(t)
-                if delta:
-                    for _ in parser.push(delta):
+                if not delta:
+                    continue
+                if mon is not None:
+                    delta, stopped = mon.push(delta)
+                for _ in parser.push(delta):
+                    pass
+                if stopped:
+                    break
+            if mon is not None and not stopped:
+                tail = mon.finish()
+                if tail:
+                    for _ in parser.push(tail):
                         pass
             for _ in parser.finish():
                 pass
             msg = {"role": "assistant", "content": parser.text}
             if parser.reasoning:
                 msg["reasoning_content"] = parser.reasoning
-            finish = req.finish_reason or "stop"
+            finish = "stop" if stopped else (req.finish_reason or "stop")
             if parser.tool_calls:
                 msg["tool_calls"] = [
                     tc.as_openai(f"call_{i}")
@@ -194,6 +248,12 @@ class BatchedChatServer:
             yield {**base, "choices": [{"index": 0, "delta": {"role": "assistant"}}]}
             decoder = StreamDecoder(self.tokenizer)
             parser = StreamParser()
+            mon = None
+            if stops:
+                from ..sessions.parser import StopStrings
+
+                mon = StopStrings(stops)
+            stopped = False
             n_tool = 0
 
             def as_delta(ev):
@@ -212,21 +272,33 @@ class BatchedChatServer:
                 return d
 
             sent = 0
-            while True:
+            while not stopped:
                 tokens = list(req.tokens)
                 for t in tokens[sent:]:
                     delta = decoder.push(t)
+                    if not delta:
+                        continue
+                    if mon is not None:
+                        delta, stopped = mon.push(delta)
                     if delta:
                         for ev in parser.push(delta):
                             yield {**base, "choices": [{"index": 0,
                                                         "delta": as_delta(ev)}]}
+                    if stopped:
+                        break
                 sent = len(tokens)
                 if req.finished and sent == len(req.tokens):
                     break
                 time.sleep(0.02)
+            if mon is not None and not stopped:
+                tail = mon.finish()
+                if tail:
+                    for ev in parser.push(tail):
+                        yield {**base, "choices": [{"index": 0,
+                                                    "delta": as_delta(ev)}]}
             for ev in parser.finish():
                 yield {**base, "choices": [{"index": 0, "delta": as_delta(ev)}]}
-            finish = req.finish_reason or "stop"
+            finish = "stop" if stopped else (req.finish_reason or "stop")
             if parser.tool_calls:
                 finish = "tool_calls"
             yield {**base, "choices": [{"index": 0, "delta": {},

@@ -46,6 +46,20 @@ def tools_from_request(body: dict):
     raise ValueError("tool_choice is not a recognized value")
 
 
+def stops_from_request(body: dict) -> list:
+    """OpenAI ``stop``: a string or up to 4 strings."""
+    stop = body.get("stop")
+    if stop is None:
+        return []
+    if isinstance(stop, str):
+        stop = [stop]
+    if not isinstance(stop, list) or not all(isinstance(s, str) for s in stop):
+        raise ValueError("stop must be a string or an array of strings")
+    if len(stop) > 4:
+        raise ValueError("stop supports at most 4 sequences")
+    return [s for s in stop if s]
+
+
 def sampling_from_request(body: dict, default):
     """Per-request OpenAI sampling fields over the server defaults."""
     from ..engine.sampling import SamplingParams

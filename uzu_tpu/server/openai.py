@@ -54,10 +54,15 @@ class ChatCompletionServer:
             self.session.model.config.generation_config
         )
         sampling = _sampling_from_request(body, default)
-        from .common import grammar_from_request, tools_from_request
+        from .common import (
+            grammar_from_request,
+            stops_from_request,
+            tools_from_request,
+        )
 
         grammar = grammar_from_request(self.session.tokenizer, body)
         tools = tools_from_request(body)
+        stops = stops_from_request(body) or None
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         created = int(time.time())
 
@@ -67,7 +72,7 @@ class ChatCompletionServer:
             if not stream:
                 reply = self.session.reply(
                     messages, sampling=sampling, max_new_tokens=max_tokens,
-                    grammar=grammar, tools=tools,
+                    grammar=grammar, tools=tools, stop_strings=stops,
                 )
                 msg: dict = {"role": "assistant", "content": reply.text}
                 if reply.reasoning:
@@ -104,7 +109,7 @@ class ChatCompletionServer:
                 n_tool = 0
                 for ev in self.session.stream(
                     messages, sampling=sampling, max_new_tokens=max_tokens,
-                    grammar=grammar, tools=tools,
+                    grammar=grammar, tools=tools, stop_strings=stops,
                 ):
                     if ev.kind == "text":
                         delta = {"content": ev.delta}

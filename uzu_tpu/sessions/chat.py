@@ -128,6 +128,7 @@ class ChatSession:
         seed: int = 0,
         grammar=None,
         tools: list[dict] | None = None,
+        stop_strings: list[str] | None = None,
         _internal_messages: list[dict] | None = None,
     ) -> Iterator[Event]:
         """Yields parse events; final ChatReply available as .last_reply.
@@ -137,7 +138,13 @@ class ChatSession:
         the same way, stream.rs:632-675). Constrained turns run through the
         grammar loop — with the session speculator's chain drafts when it
         is a proposer — and re-prefill the full prompt (the grammar loop
-        does not hand its state back for prefix caching)."""
+        does not hand its state back for prefix caching).
+
+        `stop_strings` (OpenAI ``stop``): generation halts at the first
+        occurrence of any sequence in the RAW decoded text, truncated
+        exactly before it (char-level, via a holdback scanner); the reply
+        finishes with reason "stop". Stop-string turns skip prefix caching
+        (generation breaks mid-stream, so the final state is unknown)."""
         if _internal_messages is None:
             if isinstance(message, str):
                 self.messages.append({"role": "user", "content": message})
@@ -169,6 +176,12 @@ class ChatSession:
         sampling = sampling or SamplingParams.from_generation_config(
             self.model.config.generation_config
         )
+        mon = None
+        if stop_strings:
+            from .parser import StopStrings
+
+            mon = StopStrings(stop_strings)
+        stopped_on_string = False
 
         spec_metrics = None
         if grammar is not None:
@@ -191,11 +204,8 @@ class ChatSession:
                 seed=seed, speculator=spec, metrics=spec_metrics,
             )
             t0 = _time.perf_counter()
-            for tok in gen:
-                generated.append(tok)
-                delta = decoder.push(tok)
-                if delta:
-                    yield from parser.push(delta)
+            stopped_on_string = yield from self._drain_tokens(
+                gen, decoder, parser, generated, mon)
             metrics.decode_seconds = _time.perf_counter() - t0
             yield from parser.finish()
             self._state = None
@@ -212,14 +222,11 @@ class ChatSession:
                 spec_metrics,
             )
             t0 = _time.perf_counter()
-            for tok in gen:
-                generated.append(tok)
-                delta = decoder.push(tok)
-                if delta:
-                    yield from parser.push(delta)
+            stopped_on_string = yield from self._drain_tokens(
+                gen, decoder, parser, generated, mon)
             decode_s = _time.perf_counter() - t0
             yield from parser.finish()
-            final_state = getattr(gen, "state", None)
+            final_state = None if stopped_on_string else getattr(gen, "state", None)
             if final_state is not None:
                 self._state = final_state
                 self._state_tokens = list(tokens) + generated[:-1]
@@ -238,16 +245,19 @@ class ChatSession:
                 seed=seed,
                 metrics=metrics,
             )
-            for tok in gen:
-                generated.append(tok)
-                delta = decoder.push(tok)
-                if delta:
-                    yield from parser.push(delta)
+            stopped_on_string = yield from self._drain_tokens(
+                gen, decoder, parser, generated, mon)
             yield from parser.finish()
-            self._state = gen.state
-            self._state_tokens = list(tokens) + generated[:-1]
+            if stopped_on_string:
+                self._state = None
+                self._state_tokens = []
+            else:
+                self._state = gen.state
+                self._state_tokens = list(tokens) + generated[:-1]
 
         finish = "stop" if generated and generated[-1] in stop_ids else "length"
+        if stopped_on_string:
+            finish = "stop"
         if parser.tool_calls:
             finish = "tool_calls"
         stats = ChatReplyStats(
@@ -266,6 +276,30 @@ class ChatSession:
             finish_reason=finish,
             stats=stats,
         )
+
+    @staticmethod
+    def _drain_tokens(gen, decoder, parser, generated, mon):
+        """Token -> text -> parse-event pipeline shared by the generation
+        branches; returns True when a stop string halted the stream (the
+        StopStrings holdback guarantees nothing past the match was pushed)."""
+        for tok in gen:
+            generated.append(tok)
+            delta = decoder.push(tok)
+            if not delta:
+                continue
+            if mon is None:
+                yield from parser.push(delta)
+                continue
+            release, hit = mon.push(delta)
+            if release:
+                yield from parser.push(release)
+            if hit:
+                return True
+        if mon is not None:
+            tail = mon.finish()
+            if tail:
+                yield from parser.push(tail)
+        return False
 
     def _spec_generate(self, tokens, suffix, max_new_tokens, sampling,
                        stop_ids, seed, spec_metrics):
@@ -296,6 +330,7 @@ class ChatSession:
         seed: int = 0,
         grammar=None,
         tools: list[dict] | None = None,
+        stop_strings: list[str] | None = None,
     ) -> ChatReply:
         """Full reply with the tool-call agent loop (nagare mod.rs:347-400).
         A grammar constrains the model's direct output, which in practice
@@ -304,7 +339,7 @@ class ChatSession:
         to them come back in the reply rather than running the loop."""
         for _ in self.stream(
             message, sampling=sampling, max_new_tokens=max_new_tokens,
-            seed=seed, grammar=grammar, tools=tools,
+            seed=seed, grammar=grammar, tools=tools, stop_strings=stop_strings,
         ):
             pass
         reply = self.last_reply

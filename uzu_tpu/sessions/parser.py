@@ -181,3 +181,45 @@ class StreamParser:
             chunk, self.buffer = self.buffer, ""
             self.reasoning += chunk
             yield Event("reasoning", delta=chunk)
+
+
+class StopStrings:
+    """Incremental stop-sequence scanner with holdback (OpenAI ``stop``).
+
+    push(delta) returns (text safe to emit, hit): while no stop sequence
+    has matched, it releases everything except the last max_len-1 chars (a
+    sequence could still complete across the boundary — the holdback is
+    what makes exact char-level truncation possible without retracting
+    emitted text); on the first match it releases exactly the text BEFORE
+    the sequence and reports the hit. finish() releases the held tail of a
+    stream that ended without matching."""
+
+    def __init__(self, stops):
+        self.stops = [s for s in stops if s]
+        self.hold = max((len(s) for s in self.stops), default=1) - 1
+        self.buf = ""
+        self.emitted = 0
+        self.hit = False
+
+    def push(self, delta: str) -> tuple[str, bool]:
+        if self.hit or not self.stops:
+            return ("" if self.hit else delta), self.hit
+        self.buf += delta
+        idx = min((i for i in (self.buf.find(s) for s in self.stops)
+                   if i >= 0), default=-1)
+        if idx >= 0:
+            release = self.buf[self.emitted:idx]
+            self.emitted = idx
+            self.hit = True
+            return release, True
+        safe = max(self.emitted, len(self.buf) - self.hold)
+        release = self.buf[self.emitted:safe]
+        self.emitted = safe
+        return release, False
+
+    def finish(self) -> str:
+        if self.hit:
+            return ""
+        release = self.buf[self.emitted:]
+        self.emitted = len(self.buf)
+        return release

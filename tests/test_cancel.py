@@ -173,3 +173,71 @@ def test_batched_server_stop_strings(tmp_path_factory):
         assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
     finally:
         srv.shutdown()
+
+
+def test_batched_stream_disconnect_cancels(tmp_path_factory):
+    """Closing the SSE generator mid-stream (client disconnect) cancels the
+    request and frees its slot for the queue."""
+    from uzu_tpu.sessions import Tokenizer
+    from uzu_tpu.server.batched import BatchedChatServer
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path_factory.mktemp("disc_model")),
+                         num_layers=2, model_dim=64, hidden_dim=160,
+                         num_heads=4, num_groups=2, head_dim=16)
+    lm2 = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16,))
+    srv = BatchedChatServer(lm2, Tokenizer(d), batch_size=1)
+    try:
+        gen = srv.handle_chat({"messages": [{"role": "user", "content": "x"}],
+                               "max_tokens": 200, "stream": True,
+                               "stop": ["\x00never"]})
+        next(gen)  # role chunk: request submitted and streaming
+        gen.close()
+        with srv._lock:
+            reqs = [s.request for s in srv.engine.slots] + list(srv.engine.queue)
+        # the slot either already freed or the request is finished=cancelled
+        out = srv.handle_chat({"messages": [{"role": "user", "content": "y"}],
+                               "max_tokens": 4})
+        assert out["usage"]["completion_tokens"] > 0  # slot reusable
+    finally:
+        srv.shutdown()
+
+
+def test_single_server_concurrent_streams_serialized(tmp_path_factory):
+    """Two concurrent STREAMING requests must not interleave the shared
+    ChatSession (the generator body holds the session lock): each stream's
+    text equals its serial run."""
+    import threading
+
+    from uzu_tpu.server.openai import ChatCompletionServer
+    from uzu_tpu.sessions import Tokenizer
+    from uzu_tpu.sessions.chat import ChatSession
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path_factory.mktemp("ser_model")),
+                         num_layers=2, model_dim=64, hidden_dim=160,
+                         num_heads=4, num_groups=2, head_dim=16)
+    lm2 = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16,))
+    tok = Tokenizer(d)
+    srv = ChatCompletionServer(ChatSession(lm2, tok))
+
+    def run_stream(content, out):
+        gen = srv.handle_chat({"messages": [{"role": "user", "content": content}],
+                               "max_tokens": 12, "stream": True})
+        out.append("".join(c["choices"][0]["delta"].get("content", "")
+                           for c in gen))
+
+    serial = {}
+    for content in ("alpha", "beta"):
+        box = []
+        run_stream(content, box)
+        serial[content] = box[0]
+    boxes = {c: [] for c in ("alpha", "beta")}
+    threads = [threading.Thread(target=run_stream, args=(c, boxes[c]))
+               for c in boxes]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for c in boxes:
+        assert boxes[c][0] == serial[c], c

@@ -245,6 +245,16 @@ class BatchedChatServer:
             }
 
         def chunks():
+            try:
+                yield from chunk_body()
+            finally:
+                # a closed generator (client disconnected mid-stream) stops
+                # wasting decode on the abandoned request
+                if not req.finished:
+                    with self._lock:
+                        self.engine.cancel(req, "cancelled")
+
+        def chunk_body():
             yield {**base, "choices": [{"index": 0, "delta": {"role": "assistant"}}]}
             decoder = StreamDecoder(self.tokenizer)
             parser = StreamParser()
@@ -355,10 +365,13 @@ def make_handler(server: BatchedChatServer):
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.end_headers()
-            for chunk in result:
-                self.wfile.write(b"data: " + json.dumps(chunk).encode() + b"\n\n")
-                self.wfile.flush()
-            self.wfile.write(b"data: [DONE]\n\n")
+            try:
+                for chunk in result:
+                    self.wfile.write(b"data: " + json.dumps(chunk).encode() + b"\n\n")
+                    self.wfile.flush()
+                self.wfile.write(b"data: [DONE]\n\n")
+            except (BrokenPipeError, ConnectionResetError):
+                result.close()  # cancels the abandoned request
 
     return Handler
 

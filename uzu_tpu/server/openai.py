@@ -66,10 +66,10 @@ class ChatCompletionServer:
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         created = int(time.time())
 
-        with self.lock:
-            # stateless API: reset and replay the full message list
-            self.session.reset()
-            if not stream:
+        if not stream:
+            with self.lock:
+                # stateless API: reset and replay the full message list
+                self.session.reset()
                 reply = self.session.reply(
                     messages, sampling=sampling, max_new_tokens=max_tokens,
                     grammar=grammar, tools=tools, stop_strings=stops,
@@ -98,15 +98,22 @@ class ChatCompletionServer:
                     },
                 }
 
-            def chunks():
-                base = {
-                    "id": rid,
-                    "object": "chat.completion.chunk",
-                    "created": created,
-                    "model": self.model_name,
-                }
-                yield {**base, "choices": [{"index": 0, "delta": {"role": "assistant"}}]}
-                n_tool = 0
+        def chunks():
+            base = {
+                "id": rid,
+                "object": "chat.completion.chunk",
+                "created": created,
+                "model": self.model_name,
+            }
+            yield {**base, "choices": [{"index": 0, "delta": {"role": "assistant"}}]}
+            n_tool = 0
+            # the session is exclusive for the WHOLE stream: the generator
+            # body (not handle_chat) must hold the lock, or two concurrent
+            # streaming requests would interleave one session's state. A
+            # closed generator (client disconnect) exits here and releases
+            # it; the in-flight decode stops with the inner generator.
+            with self.lock:
+                self.session.reset()
                 for ev in self.session.stream(
                     messages, sampling=sampling, max_new_tokens=max_tokens,
                     grammar=grammar, tools=tools, stop_strings=stops,
@@ -133,14 +140,14 @@ class ChatCompletionServer:
                         n_tool += 1
                     yield {**base, "choices": [{"index": 0, "delta": delta}]}
                 reply = self.session.last_reply
-                yield {
-                    **base,
-                    "choices": [
-                        {"index": 0, "delta": {}, "finish_reason": reply.finish_reason}
-                    ],
-                }
+            yield {
+                **base,
+                "choices": [
+                    {"index": 0, "delta": {}, "finish_reason": reply.finish_reason}
+                ],
+            }
 
-            return chunks()
+        return chunks()
 
 
 def make_handler(server: ChatCompletionServer):
@@ -189,10 +196,13 @@ def make_handler(server: ChatCompletionServer):
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
-            for chunk in result:
-                self.wfile.write(b"data: " + json.dumps(chunk).encode() + b"\n\n")
-                self.wfile.flush()
-            self.wfile.write(b"data: [DONE]\n\n")
+            try:
+                for chunk in result:
+                    self.wfile.write(b"data: " + json.dumps(chunk).encode() + b"\n\n")
+                    self.wfile.flush()
+                self.wfile.write(b"data: [DONE]\n\n")
+            except (BrokenPipeError, ConnectionResetError):
+                result.close()  # stops the in-flight generation + frees the session
 
     return Handler
 

@@ -58,6 +58,12 @@ class Request:
     # executable serves every parameter combination (sampling.sample_dynamic
     # is pinned token-exact against the static pipeline)
     sampling: Optional[SamplingParams] = None
+    # OpenAI logprobs: number of top alternatives to report per emitted
+    # token (0 = off). Logprobs are log-softmax of the RAW model logits
+    # (pre-temperature/masking), the convention OpenAI-compatible servers
+    # use. Filled as [(token_logprob, [(alt_id, alt_logprob), ...]), ...]
+    logprobs: int = 0
+    logprob_content: list = dataclasses.field(default_factory=list)
     # filled by the engine:
     tokens: list[int] = dataclasses.field(default_factory=list)
     finished: bool = False
@@ -193,7 +199,7 @@ class BatchEngine:
         return self._insert_cache["fn"]
 
     def _admit_fn(self, bucket: int, ctx_bucket=None, masked: bool = False,
-                  dynamic: bool = False):
+                  dynamic: bool = False, logprobs: int = 0):
         """Fused admission: fresh state + prefill chunk + first-token sample
         + slot insert in ONE donated dispatch (the multi-dispatch path costs
         ~50 ms of launch overhead per admission on a remote-tunnel chip).
@@ -203,7 +209,7 @@ class BatchEngine:
         row (separate cache keys, so default serving keeps its existing
         executables byte-identical)."""
         key = (self.sampling, bucket, self.batch_size, ctx_bucket, masked,
-               dynamic)
+               dynamic, logprobs)
         cache = self.lm.__dict__.setdefault("_batch_admit_jit", {})
         if key not in cache:
             lm = self.lm
@@ -240,6 +246,11 @@ class BatchEngine:
                         b, s.astype(b.dtype), slot_i, axis=0
                     )
 
+                first_pack = (first,)
+                if logprobs:
+                    lp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
+                    top_v, top_i = jax.lax.top_k(lp, logprobs)
+                    first_pack = (first, lp[first], top_v, top_i)
                 return (
                     jax.tree.map(put, batch_state, fresh),
                     jax.lax.dynamic_update_index_in_dim(tokens_v, first, slot_i, 0),
@@ -247,18 +258,21 @@ class BatchEngine:
                         halted_v, jnp.asarray(False), slot_i, 0
                     ),
                     jax.lax.dynamic_update_index_in_dim(remaining_v, remaining0, slot_i, 0),
-                    first,
+                    first_pack,
                 )
 
             cache[key] = admit
         return cache[key]
 
-    def _decode_fn(self, k: int, ctx_bucket=None, dynamic: bool = False):
+    def _decode_fn(self, k: int, ctx_bucket=None, dynamic: bool = False,
+                   logprobs: int = 0):
         """`dynamic` samples with per-slot traced parameters ([B, 4]
         temperature/top_k/top_p/min_p rows) instead of the engine-static
-        SamplingParams — one executable serves every request combination."""
+        SamplingParams — one executable serves every request combination.
+        `logprobs` > 0 additionally emits, per step, the sampled token's
+        raw-logit log-softmax and the top-`logprobs` alternatives."""
         key = (self.sampling, k, self.stop_ids, self.batch_size, ctx_bucket,
-               dynamic)
+               dynamic, logprobs)
         if key not in self._decode_jit:
             cfg = self.lm.decoder_config
             sampling = self.sampling
@@ -279,13 +293,18 @@ class BatchEngine:
                 else:
                     nxt = sample(logits[0], sampling, key=key_t)
                 nxt = jnp.where(halted, token, nxt)
+                extra = ()
+                if logprobs:
+                    lp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
+                    top_v, top_i = jax.lax.top_k(lp, logprobs)
+                    extra = (lp[nxt], top_v, top_i)
                 remaining = remaining - jnp.where(halted, 0, 1)
                 if stop_arr is not None:
                     halted = halted | jnp.any(nxt == stop_arr)
                 # device-side budget/context halt mirrors the host's finish
                 # conditions so an in-flight chunk can't overrun them
                 halted = halted | (remaining <= 0) | (state["pos"] >= ctx_last)
-                return state, nxt, halted, remaining
+                return (state, nxt, halted, remaining) + extra
 
             @partial(jax.jit, donate_argnums=(1,))
             def decode_k(params, state, tokens, halted, remaining, keys,
@@ -298,16 +317,19 @@ class BatchEngine:
 
                 def body(carry, keys_t):
                     state, tokens, halted, remaining = carry
-                    state, tokens, halted, remaining = jax.vmap(
+                    out = jax.vmap(
                         lambda s, t, h, r, kk, sp: one_step(
                             params, s, t, h, r, kk, sp)
                     )(state, tokens, halted, remaining, keys_t, samp)
-                    return (state, tokens, halted, remaining), tokens
+                    state, tokens, halted, remaining = out[:4]
+                    emit = (tokens,) + out[4:]
+                    return (state, tokens, halted, remaining), emit
 
                 (state, tokens, halted, remaining), emitted = jax.lax.scan(
                     body, (state, tokens, halted, remaining), keys
                 )
-                return state, tokens, halted, remaining, emitted  # emitted [K, B]
+                # emitted: (tokens [K, B][, lp [K, B], top_v/top_i [K, B, n]])
+                return state, tokens, halted, remaining, emitted
 
             self._decode_jit[key] = decode_k
         return self._decode_jit[key]
@@ -315,7 +337,10 @@ class BatchEngine:
     # -- public API ---------------------------------------------------------
 
     def submit(self, prompt, max_new_tokens: int, seed: int = 0,
-               grammar=None, sampling: SamplingParams | None = None) -> Request:
+               grammar=None, sampling: SamplingParams | None = None,
+               logprobs: int = 0) -> Request:
+        if not 0 <= logprobs <= 20:
+            raise ValueError("logprobs must be in [0, 20]")
         if grammar is not None:
             if not self.supports_grammar:
                 raise ValueError(
@@ -336,6 +361,7 @@ class BatchEngine:
             seed=seed,
             grammar=grammar,
             sampling=sampling,
+            logprobs=logprobs,
             submitted_at=time.perf_counter(),
         )
         self.queue.append(req)
@@ -419,17 +445,19 @@ class BatchEngine:
         mask = self._grammar_first_mask(req)
         admit = self._admit_fn(bucket, self.lm._ctx_bucket(bucket),
                                masked=mask is not None,
-                               dynamic=req.sampling is not None)
+                               dynamic=req.sampling is not None,
+                               logprobs=req.logprobs)
         extra = () if mask is None else (jnp.asarray(mask),)
         if req.sampling is not None:
             extra += (jnp.asarray(pack_dynamic(req.sampling), jnp.float32),)
         (self._state, self._tokens, self._halted, self._remaining,
-         first) = admit(
+         first_pack) = admit(
             self.lm.params, self._state, self._tokens, self._halted,
             self._remaining, jnp.asarray(chunk), np.int32(n),
             np.uint32(req.seed), remaining0, np.int32(slot_i), *extra,
         )
-        self._finish_admission(slot_i, req, first)
+        self._finish_admission(
+            slot_i, req, first_pack if req.logprobs else first_pack[0])
         return True
 
     def _admit_advance_long(self) -> bool:
@@ -454,11 +482,13 @@ class BatchEngine:
         mask = self._grammar_first_mask(req)
         dyn = req.sampling is not None
         fs = self.lm._first_sample_fn(self.sampling, False,
-                                      masked=mask is not None, dynamic=dyn)
+                                      masked=mask is not None, dynamic=dyn,
+                                      logprobs=req.logprobs)
         extra = () if mask is None else (jnp.asarray(mask),)
         if dyn:
             extra += (jnp.asarray(pack_dynamic(req.sampling), jnp.float32),)
-        first = fs(logits, np.uint32(req.seed), *extra)
+        first_pack = fs(logits, np.uint32(req.seed), *extra)
+        first = first_pack[0] if req.logprobs else first_pack
         insert = self._insert_fn()
         remaining0 = np.int32(max(0, req.max_new_tokens - 1))
         self._state, self._tokens, self._halted, self._remaining = insert(
@@ -466,7 +496,8 @@ class BatchEngine:
             self._tokens, self._halted, self._remaining,
             jnp.asarray(remaining0), slot_i,
         )
-        self._finish_admission(slot_i, req, first)
+        self._finish_admission(slot_i, req,
+                               first_pack if req.logprobs else first)
         return True
 
     def _finish_admission(self, slot_i: int, req: Request, first) -> None:
@@ -509,8 +540,10 @@ class BatchEngine:
         # the in-flight chunk the mirror has not processed yet (pipelining)
         max_pos = max((s.pos for s in self.slots if not s.free), default=0)
         dynamic = self._dynamic_now()
+        n_lp = max((s.request.logprobs for s in self.slots if not s.free),
+                   default=0)
         decode = self._decode_fn(k, self.lm._ctx_bucket(max_pos + 2 * k + 1),
-                                 dynamic=dynamic)
+                                 dynamic=dynamic, logprobs=n_lp)
         extra = (jnp.asarray(self._samp),) if dynamic else ()
         self._state, self._tokens, self._halted, self._remaining, emitted = decode(
             self.lm.params, self._state, self._tokens, self._halted,
@@ -524,14 +557,25 @@ class BatchEngine:
                 slot.pending_first = None
         return emitted, snapshot
 
+    @staticmethod
+    def _lp_entry(lp_pack, s, b):
+        """(token_logprob, [(alt_id, alt_logprob), ...]) from fetched
+        logprob arrays at step s, slot b — None when logprobs are off."""
+        if lp_pack is None:
+            return None
+        lp, top_v, top_i = lp_pack
+        return (float(lp[s, b]),
+                [(int(i), float(v)) for i, v in zip(top_i[s, b], top_v[s, b])])
+
     def _process_emitted(self, emitted, snapshot):
         """Fetch a dispatched chunk's tokens (and any admitted-but-unfetched
         first tokens) in ONE device_get, then route them to requests. Finish
         detection mirrors the device-side halt conditions exactly, so the
         host can lag one chunk behind without divergence."""
         firsts = {b: f for b, (_, f) in snapshot.items() if f is not None}
-        vals, first_vals = jax.device_get((emitted, firsts))
-        vals = np.asarray(vals)  # [K, B]
+        fetched, first_vals = jax.device_get((emitted, firsts))
+        vals = np.asarray(fetched[0])  # [K, B]
+        lp_pack = fetched[1:] if len(fetched) > 1 else None
         k = vals.shape[0]
         for b, (req, _) in snapshot.items():
             if req is None or req.finished:
@@ -539,12 +583,23 @@ class BatchEngine:
             slot = self.slots[b]
             stream = []
             if b in first_vals:
-                stream.append((int(first_vals[b]), 0))  # prefill token: pos
-                # already advanced past the prompt at admission
+                fv = first_vals[b]
+                if isinstance(fv, tuple):  # (token, lp, top_v, top_i)
+                    stream.append((int(fv[0]), 0, (
+                        float(fv[1]),
+                        [(int(i), float(v)) for i, v in zip(fv[3], fv[2])],
+                    )))
+                else:
+                    stream.append((int(fv), 0, None))
                 req.first_token_at = time.perf_counter()
-            stream.extend((int(vals[s, b]), 1) for s in range(k))
-            for v, adv in stream:
+            stream.extend(
+                (int(vals[s, b]), 1, self._lp_entry(lp_pack, s, b))
+                for s in range(k)
+            )
+            for v, adv, lpe in stream:
                 req.tokens.append(v)
+                if req.logprobs and lpe is not None:
+                    req.logprob_content.append(lpe)
                 slot.produced += 1
                 slot.pos += adv
                 if v in self.stop_ids:

@@ -105,7 +105,15 @@ class _SpecScheduling:
             req = slot.request
             slot.pending_first = None
             req.first_token_at = time.perf_counter()
-            tok = int(v)
+            if isinstance(v, tuple):  # (token, lp, top_v, top_i)
+                tok = int(v[0])
+                if req.logprobs:
+                    req.logprob_content.append((
+                        float(v[1]),
+                        [(int(i), float(x)) for i, x in zip(v[3], v[2])],
+                    ))
+            else:
+                tok = int(v)
             req.tokens.append(tok)
             slot.produced += 1
             if tok in self.stop_ids:
@@ -180,7 +188,7 @@ class _SpecScheduling:
             ).astype(np.uint32)
         return keys
 
-    def _route_round(self, tracked, vals, commits, draft_len):
+    def _route_round(self, tracked, vals, commits, draft_len, lp_pack=None):
         """Route one fetched round's committed tokens to requests; finish
         detection mirrors the device-side halt conditions."""
         for b, req in tracked.items():
@@ -192,8 +200,15 @@ class _SpecScheduling:
             self.metrics.num_tokens_proposed += int(draft_len[b])
             self.metrics.num_tokens_accepted += max(0, c - 1)
             slot.pos += c
-            for v in (int(x) for x in vals[b, :c]):
+            for j, v in enumerate(int(x) for x in vals[b, :c]):
                 req.tokens.append(v)
+                if req.logprobs and lp_pack is not None:
+                    lp, top_v, top_i = lp_pack
+                    req.logprob_content.append((
+                        float(lp[b, j]),
+                        [(int(i), float(x))
+                         for i, x in zip(top_i[b, j], top_v[b, j])],
+                    ))
                 slot.produced += 1
                 if v in self.stop_ids:
                     self._finish(b, "stop")
@@ -252,14 +267,15 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
     # -- jitted verify ------------------------------------------------------
 
     def _verify_fn(self, m: int, ctx_bucket=None, masked: bool = False,
-                   dynamic: bool = False):
+                   dynamic: bool = False, logprobs: int = 0):
         """m draft rows + 1 root row per slot, one donated dispatch.
         `masked` adds per-row grammar bitmasks [B, m+1, V] and a per-slot
         host-draft override flag (grammar slots keep host chains even in
         ``draft_layers`` mode); `dynamic` adds per-slot sampling-parameter
-        rows [B, 4]; the default executable is untouched."""
+        rows [B, 4]; `logprobs` > 0 emits per-row raw-logit logprobs + the
+        top alternatives; the default executable is untouched."""
         key = (self.sampling, m, self.stop_ids, self.batch_size, ctx_bucket,
-               self.draft_layers, masked, dynamic)
+               self.draft_layers, masked, dynamic, logprobs)
         if key not in self._verify_jit:
             cfg = self.lm.decoder_config
             sampling = self.sampling
@@ -338,7 +354,14 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
                 if stop_arr is not None:
                     stopped = jnp.any(is_stop & (rows < commit))
                 halted = halted | stopped | (remaining <= 0) | (new_state["pos"] >= ctx_last)
-                return new_state, nxt, halted, remaining, sampled, commit
+                out = (new_state, nxt, halted, remaining, sampled, commit)
+                if logprobs:
+                    lp_rows = jax.nn.log_softmax(logits.astype(jnp.float32))
+                    top_v, top_i = jax.lax.top_k(lp_rows, logprobs)
+                    tok_lp = jnp.take_along_axis(
+                        lp_rows, sampled[:, None], axis=1)[:, 0]
+                    out += (tok_lp, top_v, top_i)
+                return out
 
             @partial(jax.jit, donate_argnums=(1,))
             def verify_b(params, state, tokens, drafts, draft_len, halted,
@@ -392,20 +415,25 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
         keys = self._spec_keys(tracked, m)
         max_pos = max((s.pos for s in self.slots if not s.free), default=0)
         dynamic = self._dynamic_now()
+        n_lp = max((s.request.logprobs for s in self.slots if not s.free),
+                   default=0)
         verify = self._verify_fn(m, self.lm._ctx_bucket(max_pos + m + 2),
-                                 masked=masks is not None, dynamic=dynamic)
+                                 masked=masks is not None, dynamic=dynamic,
+                                 logprobs=n_lp)
         extra = () if masks is None else (jnp.asarray(masks),
                                           jnp.asarray(host_draft))
         if dynamic:
             extra += (jnp.asarray(self._samp),)
         (self._state, self._tokens, self._halted, self._remaining,
-         sampled, commit) = verify(
+         sampled, commit, *lp) = verify(
             self.lm.params, self._state, self._tokens, jnp.asarray(drafts),
             jnp.asarray(draft_len), self._halted, self._remaining,
             jnp.asarray(keys), *extra,
         )
-        vals, commits = jax.device_get((sampled, commit))
-        self._route_round(tracked, np.asarray(vals), commits, draft_len)
+        vals, commits, lp_pack = jax.device_get(
+            (sampled, commit, tuple(lp) or None))
+        self._route_round(tracked, np.asarray(vals), commits, draft_len,
+                          lp_pack)
 
 
 class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
@@ -425,9 +453,9 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
         self._init_spec(lm, draft_block, make_speculator, draft_layers)
 
     def _verify_fn(self, m: int, ctx_pages: int, masked: bool = False,
-                   dynamic: bool = False):
+                   dynamic: bool = False, logprobs: int = 0):
         key = ("spec_verify", m, self.sampling, self.stop_ids, self._geom,
-               ctx_pages, self.draft_layers, masked, dynamic)
+               ctx_pages, self.draft_layers, masked, dynamic, logprobs)
         if key not in self._jit:
             from ..models.paged_decode import paged_decode_step, paged_verify_step
 
@@ -526,7 +554,14 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
                 if stop_arr is not None:
                     stopped = jnp.any(is_stop & (rows < commit[:, None]), axis=1)
                 halted = halted | stopped | (remaining <= 0) | (positions >= max_pos)
-                return pools, nxt, positions, halted, remaining, sampled, commit
+                out = (pools, nxt, positions, halted, remaining, sampled, commit)
+                if logprobs:
+                    lp_rows = jax.nn.log_softmax(logits.astype(jnp.float32))
+                    top_v, top_i = jax.lax.top_k(lp_rows, logprobs)
+                    tok_lp = jnp.take_along_axis(
+                        lp_rows, sampled[:, :, None], axis=2)[:, :, 0]
+                    out += (tok_lp, top_v, top_i)
+                return out
 
             self._jit[key] = verify
         return self._jit[key]
@@ -573,17 +608,22 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
         max_pos = max((s.pos for s in self.slots if not s.free), default=0)
         dynamic = any(self._samp_custom[b] for b, s in enumerate(self.slots)
                       if not s.free)
+        n_lp = max((s.request.logprobs for s in self.slots if not s.free),
+                   default=0)
         verify = self._verify_fn(m, self._ctx_pages(max_pos + m + 2),
-                                 masked=masks is not None, dynamic=dynamic)
+                                 masked=masks is not None, dynamic=dynamic,
+                                 logprobs=n_lp)
         extra = () if masks is None else (jnp.asarray(masks),
                                           jnp.asarray(host_draft))
         if dynamic:
             extra += (jnp.asarray(self._samp),)
         (self.pools, self._tokens, self._positions, self._halted,
-         self._remaining, sampled, commit) = verify(
+         self._remaining, sampled, commit, *lp) = verify(
             self.lm.params, self.pools, self._tokens, jnp.asarray(drafts),
             jnp.asarray(draft_len), self._positions, self._halted,
             self._remaining, jnp.asarray(tables_s), jnp.asarray(keys), *extra,
         )
-        vals, commits = jax.device_get((sampled, commit))
-        self._route_round(tracked, np.asarray(vals), commits, draft_len)
+        vals, commits, lp_pack = jax.device_get(
+            (sampled, commit, tuple(lp) or None))
+        self._route_round(tracked, np.asarray(vals), commits, draft_len,
+                          lp_pack)

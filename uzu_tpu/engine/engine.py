@@ -303,26 +303,26 @@ class LanguageModel:
         return self._decode_jit[cache_key]
 
     def _first_sample_fn(self, sampling: SamplingParams, has_ring: bool,
-                         masked: bool = False, dynamic: bool = False):
+                         masked: bool = False, dynamic: bool = False,
+                         logprobs: int = 0):
         """Jitted first-token sample (prefill logits -> token). Eager sample()
         is ~10 op-by-op dispatches — pure launch overhead on a remote chip.
         `masked` appends a grammar bitmask argument, `dynamic` a per-request
-        sampling-parameter row [4] (separate cache entries so default paths
-        keep their existing executables)."""
+        sampling-parameter row [4], `logprobs` > 0 returns (token, logprob,
+        top values, top ids) instead of the bare token (separate cache
+        entries so default paths keep their existing executables)."""
         cache = self.__dict__.setdefault("_first_sample_jit", {})
-        key = (sampling, has_ring, masked, dynamic)
+        key = (sampling, has_ring, masked, dynamic, logprobs)
         if key not in cache:
             if has_ring:
 
-                @jax.jit
-                def fs(logits, seed, ring):
+                def pick(logits, seed, ring):
                     return sample(logits, sampling, key=jax.random.PRNGKey(seed), ring=ring)
 
             elif dynamic:
                 from .sampling import sample_dynamic
 
-                @jax.jit
-                def fs(logits, seed, *extra):
+                def pick(logits, seed, *extra):
                     mask = extra[0] if masked else None
                     samp = extra[1 if masked else 0]
                     return sample_dynamic(
@@ -333,16 +333,26 @@ class LanguageModel:
 
             elif masked:
 
-                @jax.jit
-                def fs(logits, seed, mask):
+                def pick(logits, seed, mask):
                     return sample(logits, sampling, key=jax.random.PRNGKey(seed),
                                   bitmask=mask)
 
             else:
 
-                @jax.jit
-                def fs(logits, seed):
+                def pick(logits, seed):
                     return sample(logits, sampling, key=jax.random.PRNGKey(seed))
+
+            if logprobs:
+
+                @jax.jit
+                def fs(logits, seed, *extra):
+                    tok = pick(logits, seed, *extra)
+                    lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+                    top_v, top_i = jax.lax.top_k(lp, logprobs)
+                    return tok, lp[tok], top_v, top_i
+
+            else:
+                fs = jax.jit(pick)
 
             cache[key] = fs
         return cache[key]

@@ -149,8 +149,9 @@ class PagedBatchEngine:
             self._jit[key] = prefill
         return self._jit[key]
 
-    def _decode_fn(self, k: int, dynamic: bool = False):
-        key = ("decode", k, self.sampling, self.stop_ids, self._geom, dynamic)
+    def _decode_fn(self, k: int, dynamic: bool = False, logprobs: int = 0):
+        key = ("decode", k, self.sampling, self.stop_ids, self._geom, dynamic,
+               logprobs)
         if key not in self._jit:
             cfg = self.lm.decoder_config
             sampling = self.sampling
@@ -176,6 +177,13 @@ class PagedBatchEngine:
                         nxt = jax.vmap(lambda l, kk: sample(l, sampling, key=kk))(
                             logits, key_t)
                     nxt = jnp.where(halted, tokens, nxt)
+                    emit = (nxt,)
+                    if logprobs:
+                        lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+                        top_v, top_i = jax.lax.top_k(lp, logprobs)
+                        tok_lp = jnp.take_along_axis(
+                            lp, nxt[:, None], axis=1)[:, 0]
+                        emit = (nxt, tok_lp, top_v, top_i)
                     remaining = remaining - jnp.where(halted, 0, 1)
                     if stop_arr is not None:
                         halted = halted | jnp.any(
@@ -185,7 +193,7 @@ class PagedBatchEngine:
                     # finish conditions so an in-flight chunk can't overrun
                     # them while the host lags one chunk (pipelining)
                     halted = halted | (positions >= max_pos) | (remaining <= 0)
-                    return (pools, nxt, positions, halted, remaining), nxt
+                    return (pools, nxt, positions, halted, remaining), emit
 
                 (pools, tokens, positions, halted, remaining), emitted = jax.lax.scan(
                     body, (pools, tokens, positions, halted, remaining),
@@ -201,9 +209,12 @@ class PagedBatchEngine:
     supports_grammar = False
 
     def submit(self, prompt, max_new_tokens: int, seed: int = 0,
-               grammar=None, sampling: SamplingParams | None = None) -> Request:
+               grammar=None, sampling: SamplingParams | None = None,
+               logprobs: int = 0) -> Request:
         import time
 
+        if not 0 <= logprobs <= 20:
+            raise ValueError("logprobs must be in [0, 20]")
         if grammar is not None:
             if not self.supports_grammar:
                 raise ValueError(
@@ -219,7 +230,7 @@ class PagedBatchEngine:
         BatchEngine._check_sampling_override(sampling)
         req = Request(id=self._next_id, prompt=[int(t) for t in prompt],
                       max_new_tokens=max_new_tokens, seed=seed,
-                      grammar=grammar, sampling=sampling,
+                      grammar=grammar, sampling=sampling, logprobs=logprobs,
                       submitted_at=time.perf_counter())
         self._next_id += 1
         self.queue.append(req)
@@ -336,11 +347,13 @@ class PagedBatchEngine:
                 mask = _pad_mask(m, self.lm.decoder_config.vocab_size)
         dyn = req.sampling is not None
         fs = self.lm._first_sample_fn(self.sampling, False,
-                                      masked=mask is not None, dynamic=dyn)
+                                      masked=mask is not None, dynamic=dyn,
+                                      logprobs=req.logprobs)
         extra = () if mask is None else (jnp.asarray(mask),)
         if dyn:
             extra += (jnp.asarray(pack_dynamic(req.sampling), jnp.float32),)
-        first = fs(logits, np.uint32(req.seed), *extra)
+        first_pack = fs(logits, np.uint32(req.seed), *extra)
+        first = first_pack[0] if req.logprobs else first_pack
         self._slot_prompts[slot_i] = list(req.prompt)
         self._tokens = self._tokens.at[slot_i].set(first)
         self._positions = self._positions.at[slot_i].set(n)
@@ -353,7 +366,7 @@ class PagedBatchEngine:
         slot.request = req
         slot.produced = 0
         slot.pos = n
-        slot.pending_first = first
+        slot.pending_first = first_pack if req.logprobs else first
         self._seeds[slot_i] = req.seed ^ 0xBA7C
         self._steps[slot_i] = 0
         sp = req.sampling if req.sampling is not None else self.sampling
@@ -395,6 +408,7 @@ class PagedBatchEngine:
         slot = self.slots[slot_i]
         req = slot.request
         req.tokens = []
+        req.logprob_content = []
         req.preempted += 1
         if req.grammar is not None:
             # the replayed stream re-observes every token from scratch
@@ -461,7 +475,9 @@ class PagedBatchEngine:
             ).astype(np.uint32)
         dynamic = any(self._samp_custom[b] for b, s in enumerate(self.slots)
                       if not s.free)
-        decode = self._decode_fn(k, dynamic=dynamic)
+        n_lp = max((s.request.logprobs for s in self.slots if not s.free),
+                   default=0)
+        decode = self._decode_fn(k, dynamic=dynamic, logprobs=n_lp)
         extra = (jnp.asarray(self._samp),) if dynamic else ()
         (self.pools, self._tokens, self._positions, self._halted,
          self._remaining, emitted) = decode(
@@ -487,8 +503,9 @@ class PagedBatchEngine:
         import time
 
         firsts = {b: f for b, (_, f, _) in snapshot.items() if f is not None}
-        vals, first_vals = jax.device_get((emitted, firsts))
-        vals = np.asarray(vals)  # [K, B]
+        fetched, first_vals = jax.device_get((emitted, firsts))
+        vals = np.asarray(fetched[0])  # [K, B]
+        lp_pack = fetched[1:] if len(fetched) > 1 else None
         k = vals.shape[0]
         for b, (req, _, preempted) in snapshot.items():
             if req is None or req.finished or req.preempted != preempted:
@@ -496,11 +513,25 @@ class PagedBatchEngine:
             slot = self.slots[b]
             stream = []
             if b in first_vals:
-                stream.append((int(first_vals[b]), 0))  # pos set at admission
+                fv = first_vals[b]
+                if isinstance(fv, tuple):  # (token, lp, top_v, top_i)
+                    stream.append((int(fv[0]), 0, (
+                        float(fv[1]),
+                        [(int(i), float(v)) for i, v in zip(fv[3], fv[2])],
+                    )))
+                else:
+                    stream.append((int(fv), 0, None))
                 req.first_token_at = time.perf_counter()
-            stream.extend((int(vals[s, b]), 1) for s in range(k))
-            for v, adv in stream:
+            from .batch import BatchEngine
+
+            stream.extend(
+                (int(vals[s, b]), 1, BatchEngine._lp_entry(lp_pack, s, b))
+                for s in range(k)
+            )
+            for v, adv, lpe in stream:
                 req.tokens.append(v)
+                if req.logprobs and lpe is not None:
+                    req.logprob_content.append(lpe)
                 slot.produced += 1
                 slot.pos += adv
                 if v in self.stop_ids:

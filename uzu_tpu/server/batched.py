@@ -133,10 +133,11 @@ class BatchedChatServer:
                 self._wake.clear()
 
     def submit(self, prompt_ids, max_tokens: int, seed: int = 0, grammar=None,
-               sampling=None):
+               sampling=None, logprobs: int = 0):
         with self._lock:
             req = self.engine.submit(prompt_ids, max_tokens, seed=seed,
-                                     grammar=grammar, sampling=sampling)
+                                     grammar=grammar, sampling=sampling,
+                                     logprobs=logprobs)
             ev = threading.Event()
             self._events[req.id] = ev
             self._requests[req.id] = req
@@ -169,6 +170,11 @@ class BatchedChatServer:
 
         tools = tools_from_request(body)
         stops = stops_from_request(body)
+        n_lp = 0
+        if body.get("logprobs"):
+            n_lp = max(1, int(body.get("top_logprobs") or 0))
+            if stream:
+                raise ValueError("logprobs with stream is not supported")
         text = self.template.render(messages, tools=tools)
         ids = self.tokenizer.encode(text)
         # per-request sampling fields route the engine onto its
@@ -177,7 +183,7 @@ class BatchedChatServer:
         sampling = sampling_from_request(body, self.engine.sampling)
         req, done = self.submit(ids, max_tokens, seed=int(body.get("seed", 0)),
                                 grammar=self._grammar_for(body),
-                                sampling=sampling)
+                                sampling=sampling, logprobs=n_lp)
         if stops:
             from ..sessions.parser import StopStrings
 
@@ -230,13 +236,26 @@ class BatchedChatServer:
                 ]
                 msg["content"] = parser.text or None
                 finish = "tool_calls"
+            choice = {"index": 0, "message": msg, "finish_reason": finish}
+            if req.logprobs:
+                top_n = int(body.get("top_logprobs") or 0)
+                content = []
+                for tok_id, (lp, tops) in zip(req.tokens, req.logprob_content):
+                    entry = {"token": self.tokenizer.decode([tok_id]),
+                             "logprob": lp}
+                    if top_n:
+                        entry["top_logprobs"] = [
+                            {"token": self.tokenizer.decode([i]), "logprob": v}
+                            for i, v in tops[:top_n]
+                        ]
+                    content.append(entry)
+                choice["logprobs"] = {"content": content}
             return {
                 "id": rid,
                 "object": "chat.completion",
                 "created": created,
                 "model": self.model_name,
-                "choices": [{"index": 0, "message": msg,
-                             "finish_reason": finish}],
+                "choices": [choice],
                 "usage": {
                     "prompt_tokens": len(ids),
                     "completion_tokens": len(req.tokens),

@@ -113,3 +113,32 @@ def test_server_logprobs(tmp_path_factory):
             })
     finally:
         srv.shutdown()
+
+
+def test_stream_include_usage(tmp_path_factory):
+    """stream_options.include_usage: a final usage chunk on both servers."""
+    from uzu_tpu.server.batched import BatchedChatServer
+    from uzu_tpu.server.openai import ChatCompletionServer
+    from uzu_tpu.sessions import Tokenizer
+    from uzu_tpu.sessions.chat import ChatSession
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path_factory.mktemp("usage_srv")),
+                         num_layers=2, model_dim=64, hidden_dim=160,
+                         num_heads=4, num_groups=2, head_dim=16)
+    lm2 = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16,))
+    tok = Tokenizer(d)
+    body = {"messages": [{"role": "user", "content": "hi"}], "max_tokens": 6,
+            "stream": True, "stream_options": {"include_usage": True}}
+
+    srv = BatchedChatServer(lm2, tok, batch_size=2)
+    try:
+        chunks = list(srv.handle_chat(dict(body)))
+    finally:
+        srv.shutdown()
+    assert chunks[-1]["usage"]["completion_tokens"] > 0
+    assert chunks[-1]["choices"] == []
+
+    srv2 = ChatCompletionServer(ChatSession(lm2, tok))
+    chunks2 = list(srv2.handle_chat(dict(body)))
+    assert chunks2[-1]["usage"]["completion_tokens"] > 0

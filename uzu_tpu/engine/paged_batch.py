@@ -522,8 +522,6 @@ class PagedBatchEngine:
                 else:
                     stream.append((int(fv), 0, None))
                 req.first_token_at = time.perf_counter()
-            from .batch import BatchEngine
-
             stream.extend(
                 (int(vals[s, b]), 1, BatchEngine._lp_entry(lp_pack, s, b))
                 for s in range(k)

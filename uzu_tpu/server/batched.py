@@ -332,6 +332,12 @@ class BatchedChatServer:
                 finish = "tool_calls"
             yield {**base, "choices": [{"index": 0, "delta": {},
                                         "finish_reason": finish}]}
+            if (body.get("stream_options") or {}).get("include_usage"):
+                yield {**base, "choices": [], "usage": {
+                    "prompt_tokens": len(ids),
+                    "completion_tokens": len(req.tokens),
+                    "total_tokens": len(ids) + len(req.tokens),
+                }}
 
         return chunks()
 

@@ -63,6 +63,9 @@ class ChatCompletionServer:
         grammar = grammar_from_request(self.session.tokenizer, body)
         tools = tools_from_request(body)
         stops = stops_from_request(body) or None
+        if body.get("logprobs"):
+            raise ValueError(
+                "logprobs is served by the batched server (serve --batched)")
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         created = int(time.time())
 
@@ -146,6 +149,13 @@ class ChatCompletionServer:
                     {"index": 0, "delta": {}, "finish_reason": reply.finish_reason}
                 ],
             }
+            if (body.get("stream_options") or {}).get("include_usage"):
+                s = reply.stats
+                yield {**base, "choices": [], "usage": {
+                    "prompt_tokens": s.tokens_count_input,
+                    "completion_tokens": s.tokens_count_output,
+                    "total_tokens": s.tokens_count_input + s.tokens_count_output,
+                }}
 
         return chunks()
 

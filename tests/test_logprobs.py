@@ -142,3 +142,45 @@ def test_stream_include_usage(tmp_path_factory):
     srv2 = ChatCompletionServer(ChatSession(lm2, tok))
     chunks2 = list(srv2.handle_chat(dict(body)))
     assert chunks2[-1]["usage"]["completion_tokens"] > 0
+
+
+def test_single_stream_logprobs(lm, first_ref):
+    """generate_resumable(logprobs=n): one entry per yielded token, greedy
+    argmax consistency, first entry matches the prefill forward."""
+    gen = lm.generate_resumable(None, np.asarray(PROMPT, np.int32), N,
+                                stop_token_ids=[], logprobs=3)
+    toks = list(gen)
+    assert len(gen.logprob_content) == len(toks) == N
+    for tok, (lp, tops) in zip(toks, gen.logprob_content):
+        assert tops[0][0] == tok
+        assert abs(tops[0][1] - lp) < 1e-5
+    assert abs(gen.logprob_content[0][0] - float(first_ref[toks[0]])) < 1e-3
+    # entries match the batch engine's for the same greedy request
+    eng = BatchEngine(lm, batch_size=2, stop_token_ids=[])
+    r = eng.submit(PROMPT, N, logprobs=3)
+    eng.run()
+    for (a, _), (b, _) in zip(gen.logprob_content, r.logprob_content):
+        assert abs(a - b) < 1e-3
+
+
+def test_single_server_logprobs(tmp_path_factory):
+    from uzu_tpu.server.openai import ChatCompletionServer
+    from uzu_tpu.sessions import Tokenizer
+    from uzu_tpu.sessions.chat import ChatSession
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path_factory.mktemp("lp_srv1")),
+                         num_layers=2, model_dim=64, hidden_dim=160,
+                         num_heads=4, num_groups=2, head_dim=16)
+    lm2 = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16,))
+    tok = Tokenizer(d)
+    srv = ChatCompletionServer(ChatSession(lm2, tok))
+    out = srv.handle_chat({
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 8, "logprobs": True, "top_logprobs": 2,
+    })
+    content = out["choices"][0]["logprobs"]["content"]
+    assert 1 <= len(content) <= 8
+    for e in content:
+        assert isinstance(e["token"], str) and e["logprob"] <= 0.0
+        assert len(e["top_logprobs"]) == 2

@@ -251,15 +251,17 @@ class LanguageModel:
         return self._prefill_jit[key]
 
     def _decode_fn(self, sampling: SamplingParams, steps: int, stop_ids: tuple,
-                   ctx_bucket: int | None = None):
+                   ctx_bucket: int | None = None, logprobs: int = 0):
         """K decode steps fused into ONE dispatch via lax.scan, with an
         on-device halt flag: after a stop token every remaining step is an
         identity transition (true_length=0 — pos frozen, recurrent states
         masked, KV writes land in the invisible slot at pos). The host
         fetches K tokens per roundtrip instead of one — the TPU-side
         extension of the reference's chain_copy GPU token forwarding
-        (stream.rs:580-609), sized for dispatch/transfer latency."""
-        cache_key = (sampling, steps, stop_ids, ctx_bucket)
+        (stream.rs:580-609), sized for dispatch/transfer latency.
+        `logprobs` > 0 also emits per-step raw-logit log-softmax of the
+        sampled token + the top alternatives (separate executable)."""
+        cache_key = (sampling, steps, stop_ids, ctx_bucket, logprobs)
         if cache_key not in self._decode_jit:
             stop_arr = jnp.asarray(stop_ids, jnp.int32) if stop_ids else None
 
@@ -277,6 +279,11 @@ class LanguageModel:
                 )
                 next_token = sample(logits[0], sampling, key=key, ring=ring)
                 next_token = jnp.where(halted, token, next_token)
+                emit = (next_token,)
+                if logprobs:
+                    lp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
+                    top_v, top_i = jax.lax.top_k(lp, logprobs)
+                    emit = (next_token, lp[next_token], top_v, top_i)
                 if ring is not None:
                     state["ring"] = jax.tree.map(
                         lambda new, old: jnp.where(halted, old, new),
@@ -285,19 +292,21 @@ class LanguageModel:
                     )
                 if stop_arr is not None:
                     halted = halted | jnp.any(next_token == stop_arr)
-                return state, next_token, halted
+                return state, next_token, halted, emit
 
             @partial(jax.jit, donate_argnums=(1,))
             def decode_k(params, state, token, halted, keys):
                 def body(carry, key_t):
                     state, token, halted = carry
-                    state, next_token, halted = one_step(params, state, token, halted, key_t)
-                    return (state, next_token, halted), next_token
+                    state, next_token, halted, emit = one_step(
+                        params, state, token, halted, key_t)
+                    return (state, next_token, halted), emit
 
-                (state, token, halted), tokens = jax.lax.scan(
+                (state, token, halted), emitted = jax.lax.scan(
                     body, (state, token, halted), keys
                 )
-                return state, tokens, halted
+                # emitted: (tokens [K][, lp [K], top_v/top_i [K, n]])
+                return state, emitted, halted
 
             self._decode_jit[cache_key] = decode_k
         return self._decode_jit[cache_key]
@@ -418,12 +427,16 @@ class LanguageModel:
         stop_token_ids=None,
         seed: int = 0,
         metrics: StreamMetrics | None = None,
+        logprobs: int = 0,
     ) -> "TokenStream":
         """Like generate(), but continues an existing decoding state (for
         prefix-cached chat sessions) and exposes the final state as
-        `.state` on the returned TokenStream once iteration finishes."""
+        `.state` on the returned TokenStream once iteration finishes.
+        `logprobs` > 0 fills `.logprob_content` with one (token_logprob,
+        [(alt_id, alt_logprob), ...]) entry per yielded token."""
         return TokenStream(
-            self, state, prompt_tokens, max_new_tokens, sampling, stop_token_ids, seed, metrics
+            self, state, prompt_tokens, max_new_tokens, sampling,
+            stop_token_ids, seed, metrics, logprobs,
         )
 
     def _generate_impl(
@@ -435,6 +448,7 @@ class LanguageModel:
         stop_token_ids,
         seed: int,
         metrics,
+        logprobs: int,
         out: "TokenStream",
     ):
         import time
@@ -455,8 +469,19 @@ class LanguageModel:
         t0 = time.perf_counter()
         logits, state = self.prefill(state, prompt_tokens)
         ring = state.get("ring")
-        fs = self._first_sample_fn(sampling, ring is not None)
-        first = fs(logits, np.uint32(seed), ring) if ring is not None else fs(logits, np.uint32(seed))
+        fs = self._first_sample_fn(sampling, ring is not None,
+                                   logprobs=logprobs)
+        extra = (ring,) if ring is not None else ()
+        first_pack = fs(logits, np.uint32(seed), *extra)
+        if logprobs:
+            fp = jax.device_get(first_pack)
+            first = first_pack[0]
+            out.logprob_content.append((
+                float(fp[1]),
+                [(int(i), float(x)) for i, x in zip(fp[3], fp[2])],
+            ))
+        else:
+            first = first_pack
         first.block_until_ready()
         t1 = time.perf_counter()
         if metrics is not None:
@@ -510,22 +535,31 @@ class LanguageModel:
                 decode = self._decode_fn(
                     sampling, k, stop_ids,
                     self._ctx_bucket(base + dispatched + k),
+                    logprobs=logprobs,
                 )
                 from ..tools.profile import profiled
 
-                state, tokens, halted = profiled(
+                state, emitted, halted = profiled(
                     "decode", decode,
                     self.params, state, token, halted, keys[step : step + k]
                 )
                 step += k
                 dispatched += k
-                token = tokens[-1]
-                new_pending = tokens
+                token = emitted[0][-1]
+                new_pending = emitted
                 if metrics is not None:
                     metrics.num_forward_passes += k
             if pending is not None and not done:
-                for v in np.asarray(jax.device_get(pending)):
-                    v = int(v)
+                fetched = jax.device_get(pending)
+                toks = np.asarray(fetched[0])
+                for s, v in enumerate(int(x) for x in toks):
+                    if logprobs:
+                        lp, top_v, top_i = fetched[1], fetched[2], fetched[3]
+                        out.logprob_content.append((
+                            float(lp[s]),
+                            [(int(i), float(x))
+                             for i, x in zip(top_i[s], top_v[s])],
+                        ))
                     produced += 1
                     yield v
                     if v in stop:
@@ -548,14 +582,16 @@ class LanguageModel:
 
 class TokenStream:
     """Iterable of generated token ids; `.state` holds the final decoding
-    state after iteration completes (the session layer's prefix cache)."""
+    state after iteration completes (the session layer's prefix cache);
+    `.logprob_content` fills per yielded token when logprobs requested."""
 
     def __init__(self, lm, state, prompt_tokens, max_new_tokens, sampling,
-                 stop_token_ids, seed, metrics):
+                 stop_token_ids, seed, metrics, logprobs: int = 0):
         self.state = None
+        self.logprob_content: list = []
         self._gen = lm._generate_impl(
             state, prompt_tokens, max_new_tokens, sampling, stop_token_ids,
-            seed, metrics, self,
+            seed, metrics, logprobs, self,
         )
 
     def __iter__(self):

@@ -63,9 +63,11 @@ class ChatCompletionServer:
         grammar = grammar_from_request(self.session.tokenizer, body)
         tools = tools_from_request(body)
         stops = stops_from_request(body) or None
+        n_lp = 0
         if body.get("logprobs"):
-            raise ValueError(
-                "logprobs is served by the batched server (serve --batched)")
+            n_lp = max(1, int(body.get("top_logprobs") or 0))
+            if stream:
+                raise ValueError("logprobs with stream is not supported")
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         created = int(time.time())
 
@@ -76,6 +78,7 @@ class ChatCompletionServer:
                 reply = self.session.reply(
                     messages, sampling=sampling, max_new_tokens=max_tokens,
                     grammar=grammar, tools=tools, stop_strings=stops,
+                    logprobs=n_lp,
                 )
                 msg: dict = {"role": "assistant", "content": reply.text}
                 if reply.reasoning:
@@ -85,14 +88,29 @@ class ChatCompletionServer:
                         tc.as_openai(f"call_{i}") for i, tc in enumerate(reply.tool_calls)
                     ]
                     msg["content"] = reply.text or None
+                choice = {"index": 0, "message": msg,
+                          "finish_reason": reply.finish_reason}
+                if n_lp:
+                    tokz = self.session.tokenizer
+                    top_n = int(body.get("top_logprobs") or 0)
+                    content = []
+                    for tok_id, (lp, tops) in zip(reply.tokens,
+                                                  reply.logprob_content):
+                        entry = {"token": tokz.decode([tok_id]),
+                                 "logprob": lp}
+                        if top_n:
+                            entry["top_logprobs"] = [
+                                {"token": tokz.decode([i]), "logprob": v}
+                                for i, v in tops[:top_n]
+                            ]
+                        content.append(entry)
+                    choice["logprobs"] = {"content": content}
                 return {
                     "id": rid,
                     "object": "chat.completion",
                     "created": created,
                     "model": self.model_name,
-                    "choices": [
-                        {"index": 0, "message": msg, "finish_reason": reply.finish_reason}
-                    ],
+                    "choices": [choice],
                     "usage": {
                         "prompt_tokens": reply.stats.tokens_count_input,
                         "completion_tokens": reply.stats.tokens_count_output,

@@ -51,6 +51,10 @@ class ChatReply:
     tool_calls: list[ToolCall]
     finish_reason: str  # "stop" | "length" | "tool_calls"
     stats: ChatReplyStats
+    # per-token (logprob, [(alt_id, alt_logprob), ...]) when requested
+    logprob_content: list = dataclasses.field(default_factory=list)
+    # raw generated token ids (aligned with logprob_content entries)
+    tokens: list = dataclasses.field(default_factory=list)
 
 
 class ChatSession:
@@ -129,6 +133,7 @@ class ChatSession:
         grammar=None,
         tools: list[dict] | None = None,
         stop_strings: list[str] | None = None,
+        logprobs: int = 0,
         _internal_messages: list[dict] | None = None,
     ) -> Iterator[Event]:
         """Yields parse events; final ChatReply available as .last_reply.
@@ -182,6 +187,10 @@ class ChatSession:
 
             mon = StopStrings(stop_strings)
         stopped_on_string = False
+        if logprobs and (grammar is not None or self.speculator is not None):
+            raise ValueError(
+                "logprobs is unsupported with grammar or speculative "
+                "decoding in the single-stream session")
 
         spec_metrics = None
         if grammar is not None:
@@ -244,6 +253,7 @@ class ChatSession:
                 stop_token_ids=stop_ids,
                 seed=seed,
                 metrics=metrics,
+                logprobs=logprobs,
             )
             stopped_on_string = yield from self._drain_tokens(
                 gen, decoder, parser, generated, mon)
@@ -275,6 +285,8 @@ class ChatSession:
             tool_calls=parser.tool_calls,
             finish_reason=finish,
             stats=stats,
+            logprob_content=list(getattr(gen, "logprob_content", ())),
+            tokens=list(generated),
         )
 
     @staticmethod
@@ -331,6 +343,7 @@ class ChatSession:
         grammar=None,
         tools: list[dict] | None = None,
         stop_strings: list[str] | None = None,
+        logprobs: int = 0,
     ) -> ChatReply:
         """Full reply with the tool-call agent loop (nagare mod.rs:347-400).
         A grammar constrains the model's direct output, which in practice
@@ -340,6 +353,7 @@ class ChatSession:
         for _ in self.stream(
             message, sampling=sampling, max_new_tokens=max_new_tokens,
             seed=seed, grammar=grammar, tools=tools, stop_strings=stop_strings,
+            logprobs=logprobs,
         ):
             pass
         reply = self.last_reply

@@ -100,15 +100,15 @@ def main(model_dir: str, m: int = 8) -> dict:
     _, state = lm.prefill(state, (np.arange(48) * 13) % 128)
     decode = lm._decode_fn(SamplingParams(), 32, ())
     keys = jax.random.split(jax.random.PRNGKey(0), 32)
-    state, toks, _ = decode(lm.params, state, jnp.asarray(7, jnp.int32),
-                            jnp.asarray(False), keys)
-    jax.device_get(toks)
+    state, emitted, _ = decode(lm.params, state, jnp.asarray(7, jnp.int32),
+                               jnp.asarray(False), keys)
+    jax.device_get(emitted[0])
     best = 1e9
     for _ in range(4):
         t0 = time.perf_counter()
-        state, toks, _ = decode(lm.params, state, jnp.asarray(7, jnp.int32),
-                                jnp.asarray(False), keys)
-        jax.device_get(toks)
+        state, emitted, _ = decode(lm.params, state, jnp.asarray(7, jnp.int32),
+                                   jnp.asarray(False), keys)
+        jax.device_get(emitted[0])
         best = min(best, (time.perf_counter() - t0) / 32)
     step_ms = best * 1e3
 

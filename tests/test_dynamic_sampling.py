@@ -216,3 +216,30 @@ def test_batched_server_honors_request_temperature(tmp_path_factory):
         assert out["choices"][0]["message"]["content"] == greedy.text
     finally:
         srv.shutdown()
+
+
+def test_override_with_engine_default_banned_tokens(lm):
+    """An engine default carrying banned_tokens/repetition_penalty (the
+    documented place for them) must not poison per-request overrides —
+    the unsupported-field check compares against the engine default."""
+    from uzu_tpu.engine.batch import BatchEngine
+
+    default = SamplingParams(temperature=1.0, top_k=40, banned_tokens=(7,))
+    eng = BatchEngine(lm, batch_size=2, sampling=default, stop_token_ids=[])
+    r = eng.submit(PROMPTS[0], 8, sampling=SamplingParams(
+        temperature=0.5, top_k=40, banned_tokens=(7,)))
+    eng.run()
+    assert len(r.tokens) == 8
+    assert 7 not in r.tokens  # engine-default ban applies on the dynamic path
+    with pytest.raises(ValueError, match="banned_tokens"):
+        eng.submit(PROMPTS[0], 4, sampling=SamplingParams(
+            temperature=0.5, banned_tokens=(9,)))
+
+
+def test_request_null_sampling_fields_mean_default():
+    """Explicit JSON nulls keep the server default (OpenAI semantics)."""
+    from uzu_tpu.server.common import sampling_from_request
+
+    default = SamplingParams(temperature=0.8, top_k=40)
+    got = sampling_from_request({"temperature": None, "top_p": None}, default)
+    assert got == default

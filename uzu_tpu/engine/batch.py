@@ -164,15 +164,18 @@ class BatchEngine:
         return any(self._samp_custom[b] for b, s in enumerate(self.slots)
                    if not s.free)
 
-    @staticmethod
-    def _check_sampling_override(sampling: SamplingParams | None) -> None:
+    def _check_sampling_override(self, sampling: SamplingParams | None) -> None:
+        """Reject overrides of fields the dynamic path cannot honor —
+        compared against the ENGINE DEFAULT, not truthiness: a server
+        default that itself carries banned_tokens/repetition_penalty (the
+        documented place for them) flows through every request unchanged."""
         if sampling is None:
             return
-        if sampling.repetition_penalty is not None:
+        if sampling.repetition_penalty != self.sampling.repetition_penalty:
             raise ValueError(
                 "per-request repetition_penalty is not supported in batched "
                 "serving (no per-slot recent-token ring)")
-        if sampling.banned_tokens:
+        if tuple(sampling.banned_tokens) != tuple(self.sampling.banned_tokens):
             raise ValueError(
                 "per-request banned_tokens is not supported in batched "
                 "serving (set it on the engine's default SamplingParams)")

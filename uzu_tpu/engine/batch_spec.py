@@ -606,8 +606,7 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
             axis=1,
         )
         max_pos = max((s.pos for s in self.slots if not s.free), default=0)
-        dynamic = any(self._samp_custom[b] for b, s in enumerate(self.slots)
-                      if not s.free)
+        dynamic = self._dynamic_now()
         n_lp = max((s.request.logprobs for s in self.slots if not s.free),
                    default=0)
         verify = self._verify_fn(m, self._ctx_pages(max_pos + m + 2),

@@ -473,9 +473,11 @@ class LanguageModel:
                                    logprobs=logprobs)
         extra = (ring,) if ring is not None else ()
         first_pack = fs(logits, np.uint32(seed), *extra)
+        first_val = None
         if logprobs:
             fp = jax.device_get(first_pack)
             first = first_pack[0]
+            first_val = int(fp[0])  # already on host: skip the re-fetch
             out.logprob_content.append((
                 float(fp[1]),
                 [(int(i), float(x)) for i, x in zip(fp[3], fp[2])],
@@ -502,7 +504,7 @@ class LanguageModel:
 
         # First token: fetch immediately (TTFT), then decode in growing
         # chunks — K fused steps per dispatch, K tokens per host fetch.
-        val = int(jax.device_get(token))
+        val = first_val if first_val is not None else int(jax.device_get(token))
         produced += 1
         yield val
         if val in stop:

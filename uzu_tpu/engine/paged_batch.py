@@ -227,7 +227,7 @@ class PagedBatchEngine:
             )
         if sampling == self.sampling:
             sampling = None  # engine default: stay on the static executables
-        BatchEngine._check_sampling_override(sampling)
+        BatchEngine._check_sampling_override(self, sampling)
         req = Request(id=self._next_id, prompt=[int(t) for t in prompt],
                       max_new_tokens=max_new_tokens, seed=seed,
                       grammar=grammar, sampling=sampling, logprobs=logprobs,
@@ -338,13 +338,7 @@ class PagedBatchEngine:
             return True
         self._admitting = None
         slot = self.slots[slot_i]
-        mask = None
-        if req.grammar is not None:
-            m = req.grammar.current_mask()
-            if m is not None:
-                from ..grammar.decode import _pad_mask
-
-                mask = _pad_mask(m, self.lm.decoder_config.vocab_size)
+        mask = BatchEngine._grammar_first_mask(self, req)
         dyn = req.sampling is not None
         fs = self.lm._first_sample_fn(self.sampling, False,
                                       masked=mask is not None, dynamic=dyn,
@@ -378,8 +372,10 @@ class PagedBatchEngine:
 
     # same semantics and mid-pipeline safety argument as BatchEngine.cancel
     # (device program order: an in-flight chunk's page writes land before
-    # any later dispatch — admission prefill into reused pages — executes)
+    # any later dispatch — admission prefill into reused pages — executes);
+    # _dynamic_now shares the per-slot override predicate
     cancel = BatchEngine.cancel
+    _dynamic_now = BatchEngine._dynamic_now
 
     def _cancel_admitting(self) -> None:
         _, _, slot_i, _ = self._admitting
@@ -473,8 +469,7 @@ class PagedBatchEngine:
                 np.arange(k, dtype=np.uint64)
                 + np.uint64(self._steps[b]) * np.uint64(k)
             ).astype(np.uint32)
-        dynamic = any(self._samp_custom[b] for b, s in enumerate(self.slots)
-                      if not s.free)
+        dynamic = self._dynamic_now()
         n_lp = max((s.request.logprobs for s in self.slots if not s.free),
                    default=0)
         decode = self._decode_fn(k, dynamic=dynamic, logprobs=n_lp)

@@ -146,14 +146,14 @@ class DraftModelSpeculator:
                 self._state, np.asarray(new[:-1], np.int32)
             )
         decode = self.draft._decode_fn(SamplingParams(), self.k, ())
-        self._state, tokens, _ = decode(
+        self._state, emitted, _ = decode(
             self.draft.params,
             self._state,
             jnp.asarray(new[-1], jnp.int32),
             jnp.asarray(False),
             self._keys,
         )
-        out = [int(t) for t in np.asarray(jax.device_get(tokens))]
+        out = [int(t) for t in np.asarray(jax.device_get(emitted[0]))]
         # state now also covers new[-1] plus k-1 speculative tokens; keep
         # only the real history (pos-reset rollback, slots masked)
         self._fed += len(new)

@@ -208,8 +208,13 @@ class BatchedChatServer:
 
                 mon = StopStrings(stops)
             stopped = False
+            used = 0  # tokens whose text made it into the clipped reply:
+            # logprobs.content and usage must align with message.content,
+            # not with however far generation ran before the stop-scan
+            # cancelled it
             for t in req.tokens:
                 delta = decoder.push(t)
+                used += 1
                 if not delta:
                     continue
                 if mon is not None:
@@ -240,7 +245,8 @@ class BatchedChatServer:
             if req.logprobs:
                 top_n = int(body.get("top_logprobs") or 0)
                 content = []
-                for tok_id, (lp, tops) in zip(req.tokens, req.logprob_content):
+                for tok_id, (lp, tops) in zip(req.tokens[:used],
+                                              req.logprob_content[:used]):
                     entry = {"token": self.tokenizer.decode([tok_id]),
                              "logprob": lp}
                     if top_n:
@@ -258,8 +264,8 @@ class BatchedChatServer:
                 "choices": [choice],
                 "usage": {
                     "prompt_tokens": len(ids),
-                    "completion_tokens": len(req.tokens),
-                    "total_tokens": len(ids) + len(req.tokens),
+                    "completion_tokens": used,
+                    "total_tokens": len(ids) + used,
                 },
             }
 

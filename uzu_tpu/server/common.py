@@ -61,16 +61,22 @@ def stops_from_request(body: dict) -> list:
 
 
 def sampling_from_request(body: dict, default):
-    """Per-request OpenAI sampling fields over the server defaults."""
+    """Per-request OpenAI sampling fields over the server defaults.
+    An explicit JSON null means "use the server default" (OpenAI
+    semantics), not an override to None/greedy."""
     from ..engine.sampling import SamplingParams
 
+    def field(name, dflt):
+        v = body.get(name)
+        return dflt if v is None else v
+
     return SamplingParams(
-        temperature=body.get("temperature", default.temperature),
-        top_k=body.get("top_k", default.top_k),
-        top_p=body.get("top_p", default.top_p),
-        min_p=body.get("min_p", default.min_p),
-        repetition_penalty=body.get("repetition_penalty",
-                                    default.repetition_penalty),
+        temperature=field("temperature", default.temperature),
+        top_k=field("top_k", default.top_k),
+        top_p=field("top_p", default.top_p),
+        min_p=field("min_p", default.min_p),
+        repetition_penalty=field("repetition_penalty",
+                                 default.repetition_penalty),
         suffix_repetition_length=default.suffix_repetition_length,
         banned_tokens=default.banned_tokens,
     )

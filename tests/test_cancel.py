@@ -241,3 +241,27 @@ def test_single_server_concurrent_streams_serialized(tmp_path_factory):
         t.join()
     for c in boxes:
         assert boxes[c][0] == serial[c], c
+
+
+def test_batched_server_stats_endpoint(tmp_path_factory):
+    from uzu_tpu.server.batched import BatchedChatServer
+    from uzu_tpu.sessions import Tokenizer
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path_factory.mktemp("stats_srv")),
+                         num_layers=2, model_dim=64, hidden_dim=160,
+                         num_heads=4, num_groups=2, head_dim=16)
+    lm2 = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16,))
+    srv = BatchedChatServer(lm2, Tokenizer(d), batch_size=2, paged=True,
+                            speculate="ngram", page_size=32, num_pages=16)
+    try:
+        srv.handle_chat({"messages": [{"role": "user", "content": "x"}],
+                         "max_tokens": 8})
+        stats = srv.handle_stats()
+        assert stats["engine"] == "SpeculativePagedBatchEngine"
+        assert stats["batch_size"] == 2
+        assert stats["pages"]["total"] == 15  # one reserved trash page
+        assert stats["speculation"]["verify_passes"] > 0
+        assert 0.0 <= stats["speculation"]["acceptance"] <= 1.0
+    finally:
+        srv.shutdown()

@@ -352,6 +352,35 @@ class BatchedChatServer:
                                             "created": int(time.time()),
                                             "owned_by": "uzu-tpu"}]}
 
+    def handle_stats(self):
+        """Operational snapshot (GET /v1/stats): scheduler occupancy, queue
+        depth, paged-pool pressure, speculation acceptance — what an
+        operator watches to size batch_size/num_pages."""
+        with self._lock:
+            eng = self.engine
+            out = {
+                "engine": type(eng).__name__,
+                "batch_size": eng.batch_size,
+                "active_slots": eng.num_active,
+                "queued": len(eng.queue),
+                "admitting": eng._admitting is not None,
+            }
+            pool = getattr(eng, "pool", None)
+            if pool is not None:
+                out["pages"] = {"total": pool.num_pages,
+                                "free": pool.free_pages}
+            metrics = getattr(eng, "metrics", None)
+            if metrics is not None and metrics.num_verify_passes:
+                out["speculation"] = {
+                    "verify_passes": metrics.num_verify_passes,
+                    "tokens_proposed": metrics.num_tokens_proposed,
+                    "tokens_accepted": metrics.num_tokens_accepted,
+                    "acceptance": round(
+                        metrics.num_tokens_accepted
+                        / max(1, metrics.num_tokens_proposed), 4),
+                }
+        return out
+
 
 def make_handler(server: BatchedChatServer):
     class Handler(BaseHTTPRequestHandler):
@@ -369,6 +398,10 @@ def make_handler(server: BatchedChatServer):
         def do_GET(self):
             if self.path in ("/v1/models", "/models"):
                 self._json(200, server.handle_models())
+            elif self.path in ("/v1/stats", "/stats"):
+                self._json(200, server.handle_stats())
+            elif self.path == "/health":
+                self._json(200, {"status": "ok"})
             else:
                 self._json(404, {"error": "not found"})
 

@@ -264,8 +264,9 @@ def test_context_bucketed_decode_matches_full(tiny_llama_dir, monkeypatch):
                                   prefill_buckets=(16,))
     got = lm_b.generate_list(prompt, 40, stop_token_ids=[])
     assert got == want
-    # multiple ctx buckets were actually compiled
-    buckets = {k[-1] for k in lm_b._decode_jit}
+    # multiple ctx buckets were actually compiled (cache key:
+    # (sampling, steps, stop_ids, ctx_bucket, logprobs))
+    buckets = {k[-2] for k in lm_b._decode_jit}
     assert len(buckets) > 1
 
 

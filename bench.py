@@ -399,6 +399,11 @@ def main() -> None:
                 "model": os.path.basename(model_dir),
                 "weight_bytes": wbytes,
                 "device": kind,
+                **({"note": "TPU tunnel unavailable past the grace budget; "
+                            "CPU fallback on the tiny model — NOT comparable "
+                            "to TPU rounds"}
+                   if not tpu and "axon" in os.environ.get("JAX_PLATFORMS", "")
+                   else {}),
                 "load_s": round(load_s, 2),
             }
         )

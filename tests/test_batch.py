@@ -379,3 +379,73 @@ def test_spec_first_token_at_context_horizon(lm):
     assert len(r.tokens) >= 1
     assert r.tokens[0] == want[0]
     assert r.first_token_at > 0
+
+
+def test_dense_prefix_share_admission_exact(lm):
+    """Shared-prefix admission (the dense counterpart of paged page
+    sharing): a request whose prompt extends a live slot's history admits
+    by COPYING the shared KV rows and prefilling only the tail — the
+    stream must be bit-identical to a solo full-prefill run, and the
+    donor stream unaffected."""
+    base = [11, 12, 13, 14, 15, 16, 17, 18]
+    p2 = base + [40, 41]
+    solo_a = lm.generate_list(np.asarray(base), 20, stop_token_ids=[])
+    solo_b = lm.generate_list(np.asarray(p2), 12, stop_token_ids=[])
+
+    eng = BatchEngine(lm, batch_size=2, decode_chunk=4, prefix_min=4,
+                      stop_token_ids=[])
+    a = eng.submit(base, 20)
+    for _ in range(3):
+        eng.step()
+    b = eng.submit(p2, 12)
+    eng.run()
+    assert "_batch_prefix_jit" in lm.__dict__  # the share path engaged
+    assert b.tokens[:12] == solo_b[:12]
+    assert a.tokens[:20] == solo_a[:20]
+
+
+def test_dense_prefix_share_chat_continuation(lm):
+    """The shared history includes the donor's GENERATED tokens: a
+    follow-up turn whose prompt embeds the previous reply shares past the
+    original prompt."""
+    base = [7, 3, 9, 1, 4, 2, 8, 5]
+    eng = BatchEngine(lm, batch_size=2, decode_chunk=4, prefix_min=4,
+                      stop_token_ids=[])
+    a = eng.submit(base, 10)
+    eng.run()
+    # a finished; its slot is free — admit a live donor again, then share
+    a2 = eng.submit(base, 16)
+    for _ in range(3):
+        eng.step()
+    follow = base + a2.tokens[:4] + [99, 98]
+    solo = lm.generate_list(np.asarray(follow), 10, stop_token_ids=[])
+    b = eng.submit(follow, 10)
+    eng.run()
+    assert b.tokens[:10] == solo[:10]
+
+
+def test_dense_prefix_share_gated_off_for_recurrent(tmp_path):
+    from uzu_tpu.tools.synth import qwen35_config, synthesize as synth2
+
+    cfg = qwen35_config(num_layers=2, model_dim=64, hidden_dim=128,
+                        num_heads=4, num_groups=2, head_dim=16,
+                        vocab_size=128, attn_every=2)
+    d = synth2(cfg, str(tmp_path / "gdn"), seed=3, dtype=np.float32)
+    lm2 = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(16,))
+    eng = BatchEngine(lm2, batch_size=2, prefix_min=4, stop_token_ids=[])
+    assert eng.prefix_min == 0  # recurrent mixers cannot slice state
+
+
+def test_spec_engine_prefix_share_exact(lm):
+    from uzu_tpu.engine.batch_spec import SpeculativeBatchEngine
+
+    base = [21, 22, 23, 24, 25, 26]
+    p2 = base + [50, 51]
+    solo = lm.generate_list(np.asarray(p2), 12, stop_token_ids=[])
+    eng = SpeculativeBatchEngine(lm, batch_size=2, draft_block=4,
+                                 prefix_min=4, stop_token_ids=[])
+    eng.submit(base, 20)
+    eng.step()
+    b = eng.submit(p2, 12)
+    eng.run()
+    assert b.tokens[:12] == solo[:12]

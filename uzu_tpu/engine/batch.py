@@ -106,7 +106,11 @@ class BatchEngine:
         decode_chunk: int = 8,
         sampling: SamplingParams | None = None,
         stop_token_ids=None,
+        prefix_min: int = 64,
     ):
+        """prefix_min: shortest shared prompt prefix worth admitting via the
+        KV-copy path (below it the copy dispatch costs more than the saved
+        prefill; 0 disables sharing)."""
         self.lm = lm
         self.batch_size = batch_size
         self.decode_chunk = decode_chunk
@@ -154,6 +158,17 @@ class BatchEngine:
         self._samp = np.tile(np.asarray(pack_dynamic(self.sampling), np.float32),
                              (batch_size, 1))
         self._samp_custom = np.zeros(batch_size, bool)
+        from ..config.model import AttentionConfig
+
+        # shared-prefix admission (the dense counterpart of the paged
+        # engine's page sharing): attention-only full-layout caches ONLY —
+        # a recurrent mixer's state cannot be sliced at an arbitrary prefix
+        # length, and ring windows don't map slot j to position j
+        self.prefix_min = prefix_min if (
+            not lm.ring_windows
+            and all(isinstance(lc.mixer_config, AttentionConfig)
+                    for lc in lm.decoder_config.transformer_config.layer_configs)
+        ) else 0
 
     def _set_slot_sampling(self, slot_i: int, req: "Request") -> None:
         sp = req.sampling if req.sampling is not None else self.sampling
@@ -406,6 +421,61 @@ class BatchEngine:
     def _cancel_admitting(self) -> None:
         self._admitting = None
 
+    def _copy_prefix_fn(self):
+        """Jitted: fresh single-sequence state whose first L cache rows are
+        COPIED from live slot `src` (full layout: slot j == position j, so
+        the rows are bit-identical to what the new request's own prefill
+        would write — the bucketed-prefill invariance tests pin that), with
+        pos = L. The chunked admission then prefills only the tail."""
+        cache = self.lm.__dict__.setdefault("_batch_prefix_jit", {})
+        key = (self.batch_size,)
+        if key not in cache:
+            lm = self.lm
+            cfg = lm.decoder_config
+
+            @jax.jit
+            def copy(batch_state, src, prefix_len):
+                from ..models.state import init_state
+
+                fresh = init_state(
+                    cfg, lm.max_context, kv_quant=lm.kv_quant,
+                    ring_windows=lm.ring_windows,
+                    ring_extra=max(lm.prefill_buckets),
+                )
+
+                def take(f, b):
+                    row = jax.lax.dynamic_index_in_dim(b, src, 0, keepdims=False)
+                    mask = (jnp.arange(f.shape[0]) < prefix_len).reshape(
+                        (-1,) + (1,) * (f.ndim - 1))
+                    return jnp.where(mask, row.astype(f.dtype), f)
+
+                fresh["layers"] = jax.tree.map(
+                    take, fresh["layers"], batch_state["layers"])
+                fresh["pos"] = prefix_len.astype(jnp.int32)
+                return fresh
+
+            cache[key] = copy
+        return cache[key]
+
+    def _best_prefix(self, prompt: list[int]):
+        """(src_slot, L): the longest common prefix between the new prompt
+        and a live slot's KV-resident history — its prompt plus every
+        routed token except the last (the final routed token may not have
+        been FED yet, so its cache row is not guaranteed written)."""
+        best_b, best_l = None, 0
+        for b, s in enumerate(self.slots):
+            if s.free:
+                continue
+            hist = s.request.prompt + s.request.tokens[:-1]
+            common = 0
+            for a, c in zip(hist, prompt):
+                if a != c:
+                    break
+                common += 1
+            if common > best_l:
+                best_b, best_l = b, common
+        return best_b, min(best_l, len(prompt) - 1)
+
     def _grammar_first_mask(self, req: Request):
         """Bitmask for a grammar request's FIRST sampled token (the
         constrained loop masks the prefill sample too, grammar/decode.py:84);
@@ -438,6 +508,17 @@ class BatchEngine:
         req = self.queue.popleft()
 
         n = len(req.prompt)
+        if self.prefix_min:
+            src, pl = self._best_prefix(req.prompt)
+            if src is not None and pl >= self.prefix_min:
+                # shared-prefix admission: copy the KV rows, prefill only
+                # the tail through the chunked path (which also handles
+                # the first sample's grammar mask / dynamic sampling /
+                # logprobs variants)
+                state = self._copy_prefix_fn()(
+                    self._state, np.int32(src), jnp.asarray(pl, jnp.int32))
+                self._admitting = [req, state, pl, slot_i]
+                return self._admit_advance_long()
         if n > self.lm.prefill_buckets[-1]:
             self._admitting = [req, self.lm.new_state(), 0, slot_i]
             return self._admit_advance_long()

@@ -449,3 +449,24 @@ def test_spec_engine_prefix_share_exact(lm):
     b = eng.submit(p2, 12)
     eng.run()
     assert b.tokens[:12] == solo[:12]
+
+
+def test_paged_prefix_share_chat_continuation(lm):
+    """Paged prefix sharing matches against the donor's generated history
+    too: a follow-up turn embedding the previous reply shares those full
+    pages and the stream stays exact."""
+    from uzu_tpu.engine.paged_batch import PagedBatchEngine
+
+    base = [31, 32, 33, 34, 35, 36, 37, 38]
+    eng = PagedBatchEngine(lm, batch_size=2, decode_chunk=4, num_pages=24,
+                           page_size=8, stop_token_ids=[])
+    a = eng.submit(base, 20)
+    for _ in range(4):
+        eng.step()
+    follow = base + a.tokens[:8] + [90, 91]
+    solo = lm.generate_list(np.asarray(follow), 10, stop_token_ids=[])
+    free_before = eng.pool.free_pages
+    b = eng.submit(follow, 10)
+    eng.run()
+    assert b.tokens[:10] == solo[:10]
+    assert a.finished and len(a.tokens) == 20

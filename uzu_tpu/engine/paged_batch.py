@@ -91,7 +91,6 @@ class PagedBatchEngine:
         ))
         self.slots = [_Slot() for _ in range(batch_size)]
         self.queue: deque[Request] = deque()
-        self._slot_prompts: dict[int, list[int]] = {}
         self._admit_order: dict[int, int] = {}  # slot -> admission seq
         self._admit_seq = 0
         self._next_id = 0
@@ -274,20 +273,24 @@ class PagedBatchEngine:
         req = self.queue.popleft()
         n = len(req.prompt)
 
-        # prompt prefix sharing BEFORE prefill: FULL pages of the longest
-        # common prefix with a live slot point at the same physical pages
-        # (their KV is deterministic-identical), and the chunk loop STARTS
-        # past them — the shared prefix's prefill compute is skipped
-        # entirely (the v1 dense detour recomputed it and only skipped the
-        # copy). Decode writes land at page indices >= the shared range, so
-        # no COW is needed.
+        # prefix sharing BEFORE prefill: FULL pages of the longest common
+        # prefix with a live slot's KV-RESIDENT HISTORY — its prompt plus
+        # every routed token except the last (chat continuations share past
+        # the original prompt) — point at the same physical pages (their KV
+        # is deterministic-identical), and the chunk loop STARTS past them:
+        # the shared prefix's prefill compute is skipped entirely. Shared
+        # pages are strictly below the donor's write position (common <=
+        # donor pos, floor-divided), so the donor never mutates them, and
+        # decode writes land at page indices >= the shared range — no COW.
         shared_pages = 0
         best_src = None
-        for src_i, src_prompt in self._slot_prompts.items():
-            if self.slots[src_i].free or src_i == slot_i:
+        for src_i, src_slot in enumerate(self.slots):
+            if src_slot.free or src_i == slot_i:
                 continue
+            r = src_slot.request
+            hist = r.prompt + r.tokens[:-1]
             common = 0
-            for a, b in zip(src_prompt, req.prompt):
+            for a, b in zip(hist, req.prompt):
                 if a != b:
                     break
                 common += 1
@@ -348,7 +351,6 @@ class PagedBatchEngine:
             extra += (jnp.asarray(pack_dynamic(req.sampling), jnp.float32),)
         first_pack = fs(logits, np.uint32(req.seed), *extra)
         first = first_pack[0] if req.logprobs else first_pack
-        self._slot_prompts[slot_i] = list(req.prompt)
         self._tokens = self._tokens.at[slot_i].set(first)
         self._positions = self._positions.at[slot_i].set(n)
         self._halted = self._halted.at[slot_i].set(False)
@@ -381,7 +383,6 @@ class PagedBatchEngine:
         _, _, slot_i, _ = self._admitting
         self._admitting = None
         self.pool.release(slot_i)
-        self._slot_prompts.pop(slot_i, None)
 
     def _finish(self, slot_i: int, reason: str):
         import time
@@ -411,7 +412,6 @@ class PagedBatchEngine:
             req.grammar.reset()
         slot.request = None
         self.pool.release(slot_i)
-        self._slot_prompts.pop(slot_i, None)
         self._admit_order.pop(slot_i, None)
         self._halted = self._halted.at[slot_i].set(True)
         self.queue.appendleft(req)

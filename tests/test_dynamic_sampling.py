@@ -243,3 +243,33 @@ def test_request_null_sampling_fields_mean_default():
     default = SamplingParams(temperature=0.8, top_k=40)
     got = sampling_from_request({"temperature": None, "top_p": None}, default)
     assert got == default
+
+
+def test_batched_server_n_choices(tmp_path_factory):
+    """OpenAI n: one engine request per choice, decoded concurrently;
+    sampled choices differ (derived seeds), greedy choices agree."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.server.batched import BatchedChatServer
+    from uzu_tpu.sessions import Tokenizer
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path_factory.mktemp("n_srv")),
+                         num_layers=2, model_dim=64, hidden_dim=160,
+                         num_heads=4, num_groups=2, head_dim=16)
+    lm2 = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16,))
+    srv = BatchedChatServer(lm2, Tokenizer(d), batch_size=4,
+                            sampling=SamplingParams(temperature=1.2, top_k=40))
+    try:
+        out = srv.handle_chat({
+            "messages": [{"role": "user", "content": "pick"}],
+            "max_tokens": 16, "n": 3, "seed": 5,
+        })
+        assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+        texts = {c["message"]["content"] for c in out["choices"]}
+        assert len(texts) >= 2  # derived seeds diverge under sampling
+        assert out["usage"]["completion_tokens"] >= 3
+        with pytest.raises(ValueError, match="n > 1"):
+            srv.handle_chat({"messages": [{"role": "user", "content": "x"}],
+                             "n": 2, "stream": True})
+    finally:
+        srv.shutdown()

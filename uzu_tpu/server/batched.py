@@ -175,44 +175,60 @@ class BatchedChatServer:
             n_lp = max(1, int(body.get("top_logprobs") or 0))
             if stream:
                 raise ValueError("logprobs with stream is not supported")
+        n_choices = int(body.get("n") or 1)
+        if not 1 <= n_choices <= 8:
+            raise ValueError("n must be in [1, 8]")
+        if n_choices > 1 and stream:
+            raise ValueError("n > 1 with stream is not supported")
         text = self.template.render(messages, tools=tools)
         ids = self.tokenizer.encode(text)
         # per-request sampling fields route the engine onto its
         # dynamic-sampling executables; requests at the server defaults
         # stay on the static path
         sampling = sampling_from_request(body, self.engine.sampling)
-        req, done = self.submit(ids, max_tokens, seed=int(body.get("seed", 0)),
+        seed0 = int(body.get("seed", 0))
+        # n > 1: one engine request per choice, decoding CONCURRENTLY in
+        # separate slots with derived seeds (they admit via prefix sharing,
+        # so the shared prompt prefills once); choice 0 is `req` below
+        siblings = []
+        for i in range(1, n_choices):
+            sib, sib_done = self.submit(
+                ids, max_tokens, seed=seed0 + i,
+                grammar=self._grammar_for(body), sampling=sampling,
+                logprobs=n_lp)
+            siblings.append((sib, sib_done))
+        req, done = self.submit(ids, max_tokens, seed=seed0,
                                 grammar=self._grammar_for(body),
                                 sampling=sampling, logprobs=n_lp)
         if stops:
             from ..sessions.parser import StopStrings
 
             with self._lock:
-                self._stop_watch[req.id] = [
-                    req, StreamDecoder(self.tokenizer), StopStrings(stops), 0]
+                for r, _ in [(req, done)] + siblings:
+                    self._stop_watch[r.id] = [
+                        r, StreamDecoder(self.tokenizer), StopStrings(stops), 0]
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         created = int(time.time())
         base = {"id": rid, "object": "chat.completion.chunk", "created": created,
                 "model": self.model_name}
 
-        if not stream:
-            done.wait()
+        def build_choice(r, index):
+            """(choice dict, clipped completion-token count) for a finished
+            request. The stop-sequence clip runs independently over the
+            full decoded text: exact char-level truncation regardless of
+            how far generation ran before the scheduler's early-cancel
+            scan caught up; logprobs.content and usage align with the
+            clipped message.content."""
             decoder = StreamDecoder(self.tokenizer)
             parser = StreamParser()
-            # independent stop-sequence clip over the full decoded text:
-            # exact char-level truncation regardless of how far generation
-            # ran before the scheduler's early-cancel scan caught up
             mon = None
             if stops:
                 from ..sessions.parser import StopStrings
 
                 mon = StopStrings(stops)
             stopped = False
-            used = 0  # tokens whose text made it into the clipped reply:
-            # logprobs.content and usage must align with message.content,
-            # not with however far generation ran before the stop-scan
-            # cancelled it
-            for t in req.tokens:
+            used = 0
+            for t in r.tokens:
                 delta = decoder.push(t)
                 used += 1
                 if not delta:
@@ -233,7 +249,7 @@ class BatchedChatServer:
             msg = {"role": "assistant", "content": parser.text}
             if parser.reasoning:
                 msg["reasoning_content"] = parser.reasoning
-            finish = "stop" if stopped else (req.finish_reason or "stop")
+            finish = "stop" if stopped else (r.finish_reason or "stop")
             if parser.tool_calls:
                 msg["tool_calls"] = [
                     tc.as_openai(f"call_{i}")
@@ -241,12 +257,12 @@ class BatchedChatServer:
                 ]
                 msg["content"] = parser.text or None
                 finish = "tool_calls"
-            choice = {"index": 0, "message": msg, "finish_reason": finish}
-            if req.logprobs:
+            choice = {"index": index, "message": msg, "finish_reason": finish}
+            if r.logprobs:
                 top_n = int(body.get("top_logprobs") or 0)
                 content = []
-                for tok_id, (lp, tops) in zip(req.tokens[:used],
-                                              req.logprob_content[:used]):
+                for tok_id, (lp, tops) in zip(r.tokens[:used],
+                                              r.logprob_content[:used]):
                     entry = {"token": self.tokenizer.decode([tok_id]),
                              "logprob": lp}
                     if top_n:
@@ -256,16 +272,27 @@ class BatchedChatServer:
                         ]
                     content.append(entry)
                 choice["logprobs"] = {"content": content}
+            return choice, used
+
+        if not stream:
+            done.wait()
+            for _, sib_done in siblings:
+                sib_done.wait()
+            choices, total_used = [], 0
+            for index, r in enumerate([req] + [s for s, _ in siblings]):
+                choice, used = build_choice(r, index)
+                choices.append(choice)
+                total_used += used
             return {
                 "id": rid,
                 "object": "chat.completion",
                 "created": created,
                 "model": self.model_name,
-                "choices": [choice],
+                "choices": choices,
                 "usage": {
                     "prompt_tokens": len(ids),
-                    "completion_tokens": used,
-                    "total_tokens": len(ids) + used,
+                    "completion_tokens": total_used,
+                    "total_tokens": len(ids) + total_used,
                 },
             }
 

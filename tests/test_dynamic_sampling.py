@@ -40,7 +40,7 @@ PARAM_GRID = [
 def test_dynamic_matches_static(params):
     rng = np.random.default_rng(7)
     v = 512
-    t, k, p, mp = pack_dynamic(params)
+    t, k, p, mp, _, _ = pack_dynamic(params)
     for trial in range(8):
         logits = jnp.asarray(rng.standard_normal(v) * 3, jnp.float32)
         key = jax.random.PRNGKey(trial)
@@ -57,7 +57,7 @@ def test_dynamic_matches_static_with_bitmask():
     v = 256
     mask = jnp.asarray(rng.random(v) > 0.5)
     params = SamplingParams(temperature=1.0, top_k=30, top_p=0.9)
-    t, k, p, mp = pack_dynamic(params)
+    t, k, p, mp, _, _ = pack_dynamic(params)
     for trial in range(6):
         logits = jnp.asarray(rng.standard_normal(v) * 3, jnp.float32)
         key = jax.random.PRNGKey(100 + trial)
@@ -271,5 +271,78 @@ def test_batched_server_n_choices(tmp_path_factory):
         with pytest.raises(ValueError, match="n > 1"):
             srv.handle_chat({"messages": [{"role": "user", "content": "x"}],
                              "n": 2, "stream": True})
+    finally:
+        srv.shutdown()
+
+
+# -- OpenAI presence/frequency penalties ---------------------------------------
+
+
+def test_apply_count_penalties_unit():
+    import jax.numpy as jnp
+
+    from uzu_tpu.engine.sampling import apply_count_penalties
+
+    logits = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    counts = jnp.asarray([0, 1, 3, 0])
+    got = apply_count_penalties(logits, counts, jnp.float32(0.5),
+                                jnp.float32(0.25))
+    np.testing.assert_allclose(
+        np.asarray(got), [1.0, 2.0 - 0.5 - 0.25, 3.0 - 0.5 - 0.75, 4.0],
+        rtol=1e-6)
+
+
+@pytest.mark.parametrize("engine_name", ["dense", "paged"])
+def test_frequency_penalty_never_repeats(engine_name, lm):
+    """An overwhelming frequency penalty makes greedy decoding emit all
+    DISTINCT tokens (each emitted token's logit sinks by 1e9, admission
+    first token included), while a plain neighbor stays bit-exact."""
+    from uzu_tpu.engine.batch import BatchEngine
+    from uzu_tpu.engine.paged_batch import PagedBatchEngine
+
+    cls, kw = {
+        "dense": (BatchEngine, {}),
+        "paged": (PagedBatchEngine, {"num_pages": 32, "page_size": 16}),
+    }[engine_name]
+    plain_want = lm.generate_list(np.asarray(PROMPTS[1]), 16, stop_token_ids=[])
+    eng = cls(lm, batch_size=2, stop_token_ids=[], **kw)
+    rp = eng.submit(PROMPTS[0], 16, frequency_penalty=1e9)
+    rn = eng.submit(PROMPTS[1], 16)
+    eng.run()
+    assert len(rp.tokens) == 16
+    assert len(set(rp.tokens)) == 16, rp.tokens
+    assert rn.tokens[:16] == plain_want[:16]
+    # without the penalty the greedy stream DOES repeat (sanity that the
+    # distinctness above is the penalty's doing)
+    base = lm.generate_list(np.asarray(PROMPTS[0]), 16, stop_token_ids=[])
+    assert len(set(base)) < 16
+
+
+def test_spec_engines_reject_penalties(lm):
+    from uzu_tpu.engine.batch_spec import SpeculativeBatchEngine
+
+    eng = SpeculativeBatchEngine(lm, batch_size=2, draft_block=4,
+                                 stop_token_ids=[])
+    with pytest.raises(ValueError, match="penalties"):
+        eng.submit([1, 2], 4, presence_penalty=0.5)
+
+
+def test_server_penalty_field(tmp_path_factory):
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.server.batched import BatchedChatServer
+    from uzu_tpu.sessions import Tokenizer
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path_factory.mktemp("pen_srv")),
+                         num_layers=2, model_dim=64, hidden_dim=160,
+                         num_heads=4, num_groups=2, head_dim=16)
+    lm2 = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16,))
+    srv = BatchedChatServer(lm2, Tokenizer(d), batch_size=2)
+    try:
+        out = srv.handle_chat({
+            "messages": [{"role": "user", "content": "go"}],
+            "max_tokens": 12, "frequency_penalty": 2.0,
+        })
+        assert out["usage"]["completion_tokens"] >= 1
     finally:
         srv.shutdown()

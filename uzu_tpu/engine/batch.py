@@ -64,6 +64,11 @@ class Request:
     # use. Filled as [(token_logprob, [(alt_id, alt_logprob), ...]), ...]
     logprobs: int = 0
     logprob_content: list = dataclasses.field(default_factory=list)
+    # OpenAI presence/frequency penalties over the request's GENERATED
+    # token counts (plain chunked engines only: the counts live in a
+    # per-slot [V] device row updated inside the fused step)
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
     # filled by the engine:
     tokens: list[int] = dataclasses.field(default_factory=list)
     finished: bool = False
@@ -97,6 +102,10 @@ class BatchEngine:
     #: grammar-constrained requests need per-round host masks; the fused
     #: K-step chunk engines reject them (use the speculative engines)
     supports_grammar = False
+    #: presence/frequency penalties need the per-slot count rows the fused
+    #: chunk threads; the speculative engines' verify rows would need
+    #: per-row prefix counts and reject them instead
+    supports_count_penalties = True
 
     def __init__(
         self,
@@ -172,8 +181,47 @@ class BatchEngine:
 
     def _set_slot_sampling(self, slot_i: int, req: "Request") -> None:
         sp = req.sampling if req.sampling is not None else self.sampling
-        self._samp[slot_i] = np.asarray(pack_dynamic(sp), np.float32)
-        self._samp_custom[slot_i] = req.sampling is not None
+        row = np.asarray(pack_dynamic(sp), np.float32)
+        row[4] = req.presence_penalty
+        row[5] = req.frequency_penalty
+        self._samp[slot_i] = row
+        self._samp_custom[slot_i] = (req.sampling is not None
+                                     or row[4] != 0.0 or row[5] != 0.0)
+
+    def _penalized_now(self) -> bool:
+        return any(
+            (self._samp[b, 4] != 0.0 or self._samp[b, 5] != 0.0)
+            for b, s in enumerate(self.slots) if not s.free
+        )
+
+    def _ensure_counts(self):
+        """Lazy per-slot generated-token count rows [B, V] (4 MB at vocab
+        128k, B=8 — allocated only once a penalized request arrives)."""
+        if getattr(self, "_counts", None) is None:
+            self._counts = jnp.zeros(
+                (self.batch_size, self.lm.decoder_config.vocab_size),
+                jnp.int32)
+        return self._counts
+
+    def _note_admission_counts(self, slot_i: int, req: "Request", first):
+        """Zero the admitted slot's count row and count its FIRST token (the
+        decode scan counts only tokens it samples itself)."""
+        if req.presence_penalty == 0.0 and req.frequency_penalty == 0.0:
+            return
+        self._ensure_counts()
+        tok = first[0] if isinstance(first, tuple) else first
+        cache = self.lm.__dict__.setdefault("_batch_counts_jit", {})
+        if "admit" not in cache:
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def reset(counts, slot_i, tok):
+                row = jnp.zeros((counts.shape[1],), jnp.int32).at[tok].set(1)
+                return jax.lax.dynamic_update_index_in_dim(
+                    counts, row, slot_i, 0)
+
+            cache["admit"] = reset
+        self._counts = cache["admit"](self._counts, np.int32(slot_i),
+                                      jnp.asarray(tok, jnp.int32))
 
     def _dynamic_now(self) -> bool:
         return any(self._samp_custom[b] for b, s in enumerate(self.slots)
@@ -283,37 +331,52 @@ class BatchEngine:
         return cache[key]
 
     def _decode_fn(self, k: int, ctx_bucket=None, dynamic: bool = False,
-                   logprobs: int = 0):
-        """`dynamic` samples with per-slot traced parameters ([B, 4]
-        temperature/top_k/top_p/min_p rows) instead of the engine-static
-        SamplingParams — one executable serves every request combination.
-        `logprobs` > 0 additionally emits, per step, the sampled token's
-        raw-logit log-softmax and the top-`logprobs` alternatives."""
+                   logprobs: int = 0, penalties: bool = False):
+        """`dynamic` samples with per-slot traced parameters ([B, 6]
+        temperature/top_k/top_p/min_p/presence/frequency rows) instead of
+        the engine-static SamplingParams — one executable serves every
+        request combination. `logprobs` > 0 additionally emits, per step,
+        the sampled token's raw-logit log-softmax and the top-`logprobs`
+        alternatives. `penalties` threads per-slot generated-token count
+        rows [B, V] through the scan (OpenAI presence/frequency)."""
+        assert not penalties or dynamic
         key = (self.sampling, k, self.stop_ids, self.batch_size, ctx_bucket,
-               dynamic, logprobs)
+               dynamic, logprobs, penalties)
         if key not in self._decode_jit:
+            from .sampling import apply_count_penalties
+
             cfg = self.lm.decoder_config
             sampling = self.sampling
             stop_arr = jnp.asarray(self.stop_ids, jnp.int32) if self.stop_ids else None
             ctx_last = self.lm.max_context - 1
 
-            def one_step(params, state, token, halted, remaining, key_t, samp):
+            def one_step(params, state, token, halted, remaining, key_t, samp,
+                         counts):
                 true_length = jnp.where(halted, 0, 1).astype(jnp.int32)
                 logits, state = decoder_forward(
                     cfg, params, token.reshape(1), state, last_only=True,
                     true_length=true_length, ctx_limit=ctx_bucket,
                 )
+                raw = logits[0]
+                sampled_from = raw
+                if penalties:
+                    sampled_from = apply_count_penalties(
+                        raw.astype(jnp.float32), counts, samp[4], samp[5])
                 if dynamic:
                     nxt = sample_dynamic(
-                        logits[0], samp[0], samp[1].astype(jnp.int32), samp[2],
-                        samp[3], key_t, banned_tokens=sampling.banned_tokens,
+                        sampled_from, samp[0], samp[1].astype(jnp.int32),
+                        samp[2], samp[3], key_t,
+                        banned_tokens=sampling.banned_tokens,
                     )
                 else:
-                    nxt = sample(logits[0], sampling, key=key_t)
+                    nxt = sample(sampled_from, sampling, key=key_t)
                 nxt = jnp.where(halted, token, nxt)
+                if penalties:
+                    counts = counts.at[nxt].add(
+                        jnp.where(halted, 0, 1).astype(jnp.int32))
                 extra = ()
                 if logprobs:
-                    lp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
+                    lp = jax.nn.log_softmax(raw.astype(jnp.float32))
                     top_v, top_i = jax.lax.top_k(lp, logprobs)
                     extra = (lp[nxt], top_v, top_i)
                 remaining = remaining - jnp.where(halted, 0, 1)
@@ -322,32 +385,38 @@ class BatchEngine:
                 # device-side budget/context halt mirrors the host's finish
                 # conditions so an in-flight chunk can't overrun them
                 halted = halted | (remaining <= 0) | (state["pos"] >= ctx_last)
-                return (state, nxt, halted, remaining) + extra
+                return (state, nxt, halted, remaining, counts) + extra
 
             @partial(jax.jit, donate_argnums=(1,))
             def decode_k(params, state, tokens, halted, remaining, keys,
-                         *samp_arg):
-                # *samp_arg keeps the static variant's signature (and its
-                # cached executable) byte-identical: samp [B, 4] rides along
-                # only when dynamic
-                samp = samp_arg[0] if dynamic else jnp.zeros(
-                    (tokens.shape[0], 4), jnp.float32)
+                         *extra_args):
+                # *extra_args keeps the static variant's signature (and its
+                # cached executable) byte-identical: samp [B, 6] rides along
+                # only when dynamic, counts [B, V] only when penalties
+                i = 0
+                if dynamic:
+                    samp = extra_args[i]
+                    i += 1
+                else:
+                    samp = jnp.zeros((tokens.shape[0], 6), jnp.float32)
+                counts0 = (extra_args[i] if penalties
+                           else jnp.zeros((tokens.shape[0], 1), jnp.int32))
 
                 def body(carry, keys_t):
-                    state, tokens, halted, remaining = carry
+                    state, tokens, halted, remaining, counts = carry
                     out = jax.vmap(
-                        lambda s, t, h, r, kk, sp: one_step(
-                            params, s, t, h, r, kk, sp)
-                    )(state, tokens, halted, remaining, keys_t, samp)
-                    state, tokens, halted, remaining = out[:4]
-                    emit = (tokens,) + out[4:]
-                    return (state, tokens, halted, remaining), emit
+                        lambda s, t, h, r, kk, sp, cn: one_step(
+                            params, s, t, h, r, kk, sp, cn)
+                    )(state, tokens, halted, remaining, keys_t, samp, counts)
+                    state, tokens, halted, remaining, counts = out[:5]
+                    emit = (tokens,) + out[5:]
+                    return (state, tokens, halted, remaining, counts), emit
 
-                (state, tokens, halted, remaining), emitted = jax.lax.scan(
-                    body, (state, tokens, halted, remaining), keys
+                (state, tokens, halted, remaining, counts), emitted = jax.lax.scan(
+                    body, (state, tokens, halted, remaining, counts0), keys
                 )
                 # emitted: (tokens [K, B][, lp [K, B], top_v/top_i [K, B, n]])
-                return state, tokens, halted, remaining, emitted
+                return state, tokens, halted, remaining, counts, emitted
 
             self._decode_jit[key] = decode_k
         return self._decode_jit[key]
@@ -356,9 +425,16 @@ class BatchEngine:
 
     def submit(self, prompt, max_new_tokens: int, seed: int = 0,
                grammar=None, sampling: SamplingParams | None = None,
-               logprobs: int = 0) -> Request:
+               logprobs: int = 0, presence_penalty: float = 0.0,
+               frequency_penalty: float = 0.0) -> Request:
         if not 0 <= logprobs <= 20:
             raise ValueError("logprobs must be in [0, 20]")
+        if (presence_penalty or frequency_penalty) and \
+                not self.supports_count_penalties:
+            raise ValueError(
+                "presence/frequency penalties are served by the plain "
+                "chunked engines (speculative verify rows would need "
+                "per-row prefix counts)")
         if grammar is not None:
             if not self.supports_grammar:
                 raise ValueError(
@@ -380,6 +456,8 @@ class BatchEngine:
             grammar=grammar,
             sampling=sampling,
             logprobs=logprobs,
+            presence_penalty=float(presence_penalty),
+            frequency_penalty=float(frequency_penalty),
             submitted_at=time.perf_counter(),
         )
         self.queue.append(req)
@@ -594,6 +672,7 @@ class BatchEngine:
         self._seeds[slot_i] = req.seed ^ 0xBA7C
         self._steps[slot_i] = 0
         self._set_slot_sampling(slot_i, req)
+        self._note_admission_counts(slot_i, req, first)
 
     def _finish(self, slot_i: int, reason: str):
         slot = self.slots[slot_i]
@@ -624,15 +703,24 @@ class BatchEngine:
         # the in-flight chunk the mirror has not processed yet (pipelining)
         max_pos = max((s.pos for s in self.slots if not s.free), default=0)
         dynamic = self._dynamic_now()
+        penalized = self._penalized_now()
         n_lp = max((s.request.logprobs for s in self.slots if not s.free),
                    default=0)
         decode = self._decode_fn(k, self.lm._ctx_bucket(max_pos + 2 * k + 1),
-                                 dynamic=dynamic, logprobs=n_lp)
-        extra = (jnp.asarray(self._samp),) if dynamic else ()
-        self._state, self._tokens, self._halted, self._remaining, emitted = decode(
+                                 dynamic=dynamic or penalized, logprobs=n_lp,
+                                 penalties=penalized)
+        extra = ()
+        if dynamic or penalized:
+            extra += (jnp.asarray(self._samp),)
+        if penalized:
+            extra += (self._ensure_counts(),)
+        (self._state, self._tokens, self._halted, self._remaining, counts,
+         emitted) = decode(
             self.lm.params, self._state, self._tokens, self._halted,
             self._remaining, jnp.asarray(keys), *extra,
         )
+        if penalized:
+            self._counts = counts
         snapshot = {}
         for b, slot in enumerate(self.slots):
             if not slot.free:

@@ -255,6 +255,7 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
     module docstring for the draft sources and the key schedule)."""
 
     supports_grammar = True
+    supports_count_penalties = False
 
     def __init__(self, lm, *, draft_block: int = 8, make_speculator=None,
                  draft_layers: int | None = None, **kw):
@@ -446,6 +447,7 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
     produced-count key schedule (module docstring)."""
 
     supports_grammar = True
+    supports_count_penalties = False
 
     def __init__(self, lm, *, draft_block: int = 8, make_speculator=None,
                  draft_layers: int | None = None, **kw):
@@ -470,7 +472,7 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
             def verify(params, pools, tokens, drafts, draft_len, positions,
                        halted, remaining, tables_s, keys, *mask_args):
                 samp_rows = (mask_args[2 if masked else 0] if dynamic
-                             else jnp.zeros((tokens.shape[0], 4), jnp.float32))
+                             else jnp.zeros((tokens.shape[0], 6), jnp.float32))
                 b = tokens.shape[0]
                 if nd is not None:
                     # device-side self-draft over a functional VIEW of the

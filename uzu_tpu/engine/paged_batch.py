@@ -148,10 +148,14 @@ class PagedBatchEngine:
             self._jit[key] = prefill
         return self._jit[key]
 
-    def _decode_fn(self, k: int, dynamic: bool = False, logprobs: int = 0):
+    def _decode_fn(self, k: int, dynamic: bool = False, logprobs: int = 0,
+                   penalties: bool = False):
+        assert not penalties or dynamic
         key = ("decode", k, self.sampling, self.stop_ids, self._geom, dynamic,
-               logprobs)
+               logprobs, penalties)
         if key not in self._jit:
+            from .sampling import apply_count_penalties
+
             cfg = self.lm.decoder_config
             sampling = self.sampling
             stop_arr = jnp.asarray(self.stop_ids, jnp.int32) if self.stop_ids else None
@@ -159,23 +163,38 @@ class PagedBatchEngine:
 
             @partial(jax.jit, donate_argnums=(1,))
             def decode_k(params, pools, tokens, positions, halted, remaining,
-                         tables, keys, *samp_arg):
-                samp = samp_arg[0] if dynamic else jnp.zeros(
-                    (tokens.shape[0], 4), jnp.float32)
+                         tables, keys, *extra_args):
+                i = 0
+                if dynamic:
+                    samp = extra_args[i]
+                    i += 1
+                else:
+                    samp = jnp.zeros((tokens.shape[0], 6), jnp.float32)
+                counts0 = (extra_args[i] if penalties
+                           else jnp.zeros((tokens.shape[0], 1), jnp.int32))
 
                 def body(carry, key_t):
-                    pools, tokens, positions, halted, remaining = carry
+                    pools, tokens, positions, halted, remaining, counts = carry
                     logits, pools = paged_decode_step(
                         cfg, params, pools, tokens, tables, positions)
+                    sampled_from = logits
+                    if penalties:
+                        sampled_from = apply_count_penalties(
+                            logits.astype(jnp.float32), counts,
+                            samp[:, 4:5], samp[:, 5:6])
                     if dynamic:
                         nxt = jax.vmap(lambda l, kk, sp: sample_dynamic(
                             l, sp[0], sp[1].astype(jnp.int32), sp[2], sp[3],
                             kk, banned_tokens=sampling.banned_tokens,
-                        ))(logits, key_t, samp)
+                        ))(sampled_from, key_t, samp)
                     else:
                         nxt = jax.vmap(lambda l, kk: sample(l, sampling, key=kk))(
-                            logits, key_t)
+                            sampled_from, key_t)
                     nxt = jnp.where(halted, tokens, nxt)
+                    if penalties:
+                        counts = counts.at[
+                            jnp.arange(counts.shape[0]), nxt
+                        ].add(jnp.where(halted, 0, 1).astype(jnp.int32))
                     emit = (nxt,)
                     if logprobs:
                         lp = jax.nn.log_softmax(logits.astype(jnp.float32))
@@ -192,12 +211,16 @@ class PagedBatchEngine:
                     # finish conditions so an in-flight chunk can't overrun
                     # them while the host lags one chunk (pipelining)
                     halted = halted | (positions >= max_pos) | (remaining <= 0)
-                    return (pools, nxt, positions, halted, remaining), emit
+                    return (pools, nxt, positions, halted, remaining,
+                            counts), emit
 
-                (pools, tokens, positions, halted, remaining), emitted = jax.lax.scan(
-                    body, (pools, tokens, positions, halted, remaining),
-                    keys.reshape(k, -1, 2))
-                return pools, tokens, positions, halted, remaining, emitted
+                (pools, tokens, positions, halted, remaining, counts), emitted = (
+                    jax.lax.scan(
+                        body, (pools, tokens, positions, halted, remaining,
+                               counts0),
+                        keys.reshape(k, -1, 2)))
+                return (pools, tokens, positions, halted, remaining, counts,
+                        emitted)
 
             self._jit[key] = decode_k
         return self._jit[key]
@@ -209,11 +232,17 @@ class PagedBatchEngine:
 
     def submit(self, prompt, max_new_tokens: int, seed: int = 0,
                grammar=None, sampling: SamplingParams | None = None,
-               logprobs: int = 0) -> Request:
+               logprobs: int = 0, presence_penalty: float = 0.0,
+               frequency_penalty: float = 0.0) -> Request:
         import time
 
         if not 0 <= logprobs <= 20:
             raise ValueError("logprobs must be in [0, 20]")
+        if (presence_penalty or frequency_penalty) and \
+                not self.supports_count_penalties:
+            raise ValueError(
+                "presence/frequency penalties are served by the plain "
+                "chunked engines")
         if grammar is not None:
             if not self.supports_grammar:
                 raise ValueError(
@@ -230,6 +259,8 @@ class PagedBatchEngine:
         req = Request(id=self._next_id, prompt=[int(t) for t in prompt],
                       max_new_tokens=max_new_tokens, seed=seed,
                       grammar=grammar, sampling=sampling, logprobs=logprobs,
+                      presence_penalty=float(presence_penalty),
+                      frequency_penalty=float(frequency_penalty),
                       submitted_at=time.perf_counter())
         self._next_id += 1
         self.queue.append(req)
@@ -365,9 +396,8 @@ class PagedBatchEngine:
         slot.pending_first = first_pack if req.logprobs else first
         self._seeds[slot_i] = req.seed ^ 0xBA7C
         self._steps[slot_i] = 0
-        sp = req.sampling if req.sampling is not None else self.sampling
-        self._samp[slot_i] = np.asarray(pack_dynamic(sp), np.float32)
-        self._samp_custom[slot_i] = req.sampling is not None
+        BatchEngine._set_slot_sampling(self, slot_i, req)
+        BatchEngine._note_admission_counts(self, slot_i, req, first)
         self._admit_order[slot_i] = self._admit_seq
         self._admit_seq += 1
         return True
@@ -375,9 +405,13 @@ class PagedBatchEngine:
     # same semantics and mid-pipeline safety argument as BatchEngine.cancel
     # (device program order: an in-flight chunk's page writes land before
     # any later dispatch — admission prefill into reused pages — executes);
-    # _dynamic_now shares the per-slot override predicate
+    # the predicates/count helpers share the per-slot override machinery
+    supports_count_penalties = True
     cancel = BatchEngine.cancel
     _dynamic_now = BatchEngine._dynamic_now
+    _penalized_now = BatchEngine._penalized_now
+    _ensure_counts = BatchEngine._ensure_counts
+    _note_admission_counts = BatchEngine._note_admission_counts
 
     def _cancel_admitting(self) -> None:
         _, _, slot_i, _ = self._admitting
@@ -470,15 +504,23 @@ class PagedBatchEngine:
                 + np.uint64(self._steps[b]) * np.uint64(k)
             ).astype(np.uint32)
         dynamic = self._dynamic_now()
+        penalized = self._penalized_now()
         n_lp = max((s.request.logprobs for s in self.slots if not s.free),
                    default=0)
-        decode = self._decode_fn(k, dynamic=dynamic, logprobs=n_lp)
-        extra = (jnp.asarray(self._samp),) if dynamic else ()
+        decode = self._decode_fn(k, dynamic=dynamic or penalized,
+                                 logprobs=n_lp, penalties=penalized)
+        extra = ()
+        if dynamic or penalized:
+            extra += (jnp.asarray(self._samp),)
+        if penalized:
+            extra += (self._ensure_counts(),)
         (self.pools, self._tokens, self._positions, self._halted,
-         self._remaining, emitted) = decode(
+         self._remaining, counts, emitted) = decode(
             self.lm.params, self.pools, self._tokens, self._positions,
             self._halted, self._remaining, self._tables(), jnp.asarray(keys),
             *extra)
+        if penalized:
+            self._counts = counts
         snapshot = {}
         for b, slot in enumerate(self.slots):
             if not slot.free:

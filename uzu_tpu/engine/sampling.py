@@ -128,17 +128,31 @@ def push_ring(ring: jax.Array, token: jax.Array) -> jax.Array:
 # a request with the engine-default parameters emits the identical stream
 # through either path — tests pin this.
 
-DYNAMIC_OFF = (0.0, 0, 1.0, 0.0)  # temperature, top_k, top_p, min_p sentinels
+DYNAMIC_OFF = (0.0, 0, 1.0, 0.0, 0.0, 0.0)
+# temperature, top_k, top_p, min_p, presence_penalty, frequency_penalty
 
 
 def pack_dynamic(params: SamplingParams):
-    """SamplingParams -> the 4 sentinel-encoded scalars (f32-storable)."""
+    """SamplingParams -> the 6 sentinel-encoded scalars (f32-storable).
+    Presence/frequency penalties (OpenAI semantics: additive over the
+    GENERATED completion's token counts) ride the same row; they are not
+    SamplingParams fields — engines overwrite columns 4-5 per request."""
     return (
         float(params.temperature or 0.0),
         int(params.top_k or 0),
         float(params.top_p if params.top_p is not None else 1.0),
         float(params.min_p or 0.0),
+        0.0,
+        0.0,
     )
+
+
+def apply_count_penalties(logits: jax.Array, counts: jax.Array,
+                          presence: jax.Array, frequency: jax.Array) -> jax.Array:
+    """OpenAI presence/frequency penalties: logits - presence*(count > 0)
+    - frequency*count, over the per-slot GENERATED-token counts."""
+    c = counts.astype(jnp.float32)
+    return logits - presence * (c > 0) - frequency * c
 
 
 def sample_dynamic(

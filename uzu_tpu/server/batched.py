@@ -133,11 +133,14 @@ class BatchedChatServer:
                 self._wake.clear()
 
     def submit(self, prompt_ids, max_tokens: int, seed: int = 0, grammar=None,
-               sampling=None, logprobs: int = 0):
+               sampling=None, logprobs: int = 0, presence_penalty: float = 0.0,
+               frequency_penalty: float = 0.0):
         with self._lock:
             req = self.engine.submit(prompt_ids, max_tokens, seed=seed,
                                      grammar=grammar, sampling=sampling,
-                                     logprobs=logprobs)
+                                     logprobs=logprobs,
+                                     presence_penalty=presence_penalty,
+                                     frequency_penalty=frequency_penalty)
             ev = threading.Event()
             self._events[req.id] = ev
             self._requests[req.id] = req
@@ -187,6 +190,8 @@ class BatchedChatServer:
         # stay on the static path
         sampling = sampling_from_request(body, self.engine.sampling)
         seed0 = int(body.get("seed", 0))
+        pres = float(body.get("presence_penalty") or 0.0)
+        freq = float(body.get("frequency_penalty") or 0.0)
         # n > 1: one engine request per choice, decoding CONCURRENTLY in
         # separate slots with derived seeds (they admit via prefix sharing,
         # so the shared prompt prefills once); choice 0 is `req` below
@@ -195,11 +200,12 @@ class BatchedChatServer:
             sib, sib_done = self.submit(
                 ids, max_tokens, seed=seed0 + i,
                 grammar=self._grammar_for(body), sampling=sampling,
-                logprobs=n_lp)
+                logprobs=n_lp, presence_penalty=pres, frequency_penalty=freq)
             siblings.append((sib, sib_done))
         req, done = self.submit(ids, max_tokens, seed=seed0,
                                 grammar=self._grammar_for(body),
-                                sampling=sampling, logprobs=n_lp)
+                                sampling=sampling, logprobs=n_lp,
+                                presence_penalty=pres, frequency_penalty=freq)
         if stops:
             from ..sessions.parser import StopStrings
 

@@ -106,11 +106,6 @@ def test_server_logprobs(tmp_path_factory):
         for e in content:
             assert isinstance(e["token"], str) and e["logprob"] <= 0.0
             assert len(e["top_logprobs"]) == 2
-        with pytest.raises(ValueError, match="stream"):
-            srv.handle_chat({
-                "messages": [{"role": "user", "content": "x"}],
-                "stream": True, "logprobs": True,
-            })
     finally:
         srv.shutdown()
 
@@ -184,3 +179,40 @@ def test_single_server_logprobs(tmp_path_factory):
     for e in content:
         assert isinstance(e["token"], str) and e["logprob"] <= 0.0
         assert len(e["top_logprobs"]) == 2
+
+
+def test_batched_streaming_logprobs(tmp_path_factory):
+    """Streaming + logprobs: every generated token's entry rides a chunk
+    (on the chunk carrying its text, or a bare chunk when the token
+    surfaced no text), in raw-token order."""
+    from uzu_tpu.server.batched import BatchedChatServer
+    from uzu_tpu.sessions import Tokenizer
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path_factory.mktemp("slp_srv")),
+                         num_layers=2, model_dim=64, hidden_dim=160,
+                         num_heads=4, num_groups=2, head_dim=16)
+    lm2 = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16,))
+    tok = Tokenizer(d)
+    srv = BatchedChatServer(lm2, tok, batch_size=2)
+    try:
+        chunks = list(srv.handle_chat({
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 8, "stream": True,
+            "logprobs": True, "top_logprobs": 2,
+        }))
+        entries = [c["choices"][0]["logprobs"]["content"][0]
+                   for c in chunks
+                   if c["choices"] and "logprobs" in c["choices"][0]]
+        # non-stream reference for the same request (greedy default):
+        ref = srv.handle_chat({
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 8, "logprobs": True, "top_logprobs": 2,
+        })["choices"][0]["logprobs"]["content"]
+        assert len(entries) == len(ref)
+        for a, b in zip(entries, ref):
+            assert a["token"] == b["token"]
+            assert abs(a["logprob"] - b["logprob"]) < 1e-6
+            assert len(a["top_logprobs"]) == 2
+    finally:
+        srv.shutdown()

@@ -176,8 +176,6 @@ class BatchedChatServer:
         n_lp = 0
         if body.get("logprobs"):
             n_lp = max(1, int(body.get("top_logprobs") or 0))
-            if stream:
-                raise ValueError("logprobs with stream is not supported")
         n_choices = int(body.get("n") or 1)
         if not 1 <= n_choices <= 8:
             raise ValueError("n must be in [1, 8]")
@@ -339,23 +337,57 @@ class BatchedChatServer:
                 n_tool += 1
                 return d
 
+            top_n = int(body.get("top_logprobs") or 0)
+
+            def lp_payload(idx):
+                """This token's logprobs entry for the chunk carrying its
+                text (raw-token order; entries are appended by the router
+                in lockstep with tokens)."""
+                lp, tops = req.logprob_content[idx]
+                entry = {"token": self.tokenizer.decode([req.tokens[idx]]),
+                         "logprob": lp}
+                if top_n:
+                    entry["top_logprobs"] = [
+                        {"token": self.tokenizer.decode([i]), "logprob": v}
+                        for i, v in tops[:top_n]
+                    ]
+                return {"content": [entry]}
+
             sent = 0
             while not stopped:
                 tokens = list(req.tokens)
-                for t in tokens[sent:]:
+                avail = len(tokens)
+                if n_lp:
+                    # entries land right after their token; consume only
+                    # tokens whose entry is visible
+                    avail = min(avail, len(req.logprob_content))
+                for idx in range(sent, avail):
+                    t = tokens[idx]
                     delta = decoder.push(t)
-                    if not delta:
-                        continue
-                    if mon is not None:
-                        delta, stopped = mon.push(delta)
+                    emitted_for_tok = False
                     if delta:
-                        for ev in parser.push(delta):
-                            yield {**base, "choices": [{"index": 0,
-                                                        "delta": as_delta(ev)}]}
+                        if mon is not None:
+                            delta, stopped = mon.push(delta)
+                        if delta:
+                            for ev in parser.push(delta):
+                                chunk = {"index": 0, "delta": as_delta(ev)}
+                                if n_lp and not emitted_for_tok:
+                                    chunk["logprobs"] = lp_payload(idx)
+                                    emitted_for_tok = True
+                                yield {**base, "choices": [chunk]}
+                    if n_lp and not emitted_for_tok and not stopped:
+                        # no text surfaced for this token (partial UTF-8 or
+                        # swallowed markup): its entry rides a bare chunk
+                        yield {**base, "choices": [{"index": 0, "delta": {},
+                                                    "logprobs": lp_payload(idx)}]}
                     if stopped:
                         break
-                sent = len(tokens)
+                    sent = idx + 1
+                else:
+                    sent = avail
                 if req.finished and sent == len(req.tokens):
+                    break
+                if stopped:
                     break
                 time.sleep(0.02)
             if mon is not None and not stopped:

@@ -465,8 +465,13 @@ def test_paged_prefix_share_chat_continuation(lm):
         eng.step()
     follow = base + a.tokens[:8] + [90, 91]
     solo = lm.generate_list(np.asarray(follow), 10, stop_token_ids=[])
-    free_before = eng.pool.free_pages
     b = eng.submit(follow, 10)
+    eng.step()  # admits b
+    slot_a = next(i for i, s in enumerate(eng.slots) if s.request is a)
+    slot_b = next(i for i, s in enumerate(eng.slots) if s.request is b)
+    # sharing actually engaged: b's first pages ARE a's physical pages
+    # (follow shares >= 16 tokens = 2 full 8-token pages with a's history)
+    assert eng.pool.pages(slot_b)[:2] == eng.pool.pages(slot_a)[:2]
     eng.run()
     assert b.tokens[:10] == solo[:10]
     assert a.finished and len(a.tokens) == 20

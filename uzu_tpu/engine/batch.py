@@ -499,14 +499,18 @@ class BatchEngine:
     def _cancel_admitting(self) -> None:
         self._admitting = None
 
-    def _copy_prefix_fn(self):
+    def _copy_prefix_fn(self, bucket: int | None):
         """Jitted: fresh single-sequence state whose first L cache rows are
         COPIED from live slot `src` (full layout: slot j == position j, so
         the rows are bit-identical to what the new request's own prefill
         would write — the bucketed-prefill invariance tests pin that), with
-        pos = L. The chunked admission then prefills only the tail."""
+        pos = L. The chunked admission then prefills only the tail.
+        `bucket` bounds the copied window (the smallest ctx bucket covering
+        L): without it the masked copy streams every max_context row of
+        every cache — more HBM traffic than the prefill it saves whenever
+        L << max_context."""
         cache = self.lm.__dict__.setdefault("_batch_prefix_jit", {})
-        key = (self.batch_size,)
+        key = (self.batch_size, bucket)
         if key not in cache:
             lm = self.lm
             cfg = lm.decoder_config
@@ -523,9 +527,12 @@ class BatchEngine:
 
                 def take(f, b):
                     row = jax.lax.dynamic_index_in_dim(b, src, 0, keepdims=False)
-                    mask = (jnp.arange(f.shape[0]) < prefix_len).reshape(
+                    win = row if bucket is None else row[:bucket]
+                    mask = (jnp.arange(win.shape[0]) < prefix_len).reshape(
                         (-1,) + (1,) * (f.ndim - 1))
-                    return jnp.where(mask, row.astype(f.dtype), f)
+                    keep = jnp.where(mask, win.astype(f.dtype),
+                                     f[: win.shape[0]])
+                    return jax.lax.dynamic_update_slice_in_dim(f, keep, 0, 0)
 
                 fresh["layers"] = jax.tree.map(
                     take, fresh["layers"], batch_state["layers"])
@@ -593,7 +600,7 @@ class BatchEngine:
                 # the tail through the chunked path (which also handles
                 # the first sample's grammar mask / dynamic sampling /
                 # logprobs variants)
-                state = self._copy_prefix_fn()(
+                state = self._copy_prefix_fn(self.lm._ctx_bucket(pl))(
                     self._state, np.int32(src), jnp.asarray(pl, jnp.int32))
                 self._admitting = [req, state, pl, slot_i]
                 return self._admit_advance_long()

@@ -307,27 +307,18 @@ class PagedBatchEngine:
         # prefix sharing BEFORE prefill: FULL pages of the longest common
         # prefix with a live slot's KV-RESIDENT HISTORY — its prompt plus
         # every routed token except the last (chat continuations share past
-        # the original prompt) — point at the same physical pages (their KV
-        # is deterministic-identical), and the chunk loop STARTS past them:
-        # the shared prefix's prefill compute is skipped entirely. Shared
-        # pages are strictly below the donor's write position (common <=
-        # donor pos, floor-divided), so the donor never mutates them, and
-        # decode writes land at page indices >= the shared range — no COW.
-        shared_pages = 0
-        best_src = None
-        for src_i, src_slot in enumerate(self.slots):
-            if src_slot.free or src_i == slot_i:
-                continue
-            r = src_slot.request
-            hist = r.prompt + r.tokens[:-1]
-            common = 0
-            for a, b in zip(hist, req.prompt):
-                if a != b:
-                    break
-                common += 1
-            cand = common // self.page_size
-            if cand > shared_pages:
-                shared_pages, best_src = cand, src_i
+        # the original prompt; BatchEngine._best_prefix is the one
+        # definition of that history) — point at the same physical pages
+        # (their KV is deterministic-identical), and the chunk loop STARTS
+        # past them: the shared prefix's prefill compute is skipped
+        # entirely. _best_prefix caps the match at len(prompt)-1, so the
+        # >=1-token tail prefill always writes AT or past the shared-page
+        # boundary — the admission never writes a donor-owned page (a
+        # fully-page-aligned shared prompt would otherwise rewrite the
+        # donor's last shared row), and decode writes land at page indices
+        # >= the shared range — no COW.
+        best_src, common = BatchEngine._best_prefix(self, req.prompt)
+        shared_pages = common // self.page_size if best_src is not None else 0
         if best_src is not None and shared_pages > 0:
             self.pool.share_prefix(best_src, slot_i, shared_pages)
         else:

@@ -475,3 +475,46 @@ def test_paged_prefix_share_chat_continuation(lm):
     eng.run()
     assert b.tokens[:10] == solo[:10]
     assert a.finished and len(a.tokens) == 20
+
+
+def test_automatic_prefix_cache_after_finish(lm):
+    """A follow-up turn submitted AFTER the previous request finished still
+    shares its pages: finished requests retire complete KV pages into an
+    LRU prefix cache, and the continuation's stream is exact."""
+    from uzu_tpu.engine.paged_batch import PagedBatchEngine
+
+    base = [61, 62, 63, 64, 65, 66, 67, 68]
+    eng = PagedBatchEngine(lm, batch_size=2, decode_chunk=4, num_pages=24,
+                           page_size=8, stop_token_ids=[])
+    a = eng.submit(base, 16)
+    eng.run()  # a finished: its full pages retire into the prefix cache
+    assert len(eng._retired) == 1
+    retired_pages = eng.pool.pages(next(iter(eng._retired)))
+    assert len(retired_pages) == (len(base) + 15) // 8
+
+    follow = base + a.tokens[:8] + [70, 71]
+    solo = lm.generate_list(np.asarray(follow), 10, stop_token_ids=[])
+    b = eng.submit(follow, 10)
+    eng.step()
+    slot_b = next(i for i, s in enumerate(eng.slots) if s.request is b)
+    assert eng.pool.pages(slot_b)[:2] == retired_pages[:2]  # shared
+    eng.run()
+    assert b.tokens[:10] == solo[:10]
+
+
+def test_prefix_cache_evicts_under_pressure(lm):
+    """Retired prefixes yield to live requests: a pool sized so the cache
+    must be evicted still admits and completes everything, with no
+    preemption of live streams."""
+    from uzu_tpu.engine.paged_batch import PagedBatchEngine
+
+    eng = PagedBatchEngine(lm, batch_size=2, decode_chunk=4, num_pages=9,
+                           page_size=8, stop_token_ids=[])
+    prompts = [[i, i + 1, i + 2, i + 3, i + 4, i + 5] for i in (1, 40, 80, 120)]
+    singles = [lm.generate_list(np.asarray(p), 12, stop_token_ids=[])
+               for p in prompts]
+    reqs = [eng.submit(p, 12) for p in prompts]
+    eng.run()
+    for r, want in zip(reqs, singles):
+        assert r.finished and r.tokens[:12] == want[:12]
+        assert r.preempted == 0

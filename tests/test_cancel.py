@@ -85,7 +85,7 @@ def test_cancel_during_long_admission(lm, cls, kw):
 
 def test_cancel_releases_pages(lm):
     eng = PagedBatchEngine(lm, batch_size=2, num_pages=16, page_size=16,
-                           stop_token_ids=[])
+                           stop_token_ids=[], apc_max_entries=0)
     free0 = eng.pool.free_pages
     r = eng.submit([1, 2, 3, 4, 5], 32)
     eng.step()

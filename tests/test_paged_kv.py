@@ -99,7 +99,7 @@ def test_paged_batch_engine_matches_single(tmp_path):
     # pool: 28 usable pages of 8 tokens = 224 tokens total — less than
     # 3 slots x 128 max_context would preallocate densely
     eng = PagedBatchEngine(lm, batch_size=3, decode_chunk=4, num_pages=29,
-                           page_size=8, stop_token_ids=[])
+                           page_size=8, stop_token_ids=[], apc_max_entries=0)
     reqs = [eng.submit(p, 10) for p in prompts]
     eng.run()
     for r, want in zip(reqs, wants):
@@ -182,7 +182,7 @@ def test_paged_prefix_sharing(tmp_path):
     w2 = lm.generate_list(np.asarray(p2), 8, stop_token_ids=[])
 
     eng = PagedBatchEngine(lm, batch_size=2, decode_chunk=4, num_pages=33,
-                           page_size=8, stop_token_ids=[])
+                           page_size=8, stop_token_ids=[], apc_max_entries=0)
     r1 = eng.submit(p1, 8)
     r2 = eng.submit(p2, 8)
     while eng._admit():
@@ -325,7 +325,7 @@ def test_paged_prefill_skips_shared_prefix(tmp_path):
     w2 = lm.generate_list(np.asarray(p2), 8, stop_token_ids=[])
 
     eng = PagedBatchEngine(lm, batch_size=2, decode_chunk=4, num_pages=33,
-                           page_size=8, stop_token_ids=[])
+                           page_size=8, stop_token_ids=[], apc_max_entries=0)
     r1 = eng.submit(p1, 8)
     eng.step()  # r1 admitted (no sharing available: full prompt prefilled)
 

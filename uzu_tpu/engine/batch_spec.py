@@ -590,6 +590,8 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
                     self.pool.ensure(i, min(slot.pos + m + 2, self.lm.max_context))
                     break
                 except PagePoolOverflow:
+                    if self._evict_retired(1):
+                        continue  # prefix cache yields before any preemption
                     live = [j for j in self._admit_order if not self.slots[j].free]
                     youngest = max(live, key=self._admit_order.__getitem__)
                     if youngest == i and len(live) == 1:

@@ -51,7 +51,14 @@ class PagedBatchEngine:
         page_size: int = 64,
         sampling: SamplingParams | None = None,
         stop_token_ids=None,
+        apc_max_entries: int = 16,
     ):
+        """apc_max_entries: automatic prefix cache — finished requests'
+        full KV pages are RETAINED (refcounted, LRU-capped at this many
+        entries; 0 disables) so a later request extending their history
+        (the next turn of a conversation) shares them instead of
+        re-prefilling; pool pressure evicts retired entries before any
+        live request is preempted."""
         if not paged_supported(lm.decoder_config):
             raise ValueError("paged engine supports standard attention-only models")
         if lm.ring_windows:
@@ -93,6 +100,14 @@ class PagedBatchEngine:
         self.queue: deque[Request] = deque()
         self._admit_order: dict[int, int] = {}  # slot -> admission seq
         self._admit_seq = 0
+        # automatic prefix cache: retired-id (negative pool keys, disjoint
+        # from slot indices) -> KV-resident history; insertion order is the
+        # LRU order (move-to-end on reuse)
+        from collections import OrderedDict
+
+        self.apc_max_entries = apc_max_entries
+        self._retired: "OrderedDict[int, list[int]]" = OrderedDict()
+        self._retire_seq = -1
         self._next_id = 0
         self._tokens = jnp.zeros((batch_size,), jnp.int32)
         self._positions = jnp.zeros((batch_size,), jnp.int32)
@@ -300,6 +315,9 @@ class PagedBatchEngine:
                        // self.page_size)
             needed = min(needed, self.pool.num_pages)
         if needed > self.pool.free_pages:
+            # prefix-cache entries yield to live admissions
+            self._evict_retired(needed)
+        if needed > self.pool.free_pages:
             return False
         req = self.queue.popleft()
         n = len(req.prompt)
@@ -319,8 +337,23 @@ class PagedBatchEngine:
         # >= the shared range — no COW.
         best_src, common = BatchEngine._best_prefix(self, req.prompt)
         shared_pages = common // self.page_size if best_src is not None else 0
+        # the automatic prefix cache extends the donor set to FINISHED
+        # requests (multi-turn chat: the previous turn is long gone from
+        # the slots by the time the follow-up arrives); MRU-first
+        for rid in reversed(self._retired):
+            hist = self._retired[rid]
+            c = 0
+            for a, b in zip(hist, req.prompt):
+                if a != b:
+                    break
+                c += 1
+            cand = min(c, n - 1) // self.page_size
+            if cand > shared_pages:
+                best_src, shared_pages = rid, cand
         if best_src is not None and shared_pages > 0:
             self.pool.share_prefix(best_src, slot_i, shared_pages)
+            if best_src in self._retired:
+                self._retired.move_to_end(best_src)  # LRU refresh
         else:
             self.pool.release(slot_i)
         # pages for the whole prompt allocate up-front within this call (no
@@ -409,6 +442,38 @@ class PagedBatchEngine:
         self._admitting = None
         self.pool.release(slot_i)
 
+    def _retire_slot(self, slot_i: int, req: Request) -> None:
+        """Move the slot's complete KV pages into the automatic prefix
+        cache before release. Only pages fully covered by the request's
+        KV-resident history (prompt + routed tokens minus the possibly
+        unfed last one) retire — an in-flight chunk's writes land at
+        positions past that history, never inside retired pages."""
+        if not self.apc_max_entries:
+            return
+        hist = req.prompt + req.tokens[:-1]
+        full = len(hist) // self.page_size
+        full = min(full, len(self.pool.pages(slot_i)))
+        if full <= 0:
+            return
+        rid = self._retire_seq
+        self._retire_seq -= 1
+        self.pool.share_prefix(slot_i, rid, full)
+        self._retired[rid] = hist[: full * self.page_size]
+        while len(self._retired) > self.apc_max_entries:
+            old, _ = self._retired.popitem(last=False)
+            self.pool.release(old)
+
+    def _evict_retired(self, need_pages: int) -> bool:
+        """Free LRU prefix-cache entries until `need_pages` more pages are
+        free (or the cache is empty); live requests always win over cached
+        prefixes. Returns True if anything was evicted."""
+        evicted = False
+        while self._retired and self.pool.free_pages < need_pages:
+            rid, _ = self._retired.popitem(last=False)
+            self.pool.release(rid)
+            evicted = True
+        return evicted
+
     def _finish(self, slot_i: int, reason: str):
         import time
 
@@ -418,6 +483,7 @@ class PagedBatchEngine:
         req.finish_reason = reason
         req.finished_at = time.perf_counter()
         slot.request = None
+        self._retire_slot(slot_i, req)
         self.pool.release(slot_i)
         self._admit_order.pop(slot_i, None)
         self._halted = self._halted.at[slot_i].set(True)
@@ -479,6 +545,8 @@ class PagedBatchEngine:
                                             self.lm.max_context))
                     break
                 except PagePoolOverflow:
+                    if self._evict_retired(1):
+                        continue  # prefix cache yields before any preemption
                     live = [j for j in self._admit_order if not self.slots[j].free]
                     youngest = max(live, key=self._admit_order.__getitem__)
                     if youngest == i and len(live) == 1:

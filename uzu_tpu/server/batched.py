@@ -433,7 +433,9 @@ class BatchedChatServer:
             pool = getattr(eng, "pool", None)
             if pool is not None:
                 out["pages"] = {"total": pool.num_pages,
-                                "free": pool.free_pages}
+                                "free": pool.free_pages,
+                                "retired_prefixes": len(
+                                    getattr(eng, "_retired", ()))}
             metrics = getattr(eng, "metrics", None)
             if metrics is not None and metrics.num_verify_passes:
                 out["speculation"] = {

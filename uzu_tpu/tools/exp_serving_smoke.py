@@ -1,0 +1,88 @@
+"""On-chip smoke of the round-2 serving executables on the flagship model.
+
+The serving features are pinned exhaustively on the CPU mesh; this drives
+the REAL-chip executable variants once each — dynamic per-request sampling,
+presence/frequency penalties (count rows through the fused scan), logprobs,
+speculative verify, and paged admission with the automatic prefix cache —
+and prints one JSON line per stage so a Mosaic/compile regression on any
+variant is attributable. Run:
+
+    PYTHONPATH=. python -m uzu_tpu.tools.exp_serving_smoke .bench_cache/llama1b_int4
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main(model_dir: str) -> None:
+    import numpy as np
+
+    from ..engine.engine import LanguageModel
+    from ..engine.sampling import SamplingParams
+    from ..runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    t0 = time.time()
+
+    def stage(name, **kw):
+        print(json.dumps({"stage": name, "t": round(time.time() - t0, 1), **kw}),
+              flush=True)
+
+    lm = LanguageModel.from_dir(model_dir, max_context=1024,
+                                prefill_buckets=(32, 512))
+    rng = np.random.default_rng(0)
+    prompt = list(rng.integers(0, lm.decoder_config.vocab_size, 48))
+    stage("loaded")
+
+    from ..engine.batch import BatchEngine
+
+    eng = BatchEngine(lm, batch_size=4, decode_chunk=8, stop_token_ids=[],
+                      prefix_min=16)
+    r1 = eng.submit(prompt, 24)  # static greedy
+    r2 = eng.submit(prompt[:40], 24,
+                    sampling=SamplingParams(temperature=0.9, top_k=50,
+                                            top_p=0.95), seed=3)
+    r3 = eng.submit(prompt[:32], 24, frequency_penalty=1.5, seed=7)
+    r4 = eng.submit(prompt, 24, logprobs=3)
+    eng.run()
+    assert all(len(r.tokens) == 24 for r in (r1, r2, r3, r4))
+    assert len(r4.logprob_content) == 24
+    assert r4.tokens == r1.tokens, "logprobs variant must not change greedy"
+    stage("dense_variants", greedy=r1.tokens[:4], sampled=r2.tokens[:4],
+          penalized_distinct=len(set(r3.tokens)),
+          first_lp=round(r4.logprob_content[0][0], 3))
+
+    from ..engine.paged_batch import PagedBatchEngine
+
+    peng = PagedBatchEngine(lm, batch_size=4, decode_chunk=8, num_pages=64,
+                            page_size=64, stop_token_ids=[])
+    a = peng.submit(prompt, 16)
+    peng.run()
+    follow = prompt + a.tokens[:8] + [11, 12]
+    b = peng.submit(follow, 16, logprobs=2)
+    peng.run()
+    assert len(peng._retired) >= 1
+    assert len(b.logprob_content) == 16
+    stage("paged_apc", retired=len(peng._retired), b_tokens=b.tokens[:4])
+
+    from ..engine.batch_spec import SpeculativeBatchEngine
+
+    seng = SpeculativeBatchEngine(lm, batch_size=2, draft_block=4,
+                                  stop_token_ids=[])
+    s1 = seng.submit(prompt, 24)
+    s2 = seng.submit(prompt[:40], 24,
+                     sampling=SamplingParams(temperature=0.9, top_k=50), seed=3)
+    seng.run()
+    assert s1.tokens == r1.tokens, "spec greedy must match plain greedy"
+    acc = seng.metrics.num_tokens_accepted / max(
+        1, seng.metrics.num_tokens_proposed)
+    stage("spec_dynamic", acceptance=round(acc, 3))
+
+    stage("ALL_OK")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else ".bench_cache/llama1b_int4")

@@ -112,3 +112,76 @@ def test_fuzz_paged(lm, seed):
     assert all(pool._refcount[p] == 0 for p in pool._free)
     assert len(set(pool._free)) == len(pool._free)
     assert set(range(pool.num_pages)) == held | set(pool._free)
+
+
+@pytest.fixture(scope="module")
+def chat(tmp_path_factory):
+    from uzu_tpu.sessions import Tokenizer
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path_factory.mktemp("fuzz_chat")),
+                         num_layers=2, model_dim=64, hidden_dim=160,
+                         num_heads=4, num_groups=2, head_dim=16)
+    lm2 = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16,))
+    return lm2, Tokenizer(d)
+
+
+@pytest.mark.parametrize("seed", [4, 5])
+def test_fuzz_speculative_with_grammar(chat, seed):
+    """Speculative engine storm with grammar slots in the mix: greedy
+    plain finishers match solo runs, greedy grammar finishers match the
+    single-stream constrained loop, and grammar outputs stay valid."""
+    from uzu_tpu.engine.batch_spec import SpeculativeBatchEngine
+    from uzu_tpu.grammar import GrammarSession, JsonMatcher, constrained_generate
+
+    lm2, tok = chat
+    rng = np.random.default_rng(seed)
+    eng = SpeculativeBatchEngine(lm2, batch_size=3, draft_block=4,
+                                 stop_token_ids=list(tok.eos_token_ids))
+    live, finished = [], []
+    kinds = {}
+    gp = tok.encode("<|user|>json<|end|><|assistant|>")
+
+    for _ in range(90):
+        op = rng.random()
+        if op < 0.3 and len(live) < 7:
+            n_new = int(rng.integers(3, 16))
+            if rng.random() < 0.4:
+                req = eng.submit(gp, n_new, grammar=GrammarSession(
+                    tok, schema=None, stop_token_ids=tok.eos_token_ids))
+                kinds[req.id] = ("grammar", n_new)
+            else:
+                prompt = list(rng.integers(1, 250, int(rng.integers(2, 30))))
+                req = eng.submit(prompt, n_new)
+                kinds[req.id] = ("plain", list(prompt))
+            live.append(req)
+        elif op < 0.38 and live:
+            eng.cancel(live[int(rng.integers(len(live)))], "cancelled")
+        else:
+            eng.step()
+        finished += [r for r in live if r.finished]
+        live = [r for r in live if not r.finished]
+    eng.run()
+    finished += live
+
+    grammar_solo = {}
+    for req in finished:
+        kind = kinds[req.id]
+        if req.finish_reason == "cancelled" or not req.tokens:
+            continue
+        if kind[0] == "plain":
+            solo = lm2.generate_list(np.asarray(kind[1]), len(req.tokens),
+                                     stop_token_ids=list(tok.eos_token_ids))
+            assert req.tokens == solo[: len(req.tokens)], f"seed={seed}"
+        else:
+            n_new = kind[1]
+            if n_new not in grammar_solo:
+                g = GrammarSession(tok, schema=None,
+                                   stop_token_ids=tok.eos_token_ids)
+                grammar_solo[n_new] = list(constrained_generate(
+                    lm2, np.asarray(gp), n_new, g,
+                    stop_token_ids=list(tok.eos_token_ids)))
+            assert req.tokens == grammar_solo[n_new][: len(req.tokens)]
+            text = tok.decode(req.tokens, skip_special_tokens=True).strip()
+            if text:
+                assert JsonMatcher().feed_text(text), text

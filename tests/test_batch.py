@@ -518,3 +518,101 @@ def test_prefix_cache_evicts_under_pressure(lm):
     for r, want in zip(reqs, singles):
         assert r.finished and r.tokens[:12] == want[:12]
         assert r.preempted == 0
+
+
+def test_prefix_cache_after_stop_finish_exact(lm):
+    """The EOS-finish case the APC must survive: a stop-halted slot's held
+    stop token must NOT scatter over the last history row (the device once
+    froze the write offset ON that row), because those rows are exactly
+    what prefix sharing hands to the next turn."""
+    from uzu_tpu.engine.paged_batch import PagedBatchEngine
+
+    # find a (prompt, stop index) where the greedy stream's stop token is
+    # FRESH (so the stream stops exactly there, sampled IN-SCAN: idx >= 1)
+    # and history = len(prompt) + idx lands on a page boundary — the
+    # configuration where the frozen-offset bug corrupted the last
+    # retired row
+    # tiny greedy streams collapse to attractors, so the donor SAMPLES
+    # (deterministic per seed): probe its stop-free stream, pick a token
+    # whose FIRST occurrence is in-scan (idx >= 1) at a page-aligned
+    # history point, then replay with that stop — it fires exactly there.
+    from uzu_tpu.engine.sampling import SamplingParams
+
+    samp = SamplingParams(temperature=1.0, top_k=40)
+    found = None
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        p_len = int(rng.integers(6, 16))
+        prompt = [int(t) for t in rng.integers(1, 250, p_len)]
+        probe = PagedBatchEngine(lm, batch_size=1, decode_chunk=4,
+                                 num_pages=24, page_size=8, sampling=samp,
+                                 stop_token_ids=[], apc_max_entries=0)
+        probe_req = probe.submit(prompt, 8, seed=5)
+        probe.run()
+        base = probe_req.tokens
+        for idx in range(1, 7):
+            if (p_len + idx) % 8 == 0 and base[idx] not in base[:idx] \
+                    and base[idx] not in prompt:
+                found = (prompt, base, idx)
+                break
+        if found:
+            break
+    if found is None:
+        pytest.skip("no sampled stream with a fresh page-aligned token")
+    prompt, base, stop_idx = found
+    stop = base[stop_idx]
+
+    def run_continuation(with_donor):
+        eng = PagedBatchEngine(lm, batch_size=2, decode_chunk=4, num_pages=24,
+                               page_size=8, sampling=samp,
+                               stop_token_ids=[stop])
+        n_pages = (len(prompt) + stop_idx) // 8
+        follow = prompt + base[: stop_idx + 1] + [77, 78]
+        if with_donor:
+            a = eng.submit(prompt, 32, seed=5)
+            eng.run()
+            assert a.finish_reason == "stop" and len(a.tokens) == stop_idx + 1
+            assert len(eng._retired) == 1
+            retired_pages = eng.pool.pages(next(iter(eng._retired)))
+            assert len(retired_pages) == n_pages
+        b = eng.submit(follow, 10, seed=9, logprobs=1,
+                       sampling=SamplingParams())  # greedy continuation
+        eng.step()
+        if with_donor:
+            slot_b = next(i for i, s in enumerate(eng.slots)
+                          if s.request is b)
+            # shared, incl. the row the frozen-offset bug used to
+            # overwrite with the held stop token's KV
+            assert eng.pool.pages(slot_b)[:n_pages] == retired_pages
+        eng.run()
+        # logprobs compare BIT-EXACT: tiny attractor models' argmax absorbs
+        # a corrupted KV row, but the float distribution cannot
+        return b.tokens, [lp for lp, _ in b.logprob_content]
+
+    assert run_continuation(True) == run_continuation(False)
+
+
+def test_prefix_cache_eviction_spares_the_donor(lm):
+    """Under pool pressure the admission must not evict the retired entry
+    it is about to share from (the old evict-then-match order did)."""
+    from uzu_tpu.engine.paged_batch import PagedBatchEngine
+
+    # usable pool 11 pages of 8; donor history fills 2 pages + overhead
+    base = [(i * 3) % 200 for i in range(16)]
+    eng = PagedBatchEngine(lm, batch_size=1, decode_chunk=4, num_pages=12,
+                           page_size=8, stop_token_ids=[])
+    a = eng.submit(base, 17)  # history 16+16 = 32 tokens = 4 full pages
+    eng.run()
+    assert len(eng._retired) == 1
+    rid = next(iter(eng._retired))
+    retired_pages = eng.pool.pages(rid)
+    assert len(retired_pages) == 4
+
+    follow = base + a.tokens[:16] + [5, 6, 7]
+    solo = lm.generate_list(np.asarray(follow), 8, stop_token_ids=[])
+    b = eng.submit(follow, 8)
+    eng.step()
+    slot_b = next(i for i, s in enumerate(eng.slots) if s.request is b)
+    assert eng.pool.pages(slot_b)[:4] == retired_pages  # donor survived
+    eng.run()
+    assert b.tokens[:8] == solo[:8]

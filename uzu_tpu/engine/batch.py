@@ -542,6 +542,20 @@ class BatchEngine:
             cache[key] = copy
         return cache[key]
 
+    @staticmethod
+    def _common_prefix(hist: list[int], prompt: list[int]) -> int:
+        """Shared-prefix length, capped at len(prompt)-1 so the tail
+        prefill always feeds >= 1 token (and, in the paged engine, always
+        writes AT or past the shared-page boundary). The ONE definition of
+        prefix matching for live slots, retired prefix-cache entries, and
+        both engines."""
+        common = 0
+        for a, c in zip(hist, prompt):
+            if a != c:
+                break
+            common += 1
+        return min(common, len(prompt) - 1)
+
     def _best_prefix(self, prompt: list[int]):
         """(src_slot, L): the longest common prefix between the new prompt
         and a live slot's KV-resident history — its prompt plus every
@@ -552,14 +566,10 @@ class BatchEngine:
             if s.free:
                 continue
             hist = s.request.prompt + s.request.tokens[:-1]
-            common = 0
-            for a, c in zip(hist, prompt):
-                if a != c:
-                    break
-                common += 1
+            common = self._common_prefix(hist, prompt)
             if common > best_l:
                 best_b, best_l = b, common
-        return best_b, min(best_l, len(prompt) - 1)
+        return best_b, best_l
 
     def _grammar_first_mask(self, req: Request):
         """Bitmask for a grammar request's FIRST sampled token (the

@@ -190,6 +190,7 @@ class PagedBatchEngine:
 
                 def body(carry, key_t):
                     pools, tokens, positions, halted, remaining, counts = carry
+                    fed = ~halted  # slots whose input token is REAL this step
                     logits, pools = paged_decode_step(
                         cfg, params, pools, tokens, tables, positions)
                     sampled_from = logits
@@ -221,7 +222,14 @@ class PagedBatchEngine:
                     if stop_arr is not None:
                         halted = halted | jnp.any(
                             nxt[:, None] == stop_arr[None, :], axis=1)
-                    positions = jnp.where(halted, positions, positions + 1)
+                    # advance for every slot that FED a real token this step
+                    # — including the step that samples a stop. Freezing on
+                    # the stop step parked the write offset ON the last
+                    # history row, so the held stop token's K/V scatters
+                    # overwrote it every subsequent identity step — a latent
+                    # corruption of exactly the rows prefix sharing and the
+                    # automatic prefix cache hand to other requests.
+                    positions = positions + fed.astype(jnp.int32)
                     # device-side budget/context halt mirrors the host's
                     # finish conditions so an in-flight chunk can't overrun
                     # them while the host lags one chunk (pipelining)
@@ -314,42 +322,37 @@ class PagedBatchEngine:
             needed = -(-(len(peek.prompt) + peek.max_new_tokens + 1)
                        // self.page_size)
             needed = min(needed, self.pool.num_pages)
-        if needed > self.pool.free_pages:
-            # prefix-cache entries yield to live admissions
-            self._evict_retired(needed)
-        if needed > self.pool.free_pages:
-            return False
-        req = self.queue.popleft()
-        n = len(req.prompt)
 
-        # prefix sharing BEFORE prefill: FULL pages of the longest common
-        # prefix with a live slot's KV-RESIDENT HISTORY — its prompt plus
-        # every routed token except the last (chat continuations share past
-        # the original prompt; BatchEngine._best_prefix is the one
-        # definition of that history) — point at the same physical pages
-        # (their KV is deterministic-identical), and the chunk loop STARTS
-        # past them: the shared prefix's prefill compute is skipped
-        # entirely. _best_prefix caps the match at len(prompt)-1, so the
+        # prefix match FIRST — sharing both reduces how many NEW pages the
+        # admission needs and names a donor that eviction must spare (the
+        # old evict-then-match order could evict the exact retired prefix
+        # this continuation was about to reuse, then fully re-prefill it):
+        # FULL pages of the longest common prefix with a live slot's or a
+        # RETIRED (prefix-cache) entry's KV-resident history — prompt plus
+        # every routed token except the last — point at the same physical
+        # pages (their KV is deterministic-identical), and the chunk loop
+        # STARTS past them: the shared prefix's prefill compute is skipped
+        # entirely. _common_prefix caps the match at len(prompt)-1, so the
         # >=1-token tail prefill always writes AT or past the shared-page
-        # boundary — the admission never writes a donor-owned page (a
-        # fully-page-aligned shared prompt would otherwise rewrite the
-        # donor's last shared row), and decode writes land at page indices
-        # >= the shared range — no COW.
-        best_src, common = BatchEngine._best_prefix(self, req.prompt)
+        # boundary — the admission never writes a donor-owned page — and
+        # decode writes land at page indices >= the shared range: no COW.
+        n = len(peek.prompt)
+        best_src, common = BatchEngine._best_prefix(self, peek.prompt)
         shared_pages = common // self.page_size if best_src is not None else 0
-        # the automatic prefix cache extends the donor set to FINISHED
-        # requests (multi-turn chat: the previous turn is long gone from
-        # the slots by the time the follow-up arrives); MRU-first
-        for rid in reversed(self._retired):
-            hist = self._retired[rid]
-            c = 0
-            for a, b in zip(hist, req.prompt):
-                if a != b:
-                    break
-                c += 1
-            cand = min(c, n - 1) // self.page_size
+        for rid in reversed(self._retired):  # MRU-first
+            cand = BatchEngine._common_prefix(
+                self._retired[rid], peek.prompt) // self.page_size
             if cand > shared_pages:
                 best_src, shared_pages = rid, cand
+        needed_new = max(0, needed - shared_pages)
+        if needed_new > self.pool.free_pages:
+            # prefix-cache entries yield to live admissions — except the
+            # chosen donor itself
+            self._evict_retired(needed_new, keep=best_src)
+        if needed_new > self.pool.free_pages:
+            return False
+        req = self.queue.popleft()
+
         if best_src is not None and shared_pages > 0:
             self.pool.share_prefix(best_src, slot_i, shared_pages)
             if best_src in self._retired:
@@ -433,6 +436,7 @@ class PagedBatchEngine:
     supports_count_penalties = True
     cancel = BatchEngine.cancel
     _dynamic_now = BatchEngine._dynamic_now
+    _common_prefix = staticmethod(BatchEngine._common_prefix)
     _penalized_now = BatchEngine._penalized_now
     _ensure_counts = BatchEngine._ensure_counts
     _note_admission_counts = BatchEngine._note_admission_counts
@@ -463,13 +467,18 @@ class PagedBatchEngine:
             old, _ = self._retired.popitem(last=False)
             self.pool.release(old)
 
-    def _evict_retired(self, need_pages: int) -> bool:
-        """Free LRU prefix-cache entries until `need_pages` more pages are
-        free (or the cache is empty); live requests always win over cached
-        prefixes. Returns True if anything was evicted."""
+    def _evict_retired(self, need_pages: int, keep=None) -> bool:
+        """Free LRU prefix-cache entries until `need_pages` pages are free
+        (or the cache is drained); live requests always win over cached
+        prefixes. `keep` spares one entry (the donor an admission is about
+        to share from). Returns True if anything was evicted."""
         evicted = False
-        while self._retired and self.pool.free_pages < need_pages:
-            rid, _ = self._retired.popitem(last=False)
+        for rid in list(self._retired):
+            if self.pool.free_pages >= need_pages:
+                break
+            if rid == keep:
+                continue
+            del self._retired[rid]
             self.pool.release(rid)
             evicted = True
         return evicted

@@ -59,12 +59,16 @@ def main(model_dir: str) -> None:
 
     peng = PagedBatchEngine(lm, batch_size=4, decode_chunk=8, num_pages=64,
                             page_size=64, stop_token_ids=[])
-    a = peng.submit(prompt, 16)
+    a = peng.submit(prompt, 18)  # history 48+17 = 65 > page_size: retires
     peng.run()
-    follow = prompt + a.tokens[:8] + [11, 12]
+    assert len(peng._retired) == 1
+    retired_pages = peng.pool.pages(next(iter(peng._retired)))
+    follow = prompt + a.tokens[:17] + [11, 12]
     b = peng.submit(follow, 16, logprobs=2)
+    peng.step()  # admission: must SHARE the retired page, not re-prefill it
+    slot_b = next(i for i, s in enumerate(peng.slots) if s.request is b)
+    assert peng.pool.pages(slot_b)[:1] == retired_pages[:1], "APC share missed"
     peng.run()
-    assert len(peng._retired) >= 1
     assert len(b.logprob_content) == 16
     stage("paged_apc", retired=len(peng._retired), b_tokens=b.tokens[:4])
 

@@ -270,3 +270,69 @@ def test_lookahead_masks_restore_state(chat_dir):
     if not fresh.current_mask()[int(closing)]:
         truncated = fresh.lookahead_masks([closing, open_brace])
         assert len(truncated) == 1
+
+
+def test_number_prefix_validity():
+    """Misplaced sign/exponent chars must be REJECTED at accept time — the
+    old dot-count-only check let generation walk into a dead number state
+    ('1-') that the mask could never terminate."""
+    for bad in ["1-", "1e5e", "12e++", "01", "--1", "1.2.3", "1.e5"]:
+        assert not JsonMatcher({"type": "number"}).feed_text(bad), bad
+    for good in ["-0.5", "1e+5", "123", "0.25", "1E-2", "-7e10"]:
+        m = JsonMatcher({"type": "number"})
+        assert m.feed_text(good), good
+        assert m.feed_text(" ") and m.is_complete(), good
+    # terminators reject INCOMPLETE numbers (mid-exponent, bare sign)
+    for partial in ["1e", "1e+", "-", "3."]:
+        m = JsonMatcher({"type": "number"})
+        assert m.feed_text(partial), partial
+        assert not m.feed_text(" "), partial
+
+
+def test_string_escape_validity():
+    r"""\uXXXX needs exactly 4 hex digits; raw control chars are invalid."""
+    assert JsonMatcher().feed_text('"a\\u0041b"')
+    assert not JsonMatcher().feed_text('"a\\uZZ11b"')
+    assert not JsonMatcher().feed_text('"a\\u12"')  # closes mid-escape
+    assert not JsonMatcher().feed_text('"a\tb"')
+    assert not JsonMatcher().feed_text('"a\rb"')
+    assert JsonMatcher().feed_text('"a\\tb"')
+
+
+def test_native_matches_python_numbers_and_escapes(chat_dir):
+    """Lockstep masks through number edges and \\u escapes."""
+    pytest.importorskip("ctypes")
+    tok = Tokenizer(chat_dir)
+    schema = {"type": "object",
+              "properties": {"x": {"type": "number"}, "s": {"type": "string"}},
+              "required": ["x"]}
+    g_py = GrammarSession(tok, schema=schema, backend="python")
+    g_nat = GrammarSession(tok, schema=schema, backend="native")
+    assert g_nat.backend == "native"
+    text = '{"x": -1.25e+2, "s": "a\\u0041\\n b"}'
+    for i, tid in enumerate(tok.encode(text)):
+        np.testing.assert_array_equal(
+            g_nat.current_mask(), g_py.current_mask(),
+            err_msg=f"mask diverged at step {i}")
+        g_py.observe(tid)
+        g_nat.observe(tid)
+    np.testing.assert_array_equal(g_nat.current_mask(), g_py.current_mask())
+
+
+def test_trigger_tail_feeds_matcher(chat_dir):
+    """A token whose text completes the trigger AND carries body text must
+    feed the post-trigger remainder to the matcher (dropping it would make
+    the mask demand the body chars again)."""
+    tok = Tokenizer(chat_dir)
+    g = GrammarSession(tok, schema=None, trigger="<t>")
+    assert not g.engaged
+    g._text_tail = "<t"
+    # use a session-local strings copy so we can synthesize a token whose
+    # text is '>{' (trigger completion + JSON body in ONE token)
+    g.token_strings = list(g.token_strings)
+    g.token_strings[5] = ">{"
+    g.observe(5)
+    assert g.engaged
+    # the matcher must have consumed '{': an object body can now complete
+    assert g.observe_text('"a": 1}') is None  # feeds without breaking
+    assert g._is_complete()

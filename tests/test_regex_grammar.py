@@ -152,3 +152,21 @@ def test_session_api_guards(chat_dir):
     m = s2.current_mask()
     assert m[tok.eos_token_ids[0]]  # may stop
     assert m[a_id]  # may continue
+
+
+def test_wide_unicode_range_class():
+    """Ranges wider than the old 512-codepoint sampling cap classify
+    interior characters correctly (CJK class): the mask must admit
+    in-range tokens and reject out-of-range ones, in both directions."""
+    from uzu_tpu.grammar.regex import RegexDFA, RegexMatcher
+
+    dfa = RegexDFA("[一-鿿]+")
+    m = RegexMatcher(dfa)
+    assert m.accepts_text("中文")  # interior CJK chars
+    assert not m.accepts_text("a")
+    assert not m.accepts_text("䷿")  # just below the range
+    assert not m.accepts_text("ꀀ")  # just above the range
+
+    neg = RegexMatcher(RegexDFA("[^一-鿿]+"))
+    assert neg.accepts_text("abc")
+    assert not neg.accepts_text("中")  # interior must be rejected

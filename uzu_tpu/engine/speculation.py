@@ -332,14 +332,19 @@ class SpeculativeDecoder:
             yield token
             history.append(token)
             produced += 1
-            if token in stop:
-                break
+            if token in stop or produced >= max_new_tokens:
+                break  # budget exhausted: the next verify's commit would
+                # clip to 0 — a pure wasted dispatch (and possibly a fresh
+                # n_pad executable compile)
             out.state = None  # invalidated while a round is in flight
             room = lm.max_context - pos - 1
             if room <= 0:
                 break
             draft = list(self.speculator.propose(history)) if room > 1 else []
-            draft = draft[: min(len(draft), room - 1, max_new_tokens - produced)]
+            # clip to room/budget AND the padded-block cap (a speculator
+            # configured with k >= 32 must not overflow the 32-row block)
+            draft = draft[: min(len(draft), room - 1,
+                                max_new_tokens - produced, (1 << 5) - 1)]
             n = 1 + len(draft)
             # pad draft block to a bucketed size (bounded executables)
             n_pad = 1
@@ -444,8 +449,11 @@ class TokenTree:
 
     def ancestor_mask(self, size: int) -> np.ndarray:
         """[size, size] bool: mask[q, k] = node k is q or an ancestor of q
-        (padded region: self-visibility only, keeps softmax finite)."""
-        n = len(self.tokens)
+        (padded region: self-visibility only, keeps softmax finite). Trees
+        larger than `size` contribute only their first `size` nodes —
+        parents always precede children, so the truncation is a valid
+        forest (the verify equally clips to its padded block)."""
+        n = min(len(self.tokens), size)
         mask = np.zeros((size, size), bool)
         for i in range(n):
             j = i

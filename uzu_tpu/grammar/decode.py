@@ -22,12 +22,13 @@ from ..engine.sampling import SamplingParams, sample
 from ..models.decoder import decoder_forward
 from .matcher import GrammarSession
 
-_masked_step_cache: dict = {}
-
-
 def _masked_decode_fn(lm, sampling: SamplingParams):
-    key = (id(lm), sampling)
-    if key not in _masked_step_cache:
+    # cache lives ON the model (like the engines' executable caches): a
+    # module-global keyed by id(lm) would strongly retain every model ever
+    # used for constrained decoding — multi-GB of device params leaked per
+    # model swap in a long-lived server process
+    cache = lm.__dict__.setdefault("_grammar_step_jit", {})
+    if sampling not in cache:
 
         @partial(jax.jit, donate_argnums=(1,))
         def step(params, state, token, key, mask):
@@ -37,8 +38,8 @@ def _masked_decode_fn(lm, sampling: SamplingParams):
             next_token = sample(logits[0], sampling, key=key, bitmask=mask)
             return state, next_token
 
-        _masked_step_cache[key] = step
-    return _masked_step_cache[key]
+        cache[sampling] = step
+    return cache[sampling]
 
 
 def constrained_generate(
@@ -104,17 +105,15 @@ def constrained_generate(
     yield val
 
 
-_masked_verify_cache: dict = {}
-
-
 def _masked_verify_fn(lm, sampling: SamplingParams, n: int):
     """Fused grammar-speculative verify: per-row bitmasked sampling,
     exact-match acceptance ON DEVICE, and a deferred state commit of the
     1 + accepted kept tokens — so recurrent mixers (GDN/Mamba2/ShortConv)
     get grammar speculation too (their state replays over the accepted
     prefix instead of relying on attention's free pos-reset)."""
-    key = (id(lm), sampling, n)
-    if key not in _masked_verify_cache:
+    cache = lm.__dict__.setdefault("_grammar_verify_jit", {})
+    key = (sampling, n)
+    if key not in cache:
         from ..models.decoder import decoder_commit_deferred
 
         @partial(jax.jit, donate_argnums=(1,))
@@ -138,8 +137,8 @@ def _masked_verify_fn(lm, sampling: SamplingParams, n: int):
             )
             return new_state, sampled, accepted
 
-        _masked_verify_cache[key] = verify
-    return _masked_verify_cache[key]
+        cache[key] = verify
+    return cache[key]
 
 
 def _speculative_constrained(
@@ -187,14 +186,15 @@ def _speculative_constrained(
         yield token
         history.append(token)
         produced += 1
-        if token in stop:
-            return
+        if token in stop or produced >= max_new_tokens:
+            return  # budget exhausted: skip the wasted final verify
         grammar.observe(token)
         room = lm.max_context - pos - 1
         if room <= 0:
             return
         draft = list(speculator.propose(history)) if room > 1 else []
-        draft = draft[: min(len(draft), room - 1, max_new_tokens - produced)]
+        draft = draft[: min(len(draft), room - 1, max_new_tokens - produced,
+                            (1 << 5) - 1)]
         masks = grammar.lookahead_masks(draft)
         draft = draft[: len(masks) - 1]
         n = 1 + len(draft)

@@ -109,6 +109,14 @@ class JsonMatcher:
 
 
 def _frame_sig(frame: tuple) -> tuple:
+    # free-form strings: the reachable-token mask is independent of the
+    # accumulator once there is no allowed-set, so drop it from the
+    # signature — otherwise every character inside a string is a cache
+    # miss that re-simulates the whole vocabulary
+    if frame[0] in ("string_body", "string_esc") and frame[1] is None:
+        return frame[:2]
+    if frame[0] == "string_u" and frame[1] is None:
+        return ("string_u", None, frame[3])
     out = []
     for x in frame:
         if isinstance(x, dict):
@@ -196,7 +204,7 @@ def _h_string_body(m, ch):
     if ch == "\\":
         m.stack[-1] = ("string_esc", allowed, acc)
         return True
-    if ch in "\x00\n":
+    if ch < " ":  # JSON forbids ALL raw control chars in strings
         return False
     acc2 = acc + ch
     if allowed is not None and not any(s.startswith(acc2) for s in allowed):
@@ -207,7 +215,11 @@ def _h_string_body(m, ch):
 
 def _h_string_esc(m, ch):
     _, allowed, acc = m.stack[-1]
-    if ch in '"\\/bfnrtu':
+    if ch == "u":
+        # \uXXXX: exactly 4 hex digits must follow
+        m.stack[-1] = ("string_u", allowed, acc + "￿", 4)
+        return True
+    if ch in '"\\/bfnrt':
         # escaped char: for allowed-sets only support literal match of the
         # unescaped char for quotes/backslash
         rep = {'"': '"', "\\": "\\", "/": "/"}.get(ch)
@@ -219,25 +231,76 @@ def _h_string_esc(m, ch):
     return False
 
 
+def _h_string_u(m, ch):
+    _, allowed, acc, left = m.stack[-1]
+    if ch not in "0123456789abcdefABCDEF":
+        return False
+    if left == 1:
+        if allowed is not None and not any(s.startswith(acc) for s in allowed):
+            return False
+        m.stack[-1] = ("string_body", allowed, acc)
+        return True
+    m.stack[-1] = ("string_u", allowed, acc, left - 1)
+    return True
+
+
 def _num_ok(schema, acc: str) -> bool:
     if isinstance(schema, dict) and schema.get("type") == "integer" and ("." in acc or "e" in acc or "E" in acc):
         return False
     return True
 
 
+def _num_prefix_ok(acc: str) -> bool:
+    """acc extends to SOME valid JSON number: -?(0|[1-9]d*)(.d+)?([eE][+-]?d+)?
+    Positional checks matter — accepting a misplaced sign/exponent ('1-',
+    '1e5e') walks the matcher into a dead state the sampling mask can never
+    terminate (digits stay viable forever, terminators never do)."""
+    i, n = 0, len(acc)
+    if i < n and acc[i] == "-":
+        i += 1
+    if i == n:
+        return True
+    if acc[i] == "0":
+        i += 1
+    elif acc[i].isdigit():
+        while i < n and acc[i].isdigit():
+            i += 1
+    else:
+        return False
+    if i == n:
+        return True
+    if acc[i] == ".":
+        i += 1
+        start = i
+        while i < n and acc[i].isdigit():
+            i += 1
+        if i == n:
+            return True
+        if i == start:
+            return False  # '.e', '.+': no fraction digits yet
+    if acc[i] in "eE":
+        i += 1
+        if i == n:
+            return True
+        if acc[i] in "+-":
+            i += 1
+        while i < n and acc[i].isdigit():
+            i += 1
+        return i == n
+    return False
+
+
 def _h_number(m, ch):
     _, schema, acc = m.stack[-1]
     if ch in DIGITS or ch in ".eE+-":
         acc2 = acc + ch
-        # cheap syntactic sanity: single dot, e after digits
-        if acc2.count(".") > 1 or not _num_ok(schema, acc2):
+        if not _num_prefix_ok(acc2) or not _num_ok(schema, acc2):
             return False
         m.stack[-1] = ("number", schema, acc2)
         return True
-    # number ended; re-dispatch ch to parent
-    try:
-        float(acc)
-    except ValueError:
+    # number ended; re-dispatch ch to parent. Prefix validity is enforced
+    # per char, so completeness == ends in a digit.
+    if not acc or not acc[-1].isdigit():
         return False
     m.stack.pop()
     return m.advance(ch)
@@ -385,6 +448,7 @@ _HANDLERS = {
     "value": _h_value,
     "string_body": _h_string_body,
     "string_esc": _h_string_esc,
+    "string_u": _h_string_u,
     "number": _h_number,
     "literal": _h_literal,
     "obj_open": _h_obj_open,
@@ -571,18 +635,33 @@ class GrammarSession:
         return out
 
     def observe(self, token_id: int) -> None:
-        text = self.token_strings[token_id]
+        # ids past the tokenizer vocab (models pad vocab_size up) carry no
+        # text — the unengaged all-ones mask can legally sample them
+        text = (self.token_strings[token_id]
+                if 0 <= token_id < len(self.token_strings) else None)
         if not self.engaged:
             if self.trigger is not None:
                 tok = self.tokenizer.id_to_token(token_id)
-                if tok == self.trigger or (text and self.trigger in (self._text_tail + text)):
+                combined = self._text_tail + (text or "")
+                if tok == self.trigger or (text and self.trigger in combined):
                     self.engaged = True
+                    # text AFTER the trigger in the same token belongs to
+                    # the constrained body — dropping it desynchronizes the
+                    # matcher from the emitted text
+                    rest = ""
+                    if text and self.trigger in combined:
+                        rest = combined.split(self.trigger, 1)[1]
                     self._text_tail = ""
+                    if rest:
+                        self.observe_text(rest)
                 else:
-                    self._text_tail = (self._text_tail + (text or ""))[-len(self.trigger):]
+                    self._text_tail = combined[-len(self.trigger):]
             return
         if text:
-            if self.native is not None:
-                self.native.feed_text(text)
-            else:
-                self.matcher.feed_text(text)
+            self.observe_text(text)
+
+    def observe_text(self, text: str) -> None:
+        if self.native is not None:
+            self.native.feed_text(text)
+        else:
+            self.matcher.feed_text(text)

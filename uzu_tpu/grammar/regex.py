@@ -337,8 +337,8 @@ def _closure(nfa: _NFA, states: frozenset) -> frozenset:
 
 class RegexDFA:
     """table [n_states, n_classes] int32 (-1 dead), accept [n_states] bool;
-    `classes` maps chars seen by any predicate to a class id, every other
-    char shares `other_class`."""
+    `class_of(ch)` maps any char to its equivalence class via the atomic
+    interval partition of the predicates (memoized in `classes`)."""
 
     def __init__(self, pattern: str, extra_chars=()):
         self.pattern = pattern
@@ -356,22 +356,17 @@ class RegexDFA:
                     seen_preds.add(pred)
                     preds.append(pred)
 
-        # mentioned chars: everything a predicate can distinguish, plus any
-        # chars the caller wants exact classes for (e.g. the tokenizer's
-        # vocabulary; harmless, classes dedupe by signature)
-        mentioned: set[str] = set()
-        for neg, chars, ranges in preds:
-            mentioned |= set(chars)
-            for lo, hi in ranges:
-                if ord(hi) - ord(lo) <= 512:
-                    mentioned |= {chr(c) for c in range(ord(lo), ord(hi) + 1)}
-                else:
-                    mentioned |= {lo, hi}
-        mentioned |= set("".join(extra_chars)) if extra_chars else set()
-
+        # EXACT classification via interval partitioning: predicates only
+        # distinguish characters at their literal chars and range endpoints,
+        # so the codepoint space splits into atomic intervals on which every
+        # predicate is constant. Classifying one representative per interval
+        # realizes every reachable signature — unlike the old mentioned-set
+        # sampling, which misclassified the interior of ranges wider than
+        # 512 code points into the catch-all class (a CJK class like
+        # [\u4e00-\u9fff] masked almost every in-range token as invalid).
         pred_index = {p: i for i, p in enumerate(preds)}
         sig_to_class: dict[tuple, int] = {}
-        self.classes: dict[str, int] = {}
+        self.classes: dict[str, int] = {}  # memo cache over class_of()
         pred_sets: list[frozenset] = []  # class id -> predicate ids it satisfies
 
         def class_of_sig(sig):
@@ -384,12 +379,19 @@ class RegexDFA:
                 )
             return cid
 
-        for ch in sorted(mentioned):
-            sig = tuple(_pred_accepts(p, ch) for p in preds)
-            self.classes[ch] = class_of_sig(sig)
-        # chars never mentioned satisfy exactly the negated/dot predicates
-        other_sig = tuple(p[0] for p in preds)
-        self.other_class = class_of_sig(other_sig)
+        bounds = {0, 0x110000}
+        for neg, chars, ranges in preds:
+            for c in chars:
+                bounds |= {ord(c), ord(c) + 1}
+            for lo, hi in ranges:
+                bounds |= {ord(lo), ord(hi) + 1}
+        self._bounds = sorted(bounds)
+        self._interval_class: list[int] = []
+        for b in self._bounds[:-1]:
+            sig = tuple(_pred_accepts(p, chr(b)) for p in preds)
+            self._interval_class.append(class_of_sig(sig))
+        for ch in extra_chars or ():
+            self.class_of(ch)  # warm the memo for caller-known chars
         n_classes = len(pred_sets)
 
         # subset construction (processed in discovery order, so `rows`
@@ -426,13 +428,18 @@ class RegexDFA:
         self.n_states = len(order)
 
     def class_of(self, ch: str) -> int:
-        return self.classes.get(ch, self.other_class)
+        cid = self.classes.get(ch)
+        if cid is None:
+            import bisect
+
+            i = bisect.bisect_right(self._bounds, ord(ch)) - 1
+            cid = self._interval_class[min(i, len(self._interval_class) - 1)]
+            self.classes[ch] = cid
+        return cid
 
     def encode(self, text: str) -> np.ndarray:
         return np.fromiter(
-            (self.classes.get(c, self.other_class) for c in text),
-            np.int32,
-            len(text),
+            (self.class_of(c) for c in text), np.int32, len(text),
         )
 
 
@@ -587,12 +594,11 @@ class RegexMatcher:
         """Can `text` extend the current state (prefix-viable)?"""
         s = self.state
         table = self.dfa.table
-        cls = self.dfa.classes
-        other = self.dfa.other_class
+        class_of = self.dfa.class_of
         for ch in text:
             if s < 0:
                 return False
-            s = table[s, cls.get(ch, other)]
+            s = table[s, class_of(ch)]
             if s < 0:
                 return False
         return True

@@ -63,6 +63,7 @@ enum FrameKind : uint8_t {
     F_OBJ_KEY_START,
     F_ARR_OPEN,
     F_ARR_NEXT,
+    F_STRING_U,  // inside \uXXXX: `count` hex digits remain
 };
 
 struct Frame {
@@ -193,13 +194,35 @@ bool value_start(Engine& e, char ch, int32_t node_idx) {
     return false;
 }
 
-bool number_ok(const Engine& e, const Frame& f) {
-    // syntactic sanity mirrored from matcher.py (_h_number): parseable float
-    const std::string& a = f.acc;
-    if (a.empty() || a == "-") return false;
-    char* end = nullptr;
-    std::strtod(a.c_str(), &end);
-    return end == a.c_str() + a.size();
+bool num_prefix_ok(const std::string& a) {
+    // a extends to SOME valid JSON number (mirrors matcher.py
+    // _num_prefix_ok): -?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)?
+    size_t i = 0, n = a.size();
+    if (i < n && a[i] == '-') ++i;
+    if (i == n) return true;
+    if (a[i] == '0') {
+        ++i;
+    } else if (is_digit(a[i])) {
+        while (i < n && is_digit(a[i])) ++i;
+    } else {
+        return false;
+    }
+    if (i == n) return true;
+    if (a[i] == '.') {
+        ++i;
+        size_t start = i;
+        while (i < n && is_digit(a[i])) ++i;
+        if (i == n) return true;
+        if (i == start) return false;  // '.e', '.+': no fraction digits yet
+    }
+    if (a[i] == 'e' || a[i] == 'E') {
+        ++i;
+        if (i == n) return true;
+        if (a[i] == '+' || a[i] == '-') ++i;
+        while (i < n && is_digit(a[i])) ++i;
+        return i == n;
+    }
+    return false;
 }
 
 bool advance(Engine& e, char ch) {
@@ -216,30 +239,49 @@ bool advance(Engine& e, char ch) {
                 return true;
             }
             if (ch == '\\') { f.kind = F_STRING_ESC; return true; }
-            if (ch == '\0' || ch == '\n') return false;
+            if ((unsigned char)ch < 0x20) return false;  // raw controls
             f.acc.push_back(ch);
             if (f.enum_str && !enum_viable(e, n, f.acc, false)) return false;
             return true;
         }
         case F_STRING_ESC: {
-            static const char* esc = "\"\\/bfnrtu";
-            if (!std::strchr(esc, ch)) return false;
+            if (ch == 'u') {  // \uXXXX: exactly 4 hex digits must follow
+                f.acc.push_back('\x7f');
+                f.kind = F_STRING_U;
+                f.count = 4;
+                return true;
+            }
+            static const char* esc = "\"\\/bfnrt";
+            // NB: strchr(s, '\0') matches the terminator — guard it, or a
+            // NUL byte is "accepted" as an escape (py matcher rejects it)
+            if (!ch || !std::strchr(esc, ch)) return false;
             char rep = (ch == '"' || ch == '\\' || ch == '/') ? ch : '\x7f';
             f.acc.push_back(rep);
             f.kind = F_STRING_BODY;
             if (f.enum_str && !enum_viable(e, n, f.acc, false)) return false;
             return true;
         }
+        case F_STRING_U: {
+            bool hex = is_digit(ch) || (ch >= 'a' && ch <= 'f') ||
+                       (ch >= 'A' && ch <= 'F');
+            if (!hex) return false;
+            if (--f.count == 0) {
+                f.kind = F_STRING_BODY;
+                if (f.enum_str && !enum_viable(e, n, f.acc, false)) return false;
+            }
+            return true;
+        }
         case F_NUMBER: {
             if (is_digit(ch) || ch == '.' || ch == 'e' || ch == 'E' || ch == '+' || ch == '-') {
-                if (ch == '.' && f.acc.find('.') != std::string::npos) return false;
                 if ((ch == '.' || ch == 'e' || ch == 'E') && n &&
                     (n->type_mask & T_INTEGER_ONLY))
                     return false;
                 f.acc.push_back(ch);
+                if (!num_prefix_ok(f.acc)) { f.acc.pop_back(); return false; }
                 return true;
             }
-            if (!number_ok(e, f)) return false;
+            // prefix validity is enforced per char: complete == digit-final
+            if (f.acc.empty() || !is_digit(f.acc.back())) return false;
             e.stack.pop_back();
             return advance(e, ch);
         }

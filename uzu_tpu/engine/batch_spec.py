@@ -65,10 +65,6 @@ class _SpecScheduling:
             n_total = len(lm.decoder_config.transformer_config.layer_configs)
             if not 0 < draft_layers < n_total:
                 raise ValueError(f"draft_layers must be in [1, {n_total - 1}]")
-            for lc in lm.decoder_config.transformer_config.layer_configs[:draft_layers]:
-                src = lc.kv_source_layer_index
-                if src is not None and src >= draft_layers:
-                    raise ValueError("draft truncation cuts a KV-share source")
             from .speculation import self_draft_model
 
             # config/shape validation only — weights are sliced from the
@@ -149,7 +145,9 @@ class _SpecScheduling:
             req = slot.request
             budget = max(0, req.max_new_tokens - slot.produced - 1)
             if req.grammar is None and self.draft_layers is not None:
-                draft_len[b] = m  # drafted on device inside the dispatch
+                # drafted on device inside the dispatch; mirror the device's
+                # budget clip so the metrics count what can be accepted
+                draft_len[b] = min(m, budget)
                 tracked[b] = req
                 continue
             history = req.prompt + req.tokens
@@ -191,12 +189,15 @@ class _SpecScheduling:
     def _route_round(self, tracked, vals, commits, draft_len, lp_pack=None):
         """Route one fetched round's committed tokens to requests; finish
         detection mirrors the device-side halt conditions."""
+        if tracked:
+            # one fused dispatch == one verify pass (keeps the server's
+            # acceptance stats comparable with the single-stream decoders)
+            self.metrics.num_verify_passes += 1
         for b, req in tracked.items():
             if req.finished:
                 continue
             c = int(commits[b])
             slot = self.slots[b]
-            self.metrics.num_verify_passes += 1
             self.metrics.num_tokens_proposed += int(draft_len[b])
             self.metrics.num_tokens_accepted += max(0, c - 1)
             slot.pos += c
@@ -309,14 +310,16 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
                     _, self_drafts = jax.lax.scan(
                         dstep, (dview, token), None, length=m
                     )
-                    if masked:
-                        drafts = jnp.where(hd, drafts, self_drafts)
-                        draft_len = jnp.where(
-                            hd, draft_len, jnp.asarray(m, jnp.int32)
-                        )
-                    else:
-                        drafts = self_drafts
-                        draft_len = jnp.asarray(m, jnp.int32)
+                    # clip the device draft's ACCEPTANCE WINDOW to the
+                    # remaining budget like the host path does — commit
+                    # was already budget-clipped (streams identical), but
+                    # an unclipped draft_len inflates num_tokens_proposed
+                    # and understates the reported acceptance rate
+                    dev_len = jnp.minimum(
+                        jnp.asarray(m, jnp.int32),
+                        jnp.maximum(remaining - 1, 0).astype(jnp.int32))
+                    drafts = jnp.where(hd, drafts, self_drafts)
+                    draft_len = jnp.where(hd, draft_len, dev_len)
                 tokens = jnp.concatenate([token[None], drafts])  # [m+1]
                 logits, pending = decoder_forward(
                     cfg, params, tokens, state, last_only=False, defer_ssm=True,
@@ -367,26 +370,40 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
             @partial(jax.jit, donate_argnums=(1,))
             def verify_b(params, state, tokens, drafts, draft_len, halted,
                          remaining, keys, *extra):
-                # extra rides per the variant flags: (masks [B,m+1,V],
-                # hd [B]) when masked, then samp [B,4] when dynamic — the
-                # default variant's signature stays unchanged
-                masks = extra[0] if masked else None
-                hd = extra[1] if masked else None
-                samp = extra[2 if masked else 0] if dynamic else None
+                # extra rides per the variant flags, in order: hd [B] when
+                # draft_layers (its own cheap lane — an unengaged grammar
+                # trigger must NOT force a ~V-wide all-ones mask upload),
+                # masks [B, m+1, V] when masked, samp [B, 6] when dynamic;
+                # the default variant's signature stays unchanged
+                i = 0
+                hd = masks = samp = None
+                if nd is not None:
+                    hd = extra[i]
+                    i += 1
+                if masked:
+                    masks = extra[i]
+                    i += 1
+                if dynamic:
+                    samp = extra[i]
 
                 def per_slot(s, t, d, dl, h, r, kk, *xs):
-                    i = 0
-                    mm = hh = sp = None
+                    j = 0
+                    hh = mm = sp = None
+                    if nd is not None:
+                        hh = xs[j]
+                        j += 1
                     if masked:
-                        mm, hh = xs[0], xs[1]
-                        i = 2
+                        mm = xs[j]
+                        j += 1
                     if dynamic:
-                        sp = xs[i]
+                        sp = xs[j]
                     return one(params, s, t, d, dl, h, r, kk, mm, hh, sp)
 
                 xs = ()
+                if nd is not None:
+                    xs += (hd,)
                 if masked:
-                    xs += (masks, hd)
+                    xs += (masks,)
                 if dynamic:
                     xs += (samp,)
                 return jax.vmap(per_slot)(
@@ -409,10 +426,6 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
         if not self.num_active:
             return
         drafts, draft_len, tracked, masks, host_draft = self._build_drafts(m)
-        if masks is None and host_draft.any() and self.draft_layers is not None:
-            # unengaged grammar trigger: no masks yet, but the host chain
-            # must still override the device self-draft for those slots
-            masks = np.ones((self.batch_size, m + 1, self._vocab), bool)
         keys = self._spec_keys(tracked, m)
         max_pos = max((s.pos for s in self.slots if not s.free), default=0)
         dynamic = self._dynamic_now()
@@ -421,8 +434,11 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
         verify = self._verify_fn(m, self.lm._ctx_bucket(max_pos + m + 2),
                                  masked=masks is not None, dynamic=dynamic,
                                  logprobs=n_lp)
-        extra = () if masks is None else (jnp.asarray(masks),
-                                          jnp.asarray(host_draft))
+        extra = ()
+        if self.draft_layers is not None:
+            extra += (jnp.asarray(host_draft),)
+        if masks is not None:
+            extra += (jnp.asarray(masks),)
         if dynamic:
             extra += (jnp.asarray(self._samp),)
         (self._state, self._tokens, self._halted, self._remaining,
@@ -470,10 +486,22 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
 
             @partial(jax.jit, donate_argnums=(1,))
             def verify(params, pools, tokens, drafts, draft_len, positions,
-                       halted, remaining, tables_s, keys, *mask_args):
-                samp_rows = (mask_args[2 if masked else 0] if dynamic
-                             else jnp.zeros((tokens.shape[0], 6), jnp.float32))
+                       halted, remaining, tables_s, keys, *extra):
+                # extras in order: hd [B] when draft_layers (own cheap lane
+                # — an unengaged grammar trigger must not force a V-wide
+                # all-ones mask upload), masks when masked, samp when
+                # dynamic
                 b = tokens.shape[0]
+                i = 0
+                hd = masks_in = None
+                if nd is not None:
+                    hd = extra[i]
+                    i += 1
+                if masked:
+                    masks_in = extra[i]
+                    i += 1
+                samp_rows = (extra[i] if dynamic
+                             else jnp.zeros((b, 6), jnp.float32))
                 if nd is not None:
                     # device-side self-draft over a functional VIEW of the
                     # first nd layers' pools; chain writes are discarded —
@@ -493,14 +521,13 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
                     _, drafts_t = jax.lax.scan(
                         dstep, (dpools, tokens, positions), None, length=m)
                     self_drafts = jnp.swapaxes(drafts_t, 0, 1)  # [B, m]
-                    if masked:
-                        hd = mask_args[1]
-                        drafts = jnp.where(hd[:, None], drafts, self_drafts)
-                        draft_len = jnp.where(hd, draft_len,
-                                              jnp.full((b,), m, jnp.int32))
-                    else:
-                        drafts = self_drafts
-                        draft_len = jnp.full((b,), m, jnp.int32)
+                    # budget-clip the device acceptance window (metrics
+                    # honesty; commit was already budget-clipped)
+                    dev_len = jnp.minimum(
+                        jnp.full((b,), m, jnp.int32),
+                        jnp.maximum(remaining - 1, 0).astype(jnp.int32))
+                    drafts = jnp.where(hd[:, None], drafts, self_drafts)
+                    draft_len = jnp.where(hd, draft_len, dev_len)
 
                 blk = jnp.concatenate([tokens[:, None], drafts], axis=1)
                 logits, pools = paged_verify_step(
@@ -524,7 +551,7 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
 
                 if masked:
                     sampled = jax.vmap(slot_rows)(
-                        logits, keys, mask_args[0], samp_rows)  # [B, m+1]
+                        logits, keys, masks_in, samp_rows)  # [B, m+1]
                 else:
                     sampled = jax.vmap(
                         lambda l_rows, k_rows, sp: slot_rows(
@@ -586,12 +613,16 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
         # path's preemption/backpressure discipline
         for i, slot in enumerate(self.slots):
             while not slot.free:
+                want = min(slot.pos + m + 2, self.lm.max_context)
                 try:
-                    self.pool.ensure(i, min(slot.pos + m + 2, self.lm.max_context))
+                    self.pool.ensure(i, want)
                     break
                 except PagePoolOverflow:
-                    if self._evict_retired(1):
-                        continue  # prefix cache yields before any preemption
+                    # prefix cache yields first, sized to the REAL shortfall
+                    short = (-(-want // self.page_size)
+                             - len(self.pool.pages(i)))
+                    if self._evict_retired(short):
+                        continue
                     live = [j for j in self._admit_order if not self.slots[j].free]
                     youngest = max(live, key=self._admit_order.__getitem__)
                     if youngest == i and len(live) == 1:
@@ -601,10 +632,8 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
         if not self.num_active:
             return
         drafts, draft_len, tracked, masks, host_draft = self._build_drafts(m)
-        if masks is None and host_draft.any() and self.draft_layers is not None:
-            masks = np.ones((self.batch_size, m + 1, self._vocab), bool)
         keys = self._spec_keys(tracked, m)
-        tables = np.asarray(self._tables())
+        tables = self._tables_host()
         tables_s = np.concatenate(
             [tables, np.full((self.batch_size, 1), self._trash_page, np.int32)],
             axis=1,
@@ -616,8 +645,11 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
         verify = self._verify_fn(m, self._ctx_pages(max_pos + m + 2),
                                  masked=masks is not None, dynamic=dynamic,
                                  logprobs=n_lp)
-        extra = () if masks is None else (jnp.asarray(masks),
-                                          jnp.asarray(host_draft))
+        extra = ()
+        if self.draft_layers is not None:
+            extra += (jnp.asarray(host_draft),)
+        if masks is not None:
+            extra += (jnp.asarray(masks),)
         if dynamic:
             extra += (jnp.asarray(self._samp),)
         (self.pools, self._tokens, self._positions, self._halted,

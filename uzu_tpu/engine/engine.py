@@ -321,6 +321,10 @@ class LanguageModel:
         top values, top ids) instead of the bare token (separate cache
         entries so default paths keep their existing executables)."""
         cache = self.__dict__.setdefault("_first_sample_jit", {})
+        # the ring variant does not compose with the others — a masked+ring
+        # call would silently bind the grammar bitmask to the ring argument
+        assert not (has_ring and (masked or dynamic)), \
+            "ring sampling does not compose with masked/dynamic first samples"
         key = (sampling, has_ring, masked, dynamic, logprobs)
         if key not in cache:
             if has_ring:

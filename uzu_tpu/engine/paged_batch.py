@@ -516,15 +516,16 @@ class PagedBatchEngine:
         self._halted = self._halted.at[slot_i].set(True)
         self.queue.appendleft(req)
 
-    def _tables(self) -> jnp.ndarray:
-        """[B, MAXP] page tables. Free/halted slots and unused tail entries
-        point at the reserved trash page: a halted slot keeps scattering its
-        (stale) K/V every fused step at frozen (pos // page, pos % page) —
-        with a zero-filled table those writes land in physical page 0, which
-        is the first page the allocator hands to a LIVE slot, silently
-        corrupting its prompt KV. Reads are masked by lengths either way, so
-        pointing every inactive entry at the trash page makes the writes
-        harmless without branching in the kernel."""
+    def _tables_host(self) -> np.ndarray:
+        """[B, MAXP] page tables ON HOST. Free/halted slots and unused tail
+        entries point at the reserved trash page: a halted slot keeps
+        scattering its (stale) K/V every fused step at its parked
+        (pos // page, pos % page) — with a zero-filled table those writes
+        land in physical page 0, which is the first page the allocator
+        hands to a LIVE slot, silently corrupting its prompt KV. Reads are
+        masked by lengths either way, so pointing every inactive entry at
+        the trash page makes the writes harmless without branching in the
+        kernel."""
         trash = self._trash_page
         rows = np.full((self.batch_size, self.max_pages), trash, np.int32)
         for i, slot in enumerate(self.slots):
@@ -532,7 +533,10 @@ class PagedBatchEngine:
                 continue
             pages = self.pool.pages(i)
             rows[i, : len(pages)] = pages
-        return jnp.asarray(rows)
+        return rows
+
+    def _tables(self) -> jnp.ndarray:
+        return jnp.asarray(self._tables_host())
 
     def _dispatch_decode(self):
         """Dispatch one fused K-step chunk WITHOUT fetching its tokens —
@@ -549,13 +553,19 @@ class PagedBatchEngine:
             while not slot.free:
                 budget = slot.request.max_new_tokens - slot.produced
                 steps = min(2 * k, max(budget, 1))
+                want = min(slot.pos + steps, self.lm.max_context)
                 try:
-                    self.pool.ensure(i, min(slot.pos + steps,
-                                            self.lm.max_context))
+                    self.pool.ensure(i, want)
                     break
                 except PagePoolOverflow:
-                    if self._evict_retired(1):
-                        continue  # prefix cache yields before any preemption
+                    # prefix cache yields before any preemption — evict for
+                    # the REAL shortfall (an understated need here would
+                    # preempt/truncate a live request with evictable pages
+                    # still cached)
+                    short = (-(-want // self.page_size)
+                             - len(self.pool.pages(i)))
+                    if self._evict_retired(short):
+                        continue
                     live = [j for j in self._admit_order if not self.slots[j].free]
                     youngest = max(live, key=self._admit_order.__getitem__)
                     if youngest == i and len(live) == 1:

@@ -491,3 +491,43 @@ def test_spec_paged_sampled_preemption_lossless(tmp_path_factory):
     for a, b in zip(roomy, tight):
         assert a.finished and b.finished
         assert a.tokens == b.tokens
+
+
+def test_paged_supported_gates_unimplemented_features():
+    """Models whose attention uses value-head norm or non-causal layers
+    must fall back to the dense engine — the paged paths implement
+    neither, and serving them paged silently diverges."""
+    import dataclasses
+
+    from uzu_tpu.models.paged_decode import paged_supported
+    from uzu_tpu.tools.synth import llama_config
+
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160,
+                       num_heads=4, num_groups=2, head_dim=16,
+                       vocab_size=128).decoder_config
+    assert paged_supported(cfg)
+
+    def variant(**kw):
+        tc = cfg.transformer_config
+        lcs = list(tc.layer_configs)
+        lcs[1] = dataclasses.replace(
+            lcs[1], mixer_config=dataclasses.replace(lcs[1].mixer_config, **kw))
+        return dataclasses.replace(
+            cfg, transformer_config=dataclasses.replace(tc, layer_configs=lcs))
+
+    assert not paged_supported(variant(normalize_values=True))
+    assert not paged_supported(variant(is_causal=False))
+
+
+def test_share_prefix_self_share_accounting():
+    """A self-share must not momentarily free still-owned pages."""
+    from uzu_tpu.models.paged_kv import PagePool
+
+    pool = PagePool(num_pages=8, page_size=4)
+    pages = pool.ensure(0, 12)  # 3 pages
+    pool.share_prefix(0, 0, 2)
+    assert pool.pages(0) == pages[:2]
+    assert pool.free_pages == 6  # page 3 released; first two still held
+    # the shared pages are NOT on the free list
+    grabbed = pool.ensure(1, 24)  # takes all 6 free pages
+    assert not set(grabbed) & set(pages[:2])

@@ -51,6 +51,13 @@ def paged_supported(cfg: DecoderConfig) -> bool:
             return False
         if lc.ple_config is not None:
             return False
+        # features the paged attention paths do not implement — serving
+        # such a model paged would silently diverge from the dense engine
+        # (value-head norm is applied to v_new on the dense path,
+        # decoder.attention_forward; non-causal layers need the dense
+        # path's bidirectional masking)
+        if m.normalize_values or not m.is_causal:
+            return False
     return True
 
 

@@ -60,11 +60,14 @@ class PagePool:
 
     def share_prefix(self, src_slot: int, dst_slot: int, num_pages: int) -> None:
         """Point dst's first pages at src's (copy-on-write is the caller's
-        job — suitable for immutable shared prompt prefixes)."""
+        job — suitable for immutable shared prompt prefixes). Refcounts
+        bump BEFORE the dst release so a self-share (src == dst) cannot
+        momentarily drop a page to refcount 0 and leak it onto the free
+        list while still owned."""
         src = self._slots.get(src_slot, [])[:num_pages]
-        self.release(dst_slot)
         for p in src:
             self._refcount[p] += 1
+        self.release(dst_slot)
         self._slots[dst_slot] = list(src)
 
     def release(self, slot: int) -> None:

@@ -346,3 +346,71 @@ def test_server_penalty_field(tmp_path_factory):
         assert out["usage"]["completion_tokens"] >= 1
     finally:
         srv.shutdown()
+
+
+def test_request_validation_400s(tmp_path_factory):
+    """Malformed numeric fields must raise ValueError (HTTP 400) in the
+    handler — an unvalidated value would crash inside the scheduler thread
+    (and before the guard, wedge the whole server)."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.server.batched import BatchedChatServer
+    from uzu_tpu.sessions import Tokenizer
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path_factory.mktemp("val_srv")),
+                         num_layers=2, model_dim=64, hidden_dim=160,
+                         num_heads=4, num_groups=2, head_dim=16)
+    lm2 = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16,))
+    srv = BatchedChatServer(lm2, Tokenizer(d), batch_size=2)
+    msgs = [{"role": "user", "content": "x"}]
+    try:
+        for bad in ({"max_tokens": "sixty"}, {"max_tokens": 0},
+                    {"temperature": "hot"}, {"seed": "lucky"},
+                    {"top_k": "many"}):
+            with pytest.raises(ValueError):
+                srv.handle_chat({"messages": msgs, **bad})
+        # nullable fields mean "default", not an error
+        out = srv.handle_chat({"messages": msgs, "max_tokens": 4,
+                               "seed": None, "temperature": None})
+        assert out["usage"]["completion_tokens"] == 4
+        # a max_tokens given as a JSON number string via int-able float? no:
+        # int("64") works — common client mistake of quoting numbers
+        out2 = srv.handle_chat({"messages": msgs, "max_tokens": "6"})
+        assert out2["usage"]["completion_tokens"] == 6
+    finally:
+        srv.shutdown()
+
+
+def test_scheduler_survives_engine_exception(tmp_path_factory):
+    """An engine exception fails the in-flight requests with reason
+    "error" and the server keeps serving fresh requests — it must never
+    wedge every waiter forever."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.server.batched import BatchedChatServer
+    from uzu_tpu.sessions import Tokenizer
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path_factory.mktemp("boom_srv")),
+                         num_layers=2, model_dim=64, hidden_dim=160,
+                         num_heads=4, num_groups=2, head_dim=16)
+    lm2 = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16,))
+    srv = BatchedChatServer(lm2, Tokenizer(d), batch_size=2)
+    try:
+        real_step = srv.engine.step
+        blew = {"n": 0}
+
+        def boom():
+            blew["n"] += 1
+            raise RuntimeError("injected engine failure")
+
+        srv.engine.step = boom
+        req, done = srv.submit([1, 2, 3], 8)
+        assert done.wait(timeout=30), "server wedged after engine exception"
+        assert req.finished and req.finish_reason == "error"
+        assert blew["n"] >= 1
+        srv.engine.step = real_step
+        out = srv.handle_chat({"messages": [{"role": "user", "content": "y"}],
+                               "max_tokens": 4})
+        assert out["usage"]["completion_tokens"] == 4  # still serving
+    finally:
+        srv.shutdown()

@@ -112,22 +112,48 @@ class BatchedChatServer:
                 if delta and mon.push(delta)[1]:
                     hit = True
                     break
-            entry[3] = len(tokens)
+            # never rewind: preemption replays the identical stream, and
+            # re-feeding already-scanned text would let a stop sequence
+            # spanning the duplication seam falsely match
+            entry[3] = max(scanned, len(tokens))
             if hit:
                 self.engine.cancel(req, "stop")
                 del self._stop_watch[rid]
 
     def _scheduler(self):
         while not self._shutdown:
-            with self._lock:
-                busy = self.engine.step()
-                self._scan_stop_watch()
-                for rid, ev in list(self._events.items()):
-                    req = self._requests.get(rid)
-                    if req is not None and req.finished:
+            busy = False
+            try:
+                with self._lock:
+                    busy = self.engine.step()
+                    self._scan_stop_watch()
+                    for rid, ev in list(self._events.items()):
+                        req = self._requests.get(rid)
+                        if req is not None and req.finished:
+                            ev.set()
+                            del self._events[rid]
+                            del self._requests[rid]
+            except Exception:
+                # an engine exception must not wedge the server: an exited
+                # scheduler thread leaves every done.wait() and stream poll
+                # hanging forever. Fail the in-flight requests loudly and
+                # keep scheduling (fresh requests get fresh state).
+                import traceback
+
+                traceback.print_exc()
+                with self._lock:
+                    for req in (list(self.engine.queue)
+                                + [s.request for s in self.engine.slots
+                                   if not s.free]):
+                        try:
+                            self.engine.cancel(req, "error")
+                        except Exception:
+                            req.finished = True
+                            req.finish_reason = "error"
+                    for rid, ev in list(self._events.items()):
                         ev.set()
-                        del self._events[rid]
-                        del self._requests[rid]
+                        self._events.pop(rid, None)
+                        self._requests.pop(rid, None)
             if not busy:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
@@ -163,13 +189,16 @@ class BatchedChatServer:
 
     def handle_chat(self, body: dict):
         messages = body.get("messages", [])
-        max_tokens = body.get("max_tokens") or body.get("max_completion_tokens") or 512
         stream = bool(body.get("stream", False))
         from .common import (
+            max_tokens_from_request,
             sampling_from_request,
+            seed_from_request,
             stops_from_request,
             tools_from_request,
         )
+
+        max_tokens = max_tokens_from_request(body)
 
         tools = tools_from_request(body)
         stops = stops_from_request(body)
@@ -187,7 +216,7 @@ class BatchedChatServer:
         # dynamic-sampling executables; requests at the server defaults
         # stay on the static path
         sampling = sampling_from_request(body, self.engine.sampling)
-        seed0 = int(body.get("seed", 0))
+        seed0 = seed_from_request(body)
         pres = float(body.get("presence_penalty") or 0.0)
         freq = float(body.get("frequency_penalty") or 0.0)
         # n > 1: one engine request per choice, decoding CONCURRENTLY in
@@ -263,19 +292,12 @@ class BatchedChatServer:
                 finish = "tool_calls"
             choice = {"index": index, "message": msg, "finish_reason": finish}
             if r.logprobs:
-                top_n = int(body.get("top_logprobs") or 0)
-                content = []
-                for tok_id, (lp, tops) in zip(r.tokens[:used],
-                                              r.logprob_content[:used]):
-                    entry = {"token": self.tokenizer.decode([tok_id]),
-                             "logprob": lp}
-                    if top_n:
-                        entry["top_logprobs"] = [
-                            {"token": self.tokenizer.decode([i]), "logprob": v}
-                            for i, v in tops[:top_n]
-                        ]
-                    content.append(entry)
-                choice["logprobs"] = {"content": content}
+                from .common import logprob_entries
+
+                choice["logprobs"] = {"content": logprob_entries(
+                    self.tokenizer, r.tokens[:used],
+                    r.logprob_content[:used],
+                    int(body.get("top_logprobs") or 0))}
             return choice, used
 
         if not stream:
@@ -343,15 +365,11 @@ class BatchedChatServer:
                 """This token's logprobs entry for the chunk carrying its
                 text (raw-token order; entries are appended by the router
                 in lockstep with tokens)."""
-                lp, tops = req.logprob_content[idx]
-                entry = {"token": self.tokenizer.decode([req.tokens[idx]]),
-                         "logprob": lp}
-                if top_n:
-                    entry["top_logprobs"] = [
-                        {"token": self.tokenizer.decode([i]), "logprob": v}
-                        for i, v in tops[:top_n]
-                    ]
-                return {"content": [entry]}
+                from .common import logprob_entries
+
+                return {"content": logprob_entries(
+                    self.tokenizer, [req.tokens[idx]],
+                    [req.logprob_content[idx]], top_n)}
 
             sent = 0
             while not stopped:
@@ -381,11 +399,16 @@ class BatchedChatServer:
                         yield {**base, "choices": [{"index": 0, "delta": {},
                                                     "logprobs": lp_payload(idx)}]}
                     if stopped:
+                        sent = idx + 1
                         break
                     sent = idx + 1
                 else:
-                    sent = avail
-                if req.finished and sent == len(req.tokens):
+                    # never rewind: paged recompute preemption resets
+                    # req.tokens and replays the IDENTICAL stream, so tokens
+                    # below `sent` were already delivered — re-pushing them
+                    # would duplicate client output and desync the decoders
+                    sent = max(sent, avail)
+                if req.finished and sent >= len(req.tokens):
                     break
                 if stopped:
                     break
@@ -404,10 +427,13 @@ class BatchedChatServer:
             yield {**base, "choices": [{"index": 0, "delta": {},
                                         "finish_reason": finish}]}
             if (body.get("stream_options") or {}).get("include_usage"):
+                # `sent` counts the CLIPPED tokens actually delivered, like
+                # the non-stream path's `used` (req.tokens may have overrun
+                # a stop sequence before the scheduler's cancel caught up)
                 yield {**base, "choices": [], "usage": {
                     "prompt_tokens": len(ids),
-                    "completion_tokens": len(req.tokens),
-                    "total_tokens": len(ids) + len(req.tokens),
+                    "completion_tokens": sent,
+                    "total_tokens": len(ids) + sent,
                 }}
 
         return chunks()

@@ -9,6 +9,49 @@ object is this host's wire format for the same choice.
 from __future__ import annotations
 
 
+def logprob_entries(tokenizer, token_ids, logprob_content, top_n: int):
+    """OpenAI choices[].logprobs.content entries — the ONE formatter shared
+    by both servers' stream and non-stream paths."""
+    out = []
+    for tok_id, (lp, tops) in zip(token_ids, logprob_content):
+        entry = {"token": tokenizer.decode([tok_id]), "logprob": lp}
+        if top_n:
+            entry["top_logprobs"] = [
+                {"token": tokenizer.decode([i]), "logprob": v}
+                for i, v in tops[:top_n]
+            ]
+        out.append(entry)
+    return out
+
+
+def max_tokens_from_request(body: dict) -> int:
+    """Coerced/validated max_tokens: malformed values must 400 in the HTTP
+    handler, not crash inside the scheduler thread (which would wedge the
+    whole server)."""
+    raw = body.get("max_tokens")
+    if raw is None:
+        raw = body.get("max_completion_tokens")
+    if raw is None:
+        return 512
+    try:
+        val = int(raw)
+    except (TypeError, ValueError):
+        raise ValueError(f"max_tokens must be an integer, got {raw!r}")
+    if val < 1:
+        raise ValueError("max_tokens must be >= 1")
+    return val
+
+
+def seed_from_request(body: dict) -> int:
+    raw = body.get("seed")
+    if raw is None:  # OpenAI declares seed nullable: null == default
+        return 0
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        raise ValueError(f"seed must be an integer, got {raw!r}")
+
+
 def tools_from_request(body: dict):
     """OpenAI ``tools`` + ``tool_choice`` -> the tool-spec dicts to render
     into the chat template, or None when the request declares none.
@@ -63,20 +106,27 @@ def stops_from_request(body: dict) -> list:
 def sampling_from_request(body: dict, default):
     """Per-request OpenAI sampling fields over the server defaults.
     An explicit JSON null means "use the server default" (OpenAI
-    semantics), not an override to None/greedy."""
+    semantics), not an override to None/greedy. Values coerce to their
+    numeric types here so a malformed request 400s instead of crashing in
+    the scheduler thread."""
     from ..engine.sampling import SamplingParams
 
-    def field(name, dflt):
+    def field(name, dflt, typ):
         v = body.get(name)
-        return dflt if v is None else v
+        if v is None:
+            return dflt
+        try:
+            return typ(v)
+        except (TypeError, ValueError):
+            raise ValueError(f"{name} must be a {typ.__name__}, got {v!r}")
 
     return SamplingParams(
-        temperature=field("temperature", default.temperature),
-        top_k=field("top_k", default.top_k),
-        top_p=field("top_p", default.top_p),
-        min_p=field("min_p", default.min_p),
+        temperature=field("temperature", default.temperature, float),
+        top_k=field("top_k", default.top_k, int),
+        top_p=field("top_p", default.top_p, float),
+        min_p=field("min_p", default.min_p, float),
         repetition_penalty=field("repetition_penalty",
-                                 default.repetition_penalty),
+                                 default.repetition_penalty, float),
         suffix_repetition_length=default.suffix_repetition_length,
         banned_tokens=default.banned_tokens,
     )

@@ -49,16 +49,20 @@ class ChatCompletionServer:
         """Returns (response_dict) or a generator of SSE chunk dicts."""
         messages = body.get("messages", [])
         stream = bool(body.get("stream", False))
-        max_tokens = body.get("max_tokens") or body.get("max_completion_tokens") or 512
         default = SamplingParams.from_generation_config(
             self.session.model.config.generation_config
         )
         sampling = _sampling_from_request(body, default)
         from .common import (
             grammar_from_request,
+            max_tokens_from_request,
+            seed_from_request,
             stops_from_request,
             tools_from_request,
         )
+
+        max_tokens = max_tokens_from_request(body)
+        seed = seed_from_request(body)
 
         grammar = grammar_from_request(self.session.tokenizer, body)
         tools = tools_from_request(body)
@@ -78,7 +82,7 @@ class ChatCompletionServer:
                 reply = self.session.reply(
                     messages, sampling=sampling, max_new_tokens=max_tokens,
                     grammar=grammar, tools=tools, stop_strings=stops,
-                    logprobs=n_lp,
+                    logprobs=n_lp, seed=seed,
                 )
                 msg: dict = {"role": "assistant", "content": reply.text}
                 if reply.reasoning:
@@ -91,20 +95,12 @@ class ChatCompletionServer:
                 choice = {"index": 0, "message": msg,
                           "finish_reason": reply.finish_reason}
                 if n_lp:
-                    tokz = self.session.tokenizer
-                    top_n = int(body.get("top_logprobs") or 0)
-                    content = []
-                    for tok_id, (lp, tops) in zip(reply.tokens,
-                                                  reply.logprob_content):
-                        entry = {"token": tokz.decode([tok_id]),
-                                 "logprob": lp}
-                        if top_n:
-                            entry["top_logprobs"] = [
-                                {"token": tokz.decode([i]), "logprob": v}
-                                for i, v in tops[:top_n]
-                            ]
-                        content.append(entry)
-                    choice["logprobs"] = {"content": content}
+                    from .common import logprob_entries
+
+                    choice["logprobs"] = {"content": logprob_entries(
+                        self.session.tokenizer, reply.tokens,
+                        reply.logprob_content,
+                        int(body.get("top_logprobs") or 0))}
                 return {
                     "id": rid,
                     "object": "chat.completion",
@@ -138,6 +134,7 @@ class ChatCompletionServer:
                 for ev in self.session.stream(
                     messages, sampling=sampling, max_new_tokens=max_tokens,
                     grammar=grammar, tools=tools, stop_strings=stops,
+                    seed=seed,
                 ):
                     if ev.kind == "text":
                         delta = {"content": ev.delta}

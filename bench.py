@@ -8,19 +8,29 @@ HBM bandwidth / bytes touched per decode step (all weight bytes + current KV
 bytes) — the metric BASELINE.md defines. The reference publishes no absolute
 numbers (SURVEY.md §6), so SoL fraction is the honest cross-hardware anchor;
 1.0 means decode runs at memory-bandwidth speed like the reference's Metal
-GEMV path does on M-series.
+GEMV path does on M-series (ref: cli/src/bench/runner.rs bench contract —
+always produce a result).
 
 Flagship config: Llama-3.2-1B-class (16 layers, d=2048, GQA 32/8, hidden
 8192, vocab 128k), INT4 group-32 symmetric weights — synthesized with seeded
 random weights (the reference's load_language_model_random strategy) and
 cached under .bench_cache/.
+
+RELIABILITY CONTRACT (round-3): this script ALWAYS emits its JSON line on
+stdout and exits 0 inside UZU_TPU_BENCH_DEADLINE seconds (default 1080),
+even if the TPU tunnel is down, a stage raises, or the process receives
+SIGTERM from an outer `timeout`. A watchdog thread force-emits whatever was
+measured so far (`partial: true` + a note) and _exit(0)s — a partial number
+beats an rc=124 with empty stdout (round-2 failure mode).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
@@ -41,6 +51,74 @@ HBM_BW = {
     "v6e": 1640e9,
     "cpu": 100e9,
 }
+
+_T0 = time.perf_counter()
+DEADLINE_S = float(os.environ.get("UZU_TPU_BENCH_DEADLINE", "1080"))
+
+# Incrementally-filled result fields; emit() snapshots this at any moment.
+RESULTS: dict = {}
+_NOTES: list[str] = []
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T0
+
+
+def _remaining() -> float:
+    return DEADLINE_S - _elapsed()
+
+
+def emit(partial: bool = False) -> None:
+    """Print the single JSON result line (exactly once, thread-safe)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+    out = {
+        "metric": "decode_tok_s",
+        "value": RESULTS.get("value", 0.0),
+        "unit": "tok/s",
+        "vs_baseline": RESULTS.get("vs_baseline", 0.0),
+    }
+    for key, val in RESULTS.items():
+        if key not in out:
+            out[key] = val
+    if partial:
+        out["partial"] = True
+    if _NOTES:
+        out["note"] = "; ".join(_NOTES)
+    out["elapsed_s"] = round(_elapsed(), 1)
+    print(json.dumps(out), flush=True)
+
+
+def _watchdog() -> None:
+    """Force-emit + exit at the deadline even if the main thread is stuck in
+    a blocking C call (tunnel hang) — a thread can print and _exit anyway."""
+    wake = DEADLINE_S - _elapsed()
+    while wake > 0:
+        time.sleep(min(wake, 5.0))
+        wake = DEADLINE_S - _elapsed()
+    _NOTES.append(f"deadline {DEADLINE_S:.0f}s hit; emitting partial results")
+    _stage("WATCHDOG deadline hit — emitting partial")
+    emit(partial=True)
+    sys.stdout.flush()
+    os._exit(0)
+
+
+def _on_sigterm(signum, frame):  # driver `timeout` sends SIGTERM first
+    _NOTES.append("SIGTERM received; emitting partial results")
+    emit(partial=True)
+    sys.stdout.flush()
+    os._exit(0)
+
+
+def _stage(name: str) -> None:
+    """Progress marker on stderr (stdout carries only the JSON line): a
+    hung/slow stage must be attributable when a run blows its budget."""
+    print(f"[bench +{_elapsed():7.1f}s] {name}", file=sys.stderr, flush=True)
 
 
 def device_bandwidth() -> tuple[str, float]:
@@ -163,27 +241,17 @@ def _timeit(fn) -> float:
     return time.perf_counter() - t0
 
 
-_T0 = time.perf_counter()
-
-
-def _stage(name: str) -> None:
-    """Progress marker on stderr (stdout carries only the JSON line): a
-    hung/slow stage must be attributable when a run blows its budget."""
-    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {name}",
-          file=sys.stderr, flush=True)
-
-
 def _wait_for_device() -> None:
     """The axon tunnel goes down for stretches; a bench launched into a dead
     tunnel HANGS inside backend init (observed: jax.devices() blocks >2 min).
     Probe it in a SUBPROCESS (bounded, restartable) and fall back to the CPU
-    platform once the grace budget (UZU_TPU_BENCH_WAIT seconds, default 900)
+    platform once the grace budget (UZU_TPU_BENCH_WAIT seconds, default 180)
     is exhausted — a CPU-labelled JSON line beats a hung round."""
     import subprocess
 
     if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
         return
-    budget = float(os.environ.get("UZU_TPU_BENCH_WAIT", "900"))
+    budget = float(os.environ.get("UZU_TPU_BENCH_WAIT", "180"))
     deadline = time.perf_counter() + budget
     attempt = 0
     while time.perf_counter() < deadline:
@@ -191,21 +259,44 @@ def _wait_for_device() -> None:
         try:
             subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=150, check=True, capture_output=True,
+                timeout=min(120, max(5, deadline - time.perf_counter())),
+                check=True, capture_output=True,
             )
             if attempt > 1:
                 _stage(f"device probe ok (attempt {attempt})")
             return
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
             _stage(f"device probe failed (attempt {attempt}); retrying")
-            time.sleep(min(60, max(1, deadline - time.perf_counter())))
+            time.sleep(min(30, max(1, deadline - time.perf_counter())))
     _stage("device unavailable past grace budget — falling back to CPU")
+    _NOTES.append("TPU tunnel unavailable past the grace budget; CPU fallback "
+                  "on the tiny model — NOT comparable to TPU rounds")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
 
 
+def _guarded(name: str, need_s: float, fn) -> bool:
+    """Run one optional stage if enough deadline budget remains; a raising
+    stage records a note instead of killing the bench. Returns success."""
+    if _remaining() < need_s:
+        _stage(f"SKIP {name}: {_remaining():.0f}s left < {need_s:.0f}s needed")
+        _NOTES.append(f"skipped {name} (deadline budget)")
+        return False
+    _stage(name)
+    try:
+        fn()
+        return True
+    except Exception as exc:  # noqa: BLE001 — bench must survive any stage
+        _stage(f"FAIL {name}: {type(exc).__name__}: {exc}")
+        _NOTES.append(f"{name} failed: {type(exc).__name__}")
+        return False
+
+
 def main() -> None:
+    signal.signal(signal.SIGTERM, _on_sigterm)
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     _wait_for_device()
     import jax
 
@@ -217,63 +308,24 @@ def main() -> None:
 
     tpu = on_tpu()
     kind, bw = device_bandwidth()
+    RESULTS["device"] = kind
     model_dir, dims = flagship_dir(tpu)
+    RESULTS["model"] = os.path.basename(model_dir)
 
     _stage("load model")
     t0 = time.perf_counter()
     max_context = 1024
     lm = LanguageModel.from_dir(model_dir, max_context=max_context, prefill_buckets=(32, 512))
-    load_s = time.perf_counter() - t0
+    RESULTS["load_s"] = round(time.perf_counter() - t0, 2)
 
-    prompt_len, gen_len = 128, 128
+    prompt_len, gen_len = 128, (128 if tpu else 64)
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, lm.decoder_config.vocab_size, prompt_len)
     sampling = SamplingParams()  # greedy
 
-    _stage("warmup single-stream (compiles)")
-    list(lm.generate(prompt, gen_len, sampling=sampling, stop_token_ids=[]))
-
-    _stage("single-stream decode x3")
-    decode_runs, ttft_runs, prefill_runs = [], [], []
-    for _ in range(3):
-        metrics = StreamMetrics()
-        out = list(
-            lm.generate(prompt, gen_len, sampling=sampling, stop_token_ids=[], metrics=metrics)
-        )
-        assert len(out) == gen_len
-        decode_runs.append(metrics.decode_tokens_per_second)
-        ttft_runs.append(metrics.prefill_seconds)
-        prefill_runs.append(metrics.prefill_tokens_per_second)
-    decode_tok_s = float(np.median(decode_runs))
-    ttft_s = float(np.median(ttft_runs))
-
-    # sustained prefill rate: many chunks dispatched back-to-back, one sync
-    # (a single-chunk measurement is dominated by the host<->device roundtrip)
-    import time as _t
-
-    import jax as _jax
-
-    _stage("sustained prefill")
-    sustain = 1024
-    long_prompt = rng.integers(0, lm.decoder_config.vocab_size, sustain)
-    prefill_tok_s = 0.0
-    for _ in range(2):  # identical passes: first warms every executable
-        st = lm.new_state()
-        t0 = _t.perf_counter()
-        logits, st = lm.prefill(st, long_prompt)
-        _jax.device_get(logits[:1])
-        prefill_tok_s = sustain / (_t.perf_counter() - t0)
-
-    # in-window achievable stream rate + per-kernel microbench: regressions
-    # in the hot kernels must be visible between rounds even when the
-    # end-to-end number moves with shared-chip noise
-    _stage("hbm probe")
-    practical_bw = hbm_probe(tpu)
-    _stage("quant matmul probe")
-    qm_ms, qm_gbs = quant_matmul_probe(lm)
-
-    # speed-of-light: bytes touched per decode step
+    # speed-of-light: bytes touched per decode step (known before measuring)
     wbytes = weight_bytes(lm.params)
+    RESULTS["weight_bytes"] = wbytes
     kv_dtype_bytes = 2
     mid_ctx = prompt_len + gen_len // 2
     kv_bytes = sum(
@@ -282,13 +334,65 @@ def main() -> None:
         if isinstance(lc.mixer_config, AttentionConfig)
     )
     sol_tok_s = bw / (wbytes + kv_bytes)
-    practical_tok_s = practical_bw / (wbytes + kv_bytes)
+    RESULTS["sol_tok_s"] = round(sol_tok_s, 2)
+
+    _stage("warmup single-stream (compiles)")
+    list(lm.generate(prompt, gen_len, sampling=sampling, stop_token_ids=[]))
+
+    _stage("single-stream decode x3")
+    decode_runs, ttft_runs = [], []
+    for _ in range(3):
+        metrics = StreamMetrics()
+        out = list(
+            lm.generate(prompt, gen_len, sampling=sampling, stop_token_ids=[], metrics=metrics)
+        )
+        assert len(out) == gen_len
+        decode_runs.append(metrics.decode_tokens_per_second)
+        ttft_runs.append(metrics.prefill_seconds)
+    decode_tok_s = float(np.median(decode_runs))
+    RESULTS["value"] = round(decode_tok_s, 2)
+    RESULTS["vs_baseline"] = round(decode_tok_s / sol_tok_s, 4)
+    RESULTS["ttft_s"] = round(float(np.median(ttft_runs)), 4)
+    RESULTS.setdefault("micro", {})["decode_step_ms"] = round(1e3 / decode_tok_s, 3)
+
+    # From here on every stage is optional: guarded by remaining budget and
+    # exception-proof. The headline number is already in RESULTS.
+
+    def stage_hbm():
+        practical_bw = hbm_probe(tpu)
+        RESULTS["practical_bw_gbs"] = round(practical_bw / 1e9, 1)
+        practical_tok_s = practical_bw / (wbytes + kv_bytes)
+        RESULTS["vs_practical"] = round(decode_tok_s / practical_tok_s, 4)
+
+    _guarded("hbm probe", 60, stage_hbm)
+
+    def stage_prefill():
+        # sustained prefill rate: many chunks dispatched back-to-back, one
+        # sync (a single-chunk measurement is dominated by the roundtrip)
+        sustain = 1024
+        long_prompt = rng.integers(0, lm.decoder_config.vocab_size, sustain)
+        rate = 0.0
+        for _ in range(2):  # identical passes: first warms every executable
+            st = lm.new_state()
+            t0 = time.perf_counter()
+            logits, st = lm.prefill(st, long_prompt)
+            jax.device_get(logits[:1])
+            rate = sustain / (time.perf_counter() - t0)
+        RESULTS["prefill_tok_s"] = round(rate, 2)
+        RESULTS["micro"]["prefill_chunk512_ms"] = round(512e3 / rate, 3)
+
+    _guarded("sustained prefill", 120, stage_prefill)
+
+    def stage_qm():
+        qm_ms, qm_gbs = quant_matmul_probe(lm)
+        RESULTS["micro"]["quant_matmul_up_ms"] = round(qm_ms, 4)
+        RESULTS["micro"]["quant_matmul_up_gbs"] = round(qm_gbs, 1)
+
+    _guarded("quant matmul probe", 120, stage_qm)
 
     # continuous-batching aggregate throughput (4 concurrent streams);
     # best of 2 measured runs (shared-chip noise)
     from uzu_tpu.engine.batch import BatchEngine
-
-    bench_t0 = time.perf_counter()
 
     def batch_run(bsz, gen_b):
         eng = BatchEngine(lm, batch_size=bsz, decode_chunk=16, sampling=sampling, stop_token_ids=[])
@@ -300,24 +404,24 @@ def main() -> None:
         eng.run()
         return sum(len(r.tokens) for r in reqs) / (time.perf_counter() - tb)
 
-    _stage("batch4 warmup (compiles)")
-    batch_run(4, 64)  # warmup (compiles batched decode + admission)
-    _stage("batch4 measure")
-    batch_tok_s = max(batch_run(4, 64) for _ in range(2))
+    def stage_batch4():
+        gen_b = 64 if tpu else 32
+        batch_run(4, gen_b)  # warmup (compiles batched decode + admission)
+        _stage("batch4 measure")
+        RESULTS["batch4_tok_s"] = round(max(batch_run(4, gen_b) for _ in range(2)), 2)
+
+    _guarded("batch4 warmup (compiles)", 180, stage_batch4)
 
     # paged engine at B=8 (the width where it becomes the default):
     # per-token KV pools + paged prefill + pipelined dispatch
-    paged8_tok_s = None
-    if not os.environ.get("UZU_BENCH_NOPAGED"):
+    def stage_paged8():
         from uzu_tpu.engine.paged_batch import PagedBatchEngine
 
         def paged_run(nreq, gen_b):
             # oversubscribed queue (nreq > slots): finished slots re-admit
             # from the queue, so the run holds the engine at serving
             # steady-state; aggregate = total tokens / wall time including
-            # the interleaved admission chunks (that IS serving throughput;
-            # timing only a from-all-live window cannot exist here — slots
-            # finish before the last admission with interleaved admission)
+            # the interleaved admission chunks (that IS serving throughput)
             eng = PagedBatchEngine(
                 lm, batch_size=8, decode_chunk=16, num_pages=256,
                 page_size=64, sampling=sampling, stop_token_ids=[])
@@ -329,23 +433,24 @@ def main() -> None:
             eng.run()
             return sum(len(r.tokens) for r in reqs) / (time.perf_counter() - tb)
 
-        _stage("paged8 warmup (compiles)")
         paged_run(8, 32)  # warmup/compile
         _stage("paged8 measure")
-        paged8_tok_s = max(paged_run(24, 64) for _ in range(2))
+        RESULTS["paged8_tok_s"] = round(
+            max(paged_run(24, 64 if tpu else 32) for _ in range(2)), 2)
+
+    if not os.environ.get("UZU_BENCH_NOPAGED"):
+        _guarded("paged8 warmup (compiles)", 240, stage_paged8)
 
     # self-speculation at REALISTIC acceptance: layer-truncated self-draft
     # (no extra weights) on a non-repetitive random prompt — reports
     # acceptance + end-to-end rate so the speculation story is measured,
     # not asserted. Skippable under tight budgets (UZU_BENCH_NOSPEC=1).
-    selfspec_tok_s = selfspec_accept = None
-    if not os.environ.get("UZU_BENCH_NOSPEC"):
+    def stage_selfspec():
         from uzu_tpu.engine.speculation import (
             SpeculationMetrics,
             self_speculative_decoder,
         )
 
-        _stage("self-spec warmup (compiles)")
         spec_dec = self_speculative_decoder(lm, k=4)
         list(spec_dec.generate(prompt, 32, stop_token_ids=[],
                                metrics=SpeculationMetrics()))  # compile/warm
@@ -357,58 +462,44 @@ def main() -> None:
             out_s = list(spec_dec.generate(prompt, gen_len, stop_token_ids=[],
                                            metrics=sm))
             best = max(best, len(out_s) / (time.perf_counter() - t0))
-        selfspec_tok_s = best
-        selfspec_accept = sm.acceptance_rate
+        RESULTS["selfspec_tok_s"] = round(best, 2)
+        RESULTS["selfspec_acceptance"] = round(sm.acceptance_rate, 4)
+
+    if not os.environ.get("UZU_BENCH_NOSPEC") and tpu:
+        _guarded("self-spec warmup (compiles)", 180, stage_selfspec)
 
     # wider batch, opt-in only: the B=16 executables add many minutes of
     # remote-AOT compile under congestion (a guarded run still blew a 25 min
     # budget). Measured separately on v5e: B=16 -> 1800 tok/s aggregate,
     # B=32 -> 2676 (8.9 / 12.0 ms per batched step).
-    batch16_tok_s = None
     if os.environ.get("UZU_BENCH_WIDE"):
-        batch_run(16, 48)
-        batch16_tok_s = max(batch_run(16, 48) for _ in range(2))
+        def stage_wide():
+            batch_run(16, 48)
+            RESULTS["batch16_tok_s"] = round(max(batch_run(16, 48) for _ in range(2)), 2)
+
+        _guarded("batch16", 240, stage_wide)
+
+    # 8B-class flagship (BASELINE config[1]): INT4 ~4.3 GB weights on one
+    # v5e. Opt-in via env OR spare budget — synth+load+compile is minutes.
+    if tpu and (os.environ.get("UZU_BENCH_8B") or _remaining() > 600):
+        def stage_8b():
+            from uzu_tpu.tools.bench8b import bench_8b
+
+            RESULTS["llama8b"] = bench_8b(repo=REPO, stage=_stage)
+
+        _guarded("llama8b bench", 600, stage_8b)
 
     _stage("done")
-    print(
-        json.dumps(
-            {
-                "metric": "decode_tok_s",
-                "value": round(decode_tok_s, 2),
-                "batch4_tok_s": round(batch_tok_s, 2),
-                **({"paged8_tok_s": round(paged8_tok_s, 2)}
-                   if paged8_tok_s is not None else {}),
-                **({"batch16_tok_s": round(batch16_tok_s, 2)} if batch16_tok_s else {}),
-                "unit": "tok/s",
-                "vs_baseline": round(decode_tok_s / sol_tok_s, 4),
-                "vs_practical": round(decode_tok_s / practical_tok_s, 4),
-                "sol_tok_s": round(sol_tok_s, 2),
-                "practical_bw_gbs": round(practical_bw / 1e9, 1),
-                "prefill_tok_s": round(prefill_tok_s, 2),
-                "ttft_s": round(ttft_s, 4),
-                "micro": {
-                    "decode_step_ms": round(1e3 / decode_tok_s, 3),
-                    "prefill_chunk512_ms": round(512e3 / prefill_tok_s, 3),
-                    "quant_matmul_up_ms": round(qm_ms, 4),
-                    "quant_matmul_up_gbs": round(qm_gbs, 1),
-                },
-                **({
-                    "selfspec_tok_s": round(selfspec_tok_s, 2),
-                    "selfspec_acceptance": round(selfspec_accept, 4),
-                } if selfspec_tok_s is not None else {}),
-                "model": os.path.basename(model_dir),
-                "weight_bytes": wbytes,
-                "device": kind,
-                **({"note": "TPU tunnel unavailable past the grace budget; "
-                            "CPU fallback on the tiny model — NOT comparable "
-                            "to TPU rounds"}
-                   if not tpu and "axon" in os.environ.get("JAX_PLATFORMS", "")
-                   else {}),
-                "load_s": round(load_s, 2),
-            }
-        )
-    )
+    emit()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — always emit the JSON line
+        _NOTES.append(f"bench aborted: {type(exc).__name__}: {exc}")
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        emit(partial=True)
+        sys.exit(0)

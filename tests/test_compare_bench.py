@@ -42,6 +42,41 @@ def test_window_noise_not_flagged_when_bw_normalized():
     assert not row.regression
 
 
+def test_latency_window_noise_not_flagged():
+    # Pure window noise: latency up 17.6% (1/0.85) while the achievable
+    # stream dropped 15% — latency*bw is the window-invariant quantity, so
+    # the normalized delta must be ~0 and NOT flag. (Dividing latency by bw
+    # would have produced a false ~-38% regression.)
+    b = dict(R1, practical_bw_gbs=187.0,
+             micro={"decode_step_ms": 5.0 * 220.0 / 187.0,
+                    "quant_matmul_up_ms": 0.066 * 220.0 / 187.0})
+    rows = {r.name: r for r in build_comparison(_f(R1), _f(b), threshold=0.1)}
+    for name in ("micro.decode_step_ms", "micro.quant_matmul_up_ms"):
+        row = rows[name]
+        assert row.delta < -0.1  # raw latency did go up
+        assert abs(row.norm_delta) < 0.02
+        assert not row.regression
+
+
+def test_latency_true_regression_not_masked_by_fast_window():
+    # Latency got genuinely 40% worse AND the window got 15% faster: raw
+    # latency looks only mildly worse but latency*bw exposes the regression.
+    b = dict(R1, practical_bw_gbs=253.0,
+             micro={"decode_step_ms": 7.0, "quant_matmul_up_ms": 0.066})
+    rows = {r.name: r for r in build_comparison(_f(R1), _f(b), threshold=0.3)}
+    row = rows["micro.decode_step_ms"]
+    assert row.norm_delta < -0.3
+    assert row.regression
+
+
+def test_load_skips_trailing_non_bench_json(tmp_path):
+    log = tmp_path / "log.txt"
+    log.write_text(json.dumps(R1) + "\n"
+                   + json.dumps({"stage": "done", "elapsed": 12.0}) + "\n")
+    rec = load_record(str(log))
+    assert rec["value"] == 200.0
+
+
 def test_true_regression_flagged_and_latency_direction():
     b = dict(R1, micro={"decode_step_ms": 8.0, "quant_matmul_up_ms": 0.066})
     rows = {r.name: r for r in build_comparison(_f(R1), _f(b), threshold=0.2)}

@@ -67,24 +67,33 @@ def load_record(path: str) -> dict[str, float]:
     object, or a log whose last JSON-looking line is the bench record."""
     with open(path) as f:
         text = f.read()
+    def _unwrap(o):
+        if isinstance(o, dict) and isinstance(o.get("parsed"), dict):
+            o = o["parsed"]
+        return o if isinstance(o, dict) and "metric" in o else None
+
     try:
-        obj = json.loads(text)
-    except ValueError:
+        obj = _unwrap(json.loads(text))
+        if obj is None:
+            raise ValueError(f"{path}: not a bench record (missing 'metric')")
+    except ValueError as whole_err:
+        if "not a bench record" in str(whole_err):
+            raise
+        # log file: scan from the end for the last line that IS a bench
+        # record (trailing non-bench JSON like stage markers must not mask
+        # an earlier valid record)
         obj = None
         for line in reversed(text.splitlines()):
             line = line.strip()
             if line.startswith("{"):
                 try:
-                    obj = json.loads(line)
-                    break
+                    obj = _unwrap(json.loads(line))
                 except ValueError:
                     continue
+                if obj is not None:
+                    break
         if obj is None:
-            raise ValueError(f"{path}: no JSON record found")
-    if isinstance(obj, dict) and isinstance(obj.get("parsed"), dict):
-        obj = obj["parsed"]
-    if not isinstance(obj, dict) or "metric" not in obj:
-        raise ValueError(f"{path}: not a bench record (missing 'metric')")
+            raise ValueError(f"{path}: no bench JSON record found")
     return _flatten(obj)
 
 
@@ -125,10 +134,16 @@ def build_comparison(a: dict[str, float], b: dict[str, float],
             raw = -raw
         norm = None
         if bw_a and bw_b and _is_bw_bound(name):
-            na, nb = va / bw_a, vb / bw_b
-            norm = (nb - na) / abs(na)
-            if not hib:
-                norm = -norm
+            # The window-invariant quantity for a bw-bound THROUGHPUT is
+            # value/bw; for a bw-bound LATENCY it is value*bw (a slower
+            # window raises latency AND lowers bw — dividing would amplify
+            # the noise ~quadratically instead of cancelling it).
+            if hib:
+                na, nb = va / bw_a, vb / bw_b
+                norm = (nb - na) / abs(na)
+            else:
+                na, nb = va * bw_a, vb * bw_b
+                norm = -(nb - na) / abs(na)
         gate = norm if norm is not None else raw
         rows.append(Row(name, va, vb, raw, norm, gate < -threshold))
     rows.sort(key=lambda r: (r.norm_delta if r.norm_delta is not None

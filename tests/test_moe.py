@@ -51,7 +51,8 @@ def _numpy_moe_reference(cfg, params, x):
             y = hidden @ p(params["down"]["w"][e]).T
             if "b" in params["down"]:
                 y = y + p(params["down"]["b"][e])
-            out[s] += prob * y
+            # down weights are lane-padded to a 128 multiple at load
+            out[s] += prob * y[: x.shape[1]]
     return out
 
 

@@ -1,0 +1,129 @@
+"""On-chip: grouped MoE prefill kernel vs masked-dense — numerics + speed.
+
+Validates the grouped expert matmul on REAL Mosaic (interpreter mode does
+not catch tiling rejections) at gpt-oss-like dims, and A/Bs the two prefill
+paths at several token counts with the house differential timing.
+
+    PYTHONPATH=/root/.axon_site JAX_PLATFORMS=axon python tools/exp_grouped_moe.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import uzu_tpu.models.moe as moe_mod
+    from uzu_tpu.models.moe import moe_forward, router_topk
+
+    # gpt-oss-20b-class layer dims (ref workspace/data/registry.json:84):
+    # d=2880, dff=2880, E=32, K=4 — scaled E to fit one layer comfortably
+    from uzu_tpu.config.model import (
+        DenseMLPConfig,
+        LinearConfig,
+        MixtureOfExpertsConfig,
+        SiLU,
+        SoftmaxRouting,
+    )
+
+    d, dff, e, k = 2880, 2880, 32, 4
+    cfg = MixtureOfExpertsConfig(
+        expert_config=DenseMLPConfig(
+            linear_config=LinearConfig(), activation=SiLU(alpha=1.0),
+            has_up_biases=True, has_down_biases=True,
+            gate_clipping=None, up_clipping=None),
+        router_config=LinearConfig(), routing_function=SoftmaxRouting(),
+        num_routed_experts=e, num_active_routed_experts=k,
+        router_has_biases=True, num_shared_experts=0,
+        expert_hidden_dim=dff, gate_config=None)
+
+    rng = np.random.default_rng(0)
+    dpad = (-d) % 128
+    params = {
+        "router": {"w": jnp.asarray(rng.standard_normal((e, d)) * 0.02, jnp.bfloat16),
+                   "b": jnp.zeros((e,), jnp.bfloat16)},
+        "up": {"w": jnp.asarray(rng.standard_normal((e, 2 * dff, d)) * 0.02, jnp.bfloat16),
+               "b": jnp.zeros((e, 2 * dff), jnp.bfloat16)},
+        "down": {"w": jnp.pad(
+            jnp.asarray(rng.standard_normal((e, d, dff)) * 0.02, jnp.bfloat16),
+            ((0, 0), (0, dpad), (0, 0))),
+            "b": jnp.zeros((e, d + dpad), jnp.bfloat16)},
+    }
+    params = jax.device_put(params)
+
+    # numerics: grouped vs dense at S=256
+    x = jnp.asarray(rng.standard_normal((256, d)), jnp.bfloat16)
+    ids, probs = router_topk(cfg, params, x)
+    grouped = np.asarray(
+        moe_mod._grouped_forward(cfg, params, x, ids, probs))[:, :d]
+
+    # speed: fold reps into one scan, differential between two scan lengths
+    def make(fn):
+        def run(params, xs):
+            def body(acc, xv):
+                return acc + jnp.sum(fn(params, xv).astype(jnp.float32)), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), xs)
+            return acc
+        return jax.jit(run)
+
+    def dense_fn(params, xv):
+        ids, probs = router_topk(cfg, params, xv)
+        # call internals directly so the env flip can't leak between arms
+        s = xv.shape[0]
+        import uzu_tpu.models.moe as m
+        xf = xv.astype(jnp.float32)
+        w13, w2 = params["up"]["w"], params["down"]["w"]
+        onehot = jax.nn.one_hot(ids, e, dtype=jnp.float32)
+        weight = jnp.einsum("ske,sk->se", onehot, probs)
+        up_out = jnp.einsum("sd,ehd->seh", xf, w13.astype(jnp.float32))
+        up_out = up_out + params["up"]["b"].astype(jnp.float32)[None]
+        hidden = m._expert_hidden(cfg, up_out, dff)
+        out = jnp.einsum("seh,edh->sed", hidden, w2.astype(jnp.float32))
+        out = out + params["down"]["b"].astype(jnp.float32)[None]
+        return jnp.einsum("sed,se->sd", out, weight)[:, :d]
+
+    def grouped_fn(params, xv):
+        ids, probs = router_topk(cfg, params, xv)
+        return moe_mod._grouped_forward(cfg, params, xv, ids, probs)[:, :d]
+
+    # numerics on chip: grouped (real Mosaic) vs dense XLA at S=256
+    dense = np.asarray(jax.jit(dense_fn)(params, x))
+    rel = float(np.max(np.abs(grouped - dense)) / (np.max(np.abs(dense)) + 1e-9))
+    print(json.dumps({"check": "numerics", "max_rel_err": rel,
+                      "ok": rel < 3e-2}), flush=True)
+
+    # dense arm capped at S<=512: it materializes [S, E, 2dff] f32 (755 MB
+    # at S=1024) — itself part of why the grouped path exists
+    for s in (256, 512):
+        xs_small = jnp.asarray(rng.standard_normal((2, s, d)), jnp.bfloat16)
+        xs_big = jnp.asarray(rng.standard_normal((6, s, d)), jnp.bfloat16)
+        res = {}
+        for name, fn in (("grouped", grouped_fn), ("dense", dense_fn)):
+            f = make(fn)
+            jax.device_get(f(params, xs_small))
+            jax.device_get(f(params, xs_big))
+            diffs = []
+            for _ in range(3):
+                t0 = time.perf_counter(); jax.device_get(f(params, xs_big))
+                tb = time.perf_counter() - t0
+                t0 = time.perf_counter(); jax.device_get(f(params, xs_small))
+                ts = time.perf_counter() - t0
+                diffs.append((tb - ts) / 4)
+            res[name] = float(np.median(diffs)) * 1e3
+        print(json.dumps({"check": "speed", "tokens": s,
+                          "grouped_ms": round(res["grouped"], 2),
+                          "dense_ms": round(res["dense"], 2),
+                          "speedup": round(res["dense"] / max(res["grouped"], 1e-9), 2)}))
+
+
+if __name__ == "__main__":
+    main()

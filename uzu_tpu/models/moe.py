@@ -36,6 +36,13 @@ from ..ops.activation import apply_activation
 # over all experts (reads K instead of E expert blocks from HBM).
 GATHER_PATH_MAX_TOKENS = 4
 
+# At/above this many tokens the grouped (expert-sorted, tile-padded) Pallas
+# matmul replaces the masked-dense loop: E/K_active x fewer MXU FLOPs for a
+# modest weight re-read overhead (ref: experts_two_pass_prefill.metal:23 —
+# the reference's prefill is also a routed-tile pipeline, never dense).
+GROUPED_PATH_MIN_TOKENS = 64
+_GROUPED_BM = 64
+
 
 def router_topk(cfg: MixtureOfExpertsConfig, params, x: jax.Array):
     """x [S, D] -> (ids [S, K] int32, probs [S, K] f32)."""
@@ -66,6 +73,52 @@ def _expert_hidden(cfg: MixtureOfExpertsConfig, up_out: jax.Array, dff: int):
     return apply_activation(ecfg.activation, gate) * up
 
 
+def _grouped_supported(cfg: MixtureOfExpertsConfig, d: int, n_down: int) -> bool:
+    from ..ops.pallas.grouped_matmul import supports
+
+    dff = cfg.expert_hidden_dim
+    return supports(2 * dff, d) and supports(n_down, dff)
+
+
+def _grouped_forward(cfg: MixtureOfExpertsConfig, params, x, ids, probs,
+                     *, interpret: bool = False) -> jax.Array:
+    """Expert-sorted tile-padded prefill: both expert matmuls run as grouped
+    Pallas kernels over only the routed tokens (plus tile padding)."""
+    from ..ops.pallas.grouped_matmul import grouped_matmul, route_layout
+
+    s, d = x.shape
+    dff = cfg.expert_hidden_dim
+    e = cfg.num_routed_experts
+    k = cfg.num_active_routed_experts
+    w13, w2 = params["up"]["w"], params["down"]["w"]
+    up_b, down_b = params["up"].get("b"), params["down"].get("b")
+
+    flat_e = ids.reshape(s * k)
+    order, dst, tile_expert, used, row_expert = route_layout(
+        flat_e, e, _GROUPED_BM)
+    tp = row_expert.shape[0]
+
+    # scatter token rows (replicated per active expert) into the padded
+    # expert-sorted buffer; padding rows stay zero
+    x_rows = x[order // k].astype(w13.dtype)
+    x_pad = jnp.zeros((tp, d), w13.dtype).at[dst].set(x_rows)
+
+    up_out = grouped_matmul(x_pad, w13, tile_expert, used,
+                            bm=_GROUPED_BM, interpret=interpret)
+    if up_b is not None:
+        up_out = up_out + jnp.take(up_b, row_expert, axis=0).astype(jnp.float32)
+    hidden = _expert_hidden(cfg, up_out, dff).astype(w2.dtype)
+    out = grouped_matmul(hidden, w2, tile_expert, used,
+                         bm=_GROUPED_BM, interpret=interpret)
+    if down_b is not None:
+        out = out + jnp.take(down_b, row_expert, axis=0).astype(jnp.float32)
+
+    # gather real-token rows back, weight by routing prob, combine per token
+    n_down = w2.shape[1]
+    vals = out[dst] * probs.reshape(s * k)[order][:, None]
+    return jnp.zeros((s, n_down), jnp.float32).at[order // k].add(vals)
+
+
 def moe_forward(cfg: MixtureOfExpertsConfig, params, x: jax.Array) -> jax.Array:
     s, d = x.shape
     dff = cfg.expert_hidden_dim
@@ -77,7 +130,16 @@ def moe_forward(cfg: MixtureOfExpertsConfig, params, x: jax.Array) -> jax.Array:
     up_b = params["up"].get("b")
     down_b = params["down"].get("b")
 
-    if s <= GATHER_PATH_MAX_TOKENS:
+    grouped = None
+    if s >= GROUPED_PATH_MIN_TOKENS and _grouped_supported(cfg, d, w2.shape[1]):
+        from ..runtime import use_pallas
+
+        if use_pallas():
+            grouped = _grouped_forward(cfg, params, x, ids, probs)
+
+    if grouped is not None:
+        y = grouped[:, :d]  # down weights may be lane-padded past d
+    elif s <= GATHER_PATH_MAX_TOKENS:
         # gather path: [S, K, 2dff, D] slices of the active experts only
         w13_sel = jnp.take(w13, ids, axis=0)
         w2_sel = jnp.take(w2, ids, axis=0)
@@ -88,7 +150,7 @@ def moe_forward(cfg: MixtureOfExpertsConfig, params, x: jax.Array) -> jax.Array:
         out = jnp.einsum("skh,skdh->skd", hidden, w2_sel.astype(jnp.float32))
         if down_b is not None:
             out = out + jnp.take(down_b, ids, axis=0).astype(jnp.float32)
-        y = jnp.einsum("skd,sk->sd", out, probs)
+        y = jnp.einsum("skd,sk->sd", out, probs)[:, :d]
     else:
         # dense path: every expert computes over all tokens, masked combine
         # weight[s, e] = prob of expert e for token s (0 if not routed)
@@ -102,7 +164,7 @@ def moe_forward(cfg: MixtureOfExpertsConfig, params, x: jax.Array) -> jax.Array:
         out = jnp.einsum("seh,edh->sed", hidden, w2.astype(jnp.float32))
         if down_b is not None:
             out = out + down_b.astype(jnp.float32)[None]
-        y = jnp.einsum("sed,se->sd", out, weight)
+        y = jnp.einsum("sed,se->sd", out, weight)[:, :d]
 
     if "shared" in params:
         # shared experts run densely for every token (DeepSeek-style)
@@ -130,15 +192,23 @@ def load_moe(tree, cfg: MixtureOfExpertsConfig, model_dim: int) -> dict:
     down_w = experts.subtree("down_projection.weights")
     dt = _weights_dtype(up_w, "weights")
     out["up"] = {"w": jnp.asarray(up_w.leaf("weights", (e, 2 * dff, model_dim), dt))}
-    out["down"] = {"w": jnp.asarray(down_w.leaf("weights", (e, model_dim, dff), dt))}
+    # down-projection output dim is lane-padded to a 128 multiple so the
+    # grouped prefill kernel can tile models like gpt-oss (d=2880); every
+    # forward path slices the result back to model_dim.
+    dpad = (-model_dim) % 128
+    w2 = jnp.asarray(down_w.leaf("weights", (e, model_dim, dff), dt))
+    if dpad:
+        w2 = jnp.pad(w2, ((0, 0), (0, dpad), (0, 0)))
+    out["down"] = {"w": w2}
     if cfg.expert_config.has_up_biases:
         out["up"]["b"] = jnp.asarray(
             experts.leaf("up_projection.biases", (e, 2 * dff), dt)
         )
     if cfg.expert_config.has_down_biases:
-        out["down"]["b"] = jnp.asarray(
-            experts.leaf("down_projection.biases", (e, model_dim), dt)
-        )
+        b2 = jnp.asarray(experts.leaf("down_projection.biases", (e, model_dim), dt))
+        if dpad:
+            b2 = jnp.pad(b2, ((0, 0), (0, dpad)))
+        out["down"]["b"] = b2
     if cfg.num_shared_experts:
         shared = tree.subtree("shared_experts")
         out["shared"] = {

@@ -1,0 +1,213 @@
+"""Grouped (ragged) expert matmul for MoE prefill.
+
+Role parity: the reference's two-pass tiled expert prefill pipeline
+(crates/backend-uzu/src/backends/metal/kernel/moe/experts_two_pass_prefill.metal:23,
+:327 with GPU-built tile maps in tiles_map.metal:8,:23). Its Metal design
+builds a tile->(expert, row-range) map on-GPU and launches one threadgroup
+per tile so each expert only computes its routed tokens. The TPU-native
+equivalent here:
+
+- Tokens are SORTED by routed expert and scattered into a padded buffer in
+  which every expert's token group is padded up to a multiple of the M-tile
+  (the MegaBlocks dMoE layout) — so every Pallas m-tile belongs to exactly
+  one expert.
+- A per-tile expert id array rides scalar prefetch (SMEM); each (mt, nt)
+  grid step streams that expert's [BN, K] weight block and does one
+  [BM, K] x [K, BN] MXU dot. Tiles past the used range (the data-dependent
+  padding tail inside the static worst-case buffer) skip compute entirely
+  and keep the previous tile's weight index so no extra weight DMA fires.
+- FLOPs are ~S*K_active*3*dff*D instead of the masked-dense path's
+  S*E*3*dff*D (E/K_active x saved); weight traffic grows only by the
+  per-m-tile re-reads (T/BM + E/2 expert-block reads vs E).
+
+All shapes static under jit: the padded buffer is sized for the worst case
+(every expert's group padded by BM-1) and the used-tile count is a traced
+scalar consumed via @pl.when.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget for one weight block (bytes, double-buffered by the pipeline)
+_W_BLOCK_BUDGET = 4 * 1024 * 1024
+
+
+def _pick(n: int, candidates) -> int:
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return 0
+
+
+def pick_blocks(n: int, k: int, itemsize: int = 2):
+    """(bn, bk) or None when the shape doesn't tile on Mosaic: the weight
+    block's lane dim (bk) must be 128-divisible or the whole K; bn likewise
+    for the OUTPUT block's lane dim."""
+    bn = _pick(n, (256, 128))
+    if not bn:
+        return None
+    bk = _pick(k, (1024, 512, 256))
+    if not bk:
+        bk = k  # whole-K block (e.g. gpt-oss d=2880: not 128-divisible)
+    if bn * bk * itemsize > _W_BLOCK_BUDGET:
+        return None
+    return bn, bk
+
+
+def supports(n: int, k: int) -> bool:
+    return pick_blocks(n, k) is not None
+
+
+def _kernel(tile_expert_ref, used_ref, x_ref, w_ref, o_ref, acc_ref, *,
+            nk: int):
+    mt = pl.program_id(0)
+    kt = pl.program_id(2) if nk > 1 else 0
+
+    @pl.when(mt < used_ref[0])
+    def _():
+        if nk > 1:
+            @pl.when(kt == 0)
+            def _():
+                acc_ref[...] = jnp.zeros_like(acc_ref)
+
+            acc_ref[...] += jax.lax.dot_general(
+                x_ref[...], w_ref[0],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+            @pl.when(kt == nk - 1)
+            def _():
+                o_ref[...] = acc_ref[...]
+        else:
+            o_ref[...] = jax.lax.dot_general(
+                x_ref[...], w_ref[0],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "interpret"))
+def grouped_matmul(x_pad: jax.Array, w: jax.Array, tile_expert: jax.Array,
+                   used_tiles: jax.Array, *, bm: int = 64,
+                   interpret: bool = False) -> jax.Array:
+    """x_pad [Tp, K] (expert-sorted, tile-padded), w [E, N, K],
+    tile_expert [Tp//bm] int32, used_tiles [1] int32 -> y [Tp, N] f32.
+
+    Rows of x_pad beyond the used range produce UNDEFINED output rows (the
+    caller gathers only real-token rows back out)."""
+    tp, k = x_pad.shape
+    e, n, wk = w.shape
+    assert wk == k and tp % bm == 0
+    blocks = pick_blocks(n, k, w.dtype.itemsize)
+    if blocks is None:
+        raise ValueError(f"grouped_matmul: shape N={n} K={k} does not tile")
+    bn, bk = blocks
+    nk = k // bk
+    nmt = tp // bm
+
+    def x_index(mt, nt, kt, te_ref, used_ref):
+        return (mt, kt)
+
+    def w_index(mt, nt, kt, te_ref, used_ref):
+        # unused tail tiles keep the previous index (te is clamped to the
+        # last used tile's expert host-side) so no spurious weight DMA
+        return (te_ref[mt], nt, kt)
+
+    def o_index(mt, nt, kt, te_ref, used_ref):
+        return (mt, nt)
+
+    if nk > 1:
+        grid = (nmt, n // bn, nk)
+        x_spec = pl.BlockSpec((bm, bk), x_index)
+        w_spec = pl.BlockSpec((1, bn, bk), w_index)
+        o_spec = pl.BlockSpec((bm, bn), o_index)
+        dims = ("parallel", "parallel", "arbitrary")
+    else:
+        grid = (nmt, n // bn)
+
+        def x_index2(mt, nt, te_ref, used_ref):
+            return (mt, 0)
+
+        def w_index2(mt, nt, te_ref, used_ref):
+            return (te_ref[mt], nt, 0)
+
+        def o_index2(mt, nt, te_ref, used_ref):
+            return (mt, nt)
+
+        x_spec = pl.BlockSpec((bm, k), x_index2)
+        w_spec = pl.BlockSpec((1, bn, k), w_index2)
+        o_spec = pl.BlockSpec((bm, bn), o_index2)
+        dims = ("parallel", "parallel")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[x_spec, w_spec],
+        out_specs=o_spec,
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, nk=nk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tp, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=dims),
+        interpret=interpret,
+    )(tile_expert, used_tiles, x_pad, w)
+
+
+def grouped_matmul_xla(x_pad: jax.Array, w: jax.Array,
+                       tile_expert: jax.Array, used_tiles: jax.Array, *,
+                       bm: int = 64) -> jax.Array:
+    """XLA oracle with the identical tile semantics: per m-tile, one
+    gathered expert weight block. Used as the kernel's reference and as the
+    CPU fallback for the grouped layout."""
+    tp, k = x_pad.shape
+    nmt = tp // bm
+    xt = x_pad.reshape(nmt, bm, k)
+    wt = jnp.take(w, tile_expert, axis=0)  # [nmt, N, K]
+    y = jnp.einsum("tmk,tnk->tmn", xt.astype(jnp.float32),
+                   wt.astype(jnp.float32))
+    return y.reshape(tp, -1)
+
+
+def route_layout(flat_expert: jax.Array, num_experts: int, bm: int):
+    """Expert-sorted, tile-padded layout for T routed (token, expert) pairs.
+
+    Returns (order [T], dst [T], tile_expert [nmt], used_tiles [1],
+    row_expert [Tp]) where Tp = ceil(T/bm)*bm + E*bm (static worst case:
+    every expert's group padded up to the tile size)."""
+    t = flat_expert.shape[0]
+    tp = -(-t // bm) * bm + num_experts * bm
+    order = jnp.argsort(flat_expert, stable=True)
+    sorted_e = flat_expert[order]
+    counts = jnp.zeros((num_experts,), jnp.int32).at[flat_expert].add(1)
+    padded = -(-counts // bm) * bm
+    pstart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)])[:-1]
+    total_padded = jnp.sum(padded)
+    start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])[:-1]
+    rank = jnp.arange(t, dtype=jnp.int32) - start[sorted_e]
+    dst = pstart[sorted_e] + rank
+    nmt = tp // bm
+    tile_row = jnp.minimum(jnp.arange(nmt, dtype=jnp.int32) * bm,
+                           jnp.maximum(total_padded - 1, 0))
+    tile_expert = jnp.clip(
+        jnp.searchsorted(pstart, tile_row, side="right").astype(jnp.int32) - 1,
+        0, num_experts - 1)
+    used_tiles = (total_padded // bm).reshape(1).astype(jnp.int32)
+    row_expert = jnp.clip(
+        jnp.searchsorted(
+            pstart,
+            jnp.minimum(jnp.arange(tp, dtype=jnp.int32),
+                        jnp.maximum(total_padded - 1, 0)),
+            side="right").astype(jnp.int32) - 1,
+        0, num_experts - 1)
+    return order, dst, tile_expert, used_tiles, row_expert

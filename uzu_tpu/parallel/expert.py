@@ -97,6 +97,7 @@ def moe_forward_ep(
     out = jnp.einsum("aeh,edh->aed", hidden, w2.astype(jnp.float32))
     if "b" in params["down"]:
         out = out + params["down"]["b"].astype(jnp.float32)[None]
+    out = out[..., :d]  # down weights may be lane-padded to a 128 multiple
     sel = jax.nn.one_hot(jnp.clip(er, 0, e_local - 1), e_local, dtype=jnp.float32)
     sel = sel * valid[:, None].astype(jnp.float32)
     y_assign = jnp.einsum("aed,ae->ad", out, sel)  # [n*capacity, D]

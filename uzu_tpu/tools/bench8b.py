@@ -35,7 +35,7 @@ def model_dir(repo: str) -> str:
         spec = IntSpec(bits=4, group_size=32, is_symmetric=True,
                        layout=Layout.OUTPUT_INPUT)
         synthesize(llama_config(**DIMS), out, seed=1, linear_spec=spec,
-                   embedding_spec=spec)
+                   embedding_spec=spec, fill="fast")
     return out
 
 

@@ -273,6 +273,64 @@ def test_server_response_format(chat_dir):
         srv2.shutdown()
 
 
+def test_penalty_and_grammar_neighbors(lm, tok):
+    """One speculative engine serves a PENALIZED slot and a GRAMMAR slot in
+    the same batch (the unified feature matrix — VERDICT r2 #5): each
+    stream matches its solo-engine run bit-exactly."""
+    gp = tok.encode("<|user|>json<|end|><|assistant|>")
+    pp = [9, 8, 7, 6, 5]
+    stop = list(tok.eos_token_ids)
+
+    ref_p = SpeculativeBatchEngine(lm, batch_size=2, draft_block=4,
+                                   stop_token_ids=stop)
+    wp = ref_p.submit(pp, 16, presence_penalty=1.2, frequency_penalty=0.4)
+    ref_p.run()
+    ref_g = SpeculativeBatchEngine(lm, batch_size=2, draft_block=4,
+                                   stop_token_ids=stop)
+    wg = ref_g.submit(gp, 16, grammar=_grammar(tok))
+    ref_g.run()
+
+    eng = SpeculativeBatchEngine(lm, batch_size=2, draft_block=4,
+                                 stop_token_ids=stop)
+    rp = eng.submit(pp, 16, presence_penalty=1.2, frequency_penalty=0.4)
+    rg = eng.submit(gp, 16, grammar=_grammar(tok))
+    eng.run()
+    assert rp.tokens == wp.tokens
+    assert rg.tokens == wg.tokens
+
+
+def test_server_unified_feature_matrix(chat_dir):
+    """ONE server config (speculate="self") serves penalties AND
+    response_format with no 400s — the reference never rejects a sampling
+    field (cli/src/server/chat_completions.rs)."""
+    from uzu_tpu.server.batched import BatchedChatServer
+
+    lm = LanguageModel.from_dir(chat_dir, max_context=256,
+                                prefill_buckets=(16,))
+    tok = Tokenizer(chat_dir)
+    srv = BatchedChatServer(lm, tok, batch_size=2, speculate="self",
+                            sampling=SamplingParams(temperature=1.0, top_k=40))
+    try:
+        out = srv.handle_chat({
+            "messages": [{"role": "user", "content": "go"}],
+            "max_tokens": 12, "frequency_penalty": 1.5,
+            "presence_penalty": 0.5,
+        })
+        assert out["usage"]["completion_tokens"] >= 1
+        out = srv.handle_chat({
+            "messages": [{"role": "user", "content": "give me json"}],
+            "max_tokens": 48,
+            "response_format": {
+                "type": "json_schema",
+                "json_schema": {"name": "trip", "schema": SCHEMA},
+            },
+        })
+        text = out["choices"][0]["message"]["content"].strip()
+        assert JsonMatcher(SCHEMA).feed_text(text), text
+    finally:
+        srv.shutdown()
+
+
 def test_server_request_tools_roundtrip(chat_dir):
     """Request-level tools render into the prompt, and tool-call markup in
     the constrained output comes back as OpenAI tool_calls with

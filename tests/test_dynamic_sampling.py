@@ -318,13 +318,54 @@ def test_frequency_penalty_never_repeats(engine_name, lm):
     assert len(set(base)) < 16
 
 
-def test_spec_engines_reject_penalties(lm):
-    from uzu_tpu.engine.batch_spec import SpeculativeBatchEngine
+@pytest.mark.parametrize("engine_name", ["spec", "spec_paged", "spec_self",
+                                         "spec_paged_self"])
+def test_spec_penalty_matches_plain(engine_name, lm):
+    """Penalized requests through the speculative engines stream bit-exactly
+    like the plain chunked engine (the verify penalizes row i with base
+    counts + the chain prefix — exact under cumulative acceptance), while a
+    plain neighbor in the same batch stays bit-exact too."""
+    from uzu_tpu.engine.batch import BatchEngine
+    from uzu_tpu.engine.batch_spec import (
+        SpeculativeBatchEngine,
+        SpeculativePagedBatchEngine,
+    )
 
-    eng = SpeculativeBatchEngine(lm, batch_size=2, draft_block=4,
-                                 stop_token_ids=[])
-    with pytest.raises(ValueError, match="penalties"):
-        eng.submit([1, 2], 4, presence_penalty=0.5)
+    cls, kw = {
+        "spec": (SpeculativeBatchEngine, {"draft_block": 4}),
+        "spec_paged": (SpeculativePagedBatchEngine,
+                       {"draft_block": 4, "num_pages": 32, "page_size": 16}),
+        "spec_self": (SpeculativeBatchEngine,
+                      {"draft_block": 4, "draft_layers": 1}),
+        "spec_paged_self": (SpeculativePagedBatchEngine,
+                            {"draft_block": 4, "draft_layers": 1,
+                             "num_pages": 32, "page_size": 16}),
+    }[engine_name]
+
+    ref = BatchEngine(lm, batch_size=2, stop_token_ids=[])
+    wp = ref.submit(PROMPTS[0], 16, presence_penalty=1.5,
+                    frequency_penalty=0.6)
+    ref.run()
+
+    plain_want = lm.generate_list(np.asarray(PROMPTS[1]), 16,
+                                  stop_token_ids=[])
+    eng = cls(lm, batch_size=2, stop_token_ids=[], **kw)
+    rp = eng.submit(PROMPTS[0], 16, presence_penalty=1.5,
+                    frequency_penalty=0.6)
+    rn = eng.submit(PROMPTS[1], 16)
+    eng.run()
+    assert rp.tokens[:16] == wp.tokens[:16]
+    assert rn.tokens[:16] == plain_want[:16]
+    # an overwhelming frequency penalty forces all-distinct greedy output
+    eng2 = cls(lm, batch_size=2, stop_token_ids=[], **kw)
+    rd = eng2.submit(PROMPTS[2], 16, frequency_penalty=1e9)
+    eng2.run()
+    assert len(set(rd.tokens)) == 16, rd.tokens
+
+
+# (penalty + grammar slots coexisting in one speculative engine is pinned in
+# test_batch_grammar.py::test_penalty_and_grammar_neighbors — the grammar
+# fixtures live there)
 
 
 def test_server_penalty_field(tmp_path_factory):

@@ -65,8 +65,8 @@ class Request:
     logprobs: int = 0
     logprob_content: list = dataclasses.field(default_factory=list)
     # OpenAI presence/frequency penalties over the request's GENERATED
-    # token counts (plain chunked engines only: the counts live in a
-    # per-slot [V] device row updated inside the fused step)
+    # token counts (all batch engines: the counts live in a per-slot [V]
+    # device row updated inside the fused step / verify)
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     # filled by the engine:
@@ -102,9 +102,10 @@ class BatchEngine:
     #: grammar-constrained requests need per-round host masks; the fused
     #: K-step chunk engines reject them (use the speculative engines)
     supports_grammar = False
-    #: presence/frequency penalties need the per-slot count rows the fused
-    #: chunk threads; the speculative engines' verify rows would need
-    #: per-row prefix counts and reject them instead
+    #: presence/frequency penalties thread per-slot count rows through the
+    #: fused chunk (plain engines) or chain-cumulative per-row counts
+    #: through the verify (speculative engines); every shipped engine
+    #: supports them — the flag guards future engines that cannot
     supports_count_penalties = True
 
     def __init__(
@@ -432,9 +433,8 @@ class BatchEngine:
         if (presence_penalty or frequency_penalty) and \
                 not self.supports_count_penalties:
             raise ValueError(
-                "presence/frequency penalties are served by the plain "
-                "chunked engines (speculative verify rows would need "
-                "per-row prefix counts)")
+                "presence/frequency penalties are not supported by this "
+                "engine")
         if grammar is not None:
             if not self.supports_grammar:
                 raise ValueError(

@@ -48,7 +48,7 @@ from ..models.decoder import decoder_commit_deferred, decoder_forward
 from ..models.paged_kv import PagePoolOverflow
 from .batch import BatchEngine
 from .paged_batch import PagedBatchEngine
-from .sampling import sample, sample_dynamic
+from .sampling import apply_count_penalties, sample, sample_dynamic
 from .speculation import NgramSpeculator, SpeculationMetrics, speculation_supported
 
 
@@ -256,7 +256,7 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
     module docstring for the draft sources and the key schedule)."""
 
     supports_grammar = True
-    supports_count_penalties = False
+    supports_count_penalties = True
 
     def __init__(self, lm, *, draft_block: int = 8, make_speculator=None,
                  draft_layers: int | None = None, **kw):
@@ -269,15 +269,22 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
     # -- jitted verify ------------------------------------------------------
 
     def _verify_fn(self, m: int, ctx_bucket=None, masked: bool = False,
-                   dynamic: bool = False, logprobs: int = 0):
+                   dynamic: bool = False, logprobs: int = 0,
+                   penalties: bool = False):
         """m draft rows + 1 root row per slot, one donated dispatch.
         `masked` adds per-row grammar bitmasks [B, m+1, V] and a per-slot
         host-draft override flag (grammar slots keep host chains even in
         ``draft_layers`` mode); `dynamic` adds per-slot sampling-parameter
         rows [B, 4]; `logprobs` > 0 emits per-row raw-logit logprobs + the
-        top alternatives; the default executable is untouched."""
+        top alternatives; `penalties` threads per-slot generated-token count
+        rows [B, V] through the verify (OpenAI presence/frequency): row i is
+        penalized with base counts + the chain prefix drafts[0..i-1] — exact,
+        because row i's sample only commits when every earlier draft was
+        accepted, and then those drafts ARE the generated tokens. The default
+        executable is untouched."""
+        assert not penalties or dynamic
         key = (self.sampling, m, self.stop_ids, self.batch_size, ctx_bucket,
-               self.draft_layers, masked, dynamic, logprobs)
+               self.draft_layers, masked, dynamic, logprobs, penalties)
         if key not in self._verify_jit:
             cfg = self.lm.decoder_config
             sampling = self.sampling
@@ -287,7 +294,7 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
             draft_cfg = self._draft_cfg if nd is not None else None
 
             def one(params, state, token, drafts, draft_len, halted, remaining,
-                    keys, masks_r=None, hd=None, samp=None):
+                    keys, masks_r=None, hd=None, samp=None, counts=None):
                 if nd is not None:
                     # device-side self-draft: greedy chain on a functional
                     # VIEW of the target's first nd layer states — the
@@ -325,6 +332,20 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
                     cfg, params, tokens, state, last_only=False, defer_ssm=True,
                     ctx_limit=ctx_bucket,
                 )
+                sampled_from = logits
+                if penalties:
+                    # row i's counts = base + one-hots of the chain prefix
+                    # drafts[0..i-1] (the root token was counted when IT
+                    # committed last round); raw logits stay untouched for
+                    # the logprob report, mirroring the plain decode scan
+                    v = logits.shape[-1]
+                    oh = jax.nn.one_hot(tokens[1:], v, dtype=jnp.int32)
+                    chain = jnp.concatenate(
+                        [jnp.zeros((1, v), jnp.int32),
+                         jnp.cumsum(oh, axis=0)], axis=0)  # [m+1, V]
+                    sampled_from = apply_count_penalties(
+                        logits.astype(jnp.float32), counts[None, :] + chain,
+                        samp[4], samp[5])
                 def row(l, kk, mm):
                     if dynamic:
                         return sample_dynamic(
@@ -335,10 +356,10 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
                     return sample(l, sampling, key=kk, bitmask=mm)
 
                 if masked:
-                    sampled = jax.vmap(row)(logits, keys, masks_r)
+                    sampled = jax.vmap(row)(sampled_from, keys, masks_r)
                 else:
                     sampled = jax.vmap(lambda l, kk: row(l, kk, None))(
-                        logits, keys
+                        sampled_from, keys
                     )
                 match = (sampled[:-1] == tokens[1:]) & (jnp.arange(m) < draft_len)
                 accepted = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))
@@ -359,6 +380,11 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
                     stopped = jnp.any(is_stop & (rows < commit))
                 halted = halted | stopped | (remaining <= 0) | (new_state["pos"] >= ctx_last)
                 out = (new_state, nxt, halted, remaining, sampled, commit)
+                if penalties:
+                    v = logits.shape[-1]
+                    committed = jax.nn.one_hot(
+                        sampled, v, dtype=jnp.int32) * (rows < commit)[:, None]
+                    out += (counts + jnp.sum(committed, axis=0),)
                 if logprobs:
                     lp_rows = jax.nn.log_softmax(logits.astype(jnp.float32))
                     top_v, top_i = jax.lax.top_k(lp_rows, logprobs)
@@ -373,10 +399,11 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
                 # extra rides per the variant flags, in order: hd [B] when
                 # draft_layers (its own cheap lane — an unengaged grammar
                 # trigger must NOT force a ~V-wide all-ones mask upload),
-                # masks [B, m+1, V] when masked, samp [B, 6] when dynamic;
-                # the default variant's signature stays unchanged
+                # masks [B, m+1, V] when masked, samp [B, 6] when dynamic,
+                # counts [B, V] when penalties; the default variant's
+                # signature stays unchanged
                 i = 0
-                hd = masks = samp = None
+                hd = masks = samp = counts = None
                 if nd is not None:
                     hd = extra[i]
                     i += 1
@@ -385,10 +412,13 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
                     i += 1
                 if dynamic:
                     samp = extra[i]
+                    i += 1
+                if penalties:
+                    counts = extra[i]
 
                 def per_slot(s, t, d, dl, h, r, kk, *xs):
                     j = 0
-                    hh = mm = sp = None
+                    hh = mm = sp = cn = None
                     if nd is not None:
                         hh = xs[j]
                         j += 1
@@ -397,7 +427,10 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
                         j += 1
                     if dynamic:
                         sp = xs[j]
-                    return one(params, s, t, d, dl, h, r, kk, mm, hh, sp)
+                        j += 1
+                    if penalties:
+                        cn = xs[j]
+                    return one(params, s, t, d, dl, h, r, kk, mm, hh, sp, cn)
 
                 xs = ()
                 if nd is not None:
@@ -406,6 +439,8 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
                     xs += (masks,)
                 if dynamic:
                     xs += (samp,)
+                if penalties:
+                    xs += (counts,)
                 return jax.vmap(per_slot)(
                     state, tokens, drafts, draft_len, halted, remaining,
                     keys, *xs)
@@ -429,11 +464,12 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
         keys = self._spec_keys(tracked, m)
         max_pos = max((s.pos for s in self.slots if not s.free), default=0)
         dynamic = self._dynamic_now()
+        penalties = self._penalized_now()
         n_lp = max((s.request.logprobs for s in self.slots if not s.free),
                    default=0)
         verify = self._verify_fn(m, self.lm._ctx_bucket(max_pos + m + 2),
                                  masked=masks is not None, dynamic=dynamic,
-                                 logprobs=n_lp)
+                                 logprobs=n_lp, penalties=penalties)
         extra = ()
         if self.draft_layers is not None:
             extra += (jnp.asarray(host_draft),)
@@ -441,14 +477,19 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
             extra += (jnp.asarray(masks),)
         if dynamic:
             extra += (jnp.asarray(self._samp),)
+        if penalties:
+            extra += (self._ensure_counts(),)
         (self._state, self._tokens, self._halted, self._remaining,
-         sampled, commit, *lp) = verify(
+         sampled, commit, *rest) = verify(
             self.lm.params, self._state, self._tokens, jnp.asarray(drafts),
             jnp.asarray(draft_len), self._halted, self._remaining,
             jnp.asarray(keys), *extra,
         )
+        if penalties:
+            self._counts = rest[0]
+            rest = rest[1:]
         vals, commits, lp_pack = jax.device_get(
-            (sampled, commit, tuple(lp) or None))
+            (sampled, commit, tuple(rest) or None))
         self._route_round(tracked, np.asarray(vals), commits, draft_len,
                           lp_pack)
 
@@ -463,7 +504,7 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
     produced-count key schedule (module docstring)."""
 
     supports_grammar = True
-    supports_count_penalties = False
+    supports_count_penalties = True
 
     def __init__(self, lm, *, draft_block: int = 8, make_speculator=None,
                  draft_layers: int | None = None, **kw):
@@ -471,9 +512,12 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
         self._init_spec(lm, draft_block, make_speculator, draft_layers)
 
     def _verify_fn(self, m: int, ctx_pages: int, masked: bool = False,
-                   dynamic: bool = False, logprobs: int = 0):
+                   dynamic: bool = False, logprobs: int = 0,
+                   penalties: bool = False):
+        assert not penalties or dynamic
         key = ("spec_verify", m, self.sampling, self.stop_ids, self._geom,
-               ctx_pages, self.draft_layers, masked, dynamic, logprobs)
+               ctx_pages, self.draft_layers, masked, dynamic, logprobs,
+               penalties)
         if key not in self._jit:
             from ..models.paged_decode import paged_decode_step, paged_verify_step
 
@@ -490,10 +534,10 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
                 # extras in order: hd [B] when draft_layers (own cheap lane
                 # — an unengaged grammar trigger must not force a V-wide
                 # all-ones mask upload), masks when masked, samp when
-                # dynamic
+                # dynamic, counts [B, V] when penalties
                 b = tokens.shape[0]
                 i = 0
-                hd = masks_in = None
+                hd = masks_in = counts = None
                 if nd is not None:
                     hd = extra[i]
                     i += 1
@@ -502,6 +546,10 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
                     i += 1
                 samp_rows = (extra[i] if dynamic
                              else jnp.zeros((b, 6), jnp.float32))
+                if dynamic:
+                    i += 1
+                if penalties:
+                    counts = extra[i]
                 if nd is not None:
                     # device-side self-draft over a functional VIEW of the
                     # first nd layers' pools; chain writes are discarded —
@@ -534,6 +582,22 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
                     cfg, params, pools, blk, tables_s, positions, ~halted,
                     ctx_pages,
                 )
+                sampled_from = logits
+                if penalties:
+                    # row i's counts = base + the chain prefix blk[1..i]
+                    # one-hots (exact under cumulative acceptance — see the
+                    # dense engine's _verify_fn docstring); raw logits keep
+                    # feeding the logprob report like the plain decode scan
+                    v = logits.shape[-1]
+                    oh = jax.nn.one_hot(blk[:, 1:], v, dtype=jnp.int32)
+                    chain = jnp.concatenate(
+                        [jnp.zeros((b, 1, v), jnp.int32),
+                         jnp.cumsum(oh, axis=1)], axis=1)  # [B, m+1, V]
+                    sampled_from = apply_count_penalties(
+                        logits.astype(jnp.float32),
+                        counts[:, None, :] + chain,
+                        samp_rows[:, 4][:, None, None],
+                        samp_rows[:, 5][:, None, None])
                 def slot_rows(l_rows, k_rows, m_rows, sp):
                     def row(l, kk, mm):
                         if dynamic:
@@ -551,12 +615,12 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
 
                 if masked:
                     sampled = jax.vmap(slot_rows)(
-                        logits, keys, masks_in, samp_rows)  # [B, m+1]
+                        sampled_from, keys, masks_in, samp_rows)  # [B, m+1]
                 else:
                     sampled = jax.vmap(
                         lambda l_rows, k_rows, sp: slot_rows(
                             l_rows, k_rows, None, sp)
-                    )(logits, keys, samp_rows)  # [B, m+1]
+                    )(sampled_from, keys, samp_rows)  # [B, m+1]
                 match = (sampled[:, :-1] == blk[:, 1:]) & (
                     jnp.arange(m)[None, :] < draft_len[:, None]
                 )
@@ -584,6 +648,11 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
                     stopped = jnp.any(is_stop & (rows < commit[:, None]), axis=1)
                 halted = halted | stopped | (remaining <= 0) | (positions >= max_pos)
                 out = (pools, nxt, positions, halted, remaining, sampled, commit)
+                if penalties:
+                    v = logits.shape[-1]
+                    committed = jax.nn.one_hot(sampled, v, dtype=jnp.int32) \
+                        * (rows < commit[:, None])[:, :, None]
+                    out += (counts + jnp.sum(committed, axis=1),)
                 if logprobs:
                     lp_rows = jax.nn.log_softmax(logits.astype(jnp.float32))
                     top_v, top_i = jax.lax.top_k(lp_rows, logprobs)
@@ -640,11 +709,12 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
         )
         max_pos = max((s.pos for s in self.slots if not s.free), default=0)
         dynamic = self._dynamic_now()
+        penalties = self._penalized_now()
         n_lp = max((s.request.logprobs for s in self.slots if not s.free),
                    default=0)
         verify = self._verify_fn(m, self._ctx_pages(max_pos + m + 2),
                                  masked=masks is not None, dynamic=dynamic,
-                                 logprobs=n_lp)
+                                 logprobs=n_lp, penalties=penalties)
         extra = ()
         if self.draft_layers is not None:
             extra += (jnp.asarray(host_draft),)
@@ -652,13 +722,18 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
             extra += (jnp.asarray(masks),)
         if dynamic:
             extra += (jnp.asarray(self._samp),)
+        if penalties:
+            extra += (self._ensure_counts(),)
         (self.pools, self._tokens, self._positions, self._halted,
-         self._remaining, sampled, commit, *lp) = verify(
+         self._remaining, sampled, commit, *rest) = verify(
             self.lm.params, self.pools, self._tokens, jnp.asarray(drafts),
             jnp.asarray(draft_len), self._positions, self._halted,
             self._remaining, jnp.asarray(tables_s), jnp.asarray(keys), *extra,
         )
+        if penalties:
+            self._counts = rest[0]
+            rest = rest[1:]
         vals, commits, lp_pack = jax.device_get(
-            (sampled, commit, tuple(lp) or None))
+            (sampled, commit, tuple(rest) or None))
         self._route_round(tracked, np.asarray(vals), commits, draft_len,
                           lp_pack)

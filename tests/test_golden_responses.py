@@ -1,14 +1,25 @@
 """Golden response fixtures: per-family template render + stream-parse
 expectations (the role of the reference's workspace/data/responses/*.json
 catalog — each entry pins the EXACT rendered prompt for a message/tool set
-and what the parser must extract from a canned completion)."""
+and what the parser must extract from a canned completion).
+
+Entries either name a built-in style ("qwen" / "llama" / "harmony") or carry
+a "parser_config" dict — the per-model stream-parsing config a model dir
+ships as parser_config.json (the reference's bundled per-family parsing
+configs, hanashi/configs/parsing/*.json): NEW families parse via config
+only, no code."""
 
 import json
 import os
 
 import pytest
 
-from uzu_tpu.sessions.parser import LLAMA_STYLE, QWEN_STYLE, StreamParser
+from uzu_tpu.sessions.parser import (
+    LLAMA_STYLE,
+    QWEN_STYLE,
+    StreamParser,
+    sections_from_config,
+)
 from uzu_tpu.sessions.template import ChatTemplate
 
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures",
@@ -20,9 +31,36 @@ with open(FIXTURES) as f:
 STYLES = {"qwen": QWEN_STYLE, "llama": LLAMA_STYLE}
 
 
+def _make_template(entry):
+    if entry.get("style") == "harmony":
+        from uzu_tpu.sessions.harmony import HarmonyEncoding
+
+        return HarmonyEncoding()
+    return ChatTemplate(entry["template"])
+
+
+def _make_parser(entry):
+    if entry.get("style") == "harmony":
+        from uzu_tpu.sessions.harmony import HarmonyParser
+
+        return HarmonyParser()
+    if "parser_config" in entry:
+        cfg = entry["parser_config"]
+        transform = None
+        tcfg = cfg.get("transformation")
+        if tcfg:
+            from uzu_tpu.sessions.transform import TransformSchema
+
+            transform = (TransformSchema.from_json(tcfg["schema"]),
+                         tcfg["pipeline"])
+        return StreamParser(sections_from_config(cfg["sections"]),
+                            transform=transform)
+    return StreamParser(STYLES[entry["style"]])
+
+
 @pytest.mark.parametrize("entry", ENTRIES, ids=[e["family"] for e in ENTRIES])
 def test_golden_render_and_parse(entry):
-    t = ChatTemplate(entry["template"])
+    t = _make_template(entry)
     prompt = t.render(entry["parameters"]["messages"],
                       tools=entry["parameters"]["tools"])
     assert prompt == entry["result"]["prompt"], (
@@ -30,7 +68,7 @@ def test_golden_render_and_parse(entry):
         f"got:  {prompt!r}\nwant: {entry['result']['prompt']!r}"
     )
 
-    parser = StreamParser(STYLES[entry["style"]])
+    parser = _make_parser(entry)
     text = ""
     reasoning = False
     tool_names = []

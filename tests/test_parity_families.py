@@ -519,6 +519,121 @@ def test_lfm2_parity(lfm2_pair):
     assert_parity(hf, lm, V)
 
 
+# -- gpt-oss (MoE + sinks + alternating sliding window) ----------------------
+# The reference ships gpt-oss-20b as a flagship (workspace/data/
+# registry.json:84). HF's GptOss computes (up+1)*glu with up clamped to
+# [-7, 7]; our config folds the "+1" into the up BIAS (a monotone shift), so
+# the converter adds 1 to each up bias and the clip window becomes [-6, 8] —
+# matching the reference kernels' plain act(gate)*up form
+# (experts_two_pass_decode.metal:104-114).
+
+GPTOSS_E, GPTOSS_K, GPTOSS_EHID = 8, 2, 96
+
+
+@pytest.fixture(scope="module")
+def gptoss_pair(tmp_path_factory):
+    from uzu_tpu.tools.synth import gptoss_config
+
+    cfg_hf = transformers.GptOssConfig(
+        vocab_size=V, hidden_size=D, intermediate_size=GPTOSS_EHID,
+        num_hidden_layers=2, num_attention_heads=NH, num_key_value_heads=NG,
+        head_dim=DH, max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=150000.0, tie_word_embeddings=False, attention_bias=True,
+        num_local_experts=GPTOSS_E, num_experts_per_tok=GPTOSS_K,
+        sliding_window=8, rope_scaling=None,
+        layer_types=["sliding_attention", "full_attention"],
+    )
+    torch.manual_seed(7)
+    hf = transformers.GptOssForCausalLM(cfg_hf).eval().to(torch.float32)
+    sd = hf.state_dict()
+
+    def t(name):
+        return sd[name].detach().float().numpy()
+
+    cfg = gptoss_config(
+        num_layers=2, model_dim=D, num_heads=NH, num_groups=NG, head_dim=DH,
+        vocab_size=V, num_experts=GPTOSS_E, num_active=GPTOSS_K,
+        expert_hidden_dim=GPTOSS_EHID, sliding_window=8, max_seq=256,
+        rope_base=150000.0,
+    )
+
+    b = ModelBuilder(seed=0, dtype=np.float32)
+    b.embedding("input_embedding", V, D, FP_IO,
+                weights=t("model.embed_tokens.weight"))
+    b.embedding("output_embedding", V, D, FP_IO, weights=t("lm_head.weight"))
+    for i in range(2):
+        p = f"transformer.layers.{i}"
+        h = f"model.layers.{i}"
+        qkv = np.concatenate([
+            t(f"{h}.self_attn.q_proj.weight"),
+            t(f"{h}.self_attn.k_proj.weight"),
+            t(f"{h}.self_attn.v_proj.weight"),
+        ], axis=0)
+        b.linear(f"{p}.mixer.qkv_projection", D, qkv.shape[0], FP_OI, False,
+                 weights=qkv)
+        b.tensors[f"{p}.mixer.qkv_projection.biases"] = np.concatenate([
+            t(f"{h}.self_attn.q_proj.bias"),
+            t(f"{h}.self_attn.k_proj.bias"),
+            t(f"{h}.self_attn.v_proj.bias"),
+        ])
+        b.linear(f"{p}.mixer.out_projection", NH * DH, D, FP_OI, False,
+                 weights=t(f"{h}.self_attn.o_proj.weight"))
+        b.tensors[f"{p}.mixer.out_projection.biases"] = \
+            t(f"{h}.self_attn.o_proj.bias")
+        b.tensors[f"{p}.mixer.sinks"] = t(f"{h}.self_attn.sinks")
+
+        b.linear(f"{p}.mlp.router", D, GPTOSS_E, FP_OI, False,
+                 weights=t(f"{h}.mlp.router.weight"))
+        b.tensors[f"{p}.mlp.router.biases"] = t(f"{h}.mlp.router.bias")
+        # HF interleaves gate/up along the last axis of [E, D, 2I]; ours is
+        # [E, 2I, D] with rows [up | gate]
+        gu = t(f"{h}.mlp.experts.gate_up_proj")
+        gate_w, up_w = gu[:, :, 0::2], gu[:, :, 1::2]
+        b.tensors[f"{p}.mlp.experts.up_projection.weights.weights"] = \
+            np.concatenate([up_w, gate_w], axis=2).transpose(0, 2, 1).copy()
+        gub = t(f"{h}.mlp.experts.gate_up_proj_bias")
+        gate_b, up_b = gub[:, 0::2], gub[:, 1::2] + 1.0  # fold the "+1"
+        b.tensors[f"{p}.mlp.experts.up_projection.biases"] = \
+            np.concatenate([up_b, gate_b], axis=1).copy()
+        b.tensors[f"{p}.mlp.experts.down_projection.weights.weights"] = \
+            t(f"{h}.mlp.experts.down_proj").transpose(0, 2, 1).copy()
+        b.tensors[f"{p}.mlp.experts.down_projection.biases"] = \
+            t(f"{h}.mlp.experts.down_proj_bias")
+
+        b.tensors[f"{p}.pre_mixer_norm.scales"] = \
+            t(f"{h}.input_layernorm.weight")
+        b.tensors[f"{p}.pre_mlp_norm.scales"] = \
+            t(f"{h}.post_attention_layernorm.weight")
+    b.tensors["transformer.output_norm.scales"] = t("model.norm.weight")
+    d = b.write(str(tmp_path_factory.mktemp("gptoss_parity")), cfg)
+    lm = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(4, 16))
+    return hf, lm
+
+
+def test_gptoss_parity(gptoss_pair):
+    hf, lm = gptoss_pair
+    assert_parity(hf, lm, V)
+
+
+def test_gptoss_paged_and_speculative(gptoss_pair):
+    """The composed family actually SERVES: paged continuous batching and
+    chain speculation both reproduce the plain greedy stream on the
+    MoE+sinks+windowed model."""
+    from uzu_tpu.engine.batch_spec import SpeculativePagedBatchEngine
+
+    _, lm = gptoss_pair
+    prompt = [3, 1, 4, 1, 5]
+    want = lm.generate_list(np.asarray(prompt), 12, stop_token_ids=[])
+    eng = SpeculativePagedBatchEngine(lm, batch_size=2, draft_block=4,
+                                      num_pages=16, page_size=16,
+                                      stop_token_ids=[])
+    r1 = eng.submit(prompt, 12)
+    r2 = eng.submit(prompt, 12)
+    eng.run()
+    assert r1.tokens == want
+    assert r2.tokens == want
+
+
 # -- Quantized parity --------------------------------------------------------
 
 

@@ -477,3 +477,64 @@ def test_request_level_tools_render_and_choice():
     with _pytest.raises(ValueError, match="undeclared"):
         tools_from_request({**body, "tool_choice": {"function": {"name": "x"}}})
     assert tools_from_request({}) is None
+
+
+def test_parser_config_from_model_dir(chat_dir, tmp_path):
+    """A model dir shipping parser_config.json drives the session's stream
+    parsing via CONFIG only (the reference resolves bundled per-family
+    parsing configs the same way — hanashi/configs/parsing/*.json); the
+    harmony preset swaps in the Harmony template + parser."""
+    import shutil
+
+    from uzu_tpu.sessions.harmony import HarmonyEncoding, HarmonyParser
+    from uzu_tpu.sessions.parser import StreamParser
+
+    d = str(tmp_path / "cfg_model")
+    shutil.copytree(chat_dir, d)
+    with open(f"{d}/parser_config.json", "w") as f:
+        json.dump({"sections": [
+            {"kind": "reasoning", "open": "[THINK]",
+             "close_tokens": ["[/THINK]"], "closes_on_sibling": True},
+            {"kind": "tool_call", "open": "[CALL]",
+             "close_tokens": ["[/CALL]", "[DONE]"]},
+        ]}, f)
+    lm = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16,))
+    sess = ChatSession(lm, Tokenizer(d))
+    p = sess._parser_factory()
+    assert isinstance(p, StreamParser)
+    list(p.push("[THINK]plan[CALL]{\"name\": \"f\", \"arguments\": {}}[DONE]ok"))
+    list(p.finish())
+    assert p.reasoning == "plan"
+    assert [t.name for t in p.tool_calls] == ["f"]
+    assert p.text == "ok"
+
+    with open(f"{d}/parser_config.json", "w") as f:
+        json.dump({"preset": "harmony"}, f)
+    sess2 = ChatSession(lm, Tokenizer(d))
+    assert isinstance(sess2.template, HarmonyEncoding)
+    assert isinstance(sess2._parser_factory(), HarmonyParser)
+
+
+def test_gptoss_composed_family_session(tmp_path):
+    """The gpt-oss-class COMPOSED family end-to-end: MoE + sinks + sliding
+    windows (gptoss_config) served through a harmony-preset ChatSession
+    auto-selected from the model dir's parser_config.json (VERDICT r2 #7;
+    ref registry.json:84 ships gpt-oss-20b, harmony mod.rs:26-35)."""
+    from uzu_tpu.sessions.harmony import HarmonyEncoding
+    from uzu_tpu.tools.synth import gptoss_config, synth_chat_model
+
+    d = str(tmp_path / "gptoss_chat")
+    synth_chat_model(d, config=gptoss_config(
+        num_layers=2, model_dim=64, num_heads=4, num_groups=2, head_dim=16,
+        vocab_size=512, num_experts=4, num_active=2, expert_hidden_dim=96,
+        sliding_window=24, max_seq=256))
+    with open(f"{d}/parser_config.json", "w") as f:
+        json.dump({"preset": "harmony"}, f)
+    lm = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16, 64))
+    sess = ChatSession(lm, Tokenizer(d))
+    assert isinstance(sess.template, HarmonyEncoding)
+    reply = sess.reply("hello", max_new_tokens=16)
+    assert reply.stats.tokens_count_output >= 1
+    # second turn reuses the prefix cache over the MoE+sinks state
+    reply2 = sess.reply("again", max_new_tokens=8)
+    assert reply2.stats.tokens_count_output >= 1

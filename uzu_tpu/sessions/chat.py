@@ -79,6 +79,29 @@ class ChatSession:
         (prefix-cache reuse under speculation is a later milestone)."""
         self.model = model
         self.tokenizer = tokenizer
+        if encoding == "auto" and sections is None:
+            # per-model stream-parsing config shipped IN the model dir (the
+            # reference resolves a bundled per-family parsing config the
+            # same way — hanashi/configs/parsing/*.json); new families need
+            # a JSON file, not code
+            from .parser import load_parser_config
+
+            pcfg = load_parser_config(getattr(tokenizer, "model_dir", ""))
+            if pcfg is not None:
+                if pcfg.get("preset") == "harmony":
+                    encoding = "harmony"
+                else:
+                    from .parser import sections_from_config
+
+                    sections = sections_from_config(pcfg.get("sections", []))
+                    transform = None
+                    tcfg = pcfg.get("transformation")
+                    if tcfg:
+                        from .transform import TransformSchema
+
+                        transform = (TransformSchema.from_json(tcfg["schema"]),
+                                     tcfg["pipeline"])
+                    self._cfg_transform = transform
         if encoding == "harmony":
             from .harmony import HarmonyEncoding, HarmonyParser
 
@@ -88,7 +111,8 @@ class ChatSession:
             self.template = ChatTemplate(
                 template if template is not None else tokenizer.chat_template
             )
-            self._parser_factory = lambda: StreamParser(self.sections)
+            self._parser_factory = lambda: StreamParser(
+                self.sections, transform=getattr(self, "_cfg_transform", None))
         self.sections = sections
         self.tools = {t.name: t for t in (tools or [])}
         self.tool_turn_limit = tool_turn_limit

@@ -21,9 +21,23 @@ from typing import Iterator, Optional
 
 @dataclasses.dataclass
 class SectionConfig:
+    """One markered section (the reference's reduction "bounded" group,
+    config.rs Bounded{open_token, close_tokens, closes_on_sibling}).
+
+    `close` is the primary close marker; `close_tokens` optionally lists
+    alternates (any of them closes the section). `closes_on_sibling` lets
+    ANOTHER section's open marker close this one implicitly (the sibling
+    marker is not consumed — it opens its own section next)."""
+
     kind: str  # "reasoning" | "tool_call"
     open: str
     close: str
+    close_tokens: tuple = ()
+    closes_on_sibling: bool = False
+
+    @property
+    def closes(self) -> tuple:
+        return tuple(self.close_tokens) or (self.close,)
 
 
 QWEN_STYLE = [
@@ -34,6 +48,43 @@ QWEN_STYLE = [
 LLAMA_STYLE = [
     SectionConfig("tool_call", "<|python_tag|>", "<|eom_id|>"),
 ]
+
+
+def sections_from_config(cfg: list[dict]) -> list["SectionConfig"]:
+    """Build sections from per-model JSON (parser_config.json "sections"):
+    [{"kind", "open", "close_tokens" (or "close"), "closes_on_sibling"?}].
+    The shape mirrors the reference's reduction groups
+    (token-stream-parser/src/reduction/config.rs:7-20) flattened to the
+    completion's content level (role/message framing is the template's
+    job in this build — sessions render per turn, not whole transcripts)."""
+    out = []
+    for s in cfg:
+        closes = tuple(s.get("close_tokens") or ([s["close"]] if "close" in s else []))
+        if not closes:
+            raise ValueError(f"section {s.get('kind')!r} has no close tokens")
+        out.append(SectionConfig(
+            kind=s["kind"], open=s["open"], close=closes[0],
+            close_tokens=closes,
+            closes_on_sibling=bool(s.get("closes_on_sibling", False)),
+        ))
+    return out
+
+
+def load_parser_config(model_dir: str) -> dict | None:
+    """Read the model dir's parser_config.json (per-model stream parsing,
+    the role of the reference's bundled per-family parsing configs —
+    hanashi/configs/parsing/*.json). Returns the raw dict or None.
+
+    Recognized keys: "preset" ("harmony"), "sections" (see
+    sections_from_config), "transformation" ({"schema": TransformSchema
+    pipelines, "pipeline": entry name}) applied to tool_call payloads."""
+    import os
+
+    path = os.path.join(model_dir, "parser_config.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
 
 
 @dataclasses.dataclass
@@ -93,9 +144,12 @@ class StreamParser:
 
     def _possible_marker_prefix(self, s: str) -> int:
         """Length of the longest suffix of s that is a prefix of any marker."""
-        markers = [c.open for c in self.sections]
-        if self.active is not None:
-            markers = [self.active.close]
+        if self.active is None:
+            markers = [c.open for c in self.sections]
+        else:
+            markers = list(self.active.closes)
+            if self.active.closes_on_sibling:
+                markers += [c.open for c in self.sections if c is not self.active]
         best = 0
         for m in markers:
             for take in range(min(len(s), len(m) - 1), 0, -1):
@@ -131,7 +185,21 @@ class StreamParser:
                 self.section_buf = ""
             else:
                 c = self.active
-                idx = self.buffer.find(c.close)
+                # earliest close marker (any alternate); a sibling's OPEN
+                # marker also closes when closes_on_sibling — without
+                # consuming it (the outer loop reopens on it next)
+                idx, clen = -1, 0
+                for m in c.closes:
+                    j = self.buffer.find(m)
+                    if j != -1 and (idx == -1 or j < idx):
+                        idx, clen = j, len(m)
+                if c.closes_on_sibling:
+                    for other in self.sections:
+                        if other is c:
+                            continue
+                        j = self.buffer.find(other.open)
+                        if j != -1 and (idx == -1 or j < idx):
+                            idx, clen = j, 0
                 if idx == -1:
                     hold = self._possible_marker_prefix(self.buffer)
                     chunk = self.buffer[: len(self.buffer) - hold]
@@ -143,7 +211,7 @@ class StreamParser:
                             yield Event("reasoning", delta=chunk)
                     return
                 chunk = self.buffer[:idx]
-                self.buffer = self.buffer[idx + len(c.close) :]
+                self.buffer = self.buffer[idx + clen :]
                 self.section_buf += chunk
                 if c.kind == "reasoning":
                     if chunk:

@@ -652,6 +652,81 @@ def moe_config(
     return LanguageModelConfig(decoder_config=decoder, generation_config=base.generation_config)
 
 
+def gptoss_config(
+    *, num_layers: int = 2, model_dim: int = 64, num_heads: int = 4,
+    num_groups: int = 2, head_dim: int = 16, vocab_size: int = 512,
+    num_experts: int = 8, num_active: int = 2, expert_hidden_dim: int = 96,
+    sliding_window: int = 24, max_seq: int = 2048, rope_base: float = 150000.0,
+) -> LanguageModelConfig:
+    """gpt-oss-style decoder (ref workspace/data/registry.json:84 ships
+    gpt-oss-20b as a flagship): every layer MoE with softmax-after-top-k
+    routing and biased routers/experts, attention SINKS on every layer,
+    alternating sliding/full attention (sliding first, HF layer_types
+    convention), qkv/out biases, untied embeddings.
+
+    The HF formula is ``(up+1) * gate*sigmoid(1.702*gate)`` with up clamped
+    to [-7, 7] and gate to (-inf, 7]; the reference computes plain
+    ``act(gate) * up`` (experts_two_pass_decode.metal:104-114), folding the
+    "+1" into the up BIAS — a monotone shift, so the clip window becomes
+    [-6, 8]. Converters must add 1 to each up bias."""
+    base = llama_config(
+        num_layers=num_layers, model_dim=model_dim, hidden_dim=expert_hidden_dim,
+        num_heads=num_heads, num_groups=num_groups, head_dim=head_dim,
+        vocab_size=vocab_size, max_seq=max_seq, rope_base=rope_base,
+        tied=False,
+    )
+    expert = DenseMLPConfig(
+        linear_config=LinearConfig(),
+        activation=SiLU(alpha=1.702),
+        has_up_biases=True,
+        has_down_biases=True,
+        gate_clipping=(None, 7.0),
+        up_clipping=(-6.0, 8.0),
+    )
+    from ..config.model import SoftmaxRouting
+
+    moe = MixtureOfExpertsConfig(
+        expert_config=expert,
+        router_config=LinearConfig(),
+        routing_function=SoftmaxRouting(),
+        num_routed_experts=num_experts,
+        num_active_routed_experts=num_active,
+        router_has_biases=True,
+        num_shared_experts=0,
+        expert_hidden_dim=expert_hidden_dim,
+        gate_config=None,
+    )
+    layers = []
+    for i, lc in enumerate(base.decoder_config.transformer_config.layer_configs):
+        a = lc.mixer_config
+        attn = AttentionConfig(**{
+            **{f: getattr(a, f) for f in a.__dataclass_fields__},
+            "has_sinks": True,
+            "has_qkv_biases": True,
+            "has_out_biases": True,
+            # HF layer_types: "sliding_attention" if (i+1) % 2 else full
+            "sliding_window_size": sliding_window if (i + 1) % 2 else None,
+        })
+        layers.append(TransformerLayerConfig(**{
+            **{f: getattr(lc, f) for f in lc.__dataclass_fields__},
+            "mixer_config": attn,
+            "mlp_config": moe,
+        }))
+    decoder = DecoderConfig(
+        embedding_config=base.decoder_config.embedding_config,
+        transformer_config=TransformerConfig(
+            layer_configs=tuple(layers),
+            output_norm_config=base.decoder_config.transformer_config.output_norm_config,
+            model_dim=model_dim,
+            hidden_dim=expert_hidden_dim,
+        ),
+        vocab_size=vocab_size,
+        ple_model_config=None,
+    )
+    return LanguageModelConfig(decoder_config=decoder,
+                               generation_config=base.generation_config)
+
+
 # --------------------------------------------------------------------------
 # Synthetic tokenizer (for offline session/server tests — plays the role of
 # the reference's mock-registry tokenizer.json fixture)

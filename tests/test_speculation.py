@@ -81,9 +81,10 @@ def test_speculative_respects_stop_tokens(target):
 
 
 def test_recurrent_speculation_gates(tmp_path):
-    """Chain AND tree speculation work on recurrent mixers (deferred
-    commit + ancestor-edge recurrence); only draft-STATE rollback (the
-    draft model's own pos-reset) stays attention-only."""
+    """Chain, tree, AND draft-model speculation all work on recurrent
+    mixers (deferred commit + ancestor-edge recurrence; hybrid drafts
+    chain on a discarded functional view). Only KV-shared attention is
+    excluded anywhere."""
     from uzu_tpu.engine.speculation import (
         TreeSpeculativeDecoder,
         tree_speculation_supported,
@@ -96,8 +97,8 @@ def test_recurrent_speculation_gates(tmp_path):
     SpeculativeDecoder(lm, NgramSpeculator())  # allowed
     dec = TreeSpeculativeDecoder(lm)  # allowed (deferred tree verify)
     assert dec._recurrent
-    with pytest.raises(ValueError):
-        DraftModelSpeculator(lm)  # recurrent draft cannot pos-reset
+    spec = DraftModelSpeculator(lm)  # allowed (functional-view chain)
+    assert spec._hybrid
 
 
 def _hybrid_lm(tmp_path, name: str):
@@ -248,6 +249,52 @@ def test_chain_speculation_recurrent_resumable_state(tmp_path):
     got2 = list(cont)
     want = lm.generate_list(np.concatenate([prompt, got]), 8, stop_token_ids=[])
     assert got2 == want
+
+
+@pytest.mark.parametrize("family", ["qwen35", "lfm2"])
+def test_draft_model_speculation_hybrid_bit_exact(tmp_path, family):
+    """DraftModelSpeculator with a HYBRID draft on a HYBRID target
+    (VERDICT r2 #9; ref gdn/tree_verify/tree_update_solve.metal exists so
+    the speculator stack runs on GDN flagships): the hybrid draft chains
+    on a discarded functional view, the committed state only ever holds
+    real history — output == plain decoding bit-exact."""
+    from uzu_tpu.engine.speculation import self_speculative_decoder
+
+    lm = _hybrid_lm(tmp_path, family)
+    prompt = np.array([1, 2, 3, 4, 1, 2, 3, 4, 1, 2])
+    want = lm.generate_list(prompt, 20, stop_token_ids=[])
+    # draft_layers=1 keeps only the leading recurrent mixer — the draft
+    # itself is recurrent, exercising the functional-view chain
+    dec = self_speculative_decoder(lm, draft_layers=1, k=4)
+    assert dec.speculator._hybrid
+    metrics = SpeculationMetrics()
+    got = list(dec.generate(prompt, 20, stop_token_ids=[], metrics=metrics))
+    assert got == want
+    assert metrics.num_verify_passes > 0
+
+
+def test_dflash_on_hybrid_target_bit_exact(tmp_path):
+    """DFlash tree speculation on a GDN HYBRID target: feature taps ride
+    the deferred ancestor-edge verify, accept replays the path — output
+    == plain decoding even with a random draft."""
+    from uzu_tpu.engine.dflash import DFlashDraft
+    from uzu_tpu.engine.speculation import DFlashSpeculativeDecoder
+    from uzu_tpu.tools.synth import qwen35_config, synth_dflash_speculator
+
+    lm = _hybrid_lm(tmp_path, "qwen35")
+    spec_dir = synth_dflash_speculator(str(tmp_path / "hspec"),
+                                       qwen35_config(), block_size=4,
+                                       target_layer_ids=(0, 1), seed=3,
+                                       dtype=np.float32)
+    dflash = DFlashDraft.from_dir(spec_dir, max_context=128)
+    prompt = np.array([5, 6, 7, 8, 9])
+    want = lm.generate_list(prompt, 16, stop_token_ids=[])
+    dec = DFlashSpeculativeDecoder(lm, dflash, max_nodes=8, children=2)
+    assert dec._recurrent
+    metrics = SpeculationMetrics()
+    got = list(dec.generate(prompt, 16, stop_token_ids=[], metrics=metrics))
+    assert got == want
+    assert metrics.num_verify_passes > 0
 
 
 def test_self_speculative_matches_plain(target):

@@ -36,10 +36,10 @@ def _load_chat(model_dir: str, max_context: int, tp=None, dp=None):
             from uzu_tpu.engine.dflash import DFlashDraft
             from uzu_tpu.engine.speculation import (
                 DFlashSpeculativeDecoder,
-                tree_speculation_supported,
+                speculation_supported,
             )
 
-            if tree_speculation_supported(lm.decoder_config):
+            if speculation_supported(lm.decoder_config):
                 draft = DFlashDraft.from_dir(os.path.dirname(spec_cfg),
                                              max_context=max_context)
                 speculator = DFlashSpeculativeDecoder(lm, draft)

@@ -140,10 +140,10 @@ class Engine:
                     from .dflash import DFlashDraft
                     from .speculation import (
                         DFlashSpeculativeDecoder,
-                        tree_speculation_supported,
+                        speculation_supported,
                     )
 
-                    if tree_speculation_supported(lm.decoder_config):
+                    if speculation_supported(lm.decoder_config):
                         draft = DFlashDraft.from_dir(spec_dir, max_context=max_context)
                         speculator = DFlashSpeculativeDecoder(lm, draft)
                 except Exception:

@@ -115,22 +115,56 @@ class DraftModelSpeculator:
 
     The k draft steps run as ONE fused dispatch (the engine's scan-based
     decode chunk) and ONE host fetch; the draft keeps its own prefix state
-    across proposals and rolls back rejected tokens the same pos-reset way
-    the target does (attention-only requirement applies to the draft too).
+    across proposals and rolls back rejected tokens:
+
+    - attention-only drafts: pos-reset (speculative KV slots masked; the
+      donated decode chunk stays the fast path);
+    - HYBRID drafts (recurrent mixers — GDN/Mamba2/ShortConv): the chain
+      runs on a functional VIEW of the committed state (non-donated scan;
+      its state writes are discarded, the role the reference's GDN
+      tree-verify kernels play — gdn/tree_verify/tree_update_solve.metal),
+      and the committed state only ever advances by REAL history tokens
+      prefilled on the next propose.
     """
 
     def __init__(self, draft_lm, k: int = 4):
-        if not tree_speculation_supported(draft_lm.decoder_config):
-            raise ValueError("draft model must be attention-only")
+        if not speculation_supported(draft_lm.decoder_config):
+            raise ValueError("draft model has KV-shared attention")
         self.draft = draft_lm
         self.k = k
+        # recurrent state cannot pos-reset; those drafts chain on a view
+        self._hybrid = not tree_speculation_supported(draft_lm.decoder_config)
         self._state = None
         self._fed = 0  # tokens of history the draft state covers
         self._keys = jax.random.split(jax.random.PRNGKey(0), k)
+        self._chain_jit = None
 
     def reset(self):
         self._state = None
         self._fed = 0
+
+    def _chain_fn(self):
+        """Greedy k-step chain on a functional view: state threads through
+        the scan but is NOT returned (and the committed input is not
+        donated), so the caller's state stays pinned to real history."""
+        if self._chain_jit is None:
+            cfg = self.draft.decoder_config
+            k = self.k
+
+            @jax.jit
+            def chain(params, state, token):
+                def step(carry, _):
+                    st, t = carry
+                    logits, st = decoder_forward(
+                        cfg, params, t.reshape(1), st, last_only=True)
+                    nt = jnp.argmax(logits[0]).astype(jnp.int32)
+                    return (st, nt), nt
+
+                _, toks = jax.lax.scan(step, (state, token), None, length=k)
+                return toks
+
+            self._chain_jit = chain
+        return self._chain_jit
 
     def propose(self, history: list[int]) -> list[int]:
         if self._state is None:
@@ -141,6 +175,20 @@ class DraftModelSpeculator:
             return []
         if self._fed + len(new) + self.k + 1 > self.draft.max_context:
             return []
+        if self._hybrid:
+            # commit all real history EXCEPT the root token, then chain
+            # from the root on a discarded view; the root joins the
+            # committed state as part of the NEXT propose's `new`
+            if len(new) > 1:
+                _, self._state = self.draft.prefill(
+                    self._state, np.asarray(new[:-1], np.int32)
+                )
+                self._fed += len(new) - 1
+            toks = self._chain_fn()(
+                self.draft.params, self._state,
+                jnp.asarray(new[-1], jnp.int32),
+            )
+            return [int(t) for t in np.asarray(jax.device_get(toks))]
         if len(new) > 1:
             _, self._state = self.draft.prefill(
                 self._state, np.asarray(new[:-1], np.int32)
@@ -508,6 +556,44 @@ class NgramTreeSpeculator:
         return tree
 
 
+def _deferred_tree_accept_fn(lcs):
+    """Jitted combined accept for tree verification on models WITH recurrent
+    mixers (shared by TreeSpeculativeDecoder and DFlashSpeculativeDecoder):
+    compact attention rows at the pending write base AND replay recurrent
+    state over just the accepted path (ssm_tree_commit)."""
+    from ..models.ssm import ssm_tree_commit
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def accept(pending, idx, path_idx, conv_commit, new_pos):
+        pos0 = pending["pos"]
+
+        def fix(cache):
+            if cache is None or ("k" not in cache and "k_q" not in cache):
+                return cache
+            out = dict(cache)
+            for name in ("k", "v", "k_q", "v_q", "k_s", "v_s"):
+                if name not in cache:
+                    continue
+                buf = cache[name]
+                rows = buf[pos0 + idx]
+                out[name] = jax.lax.dynamic_update_slice(
+                    buf, rows, (pos0,) + (0,) * (buf.ndim - 1)
+                )
+            return out
+
+        layers = []
+        for lc, entry in zip(lcs, pending["layers"]):
+            if isinstance(lc.mixer_config, AttentionConfig):
+                layers.append(fix(entry))
+            else:
+                layers.append(ssm_tree_commit(
+                    lc.mixer_config, entry, path_idx,
+                    conv_commit[lc.mixer_config.kernel_size]))
+        return {"layers": layers, "pos": new_pos}
+
+    return accept
+
+
 def _tree_conv_windows(parents: np.ndarray, k: int) -> np.ndarray:
     """[M, K] i32: each node's causal-conv tap sources, linearized into
     concat([conv state rows (k-1, oldest first), node input rows (M)]).
@@ -632,39 +718,8 @@ class TreeSpeculativeDecoder:
         over the accepted path."""
         key = "accept_deferred"
         if key not in self._accept_jit:
-            from ..models.ssm import ssm_tree_commit
-
-            lcs = self.lm.decoder_config.transformer_config.layer_configs
-
-            @partial(jax.jit, donate_argnums=(0,))
-            def accept(pending, idx, path_idx, conv_commit, new_pos):
-                pos0 = pending["pos"]
-
-                def fix(cache):
-                    if cache is None or ("k" not in cache and "k_q" not in cache):
-                        return cache
-                    out = dict(cache)
-                    for name in ("k", "v", "k_q", "v_q", "k_s", "v_s"):
-                        if name not in cache:
-                            continue
-                        buf = cache[name]
-                        rows = buf[pos0 + idx]
-                        out[name] = jax.lax.dynamic_update_slice(
-                            buf, rows, (pos0,) + (0,) * (buf.ndim - 1)
-                        )
-                    return out
-
-                layers = []
-                for lc, entry in zip(lcs, pending["layers"]):
-                    if isinstance(lc.mixer_config, AttentionConfig):
-                        layers.append(fix(entry))
-                    else:
-                        layers.append(ssm_tree_commit(
-                            lc.mixer_config, entry, path_idx,
-                            conv_commit[lc.mixer_config.kernel_size]))
-                return {"layers": layers, "pos": new_pos}
-
-            self._accept_jit[key] = accept
+            self._accept_jit[key] = _deferred_tree_accept_fn(
+                self.lm.decoder_config.transformer_config.layer_configs)
         return self._accept_jit[key]
 
     def _accept_fn(self, m: int, a: int):
@@ -841,14 +896,26 @@ class DFlashSpeculativeDecoder:
 
     def __init__(self, lm, dflash, *, sampling: SamplingParams | None = None,
                  max_nodes: int = 16, children: int = 2):
-        if not tree_speculation_supported(lm.decoder_config):
-            raise ValueError("speculation requires attention-only models")
+        if not speculation_supported(lm.decoder_config):
+            raise ValueError("speculation unsupported (KV-shared attention)")
+        if getattr(lm, "ring_windows", False):
+            raise ValueError("tree speculation requires the full KV layout")
         self.lm = lm
         self.dflash = dflash
         self.sampling = sampling or SamplingParams()
         self.max_nodes = max_nodes
         self.children = children
         self.taps = tuple(dflash.cfg.target_layer_ids)
+        lcs = lm.decoder_config.transformer_config.layer_configs
+        # hybrid (recurrent-mixer) targets verify along ancestor edges with
+        # deferred commit + path replay, exactly like TreeSpeculativeDecoder
+        self._recurrent = any(
+            not isinstance(lc.mixer_config, AttentionConfig) for lc in lcs
+        )
+        self._kernel_sizes = sorted({
+            lc.mixer_config.kernel_size for lc in lcs
+            if not isinstance(lc.mixer_config, AttentionConfig)
+        })
         self._jit = {}
 
     def _prefill_fn(self, chunk: int):
@@ -885,6 +952,40 @@ class DFlashSpeculativeDecoder:
                 return state, sampled, feats
 
             self._jit[key] = verify
+        return self._jit[key]
+
+    def _verify_fn_deferred(self, m: int):
+        """DFlash tree verify on hybrid targets: feature taps ride the same
+        deferred forward the recurrent tree verify uses (attention rows at
+        suffix slots, recurrent layers along ancestor edges, nothing
+        committed until the host picks the path)."""
+        key = ("verify_deferred", m)
+        if key not in self._jit:
+            cfg = self.lm.decoder_config
+            sampling = self.sampling
+            taps = self.taps
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def verify(params, state, tokens, positions, tree_mask, keys,
+                       parents, conv_src):
+                logits, pending, feats = decoder_forward(
+                    cfg, params, tokens, state, last_only=False,
+                    positions=positions, tree_mask=tree_mask,
+                    collect_layers=taps, defer_ssm=True,
+                    tree_parents=parents, tree_conv_src=conv_src,
+                )
+                sampled = jax.vmap(lambda l, k: sample(l, sampling, key=k))(
+                    logits, keys)
+                return pending, sampled, feats
+
+            self._jit[key] = verify
+        return self._jit[key]
+
+    def _accept_fn_deferred(self):
+        key = "accept_deferred"
+        if key not in self._jit:
+            self._jit[key] = _deferred_tree_accept_fn(
+                self.lm.decoder_config.transformer_config.layer_configs)
         return self._jit[key]
 
     def _accept_fn(self, m: int, a: int):
@@ -996,11 +1097,26 @@ class DFlashSpeculativeDecoder:
             positions[:m_real] = [pos + d for d in depths]
             mask = tree.ancestor_mask(m)
 
-            state, sampled, feats = self._verify_fn(m)(
-                lm.params, state, jnp.asarray(tokens),
-                jnp.asarray(np.minimum(positions, lm.max_context - 1)),
-                jnp.asarray(mask), keys[key_i : key_i + m],
-            )
+            parents_np = None
+            if self._recurrent:
+                parents_np = np.arange(-1, m - 1, dtype=np.int32)
+                parents_np[:m_real] = tree.parents[:m_real]
+                conv_src = {
+                    k: jnp.asarray(_tree_conv_windows(parents_np, k))
+                    for k in self._kernel_sizes
+                }
+                state, sampled, feats = self._verify_fn_deferred(m)(
+                    lm.params, state, jnp.asarray(tokens),
+                    jnp.asarray(np.minimum(positions, lm.max_context - 1)),
+                    jnp.asarray(mask), keys[key_i : key_i + m],
+                    jnp.asarray(parents_np), conv_src,
+                )
+            else:
+                state, sampled, feats = self._verify_fn(m)(
+                    lm.params, state, jnp.asarray(tokens),
+                    jnp.asarray(np.minimum(positions, lm.max_context - 1)),
+                    jnp.asarray(mask), keys[key_i : key_i + m],
+                )
             key_i = (key_i + m) % (len(keys) - self.max_nodes)
             vals_s = np.asarray(jax.device_get(sampled))
             if metrics is not None:
@@ -1027,9 +1143,20 @@ class DFlashSpeculativeDecoder:
             idx[:a] = path
             idx[a:] = path[-1]
             new_pos = pos + a
-            state = self._accept_fn(m, self.max_nodes)(
-                state, jnp.asarray(idx), jnp.asarray(new_pos, jnp.int32)
-            )
+            if self._recurrent:
+                path_idx = np.full(self.max_nodes, -1, np.int32)
+                path_idx[:a] = path
+                conv_commit = {
+                    k: jnp.asarray(_tree_conv_commit_idx(parents_np, path[-1], k))
+                    for k in self._kernel_sizes
+                }
+                state = self._accept_fn_deferred()(
+                    state, jnp.asarray(idx), jnp.asarray(path_idx),
+                    conv_commit, jnp.asarray(new_pos, jnp.int32))
+            else:
+                state = self._accept_fn(m, self.max_nodes)(
+                    state, jnp.asarray(idx), jnp.asarray(new_pos, jnp.int32)
+                )
             # feed accepted nodes' target features to the draft KV
             packed = jnp.take(feats, jnp.asarray(idx), axis=0)
             dstate = self.dflash.accept(dstate, packed, a)

@@ -18,18 +18,35 @@ import time
 import numpy as np
 
 
-def time_shape(lm, w, m: int, reps: int = 64, rounds: int = 4) -> float:
-    """Best ms per call of linear_apply on weight `w` with [m, K] inputs,
-    reps folded into one dispatch (house timing rules)."""
+def _timeit(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def time_shape(lm, w, m: int, k_small: int = 32, k_big: int = 160,
+               pairs: int = 5) -> float:
+    """ms per call of linear_apply on weight `w` with [m, K] inputs.
+
+    DIFFERENTIAL between two scan lengths (house timing rules, same as
+    bench.quant_matmul_probe): a lone device_get pays the ~25 ms tunnel
+    roundtrip, which at reps=64 masquerades as a 0.39 ms/call floor —
+    the r3 run that 'measured' every shape at 0.38-0.46 ms (9 GB/s!) and
+    drove the residual to -566% was exactly that artifact. Interleaved
+    pairs, median of diffs, so launch + roundtrip cancel pair-wise."""
     import jax
     import jax.numpy as jnp
 
     from ..ops.linear import linear_apply
 
-    k = w.shape[1]
-    scales_i = (1.0 + 1e-3 * jnp.arange(reps, dtype=jnp.float32)).astype(jnp.bfloat16)
-    x0 = jnp.asarray(np.random.default_rng(0).standard_normal((m, k)), jnp.bfloat16)
-    xs = x0[None] * scales_i[:, None, None]
+    kdim = w.shape[1]  # arrays and QuantizedTensor both expose .shape
+
+    def inputs(reps: int):
+        scales_i = (1.0 + 1e-3 * jnp.arange(reps, dtype=jnp.float32))
+        x0 = jnp.asarray(
+            np.random.default_rng(0).standard_normal((m, kdim)), jnp.bfloat16)
+        return jax.device_put((x0[None] * scales_i[:, None, None]
+                               ).astype(jnp.bfloat16))
 
     @jax.jit
     def run(w, xs):
@@ -40,13 +57,16 @@ def time_shape(lm, w, m: int, reps: int = 64, rounds: int = 4) -> float:
         acc, _ = jax.lax.scan(body, jnp.float32(0), xs)
         return acc
 
-    jax.device_get(run(w, xs))
-    best = 1e9
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        jax.device_get(run(w, xs))
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best * 1e3
+    xs_s, xs_b = inputs(k_small), inputs(k_big)
+    jax.device_get(run(w, xs_s))  # compile + warm both lengths
+    jax.device_get(run(w, xs_b))
+    diffs = [
+        _timeit(lambda: jax.device_get(run(w, xs_b)))
+        - _timeit(lambda: jax.device_get(run(w, xs_s)))
+        for _ in range(pairs)
+    ]
+    dt = max(float(np.median(diffs)) / (k_big - k_small), 1e-9)
+    return dt * 1e3
 
 
 def weight_nbytes(w) -> int:
@@ -55,7 +75,7 @@ def weight_nbytes(w) -> int:
     return sum(x.nbytes for x in jax.tree.leaves(w))
 
 
-def main(model_dir: str, m: int = 8) -> dict:
+def main(model_dir: str, m: int = 1) -> dict:
     from ..engine.engine import LanguageModel
     from ..runtime import enable_compilation_cache
 
@@ -98,19 +118,28 @@ def main(model_dir: str, m: int = 8) -> dict:
 
     state = lm.new_state()
     _, state = lm.prefill(state, (np.arange(48) * 13) % 128)
-    decode = lm._decode_fn(SamplingParams(), 32, ())
-    keys = jax.random.split(jax.random.PRNGKey(0), 32)
-    state, emitted, _ = decode(lm.params, state, jnp.asarray(7, jnp.int32),
-                               jnp.asarray(False), keys)
-    jax.device_get(emitted[0])
-    best = 1e9
-    for _ in range(4):
-        t0 = time.perf_counter()
-        state, emitted, _ = decode(lm.params, state, jnp.asarray(7, jnp.int32),
-                                   jnp.asarray(False), keys)
+    # DIFFERENTIAL between a 16- and a 48-step decode chunk: the shared
+    # constant (launch + ~25 ms tunnel roundtrip) cancels pair-wise,
+    # leaving 32 steps of pure fused-step time per pair
+    k_s, k_b = 16, 48
+    dec_s = lm._decode_fn(SamplingParams(), k_s, ())
+    dec_b = lm._decode_fn(SamplingParams(), k_b, ())
+    keys_s = jax.random.split(jax.random.PRNGKey(0), k_s)
+    keys_b = jax.random.split(jax.random.PRNGKey(1), k_b)
+
+    def run(dec, keys):
+        nonlocal state
+        state, emitted, _ = dec(lm.params, state, jnp.asarray(7, jnp.int32),
+                                jnp.asarray(False), keys)
         jax.device_get(emitted[0])
-        best = min(best, (time.perf_counter() - t0) / 32)
-    step_ms = best * 1e3
+
+    run(dec_s, keys_s)  # compile + warm both
+    run(dec_b, keys_b)
+    diffs = [
+        _timeit(lambda: run(dec_b, keys_b)) - _timeit(lambda: run(dec_s, keys_s))
+        for _ in range(5)
+    ]
+    step_ms = max(float(np.median(diffs)) / (k_b - k_s), 1e-9) * 1e3
 
     out = {
         "per_shape": rows,

@@ -1087,8 +1087,19 @@ def synth_dflash_speculator(
     tcfg = target_cfg.decoder_config.transformer_config
     d = tcfg.model_dim
     vocab = target_cfg.decoder_config.vocab_size
-    base_layer = tcfg.layer_configs[0]
+    # the DFlash DRAFT is an attention transformer over feature KV even when
+    # the TARGET is a recurrent hybrid — model its layer on the target's
+    # first attention layer (speculators/dflash_tfm.rs: draft layers are
+    # plain attention blocks regardless of target mixers)
+    base_layer = next(
+        (lc for lc in tcfg.layer_configs
+         if isinstance(lc.mixer_config, AttentionConfig)),
+        tcfg.layer_configs[0],
+    )
     attn = base_layer.mixer_config
+    if not isinstance(attn, AttentionConfig):
+        raise ValueError("target has no attention layer to model the "
+                         "DFlash draft on")
     rope = base_layer.rope_config or UnscaledRoPEConfig(
         base=10000.0, max_sequence_length=4096, head_dim=attn.head_dim
     )

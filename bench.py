@@ -468,6 +468,18 @@ def main() -> None:
     if not os.environ.get("UZU_BENCH_NOSPEC") and tpu:
         _guarded("self-spec warmup (compiles)", 180, stage_selfspec)
 
+    # per-kernel baselines (VERDICT r2 #4: attention / paged attention /
+    # MoE / sampling get tracked numbers so regressions are visible between
+    # rounds — ref BENCHMARKS.md:30-44). First chip run pays remote-AOT
+    # compiles; the persistent cache makes reruns cheap.
+    def stage_micros():
+        from uzu_tpu.tools.microbench import kernel_micros
+
+        RESULTS["micro"].update(kernel_micros(lm))
+
+    if not os.environ.get("UZU_BENCH_NOMICRO"):
+        _guarded("kernel micros", 300, stage_micros)
+
     # wider batch, opt-in only: the B=16 executables add many minutes of
     # remote-AOT compile under congestion (a guarded run still blew a 25 min
     # budget). Measured separately on v5e: B=16 -> 1800 tok/s aggregate,

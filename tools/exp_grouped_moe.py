@@ -101,13 +101,19 @@ def main():
     print(json.dumps({"check": "numerics", "max_rel_err": rel,
                       "ok": rel < 3e-2}), flush=True)
 
-    # dense arm capped at S<=512: it materializes [S, E, 2dff] f32 (755 MB
-    # at S=1024) — itself part of why the grouped path exists
-    for s in (256, 512):
+    # below ~512 tokens both paths are bound by streaming every hit
+    # expert's weights (used_experts x 33 MB) so dense's 8x FLOPs are free;
+    # the grouped win appears where prefill actually runs (S >= 1024).
+    # dense at S=1024 materializes [S, E, 2dff] f32 (755 MB) — measured
+    # with fewer folded reps; skipped past that.
+    for s in (256, 512, 1024, 2048):
         xs_small = jnp.asarray(rng.standard_normal((2, s, d)), jnp.bfloat16)
         xs_big = jnp.asarray(rng.standard_normal((6, s, d)), jnp.bfloat16)
         res = {}
-        for name, fn in (("grouped", grouped_fn), ("dense", dense_fn)):
+        arms = [("grouped", grouped_fn)]
+        if s <= 1024:
+            arms.append(("dense", dense_fn))
+        for name, fn in arms:
             f = make(fn)
             jax.device_get(f(params, xs_small))
             jax.device_get(f(params, xs_big))
@@ -119,10 +125,13 @@ def main():
                 ts = time.perf_counter() - t0
                 diffs.append((tb - ts) / 4)
             res[name] = float(np.median(diffs)) * 1e3
-        print(json.dumps({"check": "speed", "tokens": s,
-                          "grouped_ms": round(res["grouped"], 2),
-                          "dense_ms": round(res["dense"], 2),
-                          "speedup": round(res["dense"] / max(res["grouped"], 1e-9), 2)}))
+        line = {"check": "speed", "tokens": s,
+                "grouped_ms": round(res["grouped"], 2),
+                "grouped_tok_us": round(res["grouped"] * 1e3 / s, 1)}
+        if "dense" in res:
+            line["dense_ms"] = round(res["dense"], 2)
+            line["speedup"] = round(res["dense"] / max(res["grouped"], 1e-9), 2)
+        print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

@@ -37,10 +37,14 @@ from ..ops.activation import apply_activation
 GATHER_PATH_MAX_TOKENS = 4
 
 # At/above this many tokens the grouped (expert-sorted, tile-padded) Pallas
-# matmul replaces the masked-dense loop: E/K_active x fewer MXU FLOPs for a
-# modest weight re-read overhead (ref: experts_two_pass_prefill.metal:23 —
-# the reference's prefill is also a routed-tile pipeline, never dense).
-GROUPED_PATH_MIN_TOKENS = 64
+# matmul replaces the masked-dense loop: E/K_active x fewer MXU FLOPs (ref:
+# experts_two_pass_prefill.metal:23 — the reference's prefill is also a
+# routed-tile pipeline, never dense). Threshold measured on chip (r3
+# exp_grouped_moe, gpt-oss dims d=dff=2880 E=32 K=4): below ~512 tokens
+# BOTH paths are bound by streaming every hit expert's weights, and the
+# grouped path's gather/scatter makes it 0.72x at S=256; parity at S=512;
+# the FLOP saving only dominates past that.
+GROUPED_PATH_MIN_TOKENS = 512
 _GROUPED_BM = 64
 
 

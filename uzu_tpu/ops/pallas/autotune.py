@@ -17,8 +17,13 @@ model while its policy env is in force (the table is read lazily at first
 trace — an earlier version flipped the env before anything compiled and
 measured table-vs-table noise).
 
-Tables live in tile_tables/<device_key>.json next to this file (packaged,
-checked in — the fleet-table analogue) or at UZU_TPU_TILE_TABLE.
+Tables live in tile_tables/<device_key>.json next to this file or at
+UZU_TPU_TILE_TABLE. NO table ships by default: the r3 on-chip
+validate-e2e verdict (CHIP_JOBS_r3.log, fixed warm-order) was heuristic
+4.958 vs table 4.979 ms/tok — the gemv-bucket micro rankings sit under
+the launch-noise floor and did not transfer, so the measured table was
+deleted rather than shipped unproven (the harness + promotion gate stay
+for devices where a table DOES win).
 """
 
 from __future__ import annotations

@@ -50,13 +50,15 @@ def main():
           f"{dt*1e3:.1f} ms per 16-step chunk "
           f"({toks/dt:.0f} tok/s aggregate, {dt/16*1e3:.2f} ms/step)")
 
-    # host-side scheduler cost alone (tables + keys + ensure, no dispatch)
+    # host-side scheduler cost alone (tables + keys + ensure, no dispatch);
+    # clamp to max_context — ensure() past it would need a 65th table row
+    # at ctx=4096/page=64 and crash the probe after the measurement
     t0 = time.perf_counter()
     for _ in range(50):
         eng._tables()
         for i, slot in enumerate(eng.slots):
             if not slot.free:
-                eng.pool.ensure(i, slot.pos + 33)
+                eng.pool.ensure(i, min(slot.pos + 33, lm.max_context))
     print(f"host-side per chunk: {(time.perf_counter()-t0)/50*1e3:.2f} ms")
 
 

@@ -491,6 +491,16 @@ def main() -> None:
 
         _guarded("batch16", 240, stage_wide)
 
+    # MoE flagship (gpt-oss-small composed model): decode reads only the
+    # K active experts — the serving economics a dense entry cannot show.
+    if tpu and (os.environ.get("UZU_BENCH_MOE") or _remaining() > 900):
+        def stage_moe():
+            from uzu_tpu.tools.benchmoe import bench_moe
+
+            RESULTS["gptoss_small"] = bench_moe(repo=REPO, stage=_stage)
+
+        _guarded("moe bench", 420, stage_moe)
+
     # 8B-class flagship (BASELINE config[1]): INT4 ~4.3 GB weights on one
     # v5e. Opt-in via env OR spare budget — synth+load+compile is minutes.
     if tpu and (os.environ.get("UZU_BENCH_8B") or _remaining() > 600):

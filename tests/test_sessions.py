@@ -538,3 +538,17 @@ def test_gptoss_composed_family_session(tmp_path):
     # second turn reuses the prefix cache over the MoE+sinks state
     reply2 = sess.reply("again", max_new_tokens=8)
     assert reply2.stats.tokens_count_output >= 1
+
+
+def test_harmony_stop_ids(chat_dir):
+    """Harmony sessions stop at <|return|>/<|call|>, not just eos (the
+    hanashi harmony stop set) — without these ids a real gpt-oss turn
+    would run to the token budget."""
+    lm = LanguageModel.from_dir(chat_dir, max_context=256, prefill_buckets=(16,))
+    tok = Tokenizer(chat_dir)
+    sess = ChatSession(lm, tok, encoding="harmony")
+    stops = sess._stop_ids()
+    assert tok.token_to_id("<|return|>") in stops
+    assert tok.token_to_id("<|call|>") in stops
+    plain = ChatSession(lm, tok)
+    assert tok.token_to_id("<|return|>") not in plain._stop_ids()

@@ -134,6 +134,15 @@ class ChatSession:
         for i in self.tokenizer.eos_token_ids:
             if i not in ids:
                 ids.append(i)
+        # harmony turns end at <|return|> (final) or <|call|> (tool call),
+        # not the model's eos (hanashi harmony mod.rs stop set)
+        from .harmony import HARMONY_STOP_TOKENS, HarmonyEncoding
+
+        if isinstance(self.template, HarmonyEncoding):
+            for tok_text in HARMONY_STOP_TOKENS:
+                i = self.tokenizer.token_to_id(tok_text)
+                if i is not None and i not in ids:
+                    ids.append(i)
         return ids
 
     def _render_tokens(self, messages: list[dict],

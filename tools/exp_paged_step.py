@@ -27,14 +27,15 @@ def main():
     # reads rival weight bytes — C in {4k, 8k})
     ctx = int(os.environ.get("UZU_EXP_CTX", 1024))
     plen = int(os.environ.get("UZU_EXP_PREFILL", 32))
+    page = int(os.environ.get("UZU_EXP_PAGE", 64))
     pages = int(os.environ.get("UZU_EXP_PAGES",
-                               max(256, 8 * (ctx // 64) + 16)))
+                               max(256, 8 * (ctx // page) + 16)))
     model_dir, _ = bench.flagship_dir(True)
     lm = LanguageModel.from_dir(model_dir, max_context=ctx,
                                 prefill_buckets=(32, 512), kv_quant=kv_quant)
     rng = np.random.default_rng(0)
     eng = PagedBatchEngine(lm, batch_size=8, decode_chunk=16, num_pages=pages,
-                           page_size=64, stop_token_ids=[])
+                           page_size=page, stop_token_ids=[])
     reqs = [eng.submit(rng.integers(0, lm.decoder_config.vocab_size, plen), 10_000)
             for _ in range(8)]
     # admit all + warm the decode executable
@@ -46,8 +47,8 @@ def main():
         eng.step()
     dt = (time.perf_counter() - t0) / n
     toks = 16 * 8
-    print(f"mode={mode} kv_quant={kv_quant} ctx={ctx} plen={plen}: "
-          f"{dt*1e3:.1f} ms per 16-step chunk "
+    print(f"mode={mode} kv_quant={kv_quant} ctx={ctx} plen={plen} "
+          f"page={page}: {dt*1e3:.1f} ms per 16-step chunk "
           f"({toks/dt:.0f} tok/s aggregate, {dt/16*1e3:.2f} ms/step)")
 
     # host-side scheduler cost alone (tables + keys + ensure, no dispatch);

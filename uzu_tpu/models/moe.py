@@ -40,11 +40,12 @@ GATHER_PATH_MAX_TOKENS = 4
 # matmul replaces the masked-dense loop: E/K_active x fewer MXU FLOPs (ref:
 # experts_two_pass_prefill.metal:23 — the reference's prefill is also a
 # routed-tile pipeline, never dense). Threshold measured on chip (r3
-# exp_grouped_moe, gpt-oss dims d=dff=2880 E=32 K=4): below ~512 tokens
-# BOTH paths are bound by streaming every hit expert's weights, and the
-# grouped path's gather/scatter makes it 0.72x at S=256; parity at S=512;
-# the FLOP saving only dominates past that.
-GROUPED_PATH_MIN_TOKENS = 512
+# exp_grouped_moe, gpt-oss dims d=dff=2880 E=32 K=4): below ~1k tokens
+# BOTH paths are bound by streaming every hit expert's weights (grouped
+# 0.84x at S=256, 0.92x at 512 — the gather/scatter isn't paid back);
+# at S=1024 grouped is 1.8x and keeps improving (8.2 us/tok at 2048,
+# where the dense [S, E, 2dff] f32 intermediate is also prohibitive).
+GROUPED_PATH_MIN_TOKENS = 1024
 _GROUPED_BM = 64
 
 

@@ -48,7 +48,7 @@ class PagedBatchEngine:
         batch_size: int = 4,
         decode_chunk: int = 8,
         num_pages: int = 256,
-        page_size: int = 64,
+        page_size: int | None = None,
         sampling: SamplingParams | None = None,
         stop_token_ids=None,
         apc_max_entries: int = 16,
@@ -63,6 +63,17 @@ class PagedBatchEngine:
             raise ValueError("paged engine supports standard attention-only models")
         if lm.ring_windows:
             raise ValueError("paged engine uses full-layout pools (no ring)")
+        if page_size is None:
+            # measured on-chip (CHIP_JOBS_r3.log page sweeps, B=8 C=8k):
+            # the paged kernel is bound by a ~0.4 us per-grid-step floor at
+            # page=64 (43.3 ms/step); page=256 moves 4x the bytes per step
+            # (16.96 ms/step, 2.55x) and BEATS the dense engine's 24.6;
+            # page=512 adds only ~10% more while quartering pool
+            # granularity again — 256 is the default where it divides,
+            # smaller pages only for tiny contexts
+            page_size = next((p for p in (256, 128, 64)
+                              if lm.max_context % p == 0
+                              and lm.max_context >= 4 * p), 64)
         if lm.max_context % page_size:
             raise ValueError("max_context must be a multiple of page_size")
         self.lm = lm

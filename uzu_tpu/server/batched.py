@@ -56,9 +56,11 @@ class BatchedChatServer:
         if paged == "auto":
             from ..models.paged_decode import paged_supported
 
+            explicit_page = engine_kw.get("page_size")
             paged = (batch_size >= 8 and paged_supported(lm.decoder_config)
                      and not lm.ring_windows
-                     and lm.max_context % engine_kw.get("page_size", 64) == 0)
+                     and (explicit_page is None  # engine picks a divisor
+                          or lm.max_context % explicit_page == 0))
         if paged:
             from ..engine.paged_batch import PagedBatchEngine
 

@@ -74,16 +74,31 @@ def main(model_dir: str) -> None:
 
     from ..engine.batch_spec import SpeculativeBatchEngine
 
+    # spec SOLO (static executables): must reproduce plain greedy exactly
+    # even on chip. A SAMPLED neighbor flips the verify to the DYNAMIC
+    # executable variant — a different XLA program whose logits can differ
+    # in low bits, flipping greedy argmax on near-ties (observed at token
+    # 20/24 in the r3 diag, tools/exp_batch_chip_diag.py) — so the mixed
+    # run only pins a shared prefix. Bit-exact cross-variant invariants
+    # are pinned on the CPU mesh where arithmetic is deterministic.
+    ssolo = SpeculativeBatchEngine(lm, batch_size=2, draft_block=4,
+                                   stop_token_ids=[])
+    s0 = ssolo.submit(prompt, 24)
+    ssolo.run()
+    assert s0.tokens == r1.tokens, "spec greedy (solo) must match plain"
+
     seng = SpeculativeBatchEngine(lm, batch_size=2, draft_block=4,
                                   stop_token_ids=[])
     s1 = seng.submit(prompt, 24)
     s2 = seng.submit(prompt[:40], 24,
                      sampling=SamplingParams(temperature=0.9, top_k=50), seed=3)
     seng.run()
-    assert s1.tokens == r1.tokens, "spec greedy must match plain greedy"
+    shared = next((i for i, (a, b) in enumerate(zip(s1.tokens, r1.tokens))
+                   if a != b), len(s1.tokens))
+    assert shared >= 8, f"dynamic-variant greedy diverged too early ({shared})"
     acc = seng.metrics.num_tokens_accepted / max(
         1, seng.metrics.num_tokens_proposed)
-    stage("spec_dynamic", acceptance=round(acc, 3))
+    stage("spec_dynamic", acceptance=round(acc, 3), greedy_shared=shared)
 
     stage("ALL_OK")
 

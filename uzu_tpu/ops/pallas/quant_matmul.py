@@ -94,6 +94,13 @@ def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int,
     kg = k_packed // gsub
     if m_pad < 32 and kg > 128 and kg % 128 == 0 and k_packed % (128 * gsub) == 0:
         kc = 128 * gsub
+        # deep-K decode GEMVs also want the NARROW N tile: more grid steps
+        # of smaller blocks pipeline the code DMAs better (r3 on-chip sweep
+        # of the flagship down-proj [2048, 8192], tools/exp_down_tiles.py:
+        # tn 128 -> 231.5 GB/s vs tn 512 -> 171.8; up|gate and qkv/out are
+        # kg <= 128 and keep their measured-optimal wide tiles)
+        if n % 128 == 0:
+            tn = 128
     return tn, kc
 
 

@@ -145,17 +145,38 @@ def moe_forward(cfg: MixtureOfExpertsConfig, params, x: jax.Array) -> jax.Array:
     if grouped is not None:
         y = grouped[:, :d]  # down weights may be lane-padded past d
     elif s <= GATHER_PATH_MAX_TOKENS:
-        # gather path: [S, K, 2dff, D] slices of the active experts only
-        w13_sel = jnp.take(w13, ids, axis=0)
-        w2_sel = jnp.take(w2, ids, axis=0)
-        up_out = jnp.einsum("sd,skhd->skh", xf, w13_sel.astype(jnp.float32))
-        if up_b is not None:
-            up_out = up_out + jnp.take(up_b, ids, axis=0).astype(jnp.float32)
-        hidden = _expert_hidden(cfg, up_out, dff)
-        out = jnp.einsum("skh,skdh->skd", hidden, w2_sel.astype(jnp.float32))
-        if down_b is not None:
-            out = out + jnp.take(down_b, ids, axis=0).astype(jnp.float32)
-        y = jnp.einsum("skd,sk->sd", out, probs)[:, :d]
+        # gather path: scan over the S*K (token, expert) pairs with
+        # dynamic_slice feeding the dot DIRECTLY. jnp.take materializes a
+        # gathered [S, K, 2dff, D] copy in HBM first (read + write + read:
+        # measured 76.5 GB/s effective on chip); the fused slice reads each
+        # selected expert's weights once (521 GB/s, 6.8x —
+        # tools/exp_moe_decode.py, CHIP_JOBS_r3.log moe_decode_paths).
+        # Dots stay f32 so decode == teacher-forced prefill bit-exact.
+        n_down = w2.shape[1]
+        flat_ids = ids.reshape(s * cfg.num_active_routed_experts)
+        flat_probs = probs.reshape(s * cfg.num_active_routed_experts)
+        tok = jnp.repeat(jnp.arange(s), cfg.num_active_routed_experts)
+
+        def one(acc, args):
+            idx, p, t = args
+            xr = jax.lax.dynamic_index_in_dim(xf, t, 0, keepdims=False)
+            w13_e = jax.lax.dynamic_index_in_dim(w13, idx, 0, keepdims=False)
+            up_out = xr @ w13_e.astype(jnp.float32).T
+            if up_b is not None:
+                up_out = up_out + jax.lax.dynamic_index_in_dim(
+                    up_b, idx, 0, keepdims=False).astype(jnp.float32)
+            hidden = _expert_hidden(cfg, up_out, dff)
+            w2_e = jax.lax.dynamic_index_in_dim(w2, idx, 0, keepdims=False)
+            out = w2_e.astype(jnp.float32) @ hidden
+            if down_b is not None:
+                out = out + jax.lax.dynamic_index_in_dim(
+                    down_b, idx, 0, keepdims=False).astype(jnp.float32)
+            return acc.at[t].add(p * out), None
+
+        y, _ = jax.lax.scan(
+            one, jnp.zeros((s, n_down), jnp.float32),
+            (flat_ids, flat_probs, tok))
+        y = y[:, :d]
     else:
         # dense path: every expert computes over all tokens, masked combine
         # weight[s, e] = prob of expert e for token s (0 if not routed)

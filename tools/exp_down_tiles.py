@@ -77,8 +77,12 @@ def main():
     lm = LanguageModel.from_dir(model_dir, max_context=1024,
                                 prefill_buckets=(32,))
     l0 = lm.params["layers"][0]
-    for name, w in (("down", l0["mlp"]["down"]["w"]),
-                    ("up|gate", l0["mlp"]["up"]["w"])):
+    emb = lm.params["embedding"]
+    shapes = [("down", l0["mlp"]["down"]["w"]),
+              ("up|gate", l0["mlp"]["up"]["w"])]
+    if os.environ.get("UZU_EXP_READOUT"):
+        shapes = [("readout", emb.get("tied", emb.get("output")))]
+    for name, w in shapes:
         n, kdim = w.shape
         k2 = kdim // 2
         rows = []

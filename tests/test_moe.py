@@ -101,3 +101,76 @@ def test_moe_prefill_decode_consistency(moe_dir):
     for t in toks:
         l2, s2 = lm2.prefill(s2, np.array([t]))
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=5e-4, atol=5e-4)
+
+
+# -- quantized expert stacks (INT4/INT8 — the MXFP4-expert analogue) ----------
+
+
+@pytest.fixture(scope="module")
+def qmoe_dir(tmp_path_factory):
+    from uzu_tpu.config.model import IntSpec, Layout
+
+    spec = IntSpec(bits=4, group_size=32, is_symmetric=True,
+                   layout=Layout.OUTPUT_INPUT)
+    return synthesize(
+        moe_config(model_dim=64, hidden_dim=128, expert_hidden_dim=96,
+                   num_experts=8, num_active=2, vocab_size=512),
+        str(tmp_path_factory.mktemp("qmoe")), seed=7, dtype=np.float32,
+        linear_spec=spec, embedding_spec=spec,
+    )
+
+
+def test_quantized_experts_load_and_match_dequant(qmoe_dir):
+    """INT4 expert stacks load as StackedQuantized; every forward path
+    (gather decode / masked dense / grouped) matches the DEQUANTIZED
+    dense computation within bf16-materialization tolerance."""
+    from uzu_tpu.quant.format import StackedQuantized, dequantize_stacked
+
+    lm = LanguageModel.from_dir(qmoe_dir, max_context=64, prefill_buckets=(8,))
+    lc = lm.decoder_config.transformer_config.layer_configs[0]
+    cfg = lc.mlp_config
+    params = lm.params["layers"][0]["mlp"]
+    assert isinstance(params["up"]["w"], StackedQuantized)
+    assert params["up"]["w"].shape == (8, 2 * 96, 64)
+
+    dense = {
+        **params,
+        "up": {**params["up"], "w": dequantize_stacked(params["up"]["w"],
+                                                       jnp.float32)},
+        "down": {**params["down"], "w": dequantize_stacked(params["down"]["w"],
+                                                           jnp.float32)},
+    }
+    rng = np.random.default_rng(0)
+    for s in (1, 3, 8):  # gather (<=4) and masked-dense widths
+        x = jnp.asarray(rng.standard_normal((s, 64)), jnp.float32)
+        got = np.asarray(moe_forward(cfg, params, x))
+        want = np.asarray(moe_forward(cfg, dense, x))
+        np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
+
+
+def test_quantized_experts_decode_equals_prefill(qmoe_dir):
+    """End-to-end: greedy decode on the quantized-expert model equals
+    teacher-forced re-prefill argmax (the engine invariant, tolerance-free
+    at the ARGMAX level on this seed)."""
+    lm = LanguageModel.from_dir(qmoe_dir, max_context=64, prefill_buckets=(8,))
+    prompt = [1, 2, 3]
+    toks = lm.generate_list(np.asarray(prompt), 8, stop_token_ids=[])
+    state = lm.new_state()
+    logits, _ = lm.prefill(state, np.asarray(prompt + toks[:-1], np.int32))
+    assert int(np.argmax(np.asarray(logits))) == toks[-1]
+
+
+def test_quantized_experts_serving(qmoe_dir):
+    """The quantized-expert model serves through the paged + speculative
+    engine identically to plain greedy decoding."""
+    from uzu_tpu.engine.batch_spec import SpeculativePagedBatchEngine
+
+    lm = LanguageModel.from_dir(qmoe_dir, max_context=128, prefill_buckets=(8,))
+    prompt = [4, 5, 6]
+    want = lm.generate_list(np.asarray(prompt), 10, stop_token_ids=[])
+    eng = SpeculativePagedBatchEngine(lm, batch_size=2, draft_block=4,
+                                      num_pages=16, page_size=16,
+                                      stop_token_ids=[])
+    r = eng.submit(prompt, 10)
+    eng.run()
+    assert r.tokens == want

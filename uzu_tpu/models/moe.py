@@ -125,6 +125,8 @@ def _grouped_forward(cfg: MixtureOfExpertsConfig, params, x, ids, probs,
 
 
 def moe_forward(cfg: MixtureOfExpertsConfig, params, x: jax.Array) -> jax.Array:
+    from ..quant.format import StackedQuantized, dequantize_stacked
+
     s, d = x.shape
     dff = cfg.expert_hidden_dim
     ids, probs = router_topk(cfg, params, x)
@@ -134,6 +136,25 @@ def moe_forward(cfg: MixtureOfExpertsConfig, params, x: jax.Array) -> jax.Array:
     w2 = params["down"]["w"]
     up_b = params["up"].get("b")
     down_b = params["down"].get("b")
+
+    quantized = isinstance(w13, StackedQuantized)
+    if quantized and s > GATHER_PATH_MAX_TOKENS:
+        # prefill widths are compute-bound — materialize the dense stacks
+        # once per chunk (transient) and take the existing routed paths;
+        # DECODE keeps the codes resident and reads only active experts
+        w13 = dequantize_stacked(w13)
+        w2 = dequantize_stacked(w2)
+        dpad = (-d) % 128
+        if dpad:
+            w2 = jnp.pad(w2, ((0, 0), (0, dpad), (0, 0)))
+            if down_b is not None:
+                down_b = jnp.pad(down_b, ((0, 0), (0, dpad)))
+        # the grouped path reads params directly — hand it the dense views
+        params = {**params, "up": {**params["up"], "w": w13},
+                  "down": {**params["down"], "w": w2}}
+        if down_b is not None:
+            params["down"]["b"] = down_b
+        quantized = False
 
     grouped = None
     if s >= GROUPED_PATH_MIN_TOKENS and _grouped_supported(cfg, d, w2.shape[1]):
@@ -152,7 +173,11 @@ def moe_forward(cfg: MixtureOfExpertsConfig, params, x: jax.Array) -> jax.Array:
         # selected expert's weights once (521 GB/s, 6.8x —
         # tools/exp_moe_decode.py, CHIP_JOBS_r3.log moe_decode_paths).
         # Dots stay f32 so decode == teacher-forced prefill bit-exact.
-        n_down = w2.shape[1]
+        # Quantized expert stacks slice codes+scales the same way (4x
+        # fewer bytes) and dequantize into the dot.
+        from ..quant.format import dequantize
+
+        n_down = d if quantized else w2.shape[1]
         flat_ids = ids.reshape(s * cfg.num_active_routed_experts)
         flat_probs = probs.reshape(s * cfg.num_active_routed_experts)
         tok = jnp.repeat(jnp.arange(s), cfg.num_active_routed_experts)
@@ -160,17 +185,24 @@ def moe_forward(cfg: MixtureOfExpertsConfig, params, x: jax.Array) -> jax.Array:
         def one(acc, args):
             idx, p, t = args
             xr = jax.lax.dynamic_index_in_dim(xf, t, 0, keepdims=False)
-            w13_e = jax.lax.dynamic_index_in_dim(w13, idx, 0, keepdims=False)
-            up_out = xr @ w13_e.astype(jnp.float32).T
+            if quantized:
+                w13_e = dequantize(w13.expert(idx), jnp.float32)
+                w2_e = dequantize(w2.expert(idx), jnp.float32)
+            else:
+                w13_e = jax.lax.dynamic_index_in_dim(
+                    w13, idx, 0, keepdims=False).astype(jnp.float32)
+                w2_e = jax.lax.dynamic_index_in_dim(
+                    w2, idx, 0, keepdims=False).astype(jnp.float32)
+            up_out = xr @ w13_e.T
             if up_b is not None:
                 up_out = up_out + jax.lax.dynamic_index_in_dim(
                     up_b, idx, 0, keepdims=False).astype(jnp.float32)
             hidden = _expert_hidden(cfg, up_out, dff)
-            w2_e = jax.lax.dynamic_index_in_dim(w2, idx, 0, keepdims=False)
-            out = w2_e.astype(jnp.float32) @ hidden
+            out = w2_e @ hidden
             if down_b is not None:
-                out = out + jax.lax.dynamic_index_in_dim(
+                db = jax.lax.dynamic_index_in_dim(
                     down_b, idx, 0, keepdims=False).astype(jnp.float32)
+                out = out + (db[:n_down] if quantized else db)
             return acc.at[t].add(p * out), None
 
         y, _ = jax.lax.scan(
@@ -203,9 +235,44 @@ def moe_forward(cfg: MixtureOfExpertsConfig, params, x: jax.Array) -> jax.Array:
     return y.astype(x.dtype)
 
 
+def _load_expert_stack(experts, role: str, e: int, n: int, kdim: int):
+    """One expert weight stack: dense [E, N, K] float, or — when the role
+    carries a symmetric IntSpec in metadata — a StackedQuantized (the INT4
+    analogue of gpt-oss's MXFP4 experts; decode reads only the K active
+    experts' codes, 4x fewer bytes than bf16)."""
+    from ..config.model import IntSpec
+    from ..params.tree import ParameterError
+    from ..quant.format import StackedQuantized
+    from .loader import _weights_dtype
+
+    sub = experts.subtree(f"{role}.weights")
+    try:
+        spec = experts.subtree(role).spec("weights")
+    except ParameterError:
+        spec = None
+    if spec is None:
+        dt = _weights_dtype(sub, "weights")
+        return jnp.asarray(sub.leaf("weights", (e, n, kdim), dt)), dt
+    if not (isinstance(spec, IntSpec) and spec.is_symmetric
+            and spec.bits in (4, 8)):
+        raise ParameterError(
+            f"expert stacks support symmetric IntSpec only, got {spec}")
+    pack = 8 // spec.bits
+    kg = -(-kdim // spec.group_size)
+    dt = _weights_dtype(sub, "scales")
+    codes = sub.leaf("weights", (e, n, kdim // pack), np.uint8)
+    scales = sub.leaf("scales", (e, n, kg), dt)
+    return StackedQuantized(
+        codes=jnp.asarray(codes), scales=jnp.asarray(scales),
+        bits=spec.bits, group_size=spec.group_size,
+        qbias_coeff=-float(1 << (spec.bits - 1)),
+    ), dt
+
+
 def load_moe(tree, cfg: MixtureOfExpertsConfig, model_dim: int) -> dict:
     """Tensor names per the reference (moe/mod.rs:119-160)."""
-    from .loader import load_linear, _weights_dtype
+    from ..quant.format import StackedQuantized
+    from .loader import load_linear
 
     e, dff = cfg.num_routed_experts, cfg.expert_hidden_dim
     out = {
@@ -214,16 +281,16 @@ def load_moe(tree, cfg: MixtureOfExpertsConfig, model_dim: int) -> dict:
         )
     }
     experts = tree.subtree("experts")
-    up_w = experts.subtree("up_projection.weights")
-    down_w = experts.subtree("down_projection.weights")
-    dt = _weights_dtype(up_w, "weights")
-    out["up"] = {"w": jnp.asarray(up_w.leaf("weights", (e, 2 * dff, model_dim), dt))}
+    w13, dt = _load_expert_stack(experts, "up_projection", e, 2 * dff,
+                                 model_dim)
+    out["up"] = {"w": w13}
     # down-projection output dim is lane-padded to a 128 multiple so the
     # grouped prefill kernel can tile models like gpt-oss (d=2880); every
-    # forward path slices the result back to model_dim.
+    # forward path slices the result back to model_dim. Quantized stacks
+    # stay unpadded (their consumers pad after dequantization).
     dpad = (-model_dim) % 128
-    w2 = jnp.asarray(down_w.leaf("weights", (e, model_dim, dff), dt))
-    if dpad:
+    w2, _ = _load_expert_stack(experts, "down_projection", e, model_dim, dff)
+    if dpad and not isinstance(w2, StackedQuantized):
         w2 = jnp.pad(w2, ((0, 0), (0, dpad), (0, 0)))
     out["down"] = {"w": w2}
     if cfg.expert_config.has_up_biases:
@@ -232,7 +299,7 @@ def load_moe(tree, cfg: MixtureOfExpertsConfig, model_dim: int) -> dict:
         )
     if cfg.expert_config.has_down_biases:
         b2 = jnp.asarray(experts.leaf("down_projection.biases", (e, model_dim), dt))
-        if dpad:
+        if dpad and not isinstance(w2, StackedQuantized):
             b2 = jnp.pad(b2, ((0, 0), (0, dpad)))
         out["down"]["b"] = b2
     if cfg.num_shared_experts:

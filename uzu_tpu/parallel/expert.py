@@ -88,8 +88,15 @@ def moe_forward_ep(
     xr = recv_x.reshape(n * capacity, d).astype(jnp.float32)
     er = recv_eid.reshape(n * capacity)
     valid = er >= 0
+    from ..quant.format import StackedQuantized, dequantize_stacked
+
     w13 = params["up"]["w"]  # [E_local, 2*dff, D]
     w2 = params["down"]["w"]  # [E_local, D, dff]
+    if isinstance(w13, StackedQuantized):
+        # EP compute is the masked-dense (all-local-experts) regime —
+        # materialize the local stacks transiently like the prefill paths
+        w13 = dequantize_stacked(w13)
+        w2 = dequantize_stacked(w2)
     up = jnp.einsum("ad,ehd->aeh", xr, w13.astype(jnp.float32))
     if "b" in params["up"]:
         up = up + params["up"]["b"].astype(jnp.float32)[None]

@@ -129,14 +129,27 @@ def _mlp_specs(cfg, p: dict, mesh: Mesh) -> dict:
             "down": _linear_specs(p["down"], mesh, shard_rows=False),
         }
     if isinstance(cfg, MixtureOfExpertsConfig):
-        # experts keep per-expert leading dim; shard each expert's hidden dim
+        from ..quant.format import StackedQuantized
+
+        # experts keep per-expert leading dim; shard each expert's hidden
+        # dim. Quantized expert stacks REPLICATE for now: sharding the
+        # hidden dim of packed codes must split on group boundaries for
+        # codes AND scale planes simultaneously (EP still shards them on
+        # the expert dim, which is group-agnostic).
+        if isinstance(p["up"]["w"], StackedQuantized):
+            up_spec = down_spec = _ns(mesh)
+        else:
+            up_spec = _ns(mesh, None, TP_AXIS, None)
+            down_spec = _ns(mesh, None, None, TP_AXIS)
         out = {
             "router": _linear_specs(p["router"], mesh, shard_rows=False) | {"w": _ns(mesh)},
-            "up": {"w": _ns(mesh, None, TP_AXIS, None)},
-            "down": {"w": _ns(mesh, None, None, TP_AXIS)},
+            "up": {"w": up_spec},
+            "down": {"w": down_spec},
         }
         if "b" in p["up"]:
-            out["up"]["b"] = _ns(mesh, None, TP_AXIS)
+            out["up"]["b"] = (_ns(mesh)
+                              if isinstance(p["up"]["w"], StackedQuantized)
+                              else _ns(mesh, None, TP_AXIS))
         if "b" in p["down"]:
             out["down"]["b"] = _ns(mesh)
         if "shared" in p:

@@ -63,6 +63,59 @@ class QuantizedTensor:
         return self.scales.dtype
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["codes", "scales"],
+    meta_fields=["bits", "group_size", "qbias_coeff"],
+)
+@dataclasses.dataclass
+class StackedQuantized:
+    """A stack of E symmetric-quantized [N, K] matrices (MoE expert
+    weights — real gpt-oss ships MXFP4 experts; this is the INT4/INT8
+    analogue). codes [E, N, K/pack] packed u8, scales [E, N, Kg]; the
+    expert dim slices with dynamic_index so decode reads only the K
+    active experts' bytes (4x fewer than bf16 at 4 bits)."""
+
+    codes: jax.Array  # uint8 [E, N, K // (8//bits)]
+    scales: jax.Array  # [E, N, ceil(K/g)]
+    bits: int
+    group_size: int
+    qbias_coeff: float  # symmetric: qbias == qbias_coeff * scales
+
+    @property
+    def shape(self) -> tuple[int, int, int]:
+        e, n, kp = self.codes.shape
+        return (e, n, kp * (8 // self.bits))
+
+    @property
+    def nbytes(self) -> int:
+        return self.codes.nbytes + self.scales.nbytes
+
+    def expert(self, idx) -> "QuantizedTensor":
+        """Traced-index expert slice as a 2D QuantizedTensor view."""
+        return QuantizedTensor(
+            codes=jax.lax.dynamic_index_in_dim(self.codes, idx, 0,
+                                               keepdims=False),
+            scales=jax.lax.dynamic_index_in_dim(self.scales, idx, 0,
+                                                keepdims=False),
+            qbias=None,
+            bits=self.bits,
+            group_size=self.group_size,
+            qbias_coeff=self.qbias_coeff,
+        )
+
+
+def dequantize_stacked(sq: StackedQuantized, dtype=jnp.bfloat16) -> jax.Array:
+    """[E, N, K] dense materialization (prefill paths: compute-bound, so
+    the 2x transient read is paid once per chunk, not per decode step)."""
+    e, n, k = sq.shape
+    codes = unpack_codes(sq.codes, sq.bits).astype(jnp.int32)
+    mid = float(1 << (sq.bits - 1))
+    sc = jnp.repeat(sq.scales.astype(jnp.float32), sq.group_size, axis=-1)[
+        :, :, :k]
+    return ((codes.astype(jnp.float32) - mid) * sc).astype(dtype)
+
+
 def unpack_codes(codes: jax.Array, bits: int) -> jax.Array:
     """uint8 packed [..., K/pack] -> uint8 unpacked [..., K] (unsigned codes)."""
     if bits == 8:

@@ -10,9 +10,9 @@
 # Launch:  nohup bash tools/chip_jobs.sh & (or any background shell)
 set -u
 cd "$(dirname "$0")/.."
-QUEUE=tools/chip_jobs_r3.queue
-LOG=CHIP_JOBS_r3.log
-STATE=.chip_jobs_done
+QUEUE="${1:-tools/chip_jobs_r3.queue}"
+LOG="${2:-CHIP_JOBS_r3.log}"
+STATE="${3:-.chip_jobs_done}"
 touch "$STATE" "$QUEUE"
 
 export PYTHONPATH="/root/.axon_site:${PYTHONPATH:-}"

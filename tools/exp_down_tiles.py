@@ -82,6 +82,10 @@ def main():
               ("up|gate", l0["mlp"]["up"]["w"])]
     if os.environ.get("UZU_EXP_READOUT"):
         shapes = [("readout", emb.get("tied", emb.get("output")))]
+    if os.environ.get("UZU_EXP_ATTN"):
+        shapes = [("qkv", l0["mixer"]["qkv"]["w"]),
+                  ("out", l0["mixer"]["out"]["w"])]
+    m = int(os.environ.get("UZU_EXP_M", "1"))  # prefill-M sweeps: 128/512
     for name, w in shapes:
         n, kdim = w.shape
         k2 = kdim // 2
@@ -93,7 +97,10 @@ def main():
                 if k2 % bk or bk % (w.group_size // 2):
                     continue
                 try:
-                    ms, gbs = probe(w, bn, bk)
+                    # large-M sweeps shrink the scan reps (input buffers
+                    # scale with m; the per-rep work is m x larger anyway)
+                    reps = dict(k_small=8, k_big=40) if m >= 32 else {}
+                    ms, gbs = probe(w, bn, bk, m=m, **reps)
                     rows.append({"bn": bn, "bk2": bk, "ms": round(ms, 4),
                                  "gbs": round(gbs, 1)})
                 except Exception as exc:  # noqa: BLE001

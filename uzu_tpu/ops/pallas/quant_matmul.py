@@ -75,7 +75,14 @@ def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int,
             # scale chunking from the tile, so measurement == production)
             return tn, kc
     if m_pad < 32:
-        tn_pref, kc_pref = (512, 256, 128), (512, 256, 128, 64, 32, 16)
+        # Decode GEMVs want the DEEPEST K chunk the shape allows — ideally
+        # the whole (packed) K in ONE grid step: each N-tile row's codes are
+        # then a single maximal contiguous DMA run. r3 on-chip sweeps
+        # (tools/exp_down_tiles.py, CHIP_JOBS_r3.log down/readout_tiles):
+        # readout [128k, 2048] (256, full-K) 294.7 GB/s vs (256, 512) 238.4;
+        # up|gate [16k, 2048] (256, full-K) 279.7 vs old (512, 512) 263.4.
+        # tn=256 beat both 512 and 128 on every kg<=128 shape swept.
+        tn_pref, kc_pref = (256, 512, 128), (k_packed, 512, 256, 128, 64, 32, 16)
     elif 8192 <= n < 65536:
         # (vocab-scale readouts keep the deep-K default: unswept territory,
         # and the measured full-model numbers were taken with it)

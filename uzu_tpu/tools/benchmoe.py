@@ -5,8 +5,9 @@ registry.json:84); its serving economics are MoE-specific: decode reads
 only the K active experts' weights per layer (the gather path), prefill
 routes tile-grouped expert matmuls. This entry measures both on a
 gpt-oss-small-shaped synth model (sinks + alternating windows + biased
-MoE, D=1024, E=16, K=4, dff=1408, 8 layers, ~1.3 GB bf16) cached under
-.bench_cache/gptoss_small.
+MoE, D=1024, E=16, K=4, dff=1408, 8 layers, INT4 weights + INT4 expert
+stacks — the MXFP4-expert analogue) cached under
+.bench_cache/gptoss_small_int4.
 
 SoL accounting uses ACTIVE bytes per decode step: attention + router +
 K/E of the expert stream + readout — the number a dense-model formula
@@ -31,11 +32,19 @@ DIMS = dict(
 
 
 def model_dir(repo: str) -> str:
+    from uzu_tpu.config.model import IntSpec, Layout
     from uzu_tpu.tools.synth import gptoss_config, synthesize
 
-    out = os.path.join(repo, ".bench_cache", "gptoss_small")
+    # INT4 expert stacks (the MXFP4-expert analogue real gpt-oss ships):
+    # decode dequantizes the K active experts' codes into the dot — measured
+    # 3.7x faster than bf16 expert reads (0.0247 vs 0.0913 ms per MoE step,
+    # CHIP_JOBS_r3.log moe_q_decode) because the active byte stream drops 4x.
+    out = os.path.join(repo, ".bench_cache", "gptoss_small_int4")
     if not os.path.exists(os.path.join(out, "model.safetensors")):
-        synthesize(gptoss_config(**DIMS), out, seed=5, fill="fast")
+        spec = IntSpec(bits=4, group_size=32, is_symmetric=True,
+                       layout=Layout.OUTPUT_INPUT)
+        synthesize(gptoss_config(**DIMS), out, seed=5, fill="fast",
+                   linear_spec=spec, embedding_spec=spec)
     return out
 
 

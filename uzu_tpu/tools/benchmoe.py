@@ -35,16 +35,19 @@ def model_dir(repo: str) -> str:
     from uzu_tpu.config.model import IntSpec, Layout
     from uzu_tpu.tools.synth import gptoss_config, synthesize
 
-    # INT4 expert stacks (the MXFP4-expert analogue real gpt-oss ships):
-    # decode dequantizes the K active experts' codes into the dot — measured
-    # 3.7x faster than bf16 expert reads (0.0247 vs 0.0913 ms per MoE step,
-    # CHIP_JOBS_r3.log moe_q_decode) because the active byte stream drops 4x.
-    out = os.path.join(repo, ".bench_cache", "gptoss_small_int4")
+    # INT4 EXPERT stacks + bf16 attention/readout — the split real gpt-oss
+    # ships (MXFP4 experts, bf16 everything else). The expert decode stream
+    # drops 4x (measured 3.7x faster: 0.0247 vs 0.0913 ms per MoE step,
+    # CHIP_JOBS_r3.log moe_q_decode); quantizing the small D=1024
+    # attention/readout linears too measured SLOWER end-to-end (348.7 vs
+    # 405.9 tok/s, bench_moe 2026-08-19) — per-launch kernel overheads beat
+    # the byte saving at these shapes.
+    out = os.path.join(repo, ".bench_cache", "gptoss_small_eq4")
     if not os.path.exists(os.path.join(out, "model.safetensors")):
         spec = IntSpec(bits=4, group_size=32, is_symmetric=True,
                        layout=Layout.OUTPUT_INPUT)
         synthesize(gptoss_config(**DIMS), out, seed=5, fill="fast",
-                   linear_spec=spec, embedding_spec=spec)
+                   expert_spec=spec)
     return out
 
 

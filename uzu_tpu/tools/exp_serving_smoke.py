@@ -39,6 +39,16 @@ def main(model_dir: str) -> None:
 
     from ..engine.batch import BatchEngine
 
+    def shared_len(a, b):
+        return next((i for i, (x, y) in enumerate(zip(a, b)) if x != y),
+                    min(len(a), len(b)))
+
+    # All four request kinds in one engine. Slots admit PIPELINED, so two
+    # same-prompt slots compute token i in different decode chunks, and the
+    # chunks' executable variant mix differs (the sampled/penalty neighbors
+    # flip chunks to dynamic programs) — a cross-variant comparison, which
+    # on chip only guarantees a shared greedy prefix (low-bit drift flips
+    # argmax near-ties; determinism boundary in CLAUDE.md).
     eng = BatchEngine(lm, batch_size=4, decode_chunk=8, stop_token_ids=[],
                       prefix_min=16)
     r1 = eng.submit(prompt, 24)  # static greedy
@@ -50,10 +60,35 @@ def main(model_dir: str) -> None:
     eng.run()
     assert all(len(r.tokens) == 24 for r in (r1, r2, r3, r4))
     assert len(r4.logprob_content) == 24
-    assert r4.tokens == r1.tokens, "logprobs variant must not change greedy"
+    shared_lp = shared_len(r4.tokens, r1.tokens)
+    assert shared_lp >= 8, f"logprobs-slot greedy diverged too early ({shared_lp})"
     stage("dense_variants", greedy=r1.tokens[:4], sampled=r2.tokens[:4],
-          penalized_distinct=len(set(r3.tokens)),
+          penalized_distinct=len(set(r3.tokens)), lp_greedy_shared=shared_lp,
           first_lp=round(r4.logprob_content[0][0], 3))
+
+    # WITHIN-variant exactness: two greedy slots, one with logprobs, no
+    # dynamic neighbors, prefix sharing off — every chunk runs the same
+    # logprobs-enabled program over symmetric rows, so the tokens must
+    # match bit-exactly even on chip.
+    eng2 = BatchEngine(lm, batch_size=2, decode_chunk=8, stop_token_ids=[],
+                       prefix_min=0)
+    g1 = eng2.submit(prompt, 24)
+    g4 = eng2.submit(prompt, 24, logprobs=3)
+    eng2.run()
+    assert g4.tokens == g1.tokens, "logprobs row must not change greedy"
+    stage("dense_logprobs_exact")
+
+    # shared-prefix KV-copy admission on chip: the copied rows are pinned
+    # bit-exact on the CPU mesh; here the donor copy + chunk-staggered
+    # decode must at least hold a long shared greedy prefix.
+    peng0 = BatchEngine(lm, batch_size=2, decode_chunk=8, stop_token_ids=[],
+                        prefix_min=16)
+    p1 = peng0.submit(prompt, 24)
+    p2 = peng0.submit(prompt, 24)  # admitted via donor KV copy from p1
+    peng0.run()
+    shared_p = shared_len(p2.tokens, p1.tokens)
+    assert shared_p >= 8, f"prefix-admitted greedy diverged too early ({shared_p})"
+    stage("dense_prefix_admission", greedy_shared=shared_p)
 
     from ..engine.paged_batch import PagedBatchEngine
 

@@ -173,7 +173,7 @@ class ModelBuilder:
 
     # -- model assembly --------------------------------------------------
 
-    def build_decoder(self, cfg: DecoderConfig, linear_spec, embedding_spec) -> None:
+    def build_decoder(self, cfg: DecoderConfig, linear_spec, embedding_spec, expert_spec=None) -> None:
         tcfg = cfg.transformer_config
         d = tcfg.model_dim
         if isinstance(cfg.embedding_config, TiedEmbeddingConfig):
@@ -182,7 +182,7 @@ class ModelBuilder:
             self.embedding("input_embedding", cfg.vocab_size, d, embedding_spec)
             self.embedding("output_embedding", cfg.vocab_size, d, embedding_spec)
         for i, lc in enumerate(tcfg.layer_configs):
-            self.layer_tensors(f"transformer.layers.{i}", lc, d, tcfg.hidden_dim, linear_spec)
+            self.layer_tensors(f"transformer.layers.{i}", lc, d, tcfg.hidden_dim, linear_spec, expert_spec=expert_spec)
         self.norm_scales("transformer.output_norm", d, tcfg.output_norm_config.has_biases)
         if cfg.ple_model_config is not None:
             pm = cfg.ple_model_config
@@ -193,7 +193,7 @@ class ModelBuilder:
             self.norm_scales("per_layer_embedding.projection_norm", pm.ple_dim,
                              pm.norm_config.has_biases)
 
-    def layer_tensors(self, p: str, lc, d: int, default_hidden: int, linear_spec) -> None:
+    def layer_tensors(self, p: str, lc, d: int, default_hidden: int, linear_spec, expert_spec=None) -> None:
         if True:
             m = lc.mixer_config
             if isinstance(m, AttentionConfig):
@@ -267,12 +267,15 @@ class ModelBuilder:
                 # symmetric IntSpec quantizes the EXPERT stacks too (the
                 # INT4 analogue of gpt-oss's MXFP4 experts — decode reads
                 # only the K active experts' bytes, 4x fewer than bf16);
-                # other specs keep dense expert weights like the reference
+                # other specs keep dense expert weights like the reference.
+                # expert_spec overrides linear_spec for the stacks only
+                # (gpt-oss parity: bf16 attention + quantized experts).
+                e_spec = expert_spec if expert_spec is not None else linear_spec
                 quant_experts = (
-                    isinstance(linear_spec, IntSpec)
-                    and linear_spec.is_symmetric
-                    and d % linear_spec.group_size == 0
-                    and dff % linear_spec.group_size == 0
+                    isinstance(e_spec, IntSpec)
+                    and e_spec.is_symmetric
+                    and d % e_spec.group_size == 0
+                    and dff % e_spec.group_size == 0
                 )
                 for role, shape in (
                     ("up_projection", (e, 2 * dff, d)),
@@ -282,12 +285,12 @@ class ModelBuilder:
                     if quant_experts:
                         from ..quant.format import quantize_reference
 
-                        self.metadata[f"{prefix}.spec"] = config_dumps(linear_spec)
+                        self.metadata[f"{prefix}.spec"] = config_dumps(e_spec)
                         codes, scales = [], []
                         for i in range(e):
                             parts = quantize_reference(
                                 self._random(shape[1:], self.weight_scale),
-                                linear_spec.bits, linear_spec.group_size,
+                                e_spec.bits, e_spec.group_size,
                                 "scale_symmetric", dtype=self.dtype)
                             codes.append(parts["weights"])
                             scales.append(parts["scales"])
@@ -316,11 +319,14 @@ class ModelBuilder:
         return out_dir
 
 
-def synthesize(cfg: LanguageModelConfig, out_dir: str, *, seed: int = 0, linear_spec=None, embedding_spec=None, dtype=BF16, fill: str = "normal") -> str:
+def synthesize(cfg: LanguageModelConfig, out_dir: str, *, seed: int = 0, linear_spec=None, embedding_spec=None, expert_spec=None, dtype=BF16, fill: str = "normal") -> str:
+    """expert_spec: weight spec for MoE EXPERT stacks only (defaults to
+    linear_spec) — real gpt-oss ships bf16 attention + MXFP4 experts, the
+    analogue here is FullPrecision linears + symmetric-INT4 experts."""
     linear_spec = linear_spec or FullPrecisionSpec(layout=Layout.OUTPUT_INPUT)
     embedding_spec = embedding_spec or FullPrecisionSpec(layout=Layout.INPUT_OUTPUT)
     b = ModelBuilder(seed=seed, dtype=dtype, fill=fill)
-    b.build_decoder(cfg.decoder_config, linear_spec, embedding_spec)
+    b.build_decoder(cfg.decoder_config, linear_spec, embedding_spec, expert_spec=expert_spec)
     return b.write(out_dir, cfg)
 
 

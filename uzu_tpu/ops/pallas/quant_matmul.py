@@ -83,14 +83,17 @@ def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int,
         # up|gate [16k, 2048] (256, full-K) 279.7 vs old (512, 512) 263.4.
         # tn=256 beat both 512 and 128 on every kg<=128 shape swept.
         tn_pref, kc_pref = (256, 512, 128), (k_packed, 512, 256, 128, 64, 32, 16)
-    elif 8192 <= n < 65536:
-        # (vocab-scale readouts keep the deep-K default: unswept territory,
-        # and the measured full-model numbers were taken with it)
-        tn_pref, kc_pref = (512, 256, 128), (256, 512, 128, 64, 32, 16)
-    elif k_packed >= 2048:  # K >= 4096 unpacked for int4
-        tn_pref, kc_pref = (256, 512, 128), (512, 256, 128, 64, 32, 16)
+    elif k_packed >= 2048:  # deep-K prefill (e.g. down [2048, 8192])
+        # r3 prefill-M sweeps (CHIP_JOBS_r3.log prefill_tiles_128/512):
+        # down best (512, 1024) at M=128 (0.0375 ms vs the old (256, 512)
+        # pick's 0.0787 — 2.1x) and within 2% of best at M=512. kc=1024
+        # everywhere: the deepest chunk that compiled ((512, 2048) rejects).
+        tn_pref, kc_pref = (512, 256, 128), (1024, 512, 256, 128, 64, 32, 16)
     else:
-        tn_pref, kc_pref = (512, 256, 128), (512, 256, 128, 64, 32, 16)
+        # shallow-K prefill (up|gate/qkv/out/readout): (256, full-K) won at
+        # BOTH M=128 and M=512 (up|gate 0.2717 vs the old (512, 256) pick's
+        # 0.2931 at M=512; 2.9x at M=128).
+        tn_pref, kc_pref = (256, 512, 128), (1024, 512, 256, 128, 64, 32, 16)
     tn = _pick_block(n, tn_pref)
     kc = _pick_block(k_packed, [c for c in kc_pref if c % gsub == 0] or kc_pref)
     # Deep-K decode GEMVs (kg > 128): widen the K chunk so each grid step's

@@ -259,11 +259,41 @@ def test_tile_table_lookup_and_policy(tmp_path, monkeypatch):
         # supported() guard rejects such shapes before dispatch)
         tn, kc = _tile_policy(999, 1024, 16, 512, bits=4, kdim=2048)
         assert tn != 512 or kc != 512  # the bogus table entry was NOT used
-        # no entry -> heuristic
+        # no entry -> heuristic (deep-K prefill: r3 on-chip sweep winner)
         tn2, kc2 = _tile_policy(2048, 4096, 16, 512, bits=4, kdim=8192)
-        assert (tn2, kc2) == (256, 512)
+        assert (tn2, kc2) == (512, 1024)
     finally:
         autotune._load_table.cache_clear()
+
+
+def test_tile_policy_vmem_budget():
+    """Decode full-K chunks are capped by the Mosaic scoped-VMEM stack
+    budget: the 8B down-projection (N=4096, K=14336, gs=32 -> kg=448,
+    non-128-divisible so scales can't chunk) blew the 16 MB limit at
+    kc=7168 on chip (CHIP_JOBS_r3.log bench_tiles: 26.87M scoped alloc);
+    the policy must fall back to a deeper-than-512 chunk that fits."""
+    from uzu_tpu.ops.pallas.quant_matmul import (
+        _VMEM_STACK_BUDGET, _kernel_stack_bytes, _tile_policy)
+
+    tn, kc = _tile_policy(4096, 7168, 16, 8, bits=4, kdim=14336)
+    assert _kernel_stack_bytes(tn, kc, 7168 // 16, 16) <= _VMEM_STACK_BUDGET
+    assert (tn, kc) == (256, 1024)  # deepest dividing chunk under budget
+    # the model reproduces the observed on-chip reject
+    assert _kernel_stack_bytes(256, 7168, 448, 16) > 16 * 1024 * 1024
+    # 1B shapes keep their measured-optimal tiles (regression guard)
+    assert _tile_policy(2048, 4096, 16, 8, bits=4, kdim=8192) == (128, 2048)
+    assert _tile_policy(16384, 1024, 16, 8, bits=4, kdim=2048) == (256, 1024)
+
+
+def test_quant_matmul_8b_down_shape_interpret(rng):
+    """Numerics on the exact shape class that OOM'd on chip (scaled down in
+    N for test speed, same K/kg structure: K=14336, gs=32, kg=448)."""
+    qt = _make_qt(rng, 256, 14336, 4, 32, "scale_bias")
+    x = jnp.asarray(rng.standard_normal((2, 14336), dtype=np.float32))
+    want = x @ dequantize(qt, jnp.float32).T
+    got = quant_matmul_pallas(qt, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_autotune_shapes_smoke(monkeypatch, tmp_path):

@@ -52,6 +52,22 @@ def _pick_block(n: int, candidates) -> int:
     return 0
 
 
+# Mosaic stack-allocates the kernel's vector temporaries in scoped VMEM
+# (16 MB on v5e). The dominant live set is the expansion matrix e[rows, kc]
+# f32 plus ~2 concurrent [tn, kc] f32 temporaries (scale_exp + one of
+# lo/hi/w); this model reproduces the measured 26.87 MB reject of the 8B
+# down-projection full-K tile (tn=256, kc=7168, kg=448 non-chunkable:
+# 4*7168*(2*256+448) = 27.5 MB) while passing every tile the r3 sweeps
+# compiled. Budget leaves headroom for Mosaic's smaller temporaries.
+_VMEM_STACK_BUDGET = 14 * 1024 * 1024
+
+
+def _kernel_stack_bytes(tn: int, kc: int, kg: int, gsub: int) -> int:
+    kgc = kc // gsub
+    e_rows = kgc if (kgc % 128 == 0 and kgc < kg) else kg
+    return 4 * kc * (2 * tn + e_rows)
+
+
 def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int,
                  bits: int = 4, kdim: int = 0, symmetric: bool = False):
     """(tn, kc) preference order — the role of uzu's fleet-tuned GEMV tile
@@ -82,7 +98,11 @@ def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int,
         # readout [128k, 2048] (256, full-K) 294.7 GB/s vs (256, 512) 238.4;
         # up|gate [16k, 2048] (256, full-K) 279.7 vs old (512, 512) 263.4.
         # tn=256 beat both 512 and 128 on every kg<=128 shape swept.
-        tn_pref, kc_pref = (256, 512, 128), (k_packed, 512, 256, 128, 64, 32, 16)
+        # Deeper fallbacks (2048/1024) cover shapes whose full-K chunk blows
+        # the scoped-VMEM stack budget (8B down-proj: K=14336, kg=448 —
+        # CHIP_JOBS_r3.log bench_tiles vmem reject), filtered below.
+        tn_pref, kc_pref = ((256, 512, 128),
+                           (k_packed, 2048, 1024, 512, 256, 128, 64, 32, 16))
     elif k_packed >= 2048:  # deep-K prefill (e.g. down [2048, 8192])
         # r3 prefill-M sweeps (CHIP_JOBS_r3.log prefill_tiles_128/512):
         # down best (512, 1024) at M=128 (0.0375 ms vs the old (256, 512)
@@ -95,14 +115,22 @@ def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int,
         # 0.2931 at M=512; 2.9x at M=128).
         tn_pref, kc_pref = (256, 512, 128), (1024, 512, 256, 128, 64, 32, 16)
     tn = _pick_block(n, tn_pref)
-    kc = _pick_block(k_packed, [c for c in kc_pref if c % gsub == 0] or kc_pref)
+    kg_all = k_packed // gsub
+    fits = [c for c in kc_pref if c % gsub == 0
+            and _kernel_stack_bytes(tn or n, c, kg_all, gsub)
+            <= _VMEM_STACK_BUDGET]
+    kc = _pick_block(k_packed, fits or [gsub])
     # Deep-K decode GEMVs (kg > 128): widen the K chunk so each grid step's
     # scale block covers exactly 128 groups — the lane-dim blocking minimum —
     # and the expansion dot contracts over 128 rows instead of the whole kg
     # (the full-kg expansion held the down-projection GEMV to ~107 GB/s
     # effective at kg=256 before this).
     kg = k_packed // gsub
-    if m_pad < 32 and kg > 128 and kg % 128 == 0 and k_packed % (128 * gsub) == 0:
+    if (m_pad < 32 and kg > 128 and kg % 128 == 0
+            and k_packed % (128 * gsub) == 0
+            and _kernel_stack_bytes(128 if n % 128 == 0 else (tn or n),
+                                    128 * gsub, kg, gsub)
+            <= _VMEM_STACK_BUDGET):
         kc = 128 * gsub
         # deep-K decode GEMVs also want the NARROW N tile: more grid steps
         # of smaller blocks pipeline the code DMAs better (r3 on-chip sweep

@@ -174,3 +174,61 @@ def test_quantized_experts_serving(qmoe_dir):
     r = eng.submit(prompt, 10)
     eng.run()
     assert r.tokens == want
+
+
+def _synth_stack(rng, e, n, kdim, bits, g):
+    from uzu_tpu.quant.format import StackedQuantized, pack_codes
+
+    hi = (1 << bits) - 1
+    codes = rng.integers(0, hi + 1, (e, n, kdim), dtype=np.uint8)
+    scales = (rng.random((e, n, kdim // g)).astype(np.float32) * 0.02 + 0.01)
+    return StackedQuantized(
+        codes=jnp.asarray(pack_codes(codes, bits)),
+        scales=jnp.asarray(scales),
+        bits=bits, group_size=g, qbias_coeff=-float(1 << (bits - 1)),
+    )
+
+
+@pytest.mark.parametrize("bits,n,kdim", [
+    (4, 256, 512),    # chunkless shallow K
+    (4, 256, 352),    # non-128-divisible K (dff=1408-class whole-K block)
+    (8, 256, 512),
+    (4, 512, 4096),   # kg=128: chunked-scales path
+])
+def test_moe_expert_gemv_matches_oracle(rng, bits, n, kdim):
+    """Fused expert-gather GEMV (interpret mode) == per-pair dequantized
+    matmul. Pairs repeat experts and tokens (the S*K routed layout)."""
+    from uzu_tpu.ops.pallas.moe_gemv import moe_expert_gemv, supported
+    from uzu_tpu.quant.format import dequantize_stacked
+
+    e, g = 5, 32
+    sq = _synth_stack(rng, e, n, kdim, bits, g)
+    assert supported(sq)
+    ids = jnp.asarray([0, 3, 3, 4, 1, 0], jnp.int32)
+    x = jnp.asarray(rng.standard_normal((ids.shape[0], kdim)), jnp.float32)
+    got = np.asarray(moe_expert_gemv(sq, x, ids, interpret=True))
+    dense = np.asarray(dequantize_stacked(sq, jnp.float32))
+    want = np.stack([np.asarray(x[i]) @ dense[int(ids[i])].T
+                     for i in range(ids.shape[0])])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_quantized_gather_kernel_path_matches_scan(qmoe_dir, rng, monkeypatch):
+    """moe_forward's fused-kernel gather branch (forced pallas, interpreter
+    on CPU) == the XLA dynamic-slice scan branch it replaces."""
+    from uzu_tpu.ops.pallas import moe_gemv as gemv_mod
+
+    lm = LanguageModel.from_dir(qmoe_dir, max_context=64, prefill_buckets=(8,))
+    cfg = lm.decoder_config.transformer_config.layer_configs[0].mlp_config
+    params = lm.params["layers"][0]["mlp"]
+    x = jnp.asarray(rng.standard_normal((3, 64)), jnp.float32)
+    want = np.asarray(moe_forward(cfg, params, x))  # use_pallas() False: scan
+    calls = []
+    real = gemv_mod.moe_expert_gemv
+    monkeypatch.setattr(
+        gemv_mod, "moe_expert_gemv",
+        lambda *a, **kw: (calls.append(1), real(*a, **kw))[1])
+    monkeypatch.setenv("UZU_TPU_KERNELS", "pallas")
+    got = np.asarray(moe_forward(cfg, params, x))
+    assert len(calls) == 2, "fused kernel branch did not engage"
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -25,6 +25,8 @@ but chosen by arithmetic instead of kernel variants:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -182,6 +184,35 @@ def moe_forward(cfg: MixtureOfExpertsConfig, params, x: jax.Array) -> jax.Array:
         flat_probs = probs.reshape(s * cfg.num_active_routed_experts)
         tok = jnp.repeat(jnp.arange(s), cfg.num_active_routed_experts)
 
+        if quantized:
+            from ..ops.pallas.moe_gemv import moe_expert_gemv as _gemv
+            from ..ops.pallas.moe_gemv import supported
+            from ..runtime import on_tpu, use_pallas
+
+            if use_pallas() and supported(w13) and supported(w2):
+                # forced-pallas on CPU runs the kernel in interpreter mode
+                # (same dispatch rule as ops/attention.py:87)
+                moe_expert_gemv = functools.partial(
+                    _gemv, interpret=not on_tpu())
+                # one fused kernel per expert matmul: the P = S*K pair ids
+                # ride scalar prefetch and index the stacked codes in
+                # place — no per-expert dynamic-slice copies, no f32
+                # dequant materialization, 2 launches/layer instead of
+                # 2*S*K (ops/pallas/moe_gemv.py)
+                x_pairs = xf[tok]
+                up_out = moe_expert_gemv(w13, x_pairs, flat_ids)
+                if up_b is not None:
+                    up_out = up_out + jnp.take(
+                        up_b, flat_ids, axis=0).astype(jnp.float32)
+                hidden = _expert_hidden(cfg, up_out, dff)
+                out = moe_expert_gemv(w2, hidden, flat_ids)[:, :n_down]
+                if down_b is not None:
+                    out = out + jnp.take(
+                        down_b, flat_ids, axis=0).astype(jnp.float32)[:, :n_down]
+                y = jnp.zeros((s, n_down), jnp.float32).at[tok].add(
+                    flat_probs[:, None] * out)
+                return _finish_moe(cfg, params, xf, y[:, :d], x.dtype)
+
         def one(acc, args):
             idx, p, t = args
             xr = jax.lax.dynamic_index_in_dim(xf, t, 0, keepdims=False)
@@ -224,6 +255,10 @@ def moe_forward(cfg: MixtureOfExpertsConfig, params, x: jax.Array) -> jax.Array:
             out = out + down_b.astype(jnp.float32)[None]
         y = jnp.einsum("sed,se->sd", out, weight)[:, :d]
 
+    return _finish_moe(cfg, params, xf, y, x.dtype)
+
+
+def _finish_moe(cfg: MixtureOfExpertsConfig, params, xf, y, dtype):
     if "shared" in params:
         # shared experts run densely for every token (DeepSeek-style)
         fused = jnp.einsum("sd,hd->sh", xf, params["shared"]["up"]["w"].astype(jnp.float32))
@@ -232,7 +267,7 @@ def moe_forward(cfg: MixtureOfExpertsConfig, params, x: jax.Array) -> jax.Array:
         y = y + jnp.einsum(
             "sh,dh->sd", hidden, params["shared"]["down"]["w"].astype(jnp.float32)
         )
-    return y.astype(x.dtype)
+    return y.astype(dtype)
 
 
 def _load_expert_stack(experts, role: str, e: int, n: int, kdim: int):

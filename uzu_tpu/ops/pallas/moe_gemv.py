@@ -1,0 +1,223 @@
+"""Fused MoE expert-gather quantized GEMV (decode path).
+
+Role parity: the reference's expert decode pipeline
+(crates/backend-uzu/src/backends/metal/kernel/moe/experts_two_pass_decode.metal)
+— one dispatch computes every (token, active-expert) pair. The TPU-native
+redesign: the P = S*K routed pair ids ride scalar prefetch (SMEM), and the
+codes/scales BlockSpec index maps select each pair's expert plane of the
+stacked [E, N, Kp] arrays directly — the kernel streams ONLY the K active
+experts' quantized bytes, with no dynamic-slice copy and no dequantized
+f32 materialization between HBM and the dot (the XLA gather path pays one
+or both, and launches 2*S*K ops per layer where this launches 2).
+
+Dequant math is identical to quant_matmul._int4_kernel (symmetric
+qbias-coefficient carry, f32 dequant on the VPU, f32 dots at decode M).
+Each pair's activation row rides an 8-sublane block (row 0 real, rows 1-7
+zero) because Mosaic's sublane minimum is 8; the zero rows cost nothing —
+the N-tile weight stream dominates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .quant_matmul import (
+    _VMEM_STACK_BUDGET,
+    _expansion_matrix,
+    _kernel_stack_bytes,
+    _pick_block,
+)
+
+_SUB = 8  # sublane rows per pair block (row 0 real)
+
+
+def _tiles(n: int, kp: int, gsub: int):
+    """(tn, kc) for the stacked-expert GEMV, under the scoped-VMEM budget.
+    Same preference order as the decode branch of quant_matmul's policy;
+    small N falls back to a whole-N block (legal: a block equal to the
+    full dim passes Mosaic's tiling check regardless of divisibility)."""
+    tn = _pick_block(n, (256, 512, 128))
+    if not tn and n <= 512 and n % 8 == 0:
+        tn = n
+    if not tn:
+        return None
+    kg = kp // gsub
+    fits = [c for c in (kp, 2048, 1024, 512, 256, 128, 64, 32, 16)
+            if c % gsub == 0
+            and _kernel_stack_bytes(tn, c, kg, gsub) <= _VMEM_STACK_BUDGET]
+    kc = _pick_block(kp, fits or [gsub])
+    if not kc:
+        return None
+    return tn, kc
+
+
+def supported(sq) -> bool:
+    """True when the stacked tensor's [N, K] plane tiles for this kernel."""
+    _, n, k = sq.shape
+    pack = 8 // sq.bits
+    gsub = sq.group_size // pack
+    return _tiles(n, k // pack, gsub) is not None
+
+
+def _int4_pair_kernel(ids_ref, x_even_ref, x_odd_ref, codes_ref, scales_ref,
+                      o_ref, acc_ref, *, kg, kgc, kc, gsub, last_k,
+                      exp_dtype, chunked_scales, qbias_coeff):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    codes = codes_ref[0].astype(jnp.int32)
+    lo = (codes & 0xF).astype(jnp.float32)
+    hi = (codes >> 4).astype(jnp.float32)
+
+    e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else k * kgc)
+    scale_exp = jnp.dot(scales_ref[0].astype(exp_dtype), e.astype(exp_dtype),
+                        preferred_element_type=jnp.float32)
+    qbias_exp = scale_exp * qbias_coeff
+
+    w_lo = lo * scale_exp + qbias_exp
+    w_hi = hi * scale_exp + qbias_exp
+
+    dims = (((1,), (1,)), ((), ()))
+    acc_ref[...] += jax.lax.dot_general(
+        x_even_ref[0], w_lo, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        x_odd_ref[0], w_hi, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == last_k)
+    def _():
+        o_ref[0] = acc_ref[...]
+
+
+def _int8_pair_kernel(ids_ref, x_ref, codes_ref, scales_ref, o_ref, acc_ref,
+                      *, kg, kgc, kc, gsub, last_k, exp_dtype,
+                      chunked_scales, qbias_coeff):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    codes = codes_ref[0].astype(jnp.int32).astype(jnp.float32)
+    e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else k * kgc)
+    scale_exp = jnp.dot(scales_ref[0].astype(exp_dtype), e.astype(exp_dtype),
+                        preferred_element_type=jnp.float32)
+    w = codes * scale_exp + scale_exp * qbias_coeff
+
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[0], w, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == last_k)
+    def _():
+        o_ref[0] = acc_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "group_size",
+                                             "qbias_coeff", "interpret"))
+def _moe_gemv_p(x_pairs, codes, scales, ids, *, bits, group_size,
+                qbias_coeff, interpret=False):
+    """x_pairs [P, K] f32, codes [E, N, Kp] u8, scales [E, N, Kg],
+    ids [P] int32 -> [P, N] f32 where row p = x_pairs[p] @ W[ids[p]].T."""
+    p, kdim = x_pairs.shape
+    e_all, n, _ = codes.shape
+    kg = scales.shape[2]
+    g = group_size
+
+    # 8-sublane pair blocks: row 0 real, rows 1-7 zero
+    x3 = jnp.zeros((p, _SUB, kdim), jnp.float32).at[:, 0, :].set(
+        x_pairs.astype(jnp.float32))
+
+    if bits == 4:
+        kp = kdim // 2
+        gsub = g // 2
+        tn, kc = _tiles(n, kp, gsub)
+        kgc = kc // gsub
+        chunked = kgc % 128 == 0 and kgc < kg
+        x_even = x3[..., 0::2]
+        x_odd = x3[..., 1::2]
+        n_k = kp // kc
+        grid = (p, n // tn, n_k)
+        scale_spec = (
+            pl.BlockSpec((1, tn, kgc), lambda pi, i, k, ids_ref: (ids_ref[pi], i, k))
+            if chunked else
+            pl.BlockSpec((1, tn, kg), lambda pi, i, k, ids_ref: (ids_ref[pi], i, 0))
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, _SUB, kc), lambda pi, i, k, ids_ref: (pi, 0, k)),
+                pl.BlockSpec((1, _SUB, kc), lambda pi, i, k, ids_ref: (pi, 0, k)),
+                pl.BlockSpec((1, tn, kc), lambda pi, i, k, ids_ref: (ids_ref[pi], i, k)),
+                scale_spec,
+            ],
+            out_specs=pl.BlockSpec((1, _SUB, tn),
+                                   lambda pi, i, k, ids_ref: (pi, 0, i)),
+            scratch_shapes=[pltpu.VMEM((_SUB, tn), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _int4_pair_kernel, kg=kgc if chunked else kg, kgc=kgc, kc=kc,
+                gsub=gsub, last_k=n_k - 1, exp_dtype=jnp.float32,
+                chunked_scales=chunked, qbias_coeff=qbias_coeff),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((p, _SUB, n), jnp.float32),
+            interpret=interpret,
+        )(ids, x_even, x_odd, codes, scales)
+    else:
+        gsub = g
+        tn, kc = _tiles(n, kdim, gsub)
+        kgc = kc // gsub
+        chunked = kgc % 128 == 0 and kgc < kg
+        n_k = kdim // kc
+        grid = (p, n // tn, n_k)
+        scale_spec = (
+            pl.BlockSpec((1, tn, kgc), lambda pi, i, k, ids_ref: (ids_ref[pi], i, k))
+            if chunked else
+            pl.BlockSpec((1, tn, kg), lambda pi, i, k, ids_ref: (ids_ref[pi], i, 0))
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, _SUB, kc), lambda pi, i, k, ids_ref: (pi, 0, k)),
+                pl.BlockSpec((1, tn, kc), lambda pi, i, k, ids_ref: (ids_ref[pi], i, k)),
+                scale_spec,
+            ],
+            out_specs=pl.BlockSpec((1, _SUB, tn),
+                                   lambda pi, i, k, ids_ref: (pi, 0, i)),
+            scratch_shapes=[pltpu.VMEM((_SUB, tn), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _int8_pair_kernel, kg=kgc if chunked else kg, kgc=kgc, kc=kc,
+                gsub=gsub, last_k=n_k - 1, exp_dtype=jnp.float32,
+                chunked_scales=chunked, qbias_coeff=qbias_coeff),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((p, _SUB, n), jnp.float32),
+            interpret=interpret,
+        )(ids, x3, codes, scales)
+    return out[:, 0, :]
+
+
+def moe_expert_gemv(sq, x_pairs: jax.Array, ids: jax.Array, *,
+                    interpret: bool = False) -> jax.Array:
+    """Fused expert-gather GEMV over a StackedQuantized tensor.
+
+    x_pairs [P, K] activation row per routed (token, expert) pair,
+    ids [P] int32 expert index per pair -> [P, N] f32."""
+    return _moe_gemv_p(x_pairs, sq.codes, sq.scales, ids.astype(jnp.int32),
+                       bits=sq.bits, group_size=sq.group_size,
+                       qbias_coeff=sq.qbias_coeff, interpret=interpret)

@@ -405,8 +405,12 @@ def main() -> None:
         return sum(len(r.tokens) for r in reqs) / (time.perf_counter() - tb)
 
     def stage_batch4():
-        gen_b = 64 if tpu else 32
-        batch_run(4, gen_b)  # warmup (compiles batched decode + admission)
+        # warmup compiles with a short gen; the MEASURED run generates long
+        # enough that admission stagger + end-straggler ramp amortize (64
+        # tokens paid ~40% ramp overhead: 7 chunk-waves for 4 streams'
+        # 4 waves of useful work — the r3b 388 tok/s was ramp, not step)
+        gen_b = 256 if tpu else 32
+        batch_run(4, 64 if tpu else 32)  # warmup (compiles decode + admission)
         _stage("batch4 measure")
         RESULTS["batch4_tok_s"] = round(max(batch_run(4, gen_b) for _ in range(2)), 2)
 
@@ -435,8 +439,9 @@ def main() -> None:
 
         paged_run(8, 32)  # warmup/compile
         _stage("paged8 measure")
+        # longer gens so per-stream admission cost amortizes (see batch4)
         RESULTS["paged8_tok_s"] = round(
-            max(paged_run(24, 64 if tpu else 32) for _ in range(2)), 2)
+            max(paged_run(16, 192 if tpu else 32) for _ in range(2)), 2)
 
     if not os.environ.get("UZU_BENCH_NOPAGED"):
         _guarded("paged8 warmup (compiles)", 240, stage_paged8)

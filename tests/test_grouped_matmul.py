@@ -166,3 +166,71 @@ def test_lane_padded_down_projection(tmp_path_factory):
     grouped = np.asarray(
         moe_mod._grouped_forward(cfg, params, x, ids, probs, interpret=True))
     np.testing.assert_allclose(grouped[:, :160], dense, rtol=2e-4, atol=2e-4)
+
+
+def _stack(rng, e, n, kdim, g=32):
+    from uzu_tpu.quant.format import StackedQuantized, pack_codes
+
+    codes = rng.integers(0, 16, (e, n, kdim), dtype=np.uint8)
+    scales = rng.random((e, n, kdim // g)).astype(np.float32) * 0.02 + 0.01
+    return StackedQuantized(
+        codes=jnp.asarray(pack_codes(codes, 4)), scales=jnp.asarray(scales),
+        bits=4, group_size=g, qbias_coeff=-8.0)
+
+
+@pytest.mark.parametrize("n,k", [(256, 128), (128, 384), (512, 4096)])
+def test_quant_kernel_matches_dequant_oracle(n, k):
+    """Grouped matmul with in-kernel INT4 dequant == dense grouped oracle
+    over the dequantized stack (f32 in interpret mode: exact math)."""
+    from uzu_tpu.ops.pallas.grouped_matmul import (
+        grouped_matmul_quant, supports_quant)
+    from uzu_tpu.quant.format import dequantize_stacked
+
+    rng = np.random.default_rng(2)
+    e, t = 5, 70
+    sq = _stack(rng, e, n, k)
+    assert supports_quant(sq)
+    flat_e = rng.integers(0, e, t).astype(np.int32)
+    order, dst, tile_expert, used, _ = route_layout(jnp.asarray(flat_e), e, BM)
+    tp = (-(-t // BM)) * BM + e * BM
+    x_pad = jnp.zeros((tp, k), jnp.float32).at[dst].set(
+        jnp.asarray(rng.standard_normal((t, k)), jnp.float32))
+    got = grouped_matmul_quant(x_pad, sq, tile_expert, used, bm=BM,
+                               interpret=True)
+    w = dequantize_stacked(sq, jnp.float32)
+    want = grouped_matmul_xla(x_pad, w, tile_expert, used, bm=BM)
+    rows = np.asarray(dst)
+    np.testing.assert_allclose(np.asarray(got)[rows], np.asarray(want)[rows],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_quant_grouped_forward_path_engages(tmp_path, monkeypatch):
+    """moe_forward routes quantized prefill widths through the in-kernel-
+    dequant grouped path under forced pallas, matching the XLA dequant
+    route it replaces."""
+    from uzu_tpu.config.model import IntSpec, Layout
+    import uzu_tpu.models.moe as moe_mod
+    from uzu_tpu.models.moe import moe_forward
+
+    spec = IntSpec(bits=4, group_size=32, is_symmetric=True,
+                   layout=Layout.OUTPUT_INPUT)
+    d = synthesize(
+        moe_config(model_dim=128, hidden_dim=256, expert_hidden_dim=128,
+                   num_experts=8, num_active=2, vocab_size=512,
+                   attn_head_dim=32),
+        str(tmp_path / "qgrp"), seed=9, dtype=np.float32, linear_spec=spec)
+    lm = LanguageModel.from_dir(d, max_context=64, prefill_buckets=(8,))
+    cfg = lm.decoder_config.transformer_config.layer_configs[0].mlp_config
+    params = lm.params["layers"][0]["mlp"]
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((8, 128)), jnp.float32)
+    want = np.asarray(moe_forward(cfg, params, x))  # XLA dequant route
+    calls = []
+    real = moe_mod._grouped_quant_forward
+    monkeypatch.setattr(
+        moe_mod, "_grouped_quant_forward",
+        lambda *a, **kw: (calls.append(1), real(*a, **kw))[1])
+    monkeypatch.setenv("UZU_TPU_KERNELS", "pallas")
+    got = np.asarray(moe_forward(cfg, params, x))
+    assert calls, "quantized grouped branch did not engage"
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)

@@ -50,7 +50,7 @@ def step_ms(lm) -> float:
     def run(dec, keys):
         nonlocal state
         state, emitted, _ = dec(lm.params, state, jnp.asarray(7, jnp.int32),
-                                jnp.asarray(False), keys)
+                                jnp.asarray(False), keys.shape[0], keys)
         jax.device_get(emitted[0])
 
     run(dec_s, keys_s)
@@ -97,7 +97,7 @@ def main():
             "floor_ms": round(float(floor), 4),
             "per_expert_ms": round(float(slope), 4),
             "per_expert_active_mb": round(per_pair_mb, 2),
-            "per_expert_gbs": round(per_pair_mb / max(float(slope), 1e-9) / 1e3, 1),
+            "per_expert_gbs": round(per_pair_mb / max(float(slope), 1e-9), 1),
         }), flush=True)
 
 

@@ -265,7 +265,7 @@ class LanguageModel:
         if cache_key not in self._decode_jit:
             stop_arr = jnp.asarray(stop_ids, jnp.int32) if stop_ids else None
 
-            def one_step(params, state, token, halted, key):
+            def one_step(params, state, token, halted, remaining, key):
                 true_length = jnp.where(halted, 0, 1).astype(jnp.int32)
                 ring = state.pop("ring", None)
                 logits, state = decoder_forward(
@@ -290,20 +290,27 @@ class LanguageModel:
                         push_ring(ring, next_token),
                         ring,
                     )
+                # budget halt: a chunk may overrun the generation budget
+                # (the host rounds the tail up to an existing power-of-two
+                # executable instead of paying one roundtrip per 4/2/1-step
+                # shard); steps past the budget are identity transitions
+                remaining = remaining - jnp.where(halted, 0, 1)
+                halted = halted | (remaining <= 0)
                 if stop_arr is not None:
                     halted = halted | jnp.any(next_token == stop_arr)
-                return state, next_token, halted, emit
+                return state, next_token, halted, remaining, emit
 
             @partial(jax.jit, donate_argnums=(1,))
-            def decode_k(params, state, token, halted, keys):
+            def decode_k(params, state, token, halted, remaining, keys):
                 def body(carry, key_t):
-                    state, token, halted = carry
-                    state, next_token, halted, emit = one_step(
-                        params, state, token, halted, key_t)
-                    return (state, next_token, halted), emit
+                    state, token, halted, remaining = carry
+                    state, next_token, halted, remaining, emit = one_step(
+                        params, state, token, halted, remaining, key_t)
+                    return (state, next_token, halted, remaining), emit
 
-                (state, token, halted), emitted = jax.lax.scan(
-                    body, (state, token, halted), keys
+                (state, token, halted, remaining), emitted = jax.lax.scan(
+                    body, (state, token, halted,
+                           jnp.asarray(remaining, jnp.int32)), keys
                 )
                 # emitted: (tokens [K][, lp [K], top_v/top_i [K, n]])
                 return state, emitted, halted
@@ -529,10 +536,15 @@ class LanguageModel:
                 # 8: a smaller chunk's compute (< ~30 ms) cannot hide the
                 # host<->device fetch roundtrip behind the next dispatch, so
                 # the pipeline stalls; 8-token bursts are imperceptible at
-                # streaming cadence. Shrinks for the budget tail.
+                # streaming cadence. The budget tail rounds UP to the
+                # smallest power-of-two executable that covers it — the
+                # device budget-halt makes overrun steps identity no-ops —
+                # instead of sharding it into 4/2/1-step dispatches that
+                # each pay a full host<->device roundtrip.
+                rem = budget - dispatched
                 k = min(8 << chunk_idx, self.max_decode_chunk)
-                while k > budget - dispatched:
-                    k >>= 1
+                while k // 2 >= rem:
+                    k //= 2
                 chunk_idx += 1
                 # steps dispatched so far touch positions < base + dispatched;
                 # this chunk reaches base + dispatched - 1 + k (first token
@@ -547,10 +559,11 @@ class LanguageModel:
 
                 state, emitted, halted = profiled(
                     "decode", decode,
-                    self.params, state, token, halted, keys[step : step + k]
+                    self.params, state, token, halted, rem,
+                    keys[step : step + k]
                 )
                 step += k
-                dispatched += k
+                dispatched = min(dispatched + k, budget)
                 token = emitted[0][-1]
                 new_pending = emitted
                 if metrics is not None:
@@ -559,6 +572,11 @@ class LanguageModel:
                 fetched = jax.device_get(pending)
                 toks = np.asarray(fetched[0])
                 for s, v in enumerate(int(x) for x in toks):
+                    if produced >= budget:
+                        # overrun-chunk tail: identity repeats past the
+                        # device budget halt — discard
+                        done = True
+                        break
                     if logprobs:
                         lp, top_v, top_i = fetched[1], fetched[2], fetched[3]
                         out.logprob_content.append((

@@ -199,6 +199,7 @@ class DraftModelSpeculator:
             self._state,
             jnp.asarray(new[-1], jnp.int32),
             jnp.asarray(False),
+            self.k,  # no budget halt: every draft step is wanted
             self._keys,
         )
         out = [int(t) for t in np.asarray(jax.device_get(emitted[0]))]

@@ -126,6 +126,42 @@ def _grouped_forward(cfg: MixtureOfExpertsConfig, params, x, ids, probs,
     return jnp.zeros((s, n_down), jnp.float32).at[order // k].add(vals)
 
 
+def _grouped_quant_forward(cfg: MixtureOfExpertsConfig, params, x, ids,
+                           probs, *, interpret: bool = False) -> jax.Array:
+    """_grouped_forward over StackedQuantized expert weights: identical
+    routed layout, in-kernel INT4 dequant (no dense stack materialized)."""
+    from ..ops.pallas.grouped_matmul import grouped_matmul_quant, route_layout
+
+    s, d = x.shape
+    dff = cfg.expert_hidden_dim
+    e = cfg.num_routed_experts
+    k = cfg.num_active_routed_experts
+    w13, w2 = params["up"]["w"], params["down"]["w"]
+    up_b, down_b = params["up"].get("b"), params["down"].get("b")
+
+    flat_e = ids.reshape(s * k)
+    order, dst, tile_expert, used, row_expert = route_layout(
+        flat_e, e, _GROUPED_BM)
+    tp = row_expert.shape[0]
+
+    x_rows = x[order // k].astype(jnp.float32)
+    x_pad = jnp.zeros((tp, d), jnp.float32).at[dst].set(x_rows)
+
+    up_out = grouped_matmul_quant(x_pad, w13, tile_expert, used,
+                                  bm=_GROUPED_BM, interpret=interpret)
+    if up_b is not None:
+        up_out = up_out + jnp.take(up_b, row_expert, axis=0).astype(jnp.float32)
+    hidden = _expert_hidden(cfg, up_out, dff).astype(jnp.float32)
+    out = grouped_matmul_quant(hidden, w2, tile_expert, used,
+                               bm=_GROUPED_BM, interpret=interpret)
+    n_down = w2.shape[1]
+    if down_b is not None:
+        out = out + jnp.take(down_b, row_expert, axis=0
+                             ).astype(jnp.float32)[:, :n_down]
+    vals = out[dst] * probs.reshape(s * k)[order][:, None]
+    return jnp.zeros((s, n_down), jnp.float32).at[order // k].add(vals)
+
+
 def moe_forward(cfg: MixtureOfExpertsConfig, params, x: jax.Array) -> jax.Array:
     from ..quant.format import StackedQuantized, dequantize_stacked
 
@@ -141,6 +177,23 @@ def moe_forward(cfg: MixtureOfExpertsConfig, params, x: jax.Array) -> jax.Array:
 
     quantized = isinstance(w13, StackedQuantized)
     if quantized and s > GATHER_PATH_MAX_TOKENS:
+        from ..ops.pallas.grouped_matmul import supports_quant
+        from ..runtime import on_tpu, use_pallas
+
+        if use_pallas() and supports_quant(w13) and supports_quant(w2):
+            # grouped kernel with IN-KERNEL dequant: expert code blocks
+            # stream straight from the stacked INT4 arrays. The XLA
+            # alternative below materializes the FULL bf16 stacks per
+            # chunk (E/K_active x more transient write+read bytes than
+            # the routed weights — gptoss_small prefill measured 16.1k
+            # -> 10.2k tok/s when experts went INT4 under it), so the
+            # quantized grouped path engages at EVERY width above the
+            # gather threshold, not just GROUPED_PATH_MIN_TOKENS.
+            return _finish_moe(
+                cfg, params, xf,
+                _grouped_quant_forward(cfg, params, x, ids, probs,
+                                       interpret=not on_tpu())[:, :d],
+                x.dtype)
         # prefill widths are compute-bound — materialize the dense stacks
         # once per chunk (transient) and take the existing routed paths;
         # DECODE keeps the codes resident and reads only active experts

@@ -162,6 +162,141 @@ def grouped_matmul(x_pad: jax.Array, w: jax.Array, tile_expert: jax.Array,
     )(tile_expert, used_tiles, x_pad, w)
 
 
+def _q_kernel(tile_expert_ref, used_ref, x_even_ref, x_odd_ref, codes_ref,
+              scales_ref, o_ref, acc_ref, *, nk, kg, kgc, kc, gsub,
+              chunked_scales, qbias_coeff, dot_dtype):
+    """Grouped matmul with in-kernel symmetric INT4 dequant (the expansion
+    -matrix scheme of quant_matmul._int4_kernel): expert code blocks stream
+    straight from the stacked [E, N, Kp] array — no dequantized stack ever
+    materializes in HBM (the XLA path wrote + re-read E/K_active x more
+    transient bytes than the active weights themselves)."""
+    from .quant_matmul import _expansion_matrix
+
+    mt = pl.program_id(0)
+    kt = pl.program_id(2) if nk > 1 else 0
+
+    @pl.when(mt < used_ref[0])
+    def _():
+        @pl.when(kt == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        codes = codes_ref[0].astype(jnp.int32)
+        lo = (codes & 0xF).astype(jnp.float32)
+        hi = (codes >> 4).astype(jnp.float32)
+        e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else kt * kgc)
+        scale_exp = jnp.dot(scales_ref[0].astype(jnp.float32), e,
+                            preferred_element_type=jnp.float32)
+        qb = scale_exp * qbias_coeff
+        w_lo = (lo * scale_exp + qb).astype(dot_dtype)
+        w_hi = (hi * scale_exp + qb).astype(dot_dtype)
+        dims = (((1,), (1,)), ((), ()))
+        acc_ref[...] += jax.lax.dot_general(
+            x_even_ref[...], w_lo, dims, preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            x_odd_ref[...], w_hi, dims, preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(kt == nk - 1)
+        def _():
+            o_ref[...] = acc_ref[...]
+
+
+def _q_blocks(n: int, kp: int, gsub: int):
+    """(bn, bkp) for the quantized grouped kernel: output lane dim needs
+    128-divisible-or-whole bn; the packed-K chunk must hold whole groups
+    and fit the weight-block budget alongside its dequant temporaries."""
+    bn = _pick(n, (256, 128)) or (n if n <= 512 and n % 8 == 0 else 0)
+    if not bn:
+        return None
+    for bkp in (1024, 512, 256):
+        if kp % bkp == 0 and bkp % gsub == 0:
+            break
+    else:
+        bkp = kp if kp % gsub == 0 else 0
+    if not bkp:
+        return None
+    kg = kp // gsub
+    kgc = bkp // gsub
+    e_rows = kgc if (kgc % 128 == 0 and kgc < kg) else kg
+    # in-kernel live set: e matrix + ~3 [bn, bkp] f32 temporaries
+    if 4 * bkp * (3 * bn + e_rows) > 12 * 1024 * 1024:
+        return None
+    return bn, bkp
+
+
+def supports_quant(sq) -> bool:
+    if sq.bits != 4:
+        return False
+    _, n, k = sq.shape
+    gsub = sq.group_size // 2
+    return _q_blocks(n, k // 2, gsub) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "group_size",
+                                             "qbias_coeff", "bm", "interpret"))
+def _grouped_matmul_q_p(x_pad, codes, scales, tile_expert, used_tiles, *,
+                        bits, group_size, qbias_coeff, bm=64,
+                        interpret=False):
+    tp, kdim = x_pad.shape
+    e_all, n, _ = codes.shape
+    kg = scales.shape[2]
+    assert bits == 4 and tp % bm == 0
+    kp = kdim // 2
+    gsub = group_size // 2
+    bn, bkp = _q_blocks(n, kp, gsub)
+    nk = kp // bkp
+    kgc = bkp // gsub
+    chunked = kgc % 128 == 0 and kgc < kg
+    nmt = tp // bm
+
+    # prefill-M dots run in bf16 (single-pass MXU; the dequant rounding
+    # matches the XLA path's bf16 stack materialization). Interpreter mode
+    # stays f32 (CPU XLA lacks bf16 dots; oracle comparisons want precision)
+    dot_dtype = jnp.float32 if interpret else jnp.bfloat16
+    x_e = x_pad.astype(dot_dtype)[:, 0::2]
+    x_o = x_pad.astype(dot_dtype)[:, 1::2]
+
+    grid = (nmt, n // bn, nk)
+    x_spec = pl.BlockSpec((bm, bkp), lambda mt, nt, kt, te, u: (mt, kt))
+    c_spec = pl.BlockSpec((1, bn, bkp),
+                          lambda mt, nt, kt, te, u: (te[mt], nt, kt))
+    s_spec = (
+        pl.BlockSpec((1, bn, kgc), lambda mt, nt, kt, te, u: (te[mt], nt, kt))
+        if chunked else
+        pl.BlockSpec((1, bn, kg), lambda mt, nt, kt, te, u: (te[mt], nt, 0))
+    )
+    o_spec = pl.BlockSpec((bm, bn), lambda mt, nt, kt, te, u: (mt, nt))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[x_spec, x_spec, c_spec, s_spec],
+        out_specs=o_spec,
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_q_kernel, nk=nk, kg=kgc if chunked else kg,
+                          kgc=kgc, kc=bkp, gsub=gsub, chunked_scales=chunked,
+                          qbias_coeff=qbias_coeff, dot_dtype=dot_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tp, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(tile_expert, used_tiles, x_e, x_o, codes, scales)
+
+
+def grouped_matmul_quant(x_pad: jax.Array, sq, tile_expert: jax.Array,
+                         used_tiles: jax.Array, *, bm: int = 64,
+                         interpret: bool = False) -> jax.Array:
+    """Grouped expert matmul over a StackedQuantized weight (INT4
+    symmetric): y [Tp, N] f32 with in-kernel dequant."""
+    return _grouped_matmul_q_p(
+        x_pad, sq.codes, sq.scales, tile_expert, used_tiles, bits=sq.bits,
+        group_size=sq.group_size, qbias_coeff=sq.qbias_coeff, bm=bm,
+        interpret=interpret)
+
+
 def grouped_matmul_xla(x_pad: jax.Array, w: jax.Array,
                        tile_expert: jax.Array, used_tiles: jax.Array, *,
                        bm: int = 64) -> jax.Array:

@@ -67,6 +67,11 @@ def supported(sq) -> bool:
 def _int4_pair_kernel(ids_ref, x_even_ref, x_odd_ref, codes_ref, scales_ref,
                       o_ref, acc_ref, *, kg, kgc, kc, gsub, last_k,
                       exp_dtype, chunked_scales, qbias_coeff):
+    # x/out ride 2D refs (an 8-row band per pair); only codes/scales are
+    # 3D, read through [0] — the exact access pattern grouped_matmul has
+    # proven on this Mosaic. (A first cut stored through o_ref[0] on a 3D
+    # out block and produced wrong values on chip while interpret mode
+    # was exact — CHIP_JOBS_r3.log moe_gemv_smoke.)
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -87,16 +92,16 @@ def _int4_pair_kernel(ids_ref, x_even_ref, x_odd_ref, codes_ref, scales_ref,
 
     dims = (((1,), (1,)), ((), ()))
     acc_ref[...] += jax.lax.dot_general(
-        x_even_ref[0], w_lo, dimension_numbers=dims,
+        x_even_ref[...], w_lo, dimension_numbers=dims,
         preferred_element_type=jnp.float32,
     ) + jax.lax.dot_general(
-        x_odd_ref[0], w_hi, dimension_numbers=dims,
+        x_odd_ref[...], w_hi, dimension_numbers=dims,
         preferred_element_type=jnp.float32,
     )
 
     @pl.when(k == last_k)
     def _():
-        o_ref[0] = acc_ref[...]
+        o_ref[...] = acc_ref[...]
 
 
 def _int8_pair_kernel(ids_ref, x_ref, codes_ref, scales_ref, o_ref, acc_ref,
@@ -115,13 +120,13 @@ def _int8_pair_kernel(ids_ref, x_ref, codes_ref, scales_ref, o_ref, acc_ref,
     w = codes * scale_exp + scale_exp * qbias_coeff
 
     acc_ref[...] += jax.lax.dot_general(
-        x_ref[0], w, dimension_numbers=(((1,), (1,)), ((), ())),
+        x_ref[...], w, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
     @pl.when(k == last_k)
     def _():
-        o_ref[0] = acc_ref[...]
+        o_ref[...] = acc_ref[...]
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "group_size",
@@ -135,8 +140,9 @@ def _moe_gemv_p(x_pairs, codes, scales, ids, *, bits, group_size,
     kg = scales.shape[2]
     g = group_size
 
-    # 8-sublane pair blocks: row 0 real, rows 1-7 zero
-    x3 = jnp.zeros((p, _SUB, kdim), jnp.float32).at[:, 0, :].set(
+    # 8-sublane band per pair in a flat 2D [P*8, K] array (row 8*p real,
+    # the rest zero): x and out blocks stay 2D
+    x2 = jnp.zeros((p * _SUB, kdim), jnp.float32).at[::_SUB, :].set(
         x_pairs.astype(jnp.float32))
 
     if bits == 4:
@@ -145,8 +151,8 @@ def _moe_gemv_p(x_pairs, codes, scales, ids, *, bits, group_size,
         tn, kc = _tiles(n, kp, gsub)
         kgc = kc // gsub
         chunked = kgc % 128 == 0 and kgc < kg
-        x_even = x3[..., 0::2]
-        x_odd = x3[..., 1::2]
+        x_even = x2[:, 0::2]
+        x_odd = x2[:, 1::2]
         n_k = kp // kc
         grid = (p, n // tn, n_k)
         scale_spec = (
@@ -158,13 +164,13 @@ def _moe_gemv_p(x_pairs, codes, scales, ids, *, bits, group_size,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, _SUB, kc), lambda pi, i, k, ids_ref: (pi, 0, k)),
-                pl.BlockSpec((1, _SUB, kc), lambda pi, i, k, ids_ref: (pi, 0, k)),
+                pl.BlockSpec((_SUB, kc), lambda pi, i, k, ids_ref: (pi, k)),
+                pl.BlockSpec((_SUB, kc), lambda pi, i, k, ids_ref: (pi, k)),
                 pl.BlockSpec((1, tn, kc), lambda pi, i, k, ids_ref: (ids_ref[pi], i, k)),
                 scale_spec,
             ],
-            out_specs=pl.BlockSpec((1, _SUB, tn),
-                                   lambda pi, i, k, ids_ref: (pi, 0, i)),
+            out_specs=pl.BlockSpec((_SUB, tn),
+                                   lambda pi, i, k, ids_ref: (pi, i)),
             scratch_shapes=[pltpu.VMEM((_SUB, tn), jnp.float32)],
         )
         out = pl.pallas_call(
@@ -173,7 +179,7 @@ def _moe_gemv_p(x_pairs, codes, scales, ids, *, bits, group_size,
                 gsub=gsub, last_k=n_k - 1, exp_dtype=jnp.float32,
                 chunked_scales=chunked, qbias_coeff=qbias_coeff),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((p, _SUB, n), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((p * _SUB, n), jnp.float32),
             interpret=interpret,
         )(ids, x_even, x_odd, codes, scales)
     else:
@@ -192,12 +198,12 @@ def _moe_gemv_p(x_pairs, codes, scales, ids, *, bits, group_size,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, _SUB, kc), lambda pi, i, k, ids_ref: (pi, 0, k)),
+                pl.BlockSpec((_SUB, kc), lambda pi, i, k, ids_ref: (pi, k)),
                 pl.BlockSpec((1, tn, kc), lambda pi, i, k, ids_ref: (ids_ref[pi], i, k)),
                 scale_spec,
             ],
-            out_specs=pl.BlockSpec((1, _SUB, tn),
-                                   lambda pi, i, k, ids_ref: (pi, 0, i)),
+            out_specs=pl.BlockSpec((_SUB, tn),
+                                   lambda pi, i, k, ids_ref: (pi, i)),
             scratch_shapes=[pltpu.VMEM((_SUB, tn), jnp.float32)],
         )
         out = pl.pallas_call(
@@ -206,10 +212,10 @@ def _moe_gemv_p(x_pairs, codes, scales, ids, *, bits, group_size,
                 gsub=gsub, last_k=n_k - 1, exp_dtype=jnp.float32,
                 chunked_scales=chunked, qbias_coeff=qbias_coeff),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((p, _SUB, n), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((p * _SUB, n), jnp.float32),
             interpret=interpret,
-        )(ids, x3, codes, scales)
-    return out[:, 0, :]
+        )(ids, x2, codes, scales)
+    return out[::_SUB, :]
 
 
 def moe_expert_gemv(sq, x_pairs: jax.Array, ids: jax.Array, *,

@@ -130,7 +130,7 @@ def main(model_dir: str, m: int = 1) -> dict:
     def run(dec, keys):
         nonlocal state
         state, emitted, _ = dec(lm.params, state, jnp.asarray(7, jnp.int32),
-                                jnp.asarray(False), keys)
+                                jnp.asarray(False), keys.shape[0], keys)
         jax.device_get(emitted[0])
 
     run(dec_s, keys_s)  # compile + warm both

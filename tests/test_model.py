@@ -288,3 +288,31 @@ def test_context_bucketed_batch_matches(tiny_llama_dir, monkeypatch):
     eng.run()
     for r, want in zip(reqs, singles):
         assert r.tokens == want
+
+
+def test_overrun_tail_reuses_power_of_two_executables(tiny_llama_dir):
+    """The budget-tail chunk rounds UP to an existing power-of-two decode
+    executable (device budget-halt discards the overrun) — and the key
+    array covers the overrun, so no decode executable silently retraces
+    at an odd scan length (each jitted chunk fn must hold exactly ONE
+    trace)."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.sampling import SamplingParams
+
+    lm = LanguageModel.from_dir(tiny_llama_dir, max_context=256,
+                                prefill_buckets=(16,))
+    full = lm.generate_list(np.asarray([1, 2, 3]), 96, stop_token_ids=[])
+    assert len(full) == 96
+    # sampled variant too (keys content actually consumed)
+    sp = SamplingParams(temperature=0.7, top_k=20)
+    s1 = lm.generate_list(np.asarray([1, 2, 3]), 43, stop_token_ids=[],
+                          sampling=sp, seed=5)
+    assert len(s1) == 43
+    for (_, k, *_rest), fn in lm._decode_jit.items():
+        assert (k & (k - 1)) == 0, f"non-power-of-two chunk {k} compiled"
+        assert fn._cache_size() == 1, \
+            f"decode chunk k={k} retraced ({fn._cache_size()} traces)"
+    # a 43-token sampled run is an exact prefix of a 96-token one
+    s2 = lm.generate_list(np.asarray([1, 2, 3]), 96, stop_token_ids=[],
+                          sampling=sp, seed=5)
+    assert s2[:43] == s1

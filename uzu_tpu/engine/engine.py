@@ -503,7 +503,12 @@ class LanguageModel:
             metrics.num_forward_passes += -(-len(prompt_tokens) // self.prefill_buckets[-1])
 
         stop_ids = tuple(sorted(stop))
-        keys = jax.random.split(jax.random.PRNGKey(seed ^ 0x5EED), max_new_tokens + 1)
+        # + max_decode_chunk: the budget-tail chunk rounds UP to a power of
+        # two, so dispatched steps can overrun the budget by up to one
+        # chunk; a short key slice would silently retrace the decode
+        # executable at an odd scan length (a fresh ~90 s remote compile)
+        keys = jax.random.split(jax.random.PRNGKey(seed ^ 0x5EED),
+                                max_new_tokens + self.max_decode_chunk + 1)
         token = first
         if state.get("ring") is not None:
             state["ring"] = push_ring(state["ring"], token)

@@ -67,13 +67,16 @@ class PagedBatchEngine:
             # measured on-chip (CHIP_JOBS_r3.log page sweeps, B=8 C=8k):
             # the paged kernel is bound by a ~0.4 us per-grid-step floor at
             # page=64 (43.3 ms/step); page=256 moves 4x the bytes per step
-            # (16.96 ms/step, 2.55x) and BEATS the dense engine's 24.6;
-            # page=512 adds only ~10% more while quartering pool
-            # granularity again — 256 is the default where it divides,
-            # smaller pages only for tiny contexts
-            page_size = next((p for p in (256, 128, 64)
-                              if lm.max_context % p == 0
-                              and lm.max_context >= 4 * p), 64)
+            # (16.76 ms/step) and page=512 another +11% (15.07 — beating
+            # the dense engine's 17.2 at 8k). Long contexts take 512 (16+
+            # pages per stream keep pool granularity workable); shorter
+            # contexts take 256 to limit internal fragmentation.
+            if lm.max_context >= 4096 and lm.max_context % 512 == 0:
+                page_size = 512
+            else:
+                page_size = next((p for p in (256, 128, 64)
+                                  if lm.max_context % p == 0
+                                  and lm.max_context >= 4 * p), 64)
         if lm.max_context % page_size:
             raise ValueError("max_context must be a multiple of page_size")
         self.lm = lm

@@ -181,11 +181,14 @@ def _q_kernel(tile_expert_ref, used_ref, x_even_ref, x_odd_ref, codes_ref,
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        codes = codes_ref[0].astype(jnp.int32)
+        # codes/scales ride 2D blocks of the [E*N, ...] flattened stacks
+        # (expert selection in the row-block index): 3D small-lane scale
+        # blocks come back garbled on real Mosaic (moe_gemv_debug r3c)
+        codes = codes_ref[...].astype(jnp.int32)
         lo = (codes & 0xF).astype(jnp.float32)
         hi = (codes >> 4).astype(jnp.float32)
         e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else kt * kgc)
-        scale_exp = jnp.dot(scales_ref[0].astype(jnp.float32), e,
+        scale_exp = jnp.dot(scales_ref[...].astype(jnp.float32), e,
                             preferred_element_type=jnp.float32)
         qb = scale_exp * qbias_coeff
         w_lo = (lo * scale_exp + qb).astype(dot_dtype)
@@ -257,14 +260,19 @@ def _grouped_matmul_q_p(x_pad, codes, scales, tile_expert, used_tiles, *,
     x_e = x_pad.astype(dot_dtype)[:, 0::2]
     x_o = x_pad.astype(dot_dtype)[:, 1::2]
 
-    grid = (nmt, n // bn, nk)
+    nbn = n // bn  # row-blocks per expert in the flattened stacks
+    grid = (nmt, nbn, nk)
+    codes2 = codes.reshape(e_all * n, kp)
+    scales2 = scales.reshape(e_all * n, kg)
     x_spec = pl.BlockSpec((bm, bkp), lambda mt, nt, kt, te, u: (mt, kt))
-    c_spec = pl.BlockSpec((1, bn, bkp),
-                          lambda mt, nt, kt, te, u: (te[mt], nt, kt))
+    c_spec = pl.BlockSpec((bn, bkp),
+                          lambda mt, nt, kt, te, u: (te[mt] * nbn + nt, kt))
     s_spec = (
-        pl.BlockSpec((1, bn, kgc), lambda mt, nt, kt, te, u: (te[mt], nt, kt))
+        pl.BlockSpec((bn, kgc),
+                     lambda mt, nt, kt, te, u: (te[mt] * nbn + nt, kt))
         if chunked else
-        pl.BlockSpec((1, bn, kg), lambda mt, nt, kt, te, u: (te[mt], nt, 0))
+        pl.BlockSpec((bn, kg),
+                     lambda mt, nt, kt, te, u: (te[mt] * nbn + nt, 0))
     )
     o_spec = pl.BlockSpec((bm, bn), lambda mt, nt, kt, te, u: (mt, nt))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -283,7 +291,7 @@ def _grouped_matmul_q_p(x_pad, codes, scales, tile_expert, used_tiles, *,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(tile_expert, used_tiles, x_e, x_o, codes, scales)
+    )(tile_expert, used_tiles, x_e, x_o, codes2, scales2)
 
 
 def grouped_matmul_quant(x_pad: jax.Array, sq, tile_expert: jax.Array,

@@ -67,23 +67,28 @@ def supported(sq) -> bool:
 def _int4_pair_kernel(ids_ref, x_even_ref, x_odd_ref, codes_ref, scales_ref,
                       o_ref, acc_ref, *, kg, kgc, kc, gsub, last_k,
                       exp_dtype, chunked_scales, qbias_coeff):
-    # x/out ride 2D refs (an 8-row band per pair); only codes/scales are
-    # 3D, read through [0] — the exact access pattern grouped_matmul has
-    # proven on this Mosaic. (A first cut stored through o_ref[0] on a 3D
-    # out block and produced wrong values on chip while interpret mode
-    # was exact — CHIP_JOBS_r3.log moe_gemv_smoke.)
+    # EVERY block is 2D — the access patterns quant_matmul has proven on
+    # this Mosaic. The expert stacks are flattened to [E*N, ...] outside
+    # and the expert selection rides the ROW-BLOCK index (ids[pi]*(N/tn)
+    # + i). Two earlier cuts read the stacks through 3D blocks: both were
+    # exact in interpret mode and WRONG on chip — the small-lane scales
+    # plane ((1, tn, kg), kg 16-44) came back garbled while the wide
+    # codes plane was right, so every output stayed "closest" to the
+    # correct expert with O(1) rel errors (CHIP_JOBS_r3.log
+    # moe_gemv_debug; same gotcha family as the rejected (1, page)
+    # scale-row block in CLAUDE.md).
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    codes = codes_ref[0].astype(jnp.int32)
+    codes = codes_ref[...].astype(jnp.int32)
     lo = (codes & 0xF).astype(jnp.float32)
     hi = (codes >> 4).astype(jnp.float32)
 
     e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else k * kgc)
-    scale_exp = jnp.dot(scales_ref[0].astype(exp_dtype), e.astype(exp_dtype),
+    scale_exp = jnp.dot(scales_ref[...].astype(exp_dtype), e.astype(exp_dtype),
                         preferred_element_type=jnp.float32)
     qbias_exp = scale_exp * qbias_coeff
 
@@ -113,9 +118,9 @@ def _int8_pair_kernel(ids_ref, x_ref, codes_ref, scales_ref, o_ref, acc_ref,
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    codes = codes_ref[0].astype(jnp.int32).astype(jnp.float32)
+    codes = codes_ref[...].astype(jnp.int32).astype(jnp.float32)
     e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else k * kgc)
-    scale_exp = jnp.dot(scales_ref[0].astype(exp_dtype), e.astype(exp_dtype),
+    scale_exp = jnp.dot(scales_ref[...].astype(exp_dtype), e.astype(exp_dtype),
                         preferred_element_type=jnp.float32)
     w = codes * scale_exp + scale_exp * qbias_coeff
 
@@ -154,11 +159,14 @@ def _moe_gemv_p(x_pairs, codes, scales, ids, *, bits, group_size,
         x_even = x2[:, 0::2]
         x_odd = x2[:, 1::2]
         n_k = kp // kc
-        grid = (p, n // tn, n_k)
+        nb = n // tn  # row-blocks per expert in the flattened stacks
+        grid = (p, nb, n_k)
+        codes2 = codes.reshape(e_all * n, kp)
+        scales2 = scales.reshape(e_all * n, kg)
         scale_spec = (
-            pl.BlockSpec((1, tn, kgc), lambda pi, i, k, ids_ref: (ids_ref[pi], i, k))
+            pl.BlockSpec((tn, kgc), lambda pi, i, k, ids_ref: (ids_ref[pi] * nb + i, k))
             if chunked else
-            pl.BlockSpec((1, tn, kg), lambda pi, i, k, ids_ref: (ids_ref[pi], i, 0))
+            pl.BlockSpec((tn, kg), lambda pi, i, k, ids_ref: (ids_ref[pi] * nb + i, 0))
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -166,7 +174,7 @@ def _moe_gemv_p(x_pairs, codes, scales, ids, *, bits, group_size,
             in_specs=[
                 pl.BlockSpec((_SUB, kc), lambda pi, i, k, ids_ref: (pi, k)),
                 pl.BlockSpec((_SUB, kc), lambda pi, i, k, ids_ref: (pi, k)),
-                pl.BlockSpec((1, tn, kc), lambda pi, i, k, ids_ref: (ids_ref[pi], i, k)),
+                pl.BlockSpec((tn, kc), lambda pi, i, k, ids_ref: (ids_ref[pi] * nb + i, k)),
                 scale_spec,
             ],
             out_specs=pl.BlockSpec((_SUB, tn),
@@ -181,25 +189,28 @@ def _moe_gemv_p(x_pairs, codes, scales, ids, *, bits, group_size,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((p * _SUB, n), jnp.float32),
             interpret=interpret,
-        )(ids, x_even, x_odd, codes, scales)
+        )(ids, x_even, x_odd, codes2, scales2)
     else:
         gsub = g
         tn, kc = _tiles(n, kdim, gsub)
         kgc = kc // gsub
         chunked = kgc % 128 == 0 and kgc < kg
         n_k = kdim // kc
-        grid = (p, n // tn, n_k)
+        nb = n // tn
+        grid = (p, nb, n_k)
+        codes2 = codes.reshape(e_all * n, kdim)
+        scales2 = scales.reshape(e_all * n, kg)
         scale_spec = (
-            pl.BlockSpec((1, tn, kgc), lambda pi, i, k, ids_ref: (ids_ref[pi], i, k))
+            pl.BlockSpec((tn, kgc), lambda pi, i, k, ids_ref: (ids_ref[pi] * nb + i, k))
             if chunked else
-            pl.BlockSpec((1, tn, kg), lambda pi, i, k, ids_ref: (ids_ref[pi], i, 0))
+            pl.BlockSpec((tn, kg), lambda pi, i, k, ids_ref: (ids_ref[pi] * nb + i, 0))
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((_SUB, kc), lambda pi, i, k, ids_ref: (pi, k)),
-                pl.BlockSpec((1, tn, kc), lambda pi, i, k, ids_ref: (ids_ref[pi], i, k)),
+                pl.BlockSpec((tn, kc), lambda pi, i, k, ids_ref: (ids_ref[pi] * nb + i, k)),
                 scale_spec,
             ],
             out_specs=pl.BlockSpec((_SUB, tn),
@@ -214,7 +225,7 @@ def _moe_gemv_p(x_pairs, codes, scales, ids, *, bits, group_size,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((p * _SUB, n), jnp.float32),
             interpret=interpret,
-        )(ids, x2, codes, scales)
+        )(ids, x2, codes2, scales2)
     return out[::_SUB, :]
 
 

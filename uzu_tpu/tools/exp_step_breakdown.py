@@ -75,6 +75,60 @@ def weight_nbytes(w) -> int:
     return sum(x.nbytes for x in jax.tree.leaves(w))
 
 
+def prefill_main(model_dir: str, chunk: int = 512) -> dict:
+    """Prefill-chunk breakdown: per-shape GEMM probes at M=chunk vs the
+    fused prefill differential (a 3-chunk prompt minus a 1-chunk prompt =
+    2 chunks of pure prefill; launch + tunnel roundtrip cancel)."""
+    import jax
+
+    from ..engine.engine import LanguageModel
+    from ..runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    lm = LanguageModel.from_dir(model_dir, max_context=4 * chunk,
+                                prefill_buckets=(chunk,))
+    cfg = lm.decoder_config.transformer_config
+    l0 = lm.params["layers"][0]
+    probes = {
+        "qkv": l0["mixer"]["qkv"]["w"],
+        "out": l0["mixer"]["out"]["w"],
+        "up|gate": l0["mlp"]["up"]["w"],
+        "down": l0["mlp"]["down"]["w"],
+    }
+    rows = {}
+    per_layer_ms = 0.0
+    for name, w in probes.items():
+        ms = time_shape(lm, w, chunk)
+        nb = weight_nbytes(w)
+        rows[name] = {"ms": round(ms, 4), "mb": round(nb / 1e6, 1)}
+        per_layer_ms += ms
+    n_layers = len(cfg.layer_configs)
+    matmul_total = per_layer_ms * n_layers
+
+    prompt1 = (np.arange(chunk) * 13) % 128
+    prompt3 = (np.arange(3 * chunk) * 13) % 128
+
+    def run(p):
+        state = lm.new_state()
+        logits, _ = lm.prefill(state, p)
+        jax.device_get(logits[:1])
+
+    run(prompt1)
+    run(prompt3)
+    diffs = [_timeit(lambda: run(prompt3)) - _timeit(lambda: run(prompt1))
+             for _ in range(5)]
+    chunk_ms = max(float(np.median(diffs)) / 2, 1e-9) * 1e3
+    out = {
+        "per_shape": rows,
+        "matmul_sum_ms": round(matmul_total, 3),
+        "prefill_chunk_ms": round(chunk_ms, 3),
+        "residual_ms": round(chunk_ms - matmul_total, 3),
+        "residual_pct": round(100 * (chunk_ms - matmul_total) / chunk_ms, 1),
+    }
+    print(json.dumps(out, indent=1))
+    return out
+
+
 def main(model_dir: str, m: int = 1) -> dict:
     from ..engine.engine import LanguageModel
     from ..runtime import enable_compilation_cache
@@ -154,4 +208,10 @@ def main(model_dir: str, m: int = 1) -> dict:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else ".bench_cache/llama1b_int4")
+    import os
+
+    _dir = sys.argv[1] if len(sys.argv) > 1 else ".bench_cache/llama1b_int4"
+    if os.environ.get("UZU_EXP_PREFILL_BREAKDOWN"):
+        prefill_main(_dir, int(os.environ.get("UZU_EXP_CHUNK", "512")))
+    else:
+        main(_dir)

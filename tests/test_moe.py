@@ -232,3 +232,40 @@ def test_quantized_gather_kernel_path_matches_scan(qmoe_dir, rng, monkeypatch):
     got = np.asarray(moe_forward(cfg, params, x))
     assert len(calls) == 2, "fused kernel branch did not engage"
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_quantized_experts_padded_model_dim(tmp_path, monkeypatch, rng):
+    """model_dim not 128-divisible (the real gpt-oss d=2880 class): the
+    quantized down stack lane-pads N at load, every path slices back, and
+    the fused kernels still engage under forced pallas."""
+    from uzu_tpu.config.model import IntSpec, Layout
+    from uzu_tpu.quant.format import StackedQuantized
+
+    spec = IntSpec(bits=4, group_size=32, is_symmetric=True,
+                   layout=Layout.OUTPUT_INPUT)
+    d = synthesize(
+        moe_config(model_dim=192, hidden_dim=384, expert_hidden_dim=96,
+                   num_experts=8, num_active=2, vocab_size=512,
+                   attn_head_dim=48),
+        str(tmp_path / "qpad"), seed=11, dtype=np.float32, linear_spec=spec)
+    lm = LanguageModel.from_dir(d, max_context=64, prefill_buckets=(8,))
+    params = lm.params["layers"][0]["mlp"]
+    assert isinstance(params["down"]["w"], StackedQuantized)
+    assert params["down"]["w"].shape[1] == 256  # 192 -> 256 lane pad
+    cfg = lm.decoder_config.transformer_config.layer_configs[0].mlp_config
+    x = jnp.asarray(rng.standard_normal((3, 192)), jnp.float32)
+    want = np.asarray(moe_forward(cfg, params, x))
+    assert want.shape == (3, 192)
+    x8 = jnp.asarray(rng.standard_normal((8, 192)), jnp.float32)
+    want8 = np.asarray(moe_forward(cfg, params, x8))
+    monkeypatch.setenv("UZU_TPU_KERNELS", "pallas")
+    got = np.asarray(moe_forward(cfg, params, x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    got8 = np.asarray(moe_forward(cfg, params, x8))
+    np.testing.assert_allclose(got8, want8, rtol=2e-2, atol=2e-3)
+    monkeypatch.delenv("UZU_TPU_KERNELS")
+    # end-to-end: greedy decode == teacher-forced re-prefill argmax
+    toks = lm.generate_list(np.asarray([1, 2, 3]), 6, stop_token_ids=[])
+    state = lm.new_state()
+    logits, _ = lm.prefill(state, np.asarray([1, 2, 3] + toks[:-1], np.int32))
+    assert int(np.argmax(np.asarray(logits))) == toks[-1]

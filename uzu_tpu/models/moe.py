@@ -199,7 +199,9 @@ def moe_forward(cfg: MixtureOfExpertsConfig, params, x: jax.Array) -> jax.Array:
         # DECODE keeps the codes resident and reads only active experts
         w13 = dequantize_stacked(w13)
         w2 = dequantize_stacked(w2)
-        dpad = (-d) % 128
+        # quantized stacks (and their biases) are already lane-padded at
+        # load; dense fallback stacks may still need it
+        dpad = (-w2.shape[1]) % 128
         if dpad:
             w2 = jnp.pad(w2, ((0, 0), (0, dpad), (0, 0)))
             if down_b is not None:
@@ -282,7 +284,8 @@ def moe_forward(cfg: MixtureOfExpertsConfig, params, x: jax.Array) -> jax.Array:
                 up_out = up_out + jax.lax.dynamic_index_in_dim(
                     up_b, idx, 0, keepdims=False).astype(jnp.float32)
             hidden = _expert_hidden(cfg, up_out, dff)
-            out = w2_e @ hidden
+            # quantized down stacks are lane-padded at load: slice back
+            out = (w2_e @ hidden)[:n_down] if quantized else w2_e @ hidden
             if down_b is not None:
                 db = jax.lax.dynamic_index_in_dim(
                     down_b, idx, 0, keepdims=False).astype(jnp.float32)
@@ -373,13 +376,22 @@ def load_moe(tree, cfg: MixtureOfExpertsConfig, model_dim: int) -> dict:
                                  model_dim)
     out["up"] = {"w": w13}
     # down-projection output dim is lane-padded to a 128 multiple so the
-    # grouped prefill kernel can tile models like gpt-oss (d=2880); every
-    # forward path slices the result back to model_dim. Quantized stacks
-    # stay unpadded (their consumers pad after dequantization).
+    # grouped prefill + gather GEMV kernels can tile models like gpt-oss
+    # (d=2880 -> 2944); every forward path slices the result back to
+    # model_dim. Quantized stacks pad codes AND scales rows (zero rows
+    # dequantize to zero — sliced off before the combine).
     dpad = (-model_dim) % 128
     w2, _ = _load_expert_stack(experts, "down_projection", e, model_dim, dff)
-    if dpad and not isinstance(w2, StackedQuantized):
-        w2 = jnp.pad(w2, ((0, 0), (0, dpad), (0, 0)))
+    if dpad:
+        if isinstance(w2, StackedQuantized):
+            w2 = StackedQuantized(
+                codes=jnp.pad(w2.codes, ((0, 0), (0, dpad), (0, 0))),
+                scales=jnp.pad(w2.scales, ((0, 0), (0, dpad), (0, 0))),
+                bits=w2.bits, group_size=w2.group_size,
+                qbias_coeff=w2.qbias_coeff,
+            )
+        else:
+            w2 = jnp.pad(w2, ((0, 0), (0, dpad), (0, 0)))
     out["down"] = {"w": w2}
     if cfg.expert_config.has_up_biases:
         out["up"]["b"] = jnp.asarray(
@@ -387,7 +399,7 @@ def load_moe(tree, cfg: MixtureOfExpertsConfig, model_dim: int) -> dict:
         )
     if cfg.expert_config.has_down_biases:
         b2 = jnp.asarray(experts.leaf("down_projection.biases", (e, model_dim), dt))
-        if dpad and not isinstance(w2, StackedQuantized):
+        if dpad:
             b2 = jnp.pad(b2, ((0, 0), (0, dpad)))
         out["down"]["b"] = b2
     if cfg.num_shared_experts:

@@ -314,7 +314,8 @@ def main() -> None:
 
     _stage("load model")
     t0 = time.perf_counter()
-    max_context = 1024
+    max_context = 4096  # room for the 7-chunk sustained-prefill measure;
+    # decode reads stay on the small ctx buckets
     lm = LanguageModel.from_dir(model_dir, max_context=max_context, prefill_buckets=(32, 512))
     RESULTS["load_s"] = round(time.perf_counter() - t0, 2)
 
@@ -368,8 +369,11 @@ def main() -> None:
 
     def stage_prefill():
         # sustained prefill rate: many chunks dispatched back-to-back, one
-        # sync (a single-chunk measurement is dominated by the roundtrip)
-        sustain = 1024
+        # sync (a single-chunk measurement is dominated by the roundtrip —
+        # and even 2 chunks were: the r3c differential probe measured the
+        # marginal 512-chunk at 13.5 ms while the 1024-token rate implied
+        # 41.7, i.e. >60% roundtrip+transfer overhead; 7 chunks amortize it)
+        sustain = 3584 if tpu else 1024
         long_prompt = rng.integers(0, lm.decoder_config.vocab_size, sustain)
         rate = 0.0
         for _ in range(2):  # identical passes: first warms every executable

@@ -97,7 +97,7 @@ def bench_moe(repo: str, stage=None, *, gen_len: int = 96) -> dict:
     stage("moe: synth/load")
     mdir = model_dir(repo)
     t0 = time.perf_counter()
-    lm = LanguageModel.from_dir(mdir, max_context=1024,
+    lm = LanguageModel.from_dir(mdir, max_context=4096,
                                 prefill_buckets=(32, 512))
     out["load_s"] = round(time.perf_counter() - t0, 2)
 
@@ -121,7 +121,10 @@ def bench_moe(repo: str, stage=None, *, gen_len: int = 96) -> dict:
     out["ttft_s"] = round(float(np.median(ttft)), 4)
 
     stage("moe: prefill")
-    long_prompt = rng.integers(0, lm.decoder_config.vocab_size, 1024)
+    # 7 chunks amortize the per-sync tunnel roundtrip (see bench.py
+    # stage_prefill: 2 chunks were >60% roundtrip overhead)
+    n_sust = 3584
+    long_prompt = rng.integers(0, lm.decoder_config.vocab_size, n_sust)
     import jax
 
     rate = 0.0
@@ -130,7 +133,7 @@ def bench_moe(repo: str, stage=None, *, gen_len: int = 96) -> dict:
         t0 = time.perf_counter()
         logits, st = lm.prefill(st, long_prompt)
         jax.device_get(logits[:1])
-        rate = 1024 / (time.perf_counter() - t0)
+        rate = n_sust / (time.perf_counter() - t0)
     out["prefill_tok_s"] = round(rate, 2)
 
     active = active_bytes_per_step(lm, 128 + gen_len // 2)

@@ -188,16 +188,25 @@ def _q_kernel(tile_expert_ref, used_ref, x_even_ref, x_odd_ref, codes_ref,
         lo = (codes & 0xF).astype(jnp.float32)
         hi = (codes >> 4).astype(jnp.float32)
         e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else kt * kgc)
+        # HIGHEST: Mosaic's DEFAULT dots are single-pass bf16 even on f32
+        # operands — the 0/1 expansion must select scales bit-exactly
+        # (root cause of the r3 on-chip small-shape errs; see
+        # quant_matmul._int4_kernel / tools/exp_qmm_bisect2.py)
         scale_exp = jnp.dot(scales_ref[...].astype(jnp.float32), e,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
         qb = scale_exp * qbias_coeff
         w_lo = (lo * scale_exp + qb).astype(dot_dtype)
         w_hi = (hi * scale_exp + qb).astype(dot_dtype)
+        prec = (jax.lax.Precision.HIGHEST if dot_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         dims = (((1,), (1,)), ((), ()))
         acc_ref[...] += jax.lax.dot_general(
             x_even_ref[...], w_lo, dims, preferred_element_type=jnp.float32,
+            precision=prec,
         ) + jax.lax.dot_general(
             x_odd_ref[...], w_hi, dims, preferred_element_type=jnp.float32,
+            precision=prec,
         )
 
         @pl.when(kt == nk - 1)

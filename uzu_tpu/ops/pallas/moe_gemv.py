@@ -89,19 +89,26 @@ def _int4_pair_kernel(ids_ref, x_even_ref, x_odd_ref, codes_ref, scales_ref,
 
     e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else k * kgc)
     scale_exp = jnp.dot(scales_ref[...].astype(exp_dtype), e.astype(exp_dtype),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
     qbias_exp = scale_exp * qbias_coeff
 
     w_lo = lo * scale_exp + qbias_exp
     w_hi = hi * scale_exp + qbias_exp
 
+    # decode-only kernel: f32 contract end-to-end. HIGHEST is required —
+    # Mosaic's DEFAULT dots run ONE bf16 pass even on f32 operands (the
+    # r3 on-chip w13/w2 "garble" was exactly this rounding; see
+    # quant_matmul._int4_kernel and tools/exp_qmm_bisect2.py).
     dims = (((1,), (1,)), ((), ()))
     acc_ref[...] += jax.lax.dot_general(
         x_even_ref[...], w_lo, dimension_numbers=dims,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) + jax.lax.dot_general(
         x_odd_ref[...], w_hi, dimension_numbers=dims,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(k == last_k)
@@ -121,12 +128,14 @@ def _int8_pair_kernel(ids_ref, x_ref, codes_ref, scales_ref, o_ref, acc_ref,
     codes = codes_ref[...].astype(jnp.int32).astype(jnp.float32)
     e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else k * kgc)
     scale_exp = jnp.dot(scales_ref[...].astype(exp_dtype), e.astype(exp_dtype),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
     w = codes * scale_exp + scale_exp * qbias_coeff
 
     acc_ref[...] += jax.lax.dot_general(
         x_ref[...], w, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(k == last_k)

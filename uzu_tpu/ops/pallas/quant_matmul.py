@@ -171,35 +171,46 @@ def _int4_kernel(x_even_ref, x_odd_ref, codes_ref, scales_ref, *rest,
     lo = (codes & 0xF).astype(jnp.float32)
     hi = (codes >> 4).astype(jnp.float32)
 
-    # the expansion dots run in the scales' native bf16: e is exact 0/1 and
-    # each output column sums exactly ONE nonzero term, so the result is
-    # bit-identical to the f32 dot at a single MXU pass instead of several
-    # (the expansion is the kernel's dominant FLOP stream at kg >> kgc).
+    # PRECISION (root-caused on chip r4, tools/exp_qmm_bisect2.py): Mosaic
+    # lowers DEFAULT-precision dots as ONE bf16 MXU pass even for f32
+    # operands — f32 semantics must be requested explicitly. The expansion
+    # dot selects (0/1 matrix) this chunk's scales: at HIGHEST each output
+    # column is exactly 1.0*scale (bit-exact selection); at DEFAULT every
+    # scale was silently bf16-rounded (max-rel-err 0.22-16 vs the host
+    # oracle across the r3 qmm_matrix sweep — at ALL shapes, not a
+    # small-shape Mosaic garble). bf16-native scales keep a single exact
+    # pass (0/1 times a bf16 operand is exact).
     # chunked_scales: the scale block covers only this K-chunk's groups
     # (kg == kgc rows), so group_off is 0 and e is grid-invariant.
     e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else k * kgc)
     scale_exp = jnp.dot(scales_ref[:].astype(exp_dtype), e.astype(exp_dtype),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
     if qbias_coeff is not None:
         qbias_exp = scale_exp * qbias_coeff
     else:
         qbias_exp = jnp.dot(qbias_ref[:].astype(exp_dtype), e.astype(exp_dtype),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
 
-    # dequant in f32 on the VPU, then feed the MXU in bf16 (f32 dots
-    # decompose into multiple MXU passes on TPU); f32 accumulation. The
-    # reference's Metal kernels likewise dequantize to half for simdgroup
-    # matmuls (gemm.metal B-prologue).
+    # dequant in f32 on the VPU, then feed the MXU in the dot dtype; f32
+    # accumulation. Decode (dot_dtype f32, HBM-bound): HIGHEST buys true-f32
+    # multi-pass dots whose extra MXU passes hide entirely under the code
+    # DMA stream. Prefill (dot_dtype bf16, MXU-bound): single-pass bf16 is
+    # the deliberate contract — the reference's Metal kernels likewise
+    # dequantize to half for simdgroup matmuls (gemm.metal B-prologue).
     w_lo = (lo * scale_exp + qbias_exp).astype(dot_dtype)
     w_hi = (hi * scale_exp + qbias_exp).astype(dot_dtype)
 
+    acc_precision = (jax.lax.Precision.HIGHEST if dot_dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
     dims = (((1,), (1,)), ((), ()))  # contract last dims: [M,KC]x[TN,KC]->[M,TN]
     acc_ref[:] += jax.lax.dot_general(
         x_even_ref[:], w_lo, dimension_numbers=dims,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=acc_precision,
     ) + jax.lax.dot_general(
         x_odd_ref[:], w_hi, dimension_numbers=dims,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=acc_precision,
     )
 
     @pl.when(k == last_k)
@@ -219,19 +230,26 @@ def _int8_kernel(x_ref, codes_ref, scales_ref, *rest,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     codes = codes_ref[:].astype(jnp.int32).astype(jnp.float32)
+    # precision: see the int4 kernel — Mosaic's DEFAULT dots are single-pass
+    # bf16 even on f32 operands; HIGHEST keeps scale selection bit-exact and
+    # the decode (f32) accumulation truly f32.
     e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else k * kgc)
     scale_exp = jnp.dot(scales_ref[:].astype(exp_dtype), e.astype(exp_dtype),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
     if qbias_coeff is not None:
         qbias_exp = scale_exp * qbias_coeff
     else:
         qbias_exp = jnp.dot(qbias_ref[:].astype(exp_dtype), e.astype(exp_dtype),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
     w = (codes * scale_exp + qbias_exp).astype(dot_dtype)
 
     acc_ref[:] += jax.lax.dot_general(
         x_ref[:], w, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if dot_dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT),
     )
 
     @pl.when(k == last_k)

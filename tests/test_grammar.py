@@ -336,3 +336,175 @@ def test_trigger_tail_feeds_matcher(chat_dir):
     # the matcher must have consumed '{': an object body can now complete
     assert g.observe_text('"a": 1}') is None  # feeds without breaking
     assert g._is_complete()
+
+
+# -- combinators, $ref, pattern (reference: xgrammar schema scope,
+# grammar/mod.rs:18-76) --------------------------------------------------------
+
+ANYOF_SCHEMA = {
+    "anyOf": [
+        {"type": "object", "properties": {"a": {"type": "integer"}},
+         "required": ["a"], "additionalProperties": False},
+        {"type": "object", "properties": {"b": {"type": "string"}},
+         "required": ["b"], "additionalProperties": False},
+    ],
+}
+
+REF_SCHEMA = {
+    "$defs": {"node": {
+        "type": "object",
+        "properties": {
+            "v": {"type": "integer"},
+            "next": {"anyOf": [{"$ref": "#/$defs/node"}, {"type": "null"}]},
+        },
+        "required": ["v"], "additionalProperties": False,
+    }},
+    "$ref": "#/$defs/node",
+}
+
+
+def test_matcher_anyof_forks():
+    assert JsonMatcher(ANYOF_SCHEMA).feed_text('{"a": 3}')
+    assert JsonMatcher(ANYOF_SCHEMA).feed_text('{"b": "x"}')
+    assert not JsonMatcher(ANYOF_SCHEMA).feed_text('{"a": "x"')
+    assert not JsonMatcher(ANYOF_SCHEMA).feed_text('{"c"')
+    # the fork happens at the shared '{' prefix: both keys stay viable
+    m = JsonMatcher(ANYOF_SCHEMA)
+    assert m.feed_text('{"')
+    assert m.accepts_text('a')
+    assert m.accepts_text('b')
+    assert not m.accepts_text('c')
+
+
+def test_matcher_oneof_union():
+    s = {"oneOf": [{"type": "integer"}, {"type": "null"}]}
+    assert JsonMatcher(s).feed_text("-5 ")
+    assert JsonMatcher(s).feed_text("null")
+    assert not JsonMatcher(s).feed_text('"s"')
+
+
+def test_matcher_ref_recursive():
+    assert JsonMatcher(REF_SCHEMA).feed_text(
+        '{"v": 1, "next": {"v": 2, "next": null}}')
+    assert not JsonMatcher(REF_SCHEMA).feed_text('{"v": "s"')
+    # unresolvable ref raises at use time
+    from uzu_tpu.grammar import GrammarError
+    with pytest.raises(GrammarError):
+        JsonMatcher({"$ref": "#/$defs/nope"}).feed_text("1")
+
+
+def test_matcher_ref_sibling_merge():
+    # constraining siblings narrow the ref target (local keys win)
+    s = {"$defs": {"c": {"type": "string"}},
+         "$ref": "#/$defs/c", "enum": ["x", "y"]}
+    assert JsonMatcher(s).feed_text('"x"')
+    assert not JsonMatcher(s).feed_text('"z"')
+
+
+@pytest.mark.parametrize("pattern,ok,bad", [
+    ("^[a-z]+[0-9]$", ['"abc3"'], ['"abc"', '"3abc"', '"abc3x"']),
+    ("cat", ['"the cat sat"', '"cat"'], ['"the dog sat"']),
+    ("^ab", ['"abXYZ"'], ['"Xab"']),
+    ("ab$", ['"XYab"', '"ab"'], ['"abX"']),
+    ("^a\\nb$", ['"a\\nb"'], ['"anb"']),
+    ("^A.B$", ['"A\\u0041B"', '"AxB"'], ['"AB"']),
+])
+def test_matcher_pattern_modes(pattern, ok, bad):
+    s = {"type": "string", "pattern": pattern}
+    for t in ok:
+        assert JsonMatcher(s).feed_text(t), (pattern, t)
+    for t in bad:
+        assert not JsonMatcher(s).feed_text(t), (pattern, t)
+
+
+def test_pattern_inside_object_mask_terminates(chat_dir):
+    """Constrained generation over a pattern property terminates and emits
+    a conforming value (the mask must keep the closing quote viable only
+    when the pattern is satisfied)."""
+    tok = Tokenizer(chat_dir)
+    lm = LanguageModel.from_dir(chat_dir, max_context=256, prefill_buckets=(16,))
+    schema = {"type": "object",
+              "properties": {"id": {"type": "string", "pattern": "^[a-z]{2}[0-9]{2}$"}},
+              "required": ["id"], "additionalProperties": False}
+    grammar = GrammarSession(tok, schema=schema, backend="python")
+    out = list(constrained_generate(
+        lm, tok.encode("emit json"), 48, grammar,
+        sampling=SamplingParams(temperature=1.0, top_k=40), seed=3))
+    text = tok.decode(out, skip_special_tokens=True).strip()
+    assert JsonMatcher(schema).feed_text(text), text
+    val = json.loads(text)
+    import re
+    assert re.fullmatch(r"[a-z]{2}[0-9]{2}", val["id"]), val
+
+
+def test_native_matches_python_combinators(chat_dir):
+    """C++ and Python masks stay identical across anyOf forks, recursive
+    $ref expansion, and pattern strings (the r4 schema-scope extension)."""
+    from uzu_tpu.grammar.native_backend import NativeGrammar
+
+    tok = Tokenizer(chat_dir)
+    schema = {
+        "$defs": REF_SCHEMA["$defs"],
+        "anyOf": [
+            {"$ref": "#/$defs/node"},
+            {"type": "object",
+             "properties": {"id": {"type": "string", "pattern": "^x-[0-9]+$"}},
+             "required": ["id"], "additionalProperties": False},
+        ],
+    }
+    g_py = GrammarSession(tok, schema=schema, backend="python")
+    g_nat = GrammarSession(tok, schema=schema, backend="native")
+    assert g_nat.backend == "native" and g_py.backend == "python"
+    for text in ('{"v": 2, "next": {"v": 1, "next": null}}',
+                 '{"id": "x-42"}'):
+        g_py.reset()
+        g_nat.reset()
+        ids = tok.encode(text)
+        for i, tid in enumerate(ids):
+            m_py = g_py.current_mask()
+            m_nat = g_nat.current_mask()
+            np.testing.assert_array_equal(
+                m_nat, m_py, err_msg=f"{text!r} diverged at step {i}")
+            if not m_py[tid]:
+                break  # tokenization may straddle; masks still compared
+            g_py.observe(tid)
+            g_nat.observe(tid)
+
+
+def test_server_response_format_anyof_pattern(chat_dir):
+    """A served json_schema with anyOf + pattern round-trips (VERDICT r3 #5
+    done-condition)."""
+    from uzu_tpu.server.openai import ChatCompletionServer
+    from uzu_tpu.sessions.chat import ChatSession
+
+    lm = LanguageModel.from_dir(chat_dir, max_context=256, prefill_buckets=(16,))
+    tok = Tokenizer(chat_dir)
+    schema = {
+        "anyOf": [
+            {"type": "object",
+             "properties": {"code": {"type": "string", "pattern": "^[A-Z]{3}$"}},
+             "required": ["code"], "additionalProperties": False},
+            {"type": "object",
+             "properties": {"num": {"type": "integer"}},
+             "required": ["num"], "additionalProperties": False},
+        ],
+    }
+    srv = ChatCompletionServer(ChatSession(lm, tok))
+    out = srv.handle_chat({
+        "messages": [{"role": "user", "content": "json"}],
+        "max_tokens": 48,
+        "temperature": 1.0,
+        "top_k": 40,
+        "response_format": {
+            "type": "json_schema",
+            "json_schema": {"name": "pick", "schema": schema},
+        },
+    })
+    text = out["choices"][0]["message"]["content"].strip()
+    assert JsonMatcher(schema).feed_text(text), text
+    val = json.loads(text)
+    import re
+    if "code" in val:
+        assert re.fullmatch(r"[A-Z]{3}", val["code"]), val
+    else:
+        assert isinstance(val["num"], int), val

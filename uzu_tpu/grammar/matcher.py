@@ -12,7 +12,20 @@ xgrammar's adaptive token mask cache).
 
 Schema subset: type object (properties/required/additionalProperties),
 array (items, minItems/maxItems bounded), string, number, integer, boolean,
-null, enum (of scalars), const. Enough for tool-call arguments.
+null, enum (of scalars), const, anyOf/oneOf (branch-set fork; oneOf's
+exclusivity is not enforced at generation time — the mask is the union of
+the alternatives, matching xgrammar's practical behavior), local $ref
+(#/$defs/... and #/definitions/..., recursion supported), and string
+`pattern` (compiled to the char-class DFA of grammar/regex.py; edge ^/$
+anchors honored, otherwise unanchored containment per JSON Schema).
+Enough for real tool-call argument schemas.
+
+Combinators make the matcher a BRANCH SET (GLR-style): every branch is a
+deterministic pushdown stack; a "value" frame whose schema is an anyOf
+forks the branch per alternative, characters advance all branches and drop
+the ones that reject, and the token mask is the union over branches.
+Branch counts stay small (bounded by combinator nesting) and signatures
+dedupe identical branches.
 """
 
 from __future__ import annotations
@@ -31,13 +44,21 @@ class GrammarError(ValueError):
 
 
 # -- matcher frames ----------------------------------------------------------
-# The matcher state is a stack of frames; each frame is a tuple whose first
-# element is the frame kind. Deterministic at character level.
+# Branch state is a stack of frames; each frame is a tuple whose first
+# element is the frame kind. Deterministic at character level (combinator
+# nondeterminism lives in the branch SET, never inside a frame).
 #
 #   ("value", schema)                   expect any value allowed by schema
 #   ("string_body", allowed|None, acc)  inside quotes; allowed = set of exact
 #                                       strings (enum/const/keys) or None
 #   ("string_esc", allowed, acc)        after backslash
+#   ("string_pat", pat, states, matched) inside quotes, pattern-constrained:
+#                                       states = DFA state bitmask of the
+#                                       containment walk, matched = sticky
+#                                       "a match has been seen" (unanchored
+#                                       end) — see _pattern_info
+#   ("string_pat_esc", pat, states, matched)   after backslash
+#   ("string_pat_u", pat, states, matched, hex) inside \uXXXX
 #   ("number", schema, acc)             inside a number literal
 #   ("literal", rest)                   fixed text remaining (true/false/null)
 #   ("obj_open", schema)                after '{' : expect key or '}'
@@ -46,42 +67,171 @@ class GrammarError(ValueError):
 #   ("obj_next", schema, seen)          expect ',' or '}'
 #   ("arr_open", schema, n)             after '[' : expect value or ']'
 #   ("arr_next", schema, n)             expect ',' or ']'
-#   ("end",)                            value complete; only ws allowed
 
 
 def _schema_key(schema) -> str:
     return json.dumps(schema, sort_keys=True) if isinstance(schema, dict) else "any"
 
 
+class _Fork(Exception):
+    """Raised by a branch whose top value frame is a combinator: the
+    branch set substitutes each alternative and re-feeds the character."""
+
+    def __init__(self, alternatives):
+        self.alternatives = alternatives
+
+
+# annotation keys that never constrain matching and are dropped when
+# merging combinator/ref siblings
+_ANNOTATIONS = ("description", "title", "default", "examples", "$schema",
+                "$id", "$defs", "definitions")
+
+
+def _collect_defs(schema) -> dict:
+    """Local definition table for $ref resolution (root-level $defs /
+    definitions — the subset real tool schemas use)."""
+    defs: dict[str, Any] = {}
+    if isinstance(schema, dict):
+        for key in ("$defs", "definitions"):
+            sub = schema.get(key)
+            if isinstance(sub, dict):
+                for name, s in sub.items():
+                    defs[f"#/{key}/{name}"] = s
+    return defs
+
+
+def _resolve(schema, defs, _depth: int = 0):
+    """Follow $ref chains; merge non-annotation sibling keys (siblings win —
+    they are the more-local constraint, e.g. a $ref plus a narrowing enum)."""
+    while isinstance(schema, dict) and "$ref" in schema:
+        if _depth > 64:
+            raise GrammarError("$ref chain too deep / cyclic")
+        ref = schema["$ref"]
+        target = defs.get(ref)
+        if target is None:
+            raise GrammarError(f"unresolvable $ref {ref!r}")
+        extras = {k: v for k, v in schema.items()
+                  if k != "$ref" and k not in _ANNOTATIONS}
+        schema = {**target, **extras} if extras else target
+        _depth += 1
+    return schema
+
+
+def _alternatives(schema):
+    """anyOf/oneOf alternatives (sibling constraints merged into each), or
+    None. oneOf == anyOf for masking purposes (exclusivity is a validation
+    concern, not reachable-prefix one)."""
+    if not isinstance(schema, dict):
+        return None
+    alts = schema.get("anyOf")
+    if alts is None:
+        alts = schema.get("oneOf")
+    if alts is None:
+        return None
+    if not isinstance(alts, list) or not alts:
+        raise GrammarError("anyOf/oneOf must be a non-empty list")
+    extras = {k: v for k, v in schema.items()
+              if k not in ("anyOf", "oneOf") and k not in _ANNOTATIONS}
+    if extras:
+        return [{**extras, **a} if isinstance(a, dict) else a for a in alts]
+    return list(alts)
+
+
+class _Branch:
+    """One deterministic pushdown stack (the pre-combinator JsonMatcher)."""
+
+    __slots__ = ("stack", "finished", "defs")
+
+    def __init__(self, schema, defs):
+        self.stack: list[tuple] = [("value", schema)]
+        self.finished = False
+        self.defs = defs
+
+    def clone(self) -> "_Branch":
+        b = _Branch.__new__(_Branch)
+        b.stack = list(self.stack)
+        b.finished = self.finished
+        b.defs = self.defs
+        return b
+
+    def signature(self) -> tuple:
+        return (self.finished, tuple(map(_frame_sig, self.stack)))
+
+    def advance(self, ch: str) -> bool:
+        """Consume one character; False if rejected (state then undefined).
+        Raises _Fork when the top value frame is a combinator — including
+        from nested re-dispatch (array item start), where the stack below
+        the combinator frame has already validly consumed the char."""
+        if not self.stack:
+            self.finished = True
+            return ch in WS
+        top = self.stack[-1]
+        if top[0] == "value":
+            schema = _resolve(top[1], self.defs)
+            alts = _alternatives(schema)
+            if alts is not None:
+                raise _Fork(alts)
+            if schema is not top[1]:
+                self.stack[-1] = ("value", schema)
+        kind = self.stack[-1][0]
+        handler = _HANDLERS[kind]
+        return handler(self, ch)
+
+    def is_complete(self) -> bool:
+        return not self.stack
+
+
 class JsonMatcher:
-    """Deterministic byte/char-level matcher for one JSON value."""
+    """Byte/char-level matcher for one JSON value: a set of deterministic
+    branches (one unless combinators fork). Public API is unchanged from
+    the single-stack version: advance/feed_text/accepts_text/is_complete/
+    clone/signature."""
 
     def __init__(self, schema: Optional[dict] = None):
         self.schema = schema
-        self.stack: list[tuple] = [("value", schema)]
-        self.finished = False
+        defs = _collect_defs(schema)
+        self.branches: list[_Branch] = [_Branch(schema, defs)]
 
     # -- core transition ---------------------------------------------------
 
     def clone(self) -> "JsonMatcher":
         m = JsonMatcher.__new__(JsonMatcher)
         m.schema = self.schema
-        m.stack = list(self.stack)
-        m.finished = self.finished
+        m.branches = [b.clone() for b in self.branches]
         return m
 
     def signature(self) -> tuple:
-        return (self.finished, tuple(map(_frame_sig, self.stack)))
+        if len(self.branches) == 1:
+            return self.branches[0].signature()
+        return tuple(sorted(b.signature() for b in self.branches))
 
     def advance(self, ch: str) -> bool:
-        """Consume one character; returns False (state unchanged semantics
-        undefined) if rejected."""
-        if not self.stack:
-            self.finished = True
-            return ch in WS
-        kind = self.stack[-1][0]
-        handler = _HANDLERS[kind]
-        return handler(self, ch)
+        """Consume one character across all branches; returns False (state
+        then undefined) if every branch rejects."""
+        work = self.branches
+        out: list[_Branch] = []
+        sigs: set = set()
+        forks = 0
+        while work:
+            b = work.pop()
+            try:
+                ok = b.advance(ch)
+            except _Fork as f:
+                forks += 1
+                if forks > 512:  # runaway combinator/ref cycle
+                    raise GrammarError("combinator expansion does not converge")
+                for alt in f.alternatives:
+                    nb = b.clone()
+                    nb.stack[-1] = ("value", alt)
+                    work.append(nb)
+                continue
+            if ok:
+                sig = b.signature()
+                if sig not in sigs:
+                    sigs.add(sig)
+                    out.append(b)
+        self.branches = out
+        return bool(out)
 
     def accepts_text(self, text: str) -> bool:
         m = self.clone()
@@ -97,15 +247,7 @@ class JsonMatcher:
         return True
 
     def is_complete(self) -> bool:
-        return not self.stack
-
-    # -- frame helpers ----------------------------------------------------
-
-    def _pop_value_done(self):
-        """A value finished: unwind the parent frame."""
-        # parent frame (if any) decides what comes next; handled by parent
-        # frames themselves when they see separators. Nothing to do here.
-        pass
+        return any(b.is_complete() for b in self.branches)
 
 
 def _frame_sig(frame: tuple) -> tuple:
@@ -137,6 +279,132 @@ def _string_allowed(schema) -> Optional[set]:
     return None
 
 
+# -- string `pattern` ---------------------------------------------------------
+
+class _PatternInfo:
+    """Compiled JSON-Schema string pattern: the char-class DFA of the body
+    (grammar/regex.py, implicitly anchored) plus edge-anchor flags. The
+    string walk simulates CONTAINMENT over the DFA with a state BITMASK:
+    without ^ the start state is re-seeded every character (a match may
+    begin anywhere); without $ "matched" is sticky once any live state
+    accepts (a match may end anywhere)."""
+
+    __slots__ = ("dfa", "anchored_start", "anchored_end", "accept_mask",
+                 "start_mask", "table")
+
+    def __init__(self, pattern: str):
+        from .regex import RegexDFA
+
+        body, self.anchored_start, self.anchored_end = _strip_anchors(pattern)
+        self.dfa = RegexDFA(body)
+        self.table = self.dfa.table
+        self.accept_mask = 0
+        for i, a in enumerate(self.dfa.accept):
+            if a:
+                self.accept_mask |= 1 << i
+        self.start_mask = 1  # subset construction: start state is 0
+
+    def step(self, states: int, ch: str) -> int:
+        src = states if self.anchored_start else (states | self.start_mask)
+        cid = self.dfa.class_of(ch)
+        col = self.table[:, cid]
+        new = 0
+        s = src
+        while s:
+            low = s & -s
+            t = int(col[low.bit_length() - 1])
+            if t >= 0:
+                new |= 1 << t
+            s ^= low
+        return new
+
+    def range_viable(self, states: int, matched: bool, lo: int, hi: int) -> bool:
+        """True iff SOME codepoint in [lo, hi] keeps the containment walk
+        alive (non-empty next state set). Gates \\-escape entry and each
+        \\uXXXX hex digit: without it a dead-end escape (e.g. \\u after
+        ^[A-Z]{3}$ has already matched 3 chars) is admitted and generation
+        is trapped until max_tokens. Unanchored start re-seeds every char,
+        so nothing ever dies there; a sticky match is free-running."""
+        if matched or not self.anchored_start:
+            return True
+        import bisect
+
+        bounds = self.dfa._bounds
+        cls = self.dfa._interval_class
+        i = max(bisect.bisect_right(bounds, lo) - 1, 0)
+        seen: set[int] = set()
+        while i < len(cls) and bounds[i] <= hi:
+            cid = cls[i]
+            if cid not in seen:
+                seen.add(cid)
+                col = self.table[:, cid]
+                s = states
+                while s:
+                    low = s & -s
+                    if int(col[low.bit_length() - 1]) >= 0:
+                        return True
+                    s ^= low
+            i += 1
+        return False
+
+
+def _strip_anchors(pattern: str) -> tuple[str, bool, bool]:
+    a_start = pattern.startswith("^")
+    body = pattern[1:] if a_start else pattern
+    a_end = False
+    if body.endswith("$"):
+        bs = 0
+        i = len(body) - 2
+        while i >= 0 and body[i] == "\\":
+            bs += 1
+            i -= 1
+        if bs % 2 == 0:  # the $ is not escaped
+            a_end = True
+            body = body[:-1]
+    return body, a_start, a_end
+
+
+_PATTERN_CACHE: dict[str, _PatternInfo] = {}
+
+
+def _pattern_info(pattern: str) -> _PatternInfo:
+    info = _PATTERN_CACHE.get(pattern)
+    if info is None:
+        try:
+            info = _PatternInfo(pattern)
+        except Exception as exc:
+            raise GrammarError(f"unsupported pattern {pattern!r}: {exc}") from exc
+        _PATTERN_CACHE[pattern] = info
+    return info
+
+
+def _pat_frame_after(kind: str, pat: str, states: int, matched: bool,
+                     info: _PatternInfo, ch: str):
+    """Step the containment walk by one decoded character; None = dead."""
+    new = info.step(states, ch)
+    if info.anchored_end:
+        # match must end exactly at the closing quote; "matched" is
+        # recomputed there. An empty state set is dead ONLY when the start
+        # is anchored too — otherwise the start re-seeds every character
+        # and a later match can still begin.
+        if not new and info.anchored_start:
+            return None
+        return (kind, pat, new, False)
+    matched = matched or bool(new & info.accept_mask)
+    if matched:
+        return (kind, pat, 0, True)  # free-running tail: stop tracking
+    if not new and info.anchored_start:
+        return None  # anchored start, all states dead, never matched
+    return (kind, pat, new, False)
+
+
+def _pat_close_ok(pat: str, states: int, matched: bool) -> bool:
+    info = _pattern_info(pat)
+    if info.anchored_end:
+        return bool(states & info.accept_mask)
+    return matched
+
+
 def _value_start(m: JsonMatcher, ch: str, schema) -> bool:
     if ch in WS:
         return True
@@ -166,7 +434,16 @@ def _value_start(m: JsonMatcher, ch: str, schema) -> bool:
         return types is None or t in types
 
     if ch == '"' and allow("string"):
-        m.stack.append(("string_body", _string_allowed(schema), ""))
+        allowed = _string_allowed(schema)
+        pat = (schema.get("pattern")
+               if isinstance(schema, dict) and allowed is None else None)
+        if pat is not None:
+            info = _pattern_info(pat)
+            matched0 = (not info.anchored_end
+                        and bool(info.start_mask & info.accept_mask))
+            m.stack.append(("string_pat", pat, info.start_mask, matched0))
+        else:
+            m.stack.append(("string_body", allowed, ""))
         return True
     if ch == "{" and allow("object"):
         m.stack.append(("obj_open", schema))
@@ -241,6 +518,71 @@ def _h_string_u(m, ch):
         m.stack[-1] = ("string_body", allowed, acc)
         return True
     m.stack[-1] = ("string_u", allowed, acc, left - 1)
+    return True
+
+
+def _h_string_pat(m, ch):
+    _, pat, states, matched = m.stack[-1]
+    if ch == '"':
+        if not _pat_close_ok(pat, states, matched):
+            return False
+        m.stack.pop()
+        return True
+    if ch == "\\":
+        # escapes can only produce BMP codepoints (simple escapes or \uXXXX);
+        # refuse the escape entirely when none of them can survive the DFA
+        if not _pattern_info(pat).range_viable(states, matched, 0, 0xFFFF):
+            return False
+        m.stack[-1] = ("string_pat_esc", pat, states, matched)
+        return True
+    if ch < " ":  # JSON forbids raw control chars in strings
+        return False
+    nf = _pat_frame_after("string_pat", pat, states, matched,
+                          _pattern_info(pat), ch)
+    if nf is None:
+        return False
+    m.stack[-1] = nf
+    return True
+
+
+_PAT_ESCAPES = {'"': '"', "\\": "\\", "/": "/", "b": "\b", "f": "\f",
+                "n": "\n", "r": "\r", "t": "\t"}
+
+
+def _h_string_pat_esc(m, ch):
+    _, pat, states, matched = m.stack[-1]
+    if ch == "u":
+        m.stack[-1] = ("string_pat_u", pat, states, matched, "")
+        return True
+    rep = _PAT_ESCAPES.get(ch)
+    if rep is None:
+        return False
+    nf = _pat_frame_after("string_pat", pat, states, matched,
+                          _pattern_info(pat), rep)
+    if nf is None:
+        return False
+    m.stack[-1] = nf
+    return True
+
+
+def _h_string_pat_u(m, ch):
+    _, pat, states, matched, hexacc = m.stack[-1]
+    if ch not in "0123456789abcdefABCDEF":
+        return False
+    hexacc += ch
+    if len(hexacc) < 4:
+        shift = 4 * (4 - len(hexacc))
+        lo = int(hexacc, 16) << shift
+        if not _pattern_info(pat).range_viable(states, matched, lo,
+                                               lo | ((1 << shift) - 1)):
+            return False
+        m.stack[-1] = ("string_pat_u", pat, states, matched, hexacc)
+        return True
+    nf = _pat_frame_after("string_pat", pat, states, matched,
+                          _pattern_info(pat), chr(int(hexacc, 16)))
+    if nf is None:
+        return False
+    m.stack[-1] = nf
     return True
 
 
@@ -449,6 +791,9 @@ _HANDLERS = {
     "string_body": _h_string_body,
     "string_esc": _h_string_esc,
     "string_u": _h_string_u,
+    "string_pat": _h_string_pat,
+    "string_pat_esc": _h_string_pat_esc,
+    "string_pat_u": _h_string_pat_u,
     "number": _h_number,
     "literal": _h_literal,
     "obj_open": _h_obj_open,

@@ -24,22 +24,60 @@ _TYPE_BITS = {
 }
 
 _UNSUPPORTED_KEYS = {
-    "oneOf", "anyOf", "allOf", "not", "$ref", "patternProperties",
-    "pattern", "format", "minimum", "maximum", "minLength", "maxLength",
+    "allOf", "not", "patternProperties",
+    "format", "minimum", "maximum", "minLength", "maxLength",
     "prefixItems", "additionalItems", "dependencies", "if", "then", "else",
 }
+
+_EMPTY_NODE = {"type_mask": T_ANY, "items": -1, "min": 0, "max": -1,
+               "additional": 1, "props": [], "enum": [], "alts": [],
+               "pattern": -1}
 
 
 class SchemaUnsupported(Exception):
     pass
 
 
-def flatten_schema(schema) -> tuple[np.ndarray, list[str]]:
-    """Flatten a schema tree into the int32 table grammar.cpp consumes.
-    Raises SchemaUnsupported for features only the Python matcher handles."""
+def _flatten_pattern(pattern: str, dfas: list, dfa_ids: dict) -> int:
+    """Compile a string `pattern` into a shipped DFA record (see the buffer
+    layout in grammar.cpp). The C++ walk steps one DFA transition per
+    CODEPOINT (UTF-8 continuation bytes are skipped; non-ASCII lead bytes
+    take the catch-all class), so only ASCII patterns flatten — the rest
+    fall back to the Python matcher. State sets ride a uint64 bitmask."""
+    if pattern in dfa_ids:
+        return dfa_ids[pattern]
+    if any(ord(c) > 127 for c in pattern):
+        raise SchemaUnsupported("non-ASCII pattern")
+    from .matcher import GrammarError, _pattern_info
+
+    try:
+        info = _pattern_info(pattern)
+    except GrammarError as exc:
+        raise SchemaUnsupported(str(exc)) from exc
+    if info.dfa.n_states > 64:
+        raise SchemaUnsupported("pattern DFA > 64 states")
+    idx = len(dfas)
+    dfa_ids[pattern] = idx
+    dfas.append(info)
+    return idx
+
+
+def flatten_schema(schema) -> tuple[np.ndarray, list[str], np.ndarray]:
+    """Flatten a schema tree into the int32 tables grammar.cpp consumes:
+    (node table, string pool, pattern-DFA table). anyOf/oneOf flatten to
+    alternative-node lists (the C++ branch set forks on them); local $ref
+    flattens to a memoized 1-alt indirection node, so recursive schemas
+    terminate. Raises SchemaUnsupported for features only the Python
+    matcher handles."""
+    from .matcher import _alternatives, _collect_defs, _resolve, GrammarError
+
+    defs = _collect_defs(schema)
     nodes: list[dict] = []
     strings: list[str] = []
     sids: dict[str, int] = {}
+    ref_idx: dict[str, int] = {}
+    dfas: list = []
+    dfa_ids: dict[str, int] = {}
 
     def sid(s: str) -> int:
         if s not in sids:
@@ -47,13 +85,47 @@ def flatten_schema(schema) -> tuple[np.ndarray, list[str]]:
             strings.append(s)
         return sids[s]
 
-    def walk(s) -> int:
+    def walk(s, depth: int = 0) -> int:
+        if depth > 64:
+            raise SchemaUnsupported("schema nesting too deep")
         if s is None or s is True or s == {}:
-            nodes.append({"type_mask": T_ANY, "items": -1, "min": 0, "max": -1,
-                          "additional": 1, "props": [], "enum": []})
+            nodes.append(dict(_EMPTY_NODE))
             return len(nodes) - 1
         if not isinstance(s, dict):
             raise SchemaUnsupported(f"schema node {type(s)}")
+
+        if "$ref" in s:
+            extras = {k: v for k, v in s.items() if k != "$ref"}
+            from .matcher import _ANNOTATIONS
+
+            if all(k in _ANNOTATIONS for k in extras):
+                # pure ref: memoized indirection node (recursion-safe)
+                path = s["$ref"]
+                if path in ref_idx:
+                    return ref_idx[path]
+                if path not in defs:
+                    raise SchemaUnsupported(f"unresolvable $ref {path}")
+                idx = len(nodes)
+                nodes.append(dict(_EMPTY_NODE))
+                ref_idx[path] = idx
+                target = walk(defs[path], depth + 1)
+                nodes[idx] = {**_EMPTY_NODE, "alts": [target]}
+                return idx
+            # ref with constraining siblings: inline one level (recursion
+            # through such refs is unsupported; the depth guard catches it)
+            try:
+                s = _resolve(s, defs)
+            except GrammarError as exc:
+                raise SchemaUnsupported(str(exc)) from exc
+
+        alts = _alternatives(s)
+        if alts is not None:
+            idx = len(nodes)
+            nodes.append(dict(_EMPTY_NODE))
+            nodes[idx] = {**_EMPTY_NODE,
+                          "alts": [walk(a, depth + 1) for a in alts]}
+            return idx
+
         for k in s:
             if k in _UNSUPPORTED_KEYS:
                 raise SchemaUnsupported(k)
@@ -77,17 +149,22 @@ def flatten_schema(schema) -> tuple[np.ndarray, list[str]]:
         else:
             type_mask = T_ANY
 
+        pattern = -1
+        if "pattern" in s and not enum_sids:
+            pattern = _flatten_pattern(s["pattern"], dfas, dfa_ids)
+
         props = []
         if "properties" in s:
             required = set(s.get("required", ()))
             if len(s["properties"]) > 64:
                 raise SchemaUnsupported(">64 properties")
             for name, sub in s["properties"].items():
-                props.append((sid(name), walk(sub), 1 if name in required else 0))
+                props.append((sid(name), walk(sub, depth + 1),
+                              1 if name in required else 0))
         elif s.get("required"):
             raise SchemaUnsupported("required without properties")
 
-        items = walk(s["items"]) if "items" in s else -1
+        items = walk(s["items"], depth + 1) if "items" in s else -1
         nodes[idx] = {
             "type_mask": type_mask,
             "items": items,
@@ -96,6 +173,8 @@ def flatten_schema(schema) -> tuple[np.ndarray, list[str]]:
             "additional": 0 if (props and not s.get("additionalProperties", False)) else 1,
             "props": props,
             "enum": enum_sids,
+            "alts": [],
+            "pattern": pattern,
         }
         return idx
 
@@ -103,11 +182,37 @@ def flatten_schema(schema) -> tuple[np.ndarray, list[str]]:
     buf = [len(nodes)]
     for n in nodes:
         buf += [n["type_mask"], n["items"], n["min"], n["max"], n["additional"],
-                len(n["props"]), len(n["enum"])]
+                len(n["props"]), len(n["enum"]), len(n["alts"]), n["pattern"]]
         for p in n["props"]:
             buf += list(p)
         buf += n["enum"]
-    return np.asarray(buf, np.int32), strings
+        buf += n["alts"]
+
+    # DFA buffer: n_dfas, then per DFA:
+    #   [n_states, n_classes, anchored_start, anchored_end,
+    #    accept_lo, accept_hi, default_class]
+    #   + 128 byte->class entries
+    #   + n_intervals + n_intervals*(start_codepoint, class)  — the atomic
+    #     interval partition (RegexDFA._bounds), so the C++ walk resolves
+    #     non-ASCII \uXXXX codepoints and escape range-viability EXACTLY
+    #     like matcher.py (interval i covers [start_i, start_{i+1}))
+    #   + n_states*n_classes transitions
+    dbuf = [len(dfas)]
+    for info in dfas:
+        acc = info.accept_mask
+        dbuf += [info.dfa.n_states, info.table.shape[1],
+                 int(info.anchored_start), int(info.anchored_end),
+                 acc & 0xFFFFFFFF, (acc >> 32) & 0xFFFFFFFF,
+                 info.dfa.class_of("\U0010fffd")]
+        dbuf += [info.dfa.class_of(chr(b)) for b in range(128)]
+        icls = info.dfa._interval_class
+        dbuf.append(len(icls))
+        for start, cid in zip(info.dfa._bounds[:-1], icls):
+            dbuf += [start, cid]
+        dbuf += [int(v) for v in info.table.reshape(-1)]
+    # accept-mask halves are unsigned 32-bit values: wrap to signed int32
+    dbuf = [v - 2**32 if v >= 2**31 else v for v in dbuf]
+    return np.asarray(buf, np.int32), strings, np.asarray(dbuf, np.int32)
 
 
 def _pack_strings(strs: list[str]) -> tuple[bytes, np.ndarray]:
@@ -134,19 +239,21 @@ class NativeGrammar:
         if schema is None:
             sbuf = np.zeros(0, np.int32)
             strings: list[str] = []
+            dbuf = np.zeros(1, np.int32)
         else:
-            sbuf, strings = flatten_schema(schema)
+            sbuf, strings, dbuf = flatten_schema(schema)
         str_blob, str_offs = _pack_strings(strings)
         tok_blob, tok_offs = _pack_strings([t or "" for t in token_strings])
         self.n_tokens = len(token_strings)
         # keep buffers alive
-        self._keep = (sbuf, str_blob, str_offs, tok_blob, tok_offs)
+        self._keep = (sbuf, str_blob, str_offs, tok_blob, tok_offs, dbuf)
         self._h = lib.ug_create(
             sbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(sbuf),
             str_blob, str_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             len(strings),
             tok_blob, tok_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             self.n_tokens,
+            dbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(dbuf),
         )
 
     @staticmethod
@@ -158,6 +265,7 @@ class NativeGrammar:
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
         ]
         for name in ("ug_reset", "ug_destroy"):
             getattr(lib, name).restype = None

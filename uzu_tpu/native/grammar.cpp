@@ -7,7 +7,17 @@
 // library computes per-step token bitmasks over large vocabularies fast.
 // Semantics are kept in lockstep with matcher.py (tests compare them).
 //
-// Schema is passed pre-flattened from Python as an int32 table + string
+// The matcher state is a BRANCH SET (GLR-style): each branch is one
+// deterministic frame stack; a value frame whose schema node carries
+// alternatives (anyOf/oneOf, or a $ref indirection — both flattened to
+// `alts` node lists by native_backend.flatten_schema) forks the branch,
+// characters advance every branch and drop rejecting ones, and the token
+// mask is the union over branches. String `pattern` constraints ship as
+// char-class DFA tables (compiled by grammar/regex.py); the in-string walk
+// is an unanchored containment simulation over a uint64 state bitmask,
+// honoring edge ^/$ anchors.
+//
+// Schema is passed pre-flattened from Python as int32 tables + string
 // pool, so no JSON parsing happens here.
 //
 // C ABI only — consumed via ctypes.
@@ -18,6 +28,7 @@
 #include <cstdio>
 #include <string>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -46,8 +57,21 @@ struct Node {
     int32_t min_items = 0;
     int32_t max_items = -1; // -1 = unbounded
     int32_t additional = 1; // additionalProperties allowed
+    int32_t pattern = -1;   // DFA index for string `pattern` (-1 = none)
     std::vector<Prop> props;
     std::vector<int32_t> enum_sids;  // string enum values
+    std::vector<int32_t> alts;       // anyOf/oneOf / $ref indirection
+};
+
+struct Dfa {
+    int32_t n_states = 0, n_classes = 0;
+    bool a_start = false, a_end = false;  // edge ^ / $ anchors
+    uint64_t accept = 0;                  // accepting-state bitmask
+    int32_t default_class = 0;            // class for non-ASCII codepoints
+    int32_t cls[128] = {0};               // byte -> class (ASCII)
+    std::vector<int32_t> ibounds;         // atomic interval start codepoints
+    std::vector<int32_t> icls;            // interval -> class
+    std::vector<int32_t> table;           // [n_states * n_classes], -1 dead
 };
 
 enum FrameKind : uint8_t {
@@ -63,7 +87,10 @@ enum FrameKind : uint8_t {
     F_OBJ_KEY_START,
     F_ARR_OPEN,
     F_ARR_NEXT,
-    F_STRING_U,  // inside \uXXXX: `count` hex digits remain
+    F_STRING_U,        // inside \uXXXX: `count` hex digits remain
+    F_STRING_PAT,      // pattern-constrained string body
+    F_STRING_PAT_ESC,  // after backslash in a pattern string
+    F_STRING_PAT_U,    // \uXXXX in a pattern string; hex value in `key`
 };
 
 struct Frame {
@@ -71,18 +98,24 @@ struct Frame {
     int32_t node = -1;        // schema node (or -1)
     uint64_t seen = 0;        // object: props already emitted
     uint64_t allowed = ~0ull; // obj keys: allowed prop bitmask (when !additional)
-    int32_t count = 0;        // array item count
-    int32_t key = -1;         // completed key prop index (-1 = additional)
+    int32_t count = 0;        // array item count / pending hex digits
+    int32_t key = -1;         // completed key prop index / hex accumulator
     bool enum_str = false;    // string restricted to node's enum
+    int32_t pat = -1;         // pattern DFA index
+    uint64_t pstates = 0;     // pattern containment-walk state bitmask
+    uint8_t pmatched = 0;     // pattern: a match has been seen (sticky)
     std::string acc;          // string/number accumulator
     std::string lit;          // literal remainder
 };
 
+using Branch = std::vector<Frame>;
+
 struct Engine {
     std::vector<Node> nodes;
+    std::vector<Dfa> dfas;
     std::vector<std::string> strings;
     std::vector<std::string> tokens;
-    std::vector<Frame> stack;
+    std::vector<Branch> branches;
     std::unordered_map<std::string, std::vector<uint8_t>> mask_cache;
     int32_t root = -1;
 };
@@ -145,50 +178,139 @@ bool key_viable(const Engine& e, const Node* n, uint64_t allowed, uint64_t seen,
     return closing ? false : any;
 }
 
-bool advance(Engine& e, char ch);
+// -- pattern containment walk (mirrors matcher.py _pat_frame_after) ---------
 
-bool value_start(Engine& e, char ch, int32_t node_idx) {
+// Step the walk by one decoded codepoint class; false = frame dead.
+bool pat_step(const Dfa& d, Frame& f, int32_t cls) {
+    if (f.pmatched) return true;  // free-running tail (unanchored end)
+    uint64_t src = f.pstates;
+    if (!d.a_start) src |= 1ull;  // re-seed start: a match may begin here
+    uint64_t nw = 0;
+    while (src) {
+        int s = __builtin_ctzll(src);
+        src &= src - 1;
+        int32_t t = d.table[(size_t)s * d.n_classes + cls];
+        if (t >= 0) nw |= 1ull << t;
+    }
+    if (d.a_end) {
+        // match must end at the closing quote; an empty state set is dead
+        // ONLY when the start is anchored too (no re-seed possible)
+        if (!nw && d.a_start) return false;
+        f.pstates = nw;
+        return true;
+    }
+    if (nw & d.accept) { f.pstates = 0; f.pmatched = 1; return true; }
+    if (!nw && d.a_start) return false;
+    f.pstates = nw;
+    return true;
+}
+
+bool pat_close_ok(const Dfa& d, const Frame& f) {
+    if (d.a_end) return (f.pstates & d.accept) != 0;
+    return f.pmatched != 0;
+}
+
+// codepoint class for an input byte; *skip = UTF-8 continuation byte (the
+// lead byte already stepped the walk once per codepoint, like the Python
+// matcher's per-char step)
+int32_t pat_class(const Dfa& d, unsigned char c, bool* skip) {
+    *skip = false;
+    if (c < 128) return d.cls[c];
+    if ((c & 0xC0) == 0x80) { *skip = true; return 0; }
+    return d.default_class;
+}
+
+// exact codepoint -> class via the atomic interval partition (interval i
+// covers [ibounds[i], ibounds[i+1})) — mirrors RegexDFA.class_of
+int32_t cp_class(const Dfa& d, uint32_t cp) {
+    if (cp < 128) return d.cls[cp];
+    if (d.ibounds.empty()) return d.default_class;
+    size_t lo = 0, hi = d.ibounds.size();
+    while (lo + 1 < hi) {
+        size_t mid = (lo + hi) / 2;
+        if ((uint32_t)d.ibounds[mid] <= cp) lo = mid; else hi = mid;
+    }
+    return d.icls[lo];
+}
+
+// true iff SOME codepoint in [lo, hi] keeps the walk alive — mirrors
+// matcher.py _PatternInfo.range_viable; gates \-escape entry and each
+// \uXXXX hex digit so a dead-end escape can't trap generation
+bool range_viable(const Dfa& d, const Frame& f, uint32_t lo, uint32_t hi) {
+    if (f.pmatched || !d.a_start) return true;
+    size_t n = d.ibounds.size();
+    if (n == 0) return true;  // legacy buffer without interval data
+    size_t a = 0, b = n;
+    while (a + 1 < b) {
+        size_t m = (a + b) / 2;
+        if ((uint32_t)d.ibounds[m] <= lo) a = m; else b = m;
+    }
+    for (size_t i = a; i < n && (uint32_t)d.ibounds[i] <= hi; ++i) {
+        int32_t cid = d.icls[i];
+        uint64_t s = f.pstates;
+        while (s) {
+            int st = __builtin_ctzll(s);
+            s &= s - 1;
+            if (d.table[(size_t)st * d.n_classes + cid] >= 0) return true;
+        }
+    }
+    return false;
+}
+
+bool badvance(Engine& e, Branch& b, char ch, std::vector<Branch>* spawned);
+
+bool value_start(Engine& e, Branch& b, char ch, int32_t node_idx) {
     if (is_ws(ch)) return true;
     const Node* n = node_of(e, node_idx);
-    e.stack.pop_back();
+    b.pop_back();
     Frame f;
     f.node = node_idx;
     if (ch == '"' && allow_type(n, T_STRING)) {
-        f.kind = F_STRING_BODY;
-        f.enum_str = n && !n->enum_sids.empty();
-        e.stack.push_back(std::move(f));
+        if (n && !n->enum_sids.empty()) {
+            f.kind = F_STRING_BODY;
+            f.enum_str = true;
+        } else if (n && n->pattern >= 0) {
+            const Dfa& d = e.dfas[n->pattern];
+            f.kind = F_STRING_PAT;
+            f.pat = n->pattern;
+            f.pstates = 1ull;  // subset construction: start state is 0
+            f.pmatched = (!d.a_end && (1ull & d.accept)) ? 1 : 0;
+        } else {
+            f.kind = F_STRING_BODY;
+        }
+        b.push_back(std::move(f));
         return true;
     }
     if (ch == '{' && allow_type(n, T_OBJECT)) {
         f.kind = F_OBJ_OPEN;
-        e.stack.push_back(std::move(f));
+        b.push_back(std::move(f));
         return true;
     }
     if (ch == '[' && allow_type(n, T_ARRAY)) {
         f.kind = F_ARR_OPEN;
         f.count = 0;
-        e.stack.push_back(std::move(f));
+        b.push_back(std::move(f));
         return true;
     }
     if ((is_digit(ch) || ch == '-') && allow_type(n, T_NUMBER)) {
         f.kind = F_NUMBER;
         f.acc.push_back(ch);
-        e.stack.push_back(std::move(f));
+        b.push_back(std::move(f));
         return true;
     }
     if (ch == 't' && allow_type(n, T_BOOLEAN)) {
         f.kind = F_LITERAL; f.lit = "rue";
-        e.stack.push_back(std::move(f));
+        b.push_back(std::move(f));
         return true;
     }
     if (ch == 'f' && allow_type(n, T_BOOLEAN)) {
         f.kind = F_LITERAL; f.lit = "alse";
-        e.stack.push_back(std::move(f));
+        b.push_back(std::move(f));
         return true;
     }
     if (ch == 'n' && allow_type(n, T_NULL)) {
         f.kind = F_LITERAL; f.lit = "ull";
-        e.stack.push_back(std::move(f));
+        b.push_back(std::move(f));
         return true;
     }
     return false;
@@ -225,17 +347,35 @@ bool num_prefix_ok(const std::string& a) {
     return false;
 }
 
-bool advance(Engine& e, char ch) {
-    if (e.stack.empty()) return is_ws(ch);
-    Frame& f = e.stack.back();
+// Advance ONE branch by one character. Combinator value frames at the top
+// (incl. ones reached by nested re-dispatch) fork: alternatives beyond the
+// first are cloned into *spawned with the character NOT yet consumed — the
+// engine loop re-feeds it to them.
+bool badvance(Engine& e, Branch& b, char ch, std::vector<Branch>* spawned) {
+    // pre-dispatch expansion of alternative nodes ($ref indirections are
+    // 1-alt nodes; anyOf of anyOf expands through the loop)
+    int guard = 0;
+    while (!b.empty() && b.back().kind == F_VALUE) {
+        const Node* n = node_of(e, b.back().node);
+        if (!n || n->alts.empty()) break;
+        if (++guard > 64) return false;  // degenerate ref/combinator cycle
+        for (size_t i = 1; i < n->alts.size(); ++i) {
+            Branch nb = b;
+            nb.back().node = n->alts[i];
+            spawned->push_back(std::move(nb));
+        }
+        b.back().node = n->alts[0];
+    }
+    if (b.empty()) return is_ws(ch);
+    Frame& f = b.back();
     const Node* n = node_of(e, f.node);
     switch (f.kind) {
         case F_VALUE:
-            return value_start(e, ch, f.node);
+            return value_start(e, b, ch, f.node);
         case F_STRING_BODY: {
             if (ch == '"') {
                 if (f.enum_str && !enum_viable(e, n, f.acc, true)) return false;
-                e.stack.pop_back();
+                b.pop_back();
                 return true;
             }
             if (ch == '\\') { f.kind = F_STRING_ESC; return true; }
@@ -271,6 +411,68 @@ bool advance(Engine& e, char ch) {
             }
             return true;
         }
+        case F_STRING_PAT: {
+            const Dfa& d = e.dfas[f.pat];
+            if (ch == '"') {
+                if (!pat_close_ok(d, f)) return false;
+                b.pop_back();
+                return true;
+            }
+            if (ch == '\\') {
+                // escapes only produce BMP codepoints; refuse the escape
+                // when none can survive (matcher.py _h_string_pat)
+                if (!range_viable(d, f, 0, 0xFFFF)) return false;
+                f.kind = F_STRING_PAT_ESC;
+                return true;
+            }
+            if ((unsigned char)ch < 0x20) return false;
+            bool skip;
+            int32_t cls = pat_class(d, (unsigned char)ch, &skip);
+            if (skip) return true;
+            return pat_step(d, f, cls);
+        }
+        case F_STRING_PAT_ESC: {
+            const Dfa& d = e.dfas[f.pat];
+            if (ch == 'u') {
+                f.kind = F_STRING_PAT_U;
+                f.count = 4;
+                f.key = 0;  // hex accumulator
+                return true;
+            }
+            char rep;
+            switch (ch) {
+                case '"': case '\\': case '/': rep = ch; break;
+                case 'b': rep = '\b'; break;
+                case 'f': rep = '\f'; break;
+                case 'n': rep = '\n'; break;
+                case 'r': rep = '\r'; break;
+                case 't': rep = '\t'; break;
+                default: return false;
+            }
+            f.kind = F_STRING_PAT;
+            return pat_step(d, f, d.cls[(unsigned char)rep]);
+        }
+        case F_STRING_PAT_U: {
+            int v;
+            if (is_digit(ch)) v = ch - '0';
+            else if (ch >= 'a' && ch <= 'f') v = ch - 'a' + 10;
+            else if (ch >= 'A' && ch <= 'F') v = ch - 'A' + 10;
+            else return false;
+            f.key = f.key * 16 + v;
+            const Dfa& d = e.dfas[f.pat];
+            if (--f.count > 0) {
+                // prune hex prefixes no codepoint can complete viably
+                uint32_t shift = 4u * (uint32_t)f.count;
+                uint32_t lo = (uint32_t)f.key << shift;
+                if (!range_viable(d, f, lo, lo | ((1u << shift) - 1)))
+                    return false;
+                return true;
+            }
+            int32_t cls = cp_class(d, (uint32_t)f.key);
+            f.kind = F_STRING_PAT;
+            f.key = -1;
+            return pat_step(d, f, cls);
+        }
         case F_NUMBER: {
             if (is_digit(ch) || ch == '.' || ch == 'e' || ch == 'E' || ch == '+' || ch == '-') {
                 if ((ch == '.' || ch == 'e' || ch == 'E') && n &&
@@ -282,13 +484,13 @@ bool advance(Engine& e, char ch) {
             }
             // prefix validity is enforced per char: complete == digit-final
             if (f.acc.empty() || !is_digit(f.acc.back())) return false;
-            e.stack.pop_back();
-            return advance(e, ch);
+            b.pop_back();
+            return badvance(e, b, ch, spawned);
         }
         case F_LITERAL: {
             if (!f.lit.empty() && ch == f.lit[0]) {
                 f.lit.erase(0, 1);
-                if (f.lit.empty()) e.stack.pop_back();
+                if (f.lit.empty()) b.pop_back();
                 return true;
             }
             return false;
@@ -300,7 +502,7 @@ bool advance(Engine& e, char ch) {
                     for (size_t i = 0; i < n->props.size(); ++i)
                         if (n->props[i].required) return false;
                 }
-                e.stack.pop_back();
+                b.pop_back();
                 return true;
             }
             if (ch == '"') {
@@ -346,7 +548,7 @@ bool advance(Engine& e, char ch) {
                 Frame v;
                 v.kind = F_VALUE;
                 v.node = sub;
-                e.stack.push_back(std::move(v));
+                b.push_back(std::move(v));
                 return true;
             }
             return false;
@@ -358,7 +560,7 @@ bool advance(Engine& e, char ch) {
                     for (size_t i = 0; i < n->props.size(); ++i)
                         if (n->props[i].required && !(f.seen & (1ull << i))) return false;
                 }
-                e.stack.pop_back();
+                b.pop_back();
                 return true;
             }
             if (ch == ',') {
@@ -387,7 +589,7 @@ bool advance(Engine& e, char ch) {
             if (is_ws(ch)) return true;
             if (ch == ']') {
                 if (n && f.count < n->min_items) return false;
-                e.stack.pop_back();
+                b.pop_back();
                 return true;
             }
             int32_t items = n ? n->items : -1;
@@ -396,14 +598,14 @@ bool advance(Engine& e, char ch) {
             Frame v;
             v.kind = F_VALUE;
             v.node = items;
-            e.stack.push_back(std::move(v));
-            return advance(e, ch);
+            b.push_back(std::move(v));
+            return badvance(e, b, ch, spawned);
         }
         case F_ARR_NEXT: {
             if (is_ws(ch)) return true;
             if (ch == ']') {
                 if (n && f.count < n->min_items) return false;
-                e.stack.pop_back();
+                b.pop_back();
                 return true;
             }
             if (ch == ',') {
@@ -413,7 +615,7 @@ bool advance(Engine& e, char ch) {
                 Frame v;
                 v.kind = F_VALUE;
                 v.node = items;
-                e.stack.push_back(std::move(v));
+                b.push_back(std::move(v));
                 return true;
             }
             return false;
@@ -422,19 +624,66 @@ bool advance(Engine& e, char ch) {
     return false;
 }
 
+// Advance the whole branch set; false when every branch rejects (the
+// engine state is then undefined, like the Python matcher).
+bool engine_advance(Engine& e, char ch) {
+    std::vector<Branch> work = std::move(e.branches);
+    e.branches.clear();
+    std::unordered_set<std::string> sigs;
+    std::string sig;
+    int forks = 0;
+    while (!work.empty()) {
+        Branch b = std::move(work.back());
+        work.pop_back();
+        std::vector<Branch> spawned;
+        bool ok = badvance(e, b, ch, &spawned);
+        if (!spawned.empty() && (forks += (int)spawned.size()) > 512)
+            return false;  // runaway combinator expansion
+        for (auto& sb : spawned) work.push_back(std::move(sb));
+        if (ok) {
+            sig.clear();
+            char buf[96];
+            for (const Frame& f : b) {
+                int len = std::snprintf(buf, sizeof buf,
+                                        "%d:%d:%llu:%llu:%d:%d:%d:%d:%llu:%d|",
+                                        (int)f.kind, f.node,
+                                        (unsigned long long)f.seen,
+                                        (unsigned long long)f.allowed, f.count,
+                                        f.key, (int)f.enum_str, f.pat,
+                                        (unsigned long long)f.pstates,
+                                        (int)f.pmatched);
+                sig.append(buf, len);
+                sig.append(f.acc);
+                sig.push_back(';');
+                sig.append(f.lit);
+                sig.push_back('#');
+            }
+            if (sigs.insert(sig).second) e.branches.push_back(std::move(b));
+        }
+    }
+    return !e.branches.empty();
+}
+
 void signature(const Engine& e, std::string* out) {
     out->clear();
-    char buf[64];
-    for (const Frame& f : e.stack) {
-        int len = std::snprintf(buf, sizeof buf, "%d:%d:%llu:%llu:%d:%d:%d|",
-                                (int)f.kind, f.node, (unsigned long long)f.seen,
-                                (unsigned long long)f.allowed, f.count, f.key,
-                                (int)f.enum_str);
-        out->append(buf, len);
-        out->append(f.acc);
-        out->push_back(';');
-        out->append(f.lit);
-        out->push_back('#');
+    char buf[96];
+    for (const Branch& b : e.branches) {
+        for (const Frame& f : b) {
+            int len = std::snprintf(buf, sizeof buf,
+                                    "%d:%d:%llu:%llu:%d:%d:%d:%d:%llu:%d|",
+                                    (int)f.kind, f.node,
+                                    (unsigned long long)f.seen,
+                                    (unsigned long long)f.allowed, f.count,
+                                    f.key, (int)f.enum_str, f.pat,
+                                    (unsigned long long)f.pstates,
+                                    (int)f.pmatched);
+            out->append(buf, len);
+            out->append(f.acc);
+            out->push_back(';');
+            out->append(f.lit);
+            out->push_back('#');
+        }
+        out->push_back('&');
     }
 }
 
@@ -443,12 +692,21 @@ void signature(const Engine& e, std::string* out) {
 extern "C" {
 
 // schema_buf layout (int32): n_nodes, then per node:
-//   [type_mask, items, min_items, max_items, additional, n_props, n_enum]
-//   then n_props * [name_sid, node, required], then n_enum * [sid]
+//   [type_mask, items, min_items, max_items, additional,
+//    n_props, n_enum, n_alts, pattern]
+//   then n_props * [name_sid, node, required], n_enum * [sid],
+//   n_alts * [node]
 // strings: blob + (n_strs+1) offsets; tokens likewise.
+// dfa_buf (int32): n_dfas, then per DFA:
+//   [n_states, n_classes, anchored_start, anchored_end,
+//    accept_lo, accept_hi, default_class]
+//   + 128 byte->class entries
+//   + n_intervals + n_intervals*(start_codepoint, class)
+//   + n_states*n_classes transitions
 void* ug_create(const int32_t* schema_buf, int32_t schema_len,
                 const char* str_blob, const int32_t* str_offs, int32_t n_strs,
-                const char* tok_blob, const int32_t* tok_offs, int32_t n_tokens) {
+                const char* tok_blob, const int32_t* tok_offs, int32_t n_tokens,
+                const int32_t* dfa_buf, int32_t dfa_len) {
     Engine* e = new Engine();
     for (int32_t i = 0; i < n_strs; ++i)
         e->strings.emplace_back(str_blob + str_offs[i], str_offs[i + 1] - str_offs[i]);
@@ -467,36 +725,65 @@ void* ug_create(const int32_t* schema_buf, int32_t schema_len,
             n.additional = *p++;
             int32_t n_props = *p++;
             int32_t n_enum = *p++;
+            int32_t n_alts = *p++;
+            n.pattern = *p++;
             for (int32_t j = 0; j < n_props; ++j) {
                 Prop pr{p[0], p[1], p[2]};
                 p += 3;
                 n.props.push_back(pr);
             }
             for (int32_t j = 0; j < n_enum; ++j) n.enum_sids.push_back(*p++);
+            for (int32_t j = 0; j < n_alts; ++j) n.alts.push_back(*p++);
             e->nodes.push_back(std::move(n));
         }
         e->root = 0;
     }
+    if (dfa_buf && dfa_len > 0) {
+        const int32_t* p = dfa_buf;
+        int32_t n_dfas = *p++;
+        for (int32_t i = 0; i < n_dfas; ++i) {
+            Dfa d;
+            d.n_states = *p++;
+            d.n_classes = *p++;
+            d.a_start = *p++ != 0;
+            d.a_end = *p++ != 0;
+            uint64_t lo = (uint32_t)*p++;
+            uint64_t hi = (uint32_t)*p++;
+            d.accept = lo | (hi << 32);
+            d.default_class = *p++;
+            for (int j = 0; j < 128; ++j) d.cls[j] = *p++;
+            int32_t n_iv = *p++;
+            d.ibounds.reserve(n_iv);
+            d.icls.reserve(n_iv);
+            for (int32_t j = 0; j < n_iv; ++j) {
+                d.ibounds.push_back(*p++);
+                d.icls.push_back(*p++);
+            }
+            d.table.assign(p, p + (size_t)d.n_states * d.n_classes);
+            p += (size_t)d.n_states * d.n_classes;
+            e->dfas.push_back(std::move(d));
+        }
+    }
     Frame v;
     v.kind = F_VALUE;
     v.node = e->root;
-    e->stack.push_back(v);
+    e->branches.push_back(Branch{v});
     return e;
 }
 
 void ug_reset(void* h) {
     Engine* e = static_cast<Engine*>(h);
-    e->stack.clear();
+    e->branches.clear();
     Frame v;
     v.kind = F_VALUE;
     v.node = e->root;
-    e->stack.push_back(v);
+    e->branches.push_back(Branch{v});
 }
 
 int ug_advance_text(void* h, const char* s, int len) {
     Engine* e = static_cast<Engine*>(h);
     for (int i = 0; i < len; ++i)
-        if (!advance(*e, s[i])) return -1;
+        if (!engine_advance(*e, s[i])) return -1;
     return 0;
 }
 
@@ -507,7 +794,10 @@ int ug_observe(void* h, int token_id) {
 }
 
 int ug_is_complete(void* h) {
-    return static_cast<Engine*>(h)->stack.empty() ? 1 : 0;
+    Engine* e = static_cast<Engine*>(h);
+    for (const Branch& b : e->branches)
+        if (b.empty()) return 1;
+    return 0;
 }
 
 // Fills out[n_tokens]; returns count of allowed tokens. Uses the per-state
@@ -525,15 +815,15 @@ int ug_mask(void* h, uint8_t* out) {
     }
     std::vector<uint8_t> mask(e->tokens.size(), 0);
     int count = 0;
+    std::vector<Branch> saved = e->branches;  // clone branch set
     for (size_t i = 0; i < e->tokens.size(); ++i) {
         const std::string& t = e->tokens[i];
         if (t.empty()) continue;
-        std::vector<Frame> saved = e->stack;  // clone state
         bool ok = true;
         for (char c : t) {
-            if (!advance(*e, c)) { ok = false; break; }
+            if (!engine_advance(*e, c)) { ok = false; break; }
         }
-        e->stack = std::move(saved);
+        e->branches = saved;
         if (ok) { mask[i] = 1; ++count; }
     }
     std::memcpy(out, mask.data(), mask.size());
@@ -543,22 +833,22 @@ int ug_mask(void* h, uint8_t* out) {
 
 void ug_destroy(void* h) { delete static_cast<Engine*>(h); }
 
-// Snapshot/restore of the matcher state (the Frame stack) — the lookahead
+// Snapshot/restore of the matcher state (the branch set) — the lookahead
 // path of speculative grammar decoding clones the state, walks a draft
 // chain filling per-node masks, then restores (reference: per-trie-node
 // bitmask fill, stream.rs:632-675 + trie.rs:167).
 void* ug_save(void* h) {
     Engine* e = static_cast<Engine*>(h);
-    return new std::vector<Frame>(e->stack);
+    return new std::vector<Branch>(e->branches);
 }
 
 void ug_restore(void* h, void* snap) {
     Engine* e = static_cast<Engine*>(h);
-    e->stack = *static_cast<std::vector<Frame>*>(snap);
+    e->branches = *static_cast<std::vector<Branch>*>(snap);
 }
 
 void ug_snapshot_free(void* snap) {
-    delete static_cast<std::vector<Frame>*>(snap);
+    delete static_cast<std::vector<Branch>*>(snap);
 }
 
 }  // extern "C"

@@ -183,15 +183,20 @@ def _int4_kernel(x_even_ref, x_odd_ref, codes_ref, scales_ref, *rest,
     # chunked_scales: the scale block covers only this K-chunk's groups
     # (kg == kgc rows), so group_off is 0 and e is grid-invariant.
     e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else k * kgc)
+    # HIGHEST only for f32 operands (bf16-stored scales: a single DEFAULT
+    # bf16 pass selects them exactly, and Mosaic rejects HIGHEST on bf16
+    # operand dots — CHIP_JOBS_r4 conformance)
+    exp_prec = (jax.lax.Precision.HIGHEST if exp_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
     scale_exp = jnp.dot(scales_ref[:].astype(exp_dtype), e.astype(exp_dtype),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=exp_prec)
     if qbias_coeff is not None:
         qbias_exp = scale_exp * qbias_coeff
     else:
         qbias_exp = jnp.dot(qbias_ref[:].astype(exp_dtype), e.astype(exp_dtype),
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=exp_prec)
 
     # dequant in f32 on the VPU, then feed the MXU in the dot dtype; f32
     # accumulation. Decode (dot_dtype f32, HBM-bound): HIGHEST buys true-f32
@@ -234,15 +239,20 @@ def _int8_kernel(x_ref, codes_ref, scales_ref, *rest,
     # bf16 even on f32 operands; HIGHEST keeps scale selection bit-exact and
     # the decode (f32) accumulation truly f32.
     e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else k * kgc)
+    # HIGHEST only for f32 operands (bf16-stored scales: a single DEFAULT
+    # bf16 pass selects them exactly, and Mosaic rejects HIGHEST on bf16
+    # operand dots — CHIP_JOBS_r4 conformance)
+    exp_prec = (jax.lax.Precision.HIGHEST if exp_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
     scale_exp = jnp.dot(scales_ref[:].astype(exp_dtype), e.astype(exp_dtype),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=exp_prec)
     if qbias_coeff is not None:
         qbias_exp = scale_exp * qbias_coeff
     else:
         qbias_exp = jnp.dot(qbias_ref[:].astype(exp_dtype), e.astype(exp_dtype),
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=exp_prec)
     w = (codes * scale_exp + qbias_exp).astype(dot_dtype)
 
     acc_ref[:] += jax.lax.dot_general(

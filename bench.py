@@ -157,30 +157,43 @@ def weight_bytes(params) -> int:
     return sum(x.nbytes for x in jax.tree.leaves(params))
 
 
-def hbm_probe(on_tpu: bool) -> float:
+class HbmProbe:
     """Achievable HBM stream rate (bytes/s) measured IN THIS WINDOW: a
     fused bf16 sum over a ~1 GiB buffer, K dispatches queued back-to-back
     with one sync (per-executable launch ~0.1-0.5 ms vs ~6 ms per read, so
     the launch tax is <10%). The chip is shared — decode efficiency must be
     judged against what the window actually delivers (`vs_practical`), not
-    the spec sheet (`vs_baseline`)."""
-    import jax
-    import jax.numpy as jnp
+    the spec sheet (`vs_baseline`). Stateful so the buffer + executable are
+    built once and each `measure()` is cheap enough to INTERLEAVE with the
+    decode runs it normalizes (VERDICT r3 #7: a probe minutes away from the
+    step it divides drifted past 1.0 on a shared chip)."""
 
-    n = (1 << 29) if on_tpu else (1 << 22)  # 1 GiB bf16 on chip
-    x = jax.device_put(jnp.ones((n,), jnp.bfloat16))
-    read = jax.jit(lambda v: jnp.sum(v, dtype=jnp.float32))
-    float(jax.device_get(read(x)))  # compile + warm
-    rates = []
-    for _ in range(3):
-        k = 8
-        t0 = time.perf_counter()
-        acc = None
-        for _ in range(k):
-            acc = read(x)
-        jax.device_get(acc)
-        rates.append(k * x.nbytes / (time.perf_counter() - t0))
-    return float(np.median(rates))
+    def __init__(self, on_tpu: bool):
+        import jax
+        import jax.numpy as jnp
+
+        n = (1 << 29) if on_tpu else (1 << 22)  # 1 GiB bf16 on chip
+        self._x = jax.device_put(jnp.ones((n,), jnp.bfloat16))
+        self._read = jax.jit(lambda v: jnp.sum(v, dtype=jnp.float32))
+        float(jax.device_get(self._read(self._x)))  # compile + warm
+
+    def measure(self, reps: int = 1) -> float:
+        import jax
+
+        rates = []
+        for _ in range(reps):
+            k = 8
+            t0 = time.perf_counter()
+            acc = None
+            for _ in range(k):
+                acc = self._read(self._x)
+            jax.device_get(acc)
+            rates.append(k * self._x.nbytes / (time.perf_counter() - t0))
+        return float(np.median(rates))
+
+
+def hbm_probe(on_tpu: bool) -> float:
+    return HbmProbe(on_tpu).measure(reps=3)
 
 
 def quant_matmul_probe(lm) -> tuple[float, float]:
@@ -314,8 +327,9 @@ def main() -> None:
 
     _stage("load model")
     t0 = time.perf_counter()
-    max_context = 4096  # room for the 7-chunk sustained-prefill measure;
-    # decode reads stay on the small ctx buckets
+    max_context = 8192 if tpu else 4096  # room for the 7-chunk sustained-
+    # prefill measure AND the 8k-context stage; decode reads stay on the
+    # small ctx buckets until the 8k stage compiles its own
     lm = LanguageModel.from_dir(model_dir, max_context=max_context, prefill_buckets=(32, 512))
     RESULTS["load_s"] = round(time.perf_counter() - t0, 2)
 
@@ -340,8 +354,19 @@ def main() -> None:
     _stage("warmup single-stream (compiles)")
     list(lm.generate(prompt, gen_len, sampling=sampling, stop_token_ids=[]))
 
-    _stage("single-stream decode x3")
-    decode_runs, ttft_runs = [], []
+    # HBM probe interleaved with the decode runs (VERDICT r3 #7): each
+    # decode run is immediately followed by a probe of the SAME window, and
+    # vs_practical is the median of the per-pair ratios — window drift on
+    # the shared chip cancels pair-wise instead of decoupling the metric.
+    probe = None
+    try:
+        _stage("hbm probe warm (compiles)")
+        probe = HbmProbe(tpu)
+    except Exception as exc:  # noqa: BLE001
+        _NOTES.append(f"hbm probe unavailable: {type(exc).__name__}")
+
+    _stage("single-stream decode x3 (probe-interleaved)")
+    decode_runs, ttft_runs, pair_ratios, probe_bws = [], [], [], []
     for _ in range(3):
         metrics = StreamMetrics()
         out = list(
@@ -350,22 +375,25 @@ def main() -> None:
         assert len(out) == gen_len
         decode_runs.append(metrics.decode_tokens_per_second)
         ttft_runs.append(metrics.prefill_seconds)
+        if probe is not None:
+            bw_now = probe.measure()
+            probe_bws.append(bw_now)
+            pair_ratios.append(
+                metrics.decode_tokens_per_second / (bw_now / (wbytes + kv_bytes)))
     decode_tok_s = float(np.median(decode_runs))
     RESULTS["value"] = round(decode_tok_s, 2)
     RESULTS["vs_baseline"] = round(decode_tok_s / sol_tok_s, 4)
     RESULTS["ttft_s"] = round(float(np.median(ttft_runs)), 4)
     RESULTS.setdefault("micro", {})["decode_step_ms"] = round(1e3 / decode_tok_s, 3)
+    if pair_ratios:
+        RESULTS["practical_bw_gbs"] = round(float(np.median(probe_bws)) / 1e9, 1)
+        RESULTS["vs_practical"] = round(float(np.median(pair_ratios)), 4)
 
     # From here on every stage is optional: guarded by remaining budget and
-    # exception-proof. The headline number is already in RESULTS.
-
-    def stage_hbm():
-        practical_bw = hbm_probe(tpu)
-        RESULTS["practical_bw_gbs"] = round(practical_bw / 1e9, 1)
-        practical_tok_s = practical_bw / (wbytes + kv_bytes)
-        RESULTS["vs_practical"] = round(decode_tok_s / practical_tok_s, 4)
-
-    _guarded("hbm probe", 60, stage_hbm)
+    # exception-proof. The headline number is already in RESULTS. Stage
+    # ORDER is priority order under a tight deadline (VERDICT r3 #2): the
+    # BASELINE configs (MoE, 8B) and kernel micros come BEFORE batch4/
+    # paged8; self-speculation is opt-in (UZU_BENCH_SPEC=1).
 
     def stage_prefill():
         # sustained prefill rate: many chunks dispatched back-to-back, one
@@ -393,6 +421,61 @@ def main() -> None:
         RESULTS["micro"]["quant_matmul_up_gbs"] = round(qm_gbs, 1)
 
     _guarded("quant matmul probe", 120, stage_qm)
+
+    # MoE flagship (gpt-oss-small composed model): decode reads only the
+    # K active experts — the serving economics a dense entry cannot show.
+    # BASELINE config — runs FIRST among the optional stages.
+    if tpu:
+        def stage_moe():
+            from uzu_tpu.tools.benchmoe import bench_moe
+
+            RESULTS["gptoss_small"] = bench_moe(repo=REPO, stage=_stage)
+
+        _guarded("moe bench", 300, stage_moe)
+
+    # 8B-class flagship (BASELINE config[1]): INT4 ~4.3 GB weights on one
+    # v5e. The synth model is disk-cached under .bench_cache/llama8b_int4.
+    if tpu:
+        def stage_8b():
+            from uzu_tpu.tools.bench8b import bench_8b
+
+            RESULTS["llama8b"] = bench_8b(repo=REPO, stage=_stage)
+
+        _guarded("llama8b bench", 420, stage_8b)
+
+    # per-kernel baselines (VERDICT r2 #4: attention / paged attention /
+    # MoE / sampling get tracked numbers so regressions are visible between
+    # rounds — ref BENCHMARKS.md:30-44). First chip run pays remote-AOT
+    # compiles; the persistent cache makes reruns cheap.
+    def stage_micros():
+        from uzu_tpu.tools.microbench import kernel_micros
+
+        RESULTS["micro"].update(kernel_micros(lm))
+
+    if not os.environ.get("UZU_BENCH_NOMICRO"):
+        _guarded("kernel micros", 240, stage_micros)
+
+    # long-context single stream (VERDICT r3 #6): decode rate at 8k context
+    # — the regime where KV reads rival the weight stream and the
+    # context-bucketed attention reads earn their keep.
+    def stage_decode8k():
+        ctx_len = 8064
+        long_prompt = rng.integers(0, lm.decoder_config.vocab_size, ctx_len)
+        gen8k = 64
+        list(lm.generate(long_prompt, gen8k, sampling=sampling,
+                         stop_token_ids=[]))  # compiles the 8k ctx bucket
+        _stage("decode8k measure")
+        best = 0.0
+        for _ in range(2):
+            m8 = StreamMetrics()
+            toks = list(lm.generate(long_prompt, gen8k, sampling=sampling,
+                                    stop_token_ids=[], metrics=m8))
+            assert len(toks) == gen8k
+            best = max(best, m8.decode_tokens_per_second)
+        RESULTS["decode8k_tok_s"] = round(best, 2)
+
+    if tpu:
+        _guarded("decode8k warmup (compiles)", 240, stage_decode8k)
 
     # continuous-batching aggregate throughput (4 concurrent streams);
     # best of 2 measured runs (shared-chip noise)
@@ -422,25 +505,25 @@ def main() -> None:
 
     # paged engine at B=8 (the width where it becomes the default):
     # per-token KV pools + paged prefill + pipelined dispatch
-    def stage_paged8():
+    def paged_run(nreq, gen_b, prompt_len=32, page_size=64, num_pages=256):
         from uzu_tpu.engine.paged_batch import PagedBatchEngine
 
-        def paged_run(nreq, gen_b):
-            # oversubscribed queue (nreq > slots): finished slots re-admit
-            # from the queue, so the run holds the engine at serving
-            # steady-state; aggregate = total tokens / wall time including
-            # the interleaved admission chunks (that IS serving throughput)
-            eng = PagedBatchEngine(
-                lm, batch_size=8, decode_chunk=16, num_pages=256,
-                page_size=64, sampling=sampling, stop_token_ids=[])
-            reqs = [
-                eng.submit(rng.integers(0, lm.decoder_config.vocab_size, 32), gen_b)
-                for _ in range(nreq)
-            ]
-            tb = time.perf_counter()
-            eng.run()
-            return sum(len(r.tokens) for r in reqs) / (time.perf_counter() - tb)
+        # oversubscribed queue (nreq > slots): finished slots re-admit
+        # from the queue, so the run holds the engine at serving
+        # steady-state; aggregate = total tokens / wall time including
+        # the interleaved admission chunks (that IS serving throughput)
+        eng = PagedBatchEngine(
+            lm, batch_size=8, decode_chunk=16, num_pages=num_pages,
+            page_size=page_size, sampling=sampling, stop_token_ids=[])
+        reqs = [
+            eng.submit(rng.integers(0, lm.decoder_config.vocab_size, prompt_len), gen_b)
+            for _ in range(nreq)
+        ]
+        tb = time.perf_counter()
+        eng.run()
+        return sum(len(r.tokens) for r in reqs) / (time.perf_counter() - tb)
 
+    def stage_paged8():
         paged_run(8, 32)  # warmup/compile
         _stage("paged8 measure")
         # longer gens so per-stream admission cost amortizes (see batch4)
@@ -450,10 +533,23 @@ def main() -> None:
     if not os.environ.get("UZU_BENCH_NOPAGED"):
         _guarded("paged8 warmup (compiles)", 240, stage_paged8)
 
+    # paged serving at LONG context (VERDICT r3 #6): B=8 streams each with
+    # ~8k-token prompts, page_size=256 (the measured long-context winner —
+    # CHIP_JOBS_r3 page_sweep: 2.9x over 64 at 8k ctx).
+    def stage_paged8_8k():
+        kwargs = dict(prompt_len=7936, page_size=256, num_pages=300)
+        paged_run(8, 16, **kwargs)  # warmup/compile (8k paged prefill)
+        _stage("paged8_8k measure")
+        RESULTS["paged8_8k_tok_s"] = round(
+            max(paged_run(8, 96, **kwargs) for _ in range(2)), 2)
+
+    if tpu and not os.environ.get("UZU_BENCH_NOPAGED"):
+        _guarded("paged8_8k warmup (compiles)", 300, stage_paged8_8k)
+
     # self-speculation at REALISTIC acceptance: layer-truncated self-draft
-    # (no extra weights) on a non-repetitive random prompt — reports
-    # acceptance + end-to-end rate so the speculation story is measured,
-    # not asserted. Skippable under tight budgets (UZU_BENCH_NOSPEC=1).
+    # (no extra weights) on a non-repetitive random prompt. OPT-IN
+    # (UZU_BENCH_SPEC=1): on synth weights acceptance is ~0.015 and the
+    # stage costs ~112 s that the BASELINE configs need (VERDICT r3 weak#7).
     def stage_selfspec():
         from uzu_tpu.engine.speculation import (
             SpeculationMetrics,
@@ -474,20 +570,8 @@ def main() -> None:
         RESULTS["selfspec_tok_s"] = round(best, 2)
         RESULTS["selfspec_acceptance"] = round(sm.acceptance_rate, 4)
 
-    if not os.environ.get("UZU_BENCH_NOSPEC") and tpu:
+    if os.environ.get("UZU_BENCH_SPEC") and tpu:
         _guarded("self-spec warmup (compiles)", 180, stage_selfspec)
-
-    # per-kernel baselines (VERDICT r2 #4: attention / paged attention /
-    # MoE / sampling get tracked numbers so regressions are visible between
-    # rounds — ref BENCHMARKS.md:30-44). First chip run pays remote-AOT
-    # compiles; the persistent cache makes reruns cheap.
-    def stage_micros():
-        from uzu_tpu.tools.microbench import kernel_micros
-
-        RESULTS["micro"].update(kernel_micros(lm))
-
-    if not os.environ.get("UZU_BENCH_NOMICRO"):
-        _guarded("kernel micros", 300, stage_micros)
 
     # wider batch, opt-in only: the B=16 executables add many minutes of
     # remote-AOT compile under congestion (a guarded run still blew a 25 min
@@ -499,26 +583,6 @@ def main() -> None:
             RESULTS["batch16_tok_s"] = round(max(batch_run(16, 48) for _ in range(2)), 2)
 
         _guarded("batch16", 240, stage_wide)
-
-    # MoE flagship (gpt-oss-small composed model): decode reads only the
-    # K active experts — the serving economics a dense entry cannot show.
-    if tpu and (os.environ.get("UZU_BENCH_MOE") or _remaining() > 900):
-        def stage_moe():
-            from uzu_tpu.tools.benchmoe import bench_moe
-
-            RESULTS["gptoss_small"] = bench_moe(repo=REPO, stage=_stage)
-
-        _guarded("moe bench", 420, stage_moe)
-
-    # 8B-class flagship (BASELINE config[1]): INT4 ~4.3 GB weights on one
-    # v5e. Opt-in via env OR spare budget — synth+load+compile is minutes.
-    if tpu and (os.environ.get("UZU_BENCH_8B") or _remaining() > 600):
-        def stage_8b():
-            from uzu_tpu.tools.bench8b import bench_8b
-
-            RESULTS["llama8b"] = bench_8b(repo=REPO, stage=_stage)
-
-        _guarded("llama8b bench", 600, stage_8b)
 
     _stage("done")
     emit()

@@ -1,0 +1,180 @@
+"""On-chip smoke v4: NUMERIC cross-executable divergence bounds (VERDICT r3 #4).
+
+smoke_v3 weakened the serving invariants to "shared prefix across executable
+variants" after observing that a different executable VARIANT (e.g. logprobs
+on, or a sampled neighbor flipping the verify to the dynamic-sampling
+program) can move logits by low bits and flip argmax on random-weight
+near-ties. That explanation was plausible but unquantified — nothing
+distinguished benign rounding from a real cross-variant bug. This probe
+measures the deltas themselves, on the flagship model, on the real chip:
+
+  A. decode-executable vs teacher-forced replay (two genuinely different
+     programs: the fused decode scan vs the full-logits prefill-style
+     forward): max |Δ logprob| of the chosen token and of the top-5
+     alternatives at every generated position.
+  B. executable-variant forced logits: the SAME forced token path stepped
+     through two jit programs — one computing only logits+argmax, one also
+     fusing the dynamic-sampling machinery (the production variant flip) —
+     max RMS-normalized logit delta per step.
+
+PASS = A <= 2.5e-2 (the bf16-prefill-dot contract: the replay program
+quantizes M>=32 dot operands to bf16 by design while decode GEMVs are f32)
+and B <= 2e-3 (env UZU_SMOKE_TOL_REPLAY / UZU_SMOKE_TOL_VAR). A pass restores
+a strong on-chip statement: cross-variant deltas are low-bit rounding, so
+greedy streams within one variant are exact and argmax flips across
+variants can only happen on ties closer than TOL.
+
+Reference parity: stream.rs accept path (speculation exact by construction);
+here exactness is per-executable and the CROSS-executable gap is bounded.
+
+    PYTHONPATH=/root/.axon_site JAX_PLATFORMS=axon python tools/exp_smoke_v4.py
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# A compares the fused decode scan (f32 GEMVs) against the prefill-style
+# replay whose M>=32 dots are bf16 BY DESIGN (ops contract, see
+# chip_conformance tolerances) — its bound reflects that contract, not
+# variant drift. B holds the program family fixed and flips only the
+# fused sampling machinery: the actual variant-flip bound.
+TOL_REPLAY = float(os.environ.get("UZU_SMOKE_TOL_REPLAY", "2.5e-2"))
+TOL_VAR = float(os.environ.get("UZU_SMOKE_TOL_VAR", "2e-3"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.sampling import sample_dynamic
+    from uzu_tpu.models.decoder import decoder_forward
+    from uzu_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    if os.environ.get("UZU_SMOKE_TINY"):  # CPU logic check
+        jax.config.update("jax_platforms", "cpu")
+        model_dir, _ = bench.flagship_dir(False)
+    else:
+        model_dir, _ = bench.flagship_dir(True)
+    lm = LanguageModel.from_dir(model_dir, max_context=1024,
+                                prefill_buckets=(32, 512))
+    cfg = lm.decoder_config
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, cfg.vocab_size, 48)
+    gen = 32
+
+    # -- A: decode executable vs teacher-forced replay ----------------------
+    stream = lm.generate_resumable(None, prompt, gen, stop_token_ids=[],
+                                   logprobs=5)
+    toks = list(stream)
+    dec_lp = stream.logprob_content  # [(lp, [(id, lp) x5])] per token
+    assert len(toks) == gen and len(dec_lp) == gen
+
+    seq = np.concatenate([prompt, np.asarray(toks, np.int64)])
+    chunk = 128
+
+    @jax.jit
+    def chunk_logp(params, state, chunk_tokens, n_real):
+        logits, state = decoder_forward(
+            cfg, params, chunk_tokens, state, last_only=False,
+            true_length=n_real)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), state
+
+    # teacher-forced log-softmax rows for positions that PRODUCED the
+    # generated tokens: position i's logits predict token i+1
+    state = lm.new_state()
+    rows = {}  # position -> logp row (np)
+    first_gen_pos = len(prompt) - 1  # produced toks[0]
+    i = 0
+    while i < len(seq):
+        take = min(chunk, len(seq) - i)
+        padded = np.zeros(chunk, np.int32)
+        padded[:take] = seq[i:i + take]
+        logp, state = chunk_logp(lm.params, state, jnp.asarray(padded),
+                                 jnp.asarray(take, jnp.int32))
+        logp = np.asarray(logp)
+        for p in range(i, i + take):
+            if p >= first_gen_pos and p < len(seq) - 1:
+                rows[p] = logp[p - i]
+        i += take
+
+    d_chosen, d_top = 0.0, 0.0
+    for s in range(gen):
+        row = rows[first_gen_pos + s]
+        lp, top = dec_lp[s]
+        d_chosen = max(d_chosen, abs(lp - float(row[toks[s]])))
+        for tid, tlp in top:
+            d_top = max(d_top, abs(tlp - float(row[tid])))
+    print(json.dumps({"check": "decode_vs_replay",
+                      "max_d_chosen_lp": round(d_chosen, 6),
+                      "max_d_top5_lp": round(d_top, 6),
+                      "tol": TOL_REPLAY,
+                      "pass": bool(max(d_chosen, d_top) <= TOL_REPLAY)}), flush=True)
+
+    # -- B: executable-variant forced logits --------------------------------
+    # Same forced path, two programs: plain vs dynamic-sampling-fused.
+    forced = jnp.asarray(toks[:24], jnp.int32)
+
+    def make_step(with_dynamic: bool):
+        def run(params, state, tokens, key):
+            def body(carry, tok):
+                st, k = carry
+                logits, st = decoder_forward(
+                    cfg, params, tok.reshape(1), st, last_only=True,
+                    true_length=jnp.asarray(1, jnp.int32), ctx_limit=1024)
+                row = logits[0].astype(jnp.float32)
+                if with_dynamic:
+                    k, sub = jax.random.split(k)
+                    # the dynamic-sampling computation the variant flip
+                    # fuses into the step; its token is a REAL program
+                    # output (else XLA dead-code-eliminates it and both
+                    # programs compile identical) — the path stays forced,
+                    # only the program changes
+                    samp = sample_dynamic(row, jnp.asarray(0.7, jnp.float32),
+                                          jnp.asarray(40, jnp.int32),
+                                          jnp.asarray(0.95, jnp.float32),
+                                          jnp.asarray(0.0, jnp.float32), sub)
+                else:
+                    samp = jnp.argmax(row).astype(jnp.int32)
+                return (st, k), (row, samp)
+
+            (_, _), out = jax.lax.scan(body, (state, key), tokens)
+            return out
+
+        return jax.jit(run)
+
+    key = jax.random.PRNGKey(7)
+    logits_a = logits_b = None
+    for name, fn in (("plain", make_step(False)),
+                     ("dynamic", make_step(True))):
+        st = lm.new_state()
+        _, st = lm.prefill(st, prompt)
+        rows_out, _samp = jax.device_get(fn(lm.params, st, forced, key))
+        out = np.asarray(rows_out)
+        if name == "plain":
+            logits_a = out
+        else:
+            logits_b = out
+    rms = np.sqrt(np.mean(np.asarray(logits_a, np.float64) ** 2, axis=-1))
+    per_step = np.max(np.abs(logits_a - logits_b), axis=-1) / np.maximum(rms, 1e-9)
+    d_var = float(np.max(per_step))
+    print(json.dumps({"check": "variant_forced_logits",
+                      "max_nerr": round(d_var, 6), "tol": TOL_VAR,
+                      "steps": int(forced.shape[0]),
+                      "pass": bool(d_var <= TOL_VAR)}), flush=True)
+
+    ok = max(d_chosen, d_top) <= TOL_REPLAY and d_var <= TOL_VAR
+    print(json.dumps({"smoke_v4": "PASS" if ok else "FAIL"}), flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -107,9 +107,16 @@ def bench_moe(repo: str, stage=None, *, gen_len: int = 96) -> dict:
 
     stage("moe: warmup (compiles)")
     list(lm.generate(prompt, gen_len, sampling=sampling, stop_token_ids=[]))
-    stage("moe: decode x2")
-    runs = []
-    ttft = []
+    from bench import HbmProbe  # repo-root module
+
+    probe = None
+    try:
+        probe = HbmProbe(True)
+    except Exception:  # noqa: BLE001
+        pass
+    active = active_bytes_per_step(lm, 128 + gen_len // 2)
+    stage("moe: decode x2 (probe-interleaved)")
+    runs, ttft, ratios, bws = [], [], [], []
     for _ in range(2):
         metrics = StreamMetrics()
         toks = list(lm.generate(prompt, gen_len, sampling=sampling,
@@ -117,6 +124,10 @@ def bench_moe(repo: str, stage=None, *, gen_len: int = 96) -> dict:
         assert len(toks) == gen_len
         runs.append(metrics.decode_tokens_per_second)
         ttft.append(metrics.prefill_seconds)
+        if probe is not None:
+            bw_now = probe.measure()
+            bws.append(bw_now)
+            ratios.append(metrics.decode_tokens_per_second / (bw_now / active))
     out["decode_tok_s"] = round(float(np.max(runs)), 2)
     out["ttft_s"] = round(float(np.median(ttft)), 4)
 
@@ -136,21 +147,18 @@ def bench_moe(repo: str, stage=None, *, gen_len: int = 96) -> dict:
         rate = n_sust / (time.perf_counter() - t0)
     out["prefill_tok_s"] = round(rate, 2)
 
-    active = active_bytes_per_step(lm, 128 + gen_len // 2)
     out["active_bytes"] = active
     try:
-        from bench import device_bandwidth, hbm_probe
+        from bench import device_bandwidth
 
         _, bw = device_bandwidth()
         out["sol_tok_s"] = round(bw / active, 2)
         out["vs_baseline"] = round(out["decode_tok_s"] / out["sol_tok_s"], 4)
-        stage("moe: hbm probe")
-        practical = hbm_probe(True)
-        out["practical_bw_gbs"] = round(practical / 1e9, 1)
-        out["vs_practical"] = round(
-            out["decode_tok_s"] / (practical / active), 4)
     except Exception:  # noqa: BLE001
         pass
+    if ratios:
+        out["practical_bw_gbs"] = round(float(np.median(bws)) / 1e9, 1)
+        out["vs_practical"] = round(float(np.median(ratios)), 4)
     return out
 
 

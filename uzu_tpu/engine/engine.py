@@ -128,6 +128,23 @@ class LanguageModel:
         tree.assert_all_validated()
         return cls(config, params, **kw)
 
+    @classmethod
+    def from_dir_sharded(cls, model_dir: str, mesh, *,
+                         random_seed: int | None = None, **kw) -> "LanguageModel":
+        """Multi-host sharded load: streams the model group-by-group so no
+        single process ever materializes the full parameter tree (see
+        parallel.distributed.load_params_sharded). Use for models larger
+        than one host's memory; from_dir + mesh= is fine otherwise."""
+        from ..parallel.distributed import load_params_sharded
+        from ..runtime import enable_compilation_cache
+
+        enable_compilation_cache()
+        config, params, stats = load_params_sharded(
+            model_dir, mesh, random_seed=random_seed)
+        lm = cls(config, params, mesh=mesh, shard_fn=lambda p: p, **kw)
+        lm.shard_load_stats = stats
+        return lm
+
     # -- state -----------------------------------------------------------
 
     def new_state(self, ring_size: int = 0, batch_size: int = 0) -> dict:

@@ -17,12 +17,19 @@ measures the deltas themselves, on the flagship model, on the real chip:
      fusing the dynamic-sampling machinery (the production variant flip) —
      max RMS-normalized logit delta per step.
 
-PASS = A <= 2.5e-2 (the bf16-prefill-dot contract: the replay program
-quantizes M>=32 dot operands to bf16 by design while decode GEMVs are f32)
-and B <= 2e-3 (env UZU_SMOKE_TOL_REPLAY / UZU_SMOKE_TOL_VAR). A pass restores
-a strong on-chip statement: cross-variant deltas are low-bit rounding, so
-greedy streams within one variant are exact and argmax flips across
-variants can only happen on ties closer than TOL.
+  C. matched-precision replay: the same forced path through the
+     single-step M=1 decode program (f32 GEMVs — the fused scan's own
+     precision contract) vs the fused scan's logprobs.
+
+PASS = A <= 0.1 (contract-calibrated: the replay program quantizes M>=32
+dot operands to bf16 by design while decode GEMVs are f32 — measured
+0.043 logprob on chip; the assert only catches real cross-program bugs,
+order 0.5+), B <= 2e-3 (measured BIT-EXACT on chip post dot-precision
+fix), and C <= 2.5e-3 (envs UZU_SMOKE_TOL_REPLAY / UZU_SMOKE_TOL_VAR /
+UZU_SMOKE_TOL_MATCHED). A pass gives the strong on-chip statement: within
+one precision contract programs agree to low bits, the variant flip is
+exact, and the only cross-program gap is the documented bf16 prefill
+contract.
 
 Reference parity: stream.rs accept path (speculation exact by construction);
 here exactness is per-executable and the CROSS-executable gap is bounded.
@@ -41,11 +48,19 @@ sys.path.insert(0, REPO)
 
 # A compares the fused decode scan (f32 GEMVs) against the prefill-style
 # replay whose M>=32 dots are bf16 BY DESIGN (ops contract, see
-# chip_conformance tolerances) — its bound reflects that contract, not
-# variant drift. B holds the program family fixed and flips only the
-# fused sampling machinery: the actual variant-flip bound.
-TOL_REPLAY = float(os.environ.get("UZU_SMOKE_TOL_REPLAY", "2.5e-2"))
+# chip_conformance tolerances) — its bound reflects that precision
+# contract, not variant drift (measured 0.043 logprob on chip, 2026-08-20:
+# bf16 eps 7.8e-3 x logit scale O(5) is exactly this order). It still
+# asserts, at a contract-calibrated tolerance, so a REAL cross-program bug
+# (order 0.5+) cannot hide behind the contract. C is the normative
+# matched-precision statement: the same forced token path through the
+# single-step M=1 decode program (f32 GEMVs, the same contract as the
+# fused scan) must agree tightly. B holds the program family fixed and
+# flips only the fused sampling machinery: the actual variant-flip bound
+# (measured BIT-EXACT on chip after the HIGHEST-precision dot fix).
+TOL_REPLAY = float(os.environ.get("UZU_SMOKE_TOL_REPLAY", "0.1"))
 TOL_VAR = float(os.environ.get("UZU_SMOKE_TOL_VAR", "2e-3"))
+TOL_MATCHED = float(os.environ.get("UZU_SMOKE_TOL_MATCHED", "2.5e-3"))
 
 
 def main():
@@ -171,7 +186,28 @@ def main():
                       "steps": int(forced.shape[0]),
                       "pass": bool(d_var <= TOL_VAR)}), flush=True)
 
-    ok = max(d_chosen, d_top) <= TOL_REPLAY and d_var <= TOL_VAR
+    # -- C: matched-precision replay ----------------------------------------
+    # logits_a IS the teacher-forced token-by-token M=1 decode program (f32
+    # GEMV contract, same as the fused scan). Row j (after feeding toks[j])
+    # predicts toks[j+1] — compare against the fused scan's logprobs at the
+    # step that sampled toks[j+1].
+    logp_a = np.asarray(
+        jax.device_get(jax.nn.log_softmax(jnp.asarray(logits_a), axis=-1)))
+    d_m_chosen, d_m_top = 0.0, 0.0
+    for j in range(logp_a.shape[0] - 1):
+        lp, top = dec_lp[j + 1]
+        d_m_chosen = max(d_m_chosen, abs(lp - float(logp_a[j, toks[j + 1]])))
+        for tid, tlp in top:
+            d_m_top = max(d_m_top, abs(tlp - float(logp_a[j, tid])))
+    d_matched = max(d_m_chosen, d_m_top)
+    print(json.dumps({"check": "matched_precision_replay",
+                      "max_d_chosen_lp": round(d_m_chosen, 6),
+                      "max_d_top5_lp": round(d_m_top, 6),
+                      "tol": TOL_MATCHED,
+                      "pass": bool(d_matched <= TOL_MATCHED)}), flush=True)
+
+    ok = (max(d_chosen, d_top) <= TOL_REPLAY and d_var <= TOL_VAR
+          and d_matched <= TOL_MATCHED)
     print(json.dumps({"smoke_v4": "PASS" if ok else "FAIL"}), flush=True)
     sys.exit(0 if ok else 1)
 

@@ -10,12 +10,17 @@ suite on real Metal): it executes every production kernel ON THE CHIP over
 the served shape matrix and value-checks against float64 host oracles
 built from the PRODUCTION quantize path (quant/format.quantize_reference).
 
-Tolerances encode each kernel's documented precision contract:
-  f32 cells  (decode GEMVs, MoE gather, quant grouped w/ f32 dots):
-             nerr <= 1e-3 (true-f32 dots; HIGHEST precision requested)
+Tolerances encode each kernel's documented precision contract
+(ops/pallas/precision.py). The PRODUCTION decode contract is the
+single-pass bf16-operand dot (the reference's own half-precision
+simdgroup-matmul contract; true-f32 HIGHEST dots measured 2.5x slower
+on chip and do NOT hide under the weight DMA), so decode cells check at
+the bf16 tolerance unless UZU_TPU_DECODE_DOT=highest is set for a
+true-f32 diagnostic run:
+  decode cells (GEMVs, MoE gather): nerr <= 2.5e-2 at the production
+             contract; <= 1e-3 under UZU_TPU_DECODE_DOT=highest
   bf16 cells (prefill dots, attention): nerr <= 2.5e-2 (operands are
-             rounded to bf16 by design — the reference's Metal kernels
-             likewise run half-precision simdgroup matmuls)
+             rounded to bf16 by design)
 
 where nerr = max|got - want| / rms(want): normalized by the output's RMS,
 NOT pointwise relative error — the r3 qmm_matrix probe's pointwise metric
@@ -44,8 +49,10 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-F32_TOL = 1e-3
 BF16_TOL = 2.5e-2
+# decode cells: tolerance follows the active accumulation-dot contract
+F32_TOL = (1e-3 if os.environ.get("UZU_TPU_DECODE_DOT", "default") == "highest"
+           else BF16_TOL)
 
 
 def _nerr(got: np.ndarray, want: np.ndarray) -> float:

@@ -170,6 +170,7 @@ def _q_kernel(tile_expert_ref, used_ref, x_even_ref, x_odd_ref, codes_ref,
     straight from the stacked [E, N, Kp] array — no dequantized stack ever
     materializes in HBM (the XLA path wrote + re-read E/K_active x more
     transient bytes than the active weights themselves)."""
+    from .precision import decode_dot_precision, expansion_precision
     from .quant_matmul import _expansion_matrix
 
     mt = pl.program_id(0)
@@ -188,17 +189,19 @@ def _q_kernel(tile_expert_ref, used_ref, x_even_ref, x_odd_ref, codes_ref,
         lo = (codes & 0xF).astype(jnp.float32)
         hi = (codes >> 4).astype(jnp.float32)
         e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else kt * kgc)
-        # HIGHEST: Mosaic's DEFAULT dots are single-pass bf16 even on f32
-        # operands — the 0/1 expansion must select scales bit-exactly
-        # (root cause of the r3 on-chip small-shape errs; see
-        # quant_matmul._int4_kernel / tools/exp_qmm_bisect2.py)
-        scale_exp = jnp.dot(scales_ref[...].astype(jnp.float32), e,
+        # precision contract: ops/pallas/precision.py — bf16-stored scales
+        # are selected exactly by one DEFAULT expansion pass (0/1 x bf16);
+        # f32 scales need HIGHEST (Mosaic's DEFAULT silently rounds them)
+        exp_dtype = (jnp.bfloat16 if scales_ref.dtype == jnp.bfloat16
+                     else jnp.float32)
+        scale_exp = jnp.dot(scales_ref[...].astype(exp_dtype),
+                            e.astype(exp_dtype),
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=expansion_precision(exp_dtype))
         qb = scale_exp * qbias_coeff
         w_lo = (lo * scale_exp + qb).astype(dot_dtype)
         w_hi = (hi * scale_exp + qb).astype(dot_dtype)
-        prec = (jax.lax.Precision.HIGHEST if dot_dtype == jnp.float32
+        prec = (decode_dot_precision() if dot_dtype == jnp.float32
                 else jax.lax.Precision.DEFAULT)
         dims = (((1,), (1,)), ((), ()))
         acc_ref[...] += jax.lax.dot_general(

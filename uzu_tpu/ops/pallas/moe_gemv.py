@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .precision import decode_dot_precision, expansion_precision
 from .quant_matmul import (
     _VMEM_STACK_BUDGET,
     _expansion_matrix,
@@ -87,28 +88,31 @@ def _int4_pair_kernel(ids_ref, x_even_ref, x_odd_ref, codes_ref, scales_ref,
     lo = (codes & 0xF).astype(jnp.float32)
     hi = (codes >> 4).astype(jnp.float32)
 
+    # precision contract: ops/pallas/precision.py. bf16-stored scales are
+    # selected exactly by a single DEFAULT expansion pass (0/1 x bf16);
+    # the accumulation dots run the production single-pass bf16-operand
+    # contract (the expansion matrix dominates this kernel's FLOPs at
+    # kg >> kgc — 6-pass HIGHEST expansion made the r4a gather GEMV
+    # compute-bound, CHIP_JOBS_r4 moe_attrib: 1.06 ms vs ~0.35 justified).
     e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else k * kgc)
     scale_exp = jnp.dot(scales_ref[...].astype(exp_dtype), e.astype(exp_dtype),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=expansion_precision(exp_dtype))
     qbias_exp = scale_exp * qbias_coeff
 
     w_lo = lo * scale_exp + qbias_exp
     w_hi = hi * scale_exp + qbias_exp
 
-    # decode-only kernel: f32 contract end-to-end. HIGHEST is required —
-    # Mosaic's DEFAULT dots run ONE bf16 pass even on f32 operands (the
-    # r3 on-chip w13/w2 "garble" was exactly this rounding; see
-    # quant_matmul._int4_kernel and tools/exp_qmm_bisect2.py).
+    acc_prec = decode_dot_precision()
     dims = (((1,), (1,)), ((), ()))
     acc_ref[...] += jax.lax.dot_general(
         x_even_ref[...], w_lo, dimension_numbers=dims,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=acc_prec,
     ) + jax.lax.dot_general(
         x_odd_ref[...], w_hi, dimension_numbers=dims,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=acc_prec,
     )
 
     @pl.when(k == last_k)
@@ -126,16 +130,17 @@ def _int8_pair_kernel(ids_ref, x_ref, codes_ref, scales_ref, o_ref, acc_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     codes = codes_ref[...].astype(jnp.int32).astype(jnp.float32)
+    # precision: see the int4 pair kernel + ops/pallas/precision.py
     e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else k * kgc)
     scale_exp = jnp.dot(scales_ref[...].astype(exp_dtype), e.astype(exp_dtype),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=expansion_precision(exp_dtype))
     w = codes * scale_exp + scale_exp * qbias_coeff
 
     acc_ref[...] += jax.lax.dot_general(
         x_ref[...], w, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=decode_dot_precision(),
     )
 
     @pl.when(k == last_k)
@@ -153,6 +158,9 @@ def _moe_gemv_p(x_pairs, codes, scales, ids, *, bits, group_size,
     e_all, n, _ = codes.shape
     kg = scales.shape[2]
     g = group_size
+    # bf16-stored scales keep the expansion dot single-pass AND exact
+    # (see ops/pallas/precision.py); f32 scales fall back to HIGHEST
+    exp_dtype = jnp.bfloat16 if scales.dtype == jnp.bfloat16 else jnp.float32
 
     # 8-sublane band per pair in a flat 2D [P*8, K] array (row 8*p real,
     # the rest zero): x and out blocks stay 2D
@@ -193,7 +201,7 @@ def _moe_gemv_p(x_pairs, codes, scales, ids, *, bits, group_size,
         out = pl.pallas_call(
             functools.partial(
                 _int4_pair_kernel, kg=kgc if chunked else kg, kgc=kgc, kc=kc,
-                gsub=gsub, last_k=n_k - 1, exp_dtype=jnp.float32,
+                gsub=gsub, last_k=n_k - 1, exp_dtype=exp_dtype,
                 chunked_scales=chunked, qbias_coeff=qbias_coeff),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((p * _SUB, n), jnp.float32),
@@ -229,7 +237,7 @@ def _moe_gemv_p(x_pairs, codes, scales, ids, *, bits, group_size,
         out = pl.pallas_call(
             functools.partial(
                 _int8_pair_kernel, kg=kgc if chunked else kg, kgc=kgc, kc=kc,
-                gsub=gsub, last_k=n_k - 1, exp_dtype=jnp.float32,
+                gsub=gsub, last_k=n_k - 1, exp_dtype=exp_dtype,
                 chunked_scales=chunked, qbias_coeff=qbias_coeff),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((p * _SUB, n), jnp.float32),

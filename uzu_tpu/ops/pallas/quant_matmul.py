@@ -38,6 +38,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .precision import decode_dot_precision, expansion_precision
+
 # Above this many rows the XLA dequant-then-matmul path wins (dequant
 # materialization amortized over many activations; MXU-bound regime).
 # Measured on v5e: the fused kernel beats the XLA path at every M up to 512
@@ -171,23 +173,15 @@ def _int4_kernel(x_even_ref, x_odd_ref, codes_ref, scales_ref, *rest,
     lo = (codes & 0xF).astype(jnp.float32)
     hi = (codes >> 4).astype(jnp.float32)
 
-    # PRECISION (root-caused on chip r4, tools/exp_qmm_bisect2.py): Mosaic
-    # lowers DEFAULT-precision dots as ONE bf16 MXU pass even for f32
-    # operands — f32 semantics must be requested explicitly. The expansion
-    # dot selects (0/1 matrix) this chunk's scales: at HIGHEST each output
-    # column is exactly 1.0*scale (bit-exact selection); at DEFAULT every
-    # scale was silently bf16-rounded (max-rel-err 0.22-16 vs the host
-    # oracle across the r3 qmm_matrix sweep — at ALL shapes, not a
-    # small-shape Mosaic garble). bf16-native scales keep a single exact
-    # pass (0/1 times a bf16 operand is exact).
+    # PRECISION (full story: ops/pallas/precision.py): the 0/1 expansion
+    # dot must SELECT scales exactly — bf16-stored scales get that from a
+    # single DEFAULT pass (0/1 x bf16 is exact); f32 scales need HIGHEST
+    # (Mosaic's DEFAULT rounds operands to bf16 silently — the r3
+    # qmm_matrix errors were exactly that rounding, at all shapes).
     # chunked_scales: the scale block covers only this K-chunk's groups
     # (kg == kgc rows), so group_off is 0 and e is grid-invariant.
     e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else k * kgc)
-    # HIGHEST only for f32 operands (bf16-stored scales: a single DEFAULT
-    # bf16 pass selects them exactly, and Mosaic rejects HIGHEST on bf16
-    # operand dots — CHIP_JOBS_r4 conformance)
-    exp_prec = (jax.lax.Precision.HIGHEST if exp_dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT)
+    exp_prec = expansion_precision(exp_dtype)
     scale_exp = jnp.dot(scales_ref[:].astype(exp_dtype), e.astype(exp_dtype),
                         preferred_element_type=jnp.float32,
                         precision=exp_prec)
@@ -199,15 +193,16 @@ def _int4_kernel(x_even_ref, x_odd_ref, codes_ref, scales_ref, *rest,
                             precision=exp_prec)
 
     # dequant in f32 on the VPU, then feed the MXU in the dot dtype; f32
-    # accumulation. Decode (dot_dtype f32, HBM-bound): HIGHEST buys true-f32
-    # multi-pass dots whose extra MXU passes hide entirely under the code
-    # DMA stream. Prefill (dot_dtype bf16, MXU-bound): single-pass bf16 is
-    # the deliberate contract — the reference's Metal kernels likewise
-    # dequantize to half for simdgroup matmuls (gemm.metal B-prologue).
+    # accumulation. Both decode (dot_dtype f32) and prefill (bf16) run the
+    # single-pass bf16-operand contract — the reference's Metal kernels
+    # likewise dequantize to half for simdgroup matmuls (gemm.metal
+    # B-prologue). True-f32 multi-pass dots (UZU_TPU_DECODE_DOT=highest)
+    # measured 2.5x slower on the flagship up-GEMV (110 vs 275 GB/s,
+    # CHIP_JOBS_r4): the extra MXU passes do NOT hide under the code DMA.
     w_lo = (lo * scale_exp + qbias_exp).astype(dot_dtype)
     w_hi = (hi * scale_exp + qbias_exp).astype(dot_dtype)
 
-    acc_precision = (jax.lax.Precision.HIGHEST if dot_dtype == jnp.float32
+    acc_precision = (decode_dot_precision() if dot_dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
     dims = (((1,), (1,)), ((), ()))  # contract last dims: [M,KC]x[TN,KC]->[M,TN]
     acc_ref[:] += jax.lax.dot_general(
@@ -235,15 +230,9 @@ def _int8_kernel(x_ref, codes_ref, scales_ref, *rest,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     codes = codes_ref[:].astype(jnp.int32).astype(jnp.float32)
-    # precision: see the int4 kernel — Mosaic's DEFAULT dots are single-pass
-    # bf16 even on f32 operands; HIGHEST keeps scale selection bit-exact and
-    # the decode (f32) accumulation truly f32.
+    # precision: see the int4 kernel + ops/pallas/precision.py
     e = _expansion_matrix(kg, kc, gsub, 0 if chunked_scales else k * kgc)
-    # HIGHEST only for f32 operands (bf16-stored scales: a single DEFAULT
-    # bf16 pass selects them exactly, and Mosaic rejects HIGHEST on bf16
-    # operand dots — CHIP_JOBS_r4 conformance)
-    exp_prec = (jax.lax.Precision.HIGHEST if exp_dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT)
+    exp_prec = expansion_precision(exp_dtype)
     scale_exp = jnp.dot(scales_ref[:].astype(exp_dtype), e.astype(exp_dtype),
                         preferred_element_type=jnp.float32,
                         precision=exp_prec)
@@ -258,7 +247,7 @@ def _int8_kernel(x_ref, codes_ref, scales_ref, *rest,
     acc_ref[:] += jax.lax.dot_general(
         x_ref[:], w, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=(jax.lax.Precision.HIGHEST if dot_dtype == jnp.float32
+        precision=(decode_dot_precision() if dot_dtype == jnp.float32
                    else jax.lax.Precision.DEFAULT),
     )
 

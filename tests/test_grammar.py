@@ -471,6 +471,75 @@ def test_native_matches_python_combinators(chat_dir):
             g_nat.observe(tid)
 
 
+@pytest.mark.parametrize("fmt,ok,bad", [
+    ("uuid", ["123e4567-e89b-12d3-a456-426614174000"],
+     ["123e4567-e89b-12d3-a456", "123e4567-e89b-12d3-a456-42661417400g"]),
+    ("date", ["2026-08-20", "1999-12-31"],
+     ["2026-13-01", "2026-00-10", "2026-08-32", "26-08-20"]),
+    ("time", ["23:59:59Z", "08:00:00+05:30", "12:00:00.25Z"],
+     ["24:00:00Z", "12:60:00Z", "12:00:00"]),
+    ("date-time", ["2026-08-20T12:34:56Z", "2026-08-20T12:34:56-07:00"],
+     ["2026-08-20 12:34:56Z", "2026-08-20T25:00:00Z"]),
+    ("duration", ["P3Y6M4DT12H30M5S", "PT1M", "P2W"],
+     ["P", "3Y", "P4DT"]),
+    ("email", ["a.b+c@ex-ample.org"], ["a@b", "@x.com", "a b@x.com"]),
+    ("hostname", ["example.com", "a", "x-1.y-2.z"],
+     ["-bad.com", "bad-.com", "a..b"]),
+    ("ipv4", ["192.168.0.1", "255.255.255.255", "0.0.0.0"],
+     ["256.1.1.1", "1.2.3", "01.2.3.4.5"]),
+    ("ipv6", ["2001:db8:85a3:0:0:8a2e:370:7334", "::", "fe80::1"],
+     ["2001:db8", "12345::1"]),
+    ("uri", ["https://example.com/a?b=1", "mailto:x@y.z"],
+     ["not a uri", "//missing.scheme"]),
+])
+def test_matcher_format_strings(fmt, ok, bad):
+    """Known `format` values constrain strings (xgrammar scope,
+    grammar/mod.rs:18-76 — formats compile to regexes)."""
+    s = {"type": "string", "format": fmt}
+    for t in ok:
+        assert JsonMatcher(s).feed_text(json.dumps(t)), (fmt, t)
+    for t in bad:
+        assert not JsonMatcher(s).feed_text(json.dumps(t)), (fmt, t)
+
+
+def test_matcher_format_precedence():
+    # explicit sibling pattern wins over format
+    s = {"type": "string", "format": "uuid", "pattern": "^ok$"}
+    assert JsonMatcher(s).feed_text('"ok"')
+    assert not JsonMatcher(s).feed_text(
+        '"123e4567-e89b-12d3-a456-426614174000"')
+    # unknown format names are annotations (ignored)
+    assert JsonMatcher({"type": "string", "format": "no-such"}).feed_text('"?"')
+    # enum beats format
+    s = {"type": "string", "format": "uuid", "enum": ["a"]}
+    assert JsonMatcher(s).feed_text('"a"')
+
+
+def test_native_matches_python_format(chat_dir):
+    """C++ and Python masks stay identical for `format` strings (the
+    normalization is shared, so the native engine must NOT fall back)."""
+    from uzu_tpu.grammar.native_backend import NativeGrammar  # noqa: F401
+
+    tok = Tokenizer(chat_dir)
+    schema = {"type": "object",
+              "properties": {"ip": {"type": "string", "format": "ipv4"},
+                             "day": {"type": "string", "format": "date"}},
+              "required": ["ip", "day"], "additionalProperties": False}
+    g_py = GrammarSession(tok, schema=schema, backend="python")
+    g_nat = GrammarSession(tok, schema=schema, backend="native")
+    assert g_nat.backend == "native"
+    g_py.reset(), g_nat.reset()
+    ids = tok.encode('{"ip": "10.0.0.1", "day": "2026-08-20"}')
+    for i, tid in enumerate(ids):
+        np.testing.assert_array_equal(
+            g_nat.current_mask(), g_py.current_mask(),
+            err_msg=f"diverged at step {i}")
+        if not g_py.current_mask()[tid]:
+            break
+        g_py.observe(tid)
+        g_nat.observe(tid)
+
+
 def test_server_response_format_anyof_pattern(chat_dir):
     """A served json_schema with anyOf + pattern round-trips (VERDICT r3 #5
     done-condition)."""

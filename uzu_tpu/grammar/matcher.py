@@ -17,8 +17,11 @@ exclusivity is not enforced at generation time — the mask is the union of
 the alternatives, matching xgrammar's practical behavior), local $ref
 (#/$defs/... and #/definitions/..., recursion supported), and string
 `pattern` (compiled to the char-class DFA of grammar/regex.py; edge ^/$
-anchors honored, otherwise unanchored containment per JSON Schema).
-Enough for real tool-call argument schemas.
+anchors honored, otherwise unanchored containment per JSON Schema), and
+string `format` (date/time/date-time/duration/uuid/email/hostname/ipv4/
+ipv6/uri, normalized to anchored patterns the way xgrammar compiles
+formats to regexes; unknown formats are annotations per the JSON-Schema
+spec and stay ignored). Enough for real tool-call argument schemas.
 
 Combinators make the matcher a BRANCH SET (GLR-style): every branch is a
 deterministic pushdown stack; a "value" frame whose schema is an anyOf
@@ -100,6 +103,58 @@ def _collect_defs(schema) -> dict:
     return defs
 
 
+# JSON-Schema string `format` -> anchored pattern (the ref's xgrammar
+# likewise compiles formats into regexes). Subset fits grammar/regex.py;
+# an explicit sibling `pattern` wins; unknown format names are ignored
+# (format is an annotation by default per the JSON-Schema spec).
+_TIME_BODY = (r"([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?"
+              r"(Z|[+-]([01]\d|2[0-3]):[0-5]\d)")
+_DATE_BODY = r"\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])"
+_FORMAT_PATTERNS = {
+    "date": f"^{_DATE_BODY}$",
+    "time": f"^{_TIME_BODY}$",
+    "date-time": f"^{_DATE_BODY}T{_TIME_BODY}$",
+    # at-least-one-designator enforced by nonempty alternatives (the DFA
+    # subset has no lookahead)
+    "duration": r"^P(\d+W"
+                r"|(\d+Y(\d+M)?(\d+D)?|\d+M(\d+D)?|\d+D)"
+                r"(T(\d+H(\d+M)?(\d+(\.\d+)?S)?|\d+M(\d+(\.\d+)?S)?"
+                r"|\d+(\.\d+)?S))?"
+                r"|T(\d+H(\d+M)?(\d+(\.\d+)?S)?|\d+M(\d+(\.\d+)?S)?"
+                r"|\d+(\.\d+)?S))$",
+    "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+            r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    "email": r"^[A-Za-z0-9.!#$%&'*+/=?_`{|}~^-]+@"
+             r"[A-Za-z0-9]([A-Za-z0-9-]*[A-Za-z0-9])?"
+             r"(\.[A-Za-z0-9]([A-Za-z0-9-]*[A-Za-z0-9])?)+$",
+    "hostname": r"^[A-Za-z0-9]([A-Za-z0-9-]*[A-Za-z0-9])?"
+                r"(\.[A-Za-z0-9]([A-Za-z0-9-]*[A-Za-z0-9])?)*$",
+    "ipv4": r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+            r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$",
+    # pragmatic ipv6 (xgrammar-style): hex fields with one optional `::`
+    # compression, no embedded-ipv4 tail
+    "ipv6": r"^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+            r"|([0-9A-Fa-f]{1,4}:){1,7}:"
+            r"|:(:[0-9A-Fa-f]{1,4}){1,7}"
+            r"|([0-9A-Fa-f]{1,4}:){1,6}(:[0-9A-Fa-f]{1,4}){1,6}|::)$",
+    "uri": r"^[A-Za-z][A-Za-z0-9+.-]*:[^ \t\n\r]*$",
+}
+
+
+def _normalize_format(schema):
+    """Rewrite a known string `format` into its `pattern` (no-op otherwise);
+    shared by the Python matcher and the native flattener so the two engines
+    stay in lockstep."""
+    if (isinstance(schema, dict) and "pattern" not in schema
+            and "enum" not in schema and "const" not in schema
+            and isinstance(schema.get("format"), str)):
+        pat = _FORMAT_PATTERNS.get(schema["format"])
+        if pat is not None:
+            schema = dict(schema)
+            schema["pattern"] = pat
+    return schema
+
+
 def _resolve(schema, defs, _depth: int = 0):
     """Follow $ref chains; merge non-annotation sibling keys (siblings win —
     they are the more-local constraint, e.g. a $ref plus a narrowing enum)."""
@@ -114,7 +169,7 @@ def _resolve(schema, defs, _depth: int = 0):
                   if k != "$ref" and k not in _ANNOTATIONS}
         schema = {**target, **extras} if extras else target
         _depth += 1
-    return schema
+    return _normalize_format(schema)
 
 
 def _alternatives(schema):

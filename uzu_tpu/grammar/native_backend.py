@@ -25,9 +25,11 @@ _TYPE_BITS = {
 
 _UNSUPPORTED_KEYS = {
     "allOf", "not", "patternProperties",
-    "format", "minimum", "maximum", "minLength", "maxLength",
+    "minimum", "maximum", "minLength", "maxLength",
     "prefixItems", "additionalItems", "dependencies", "if", "then", "else",
 }
+# `format` is handled by _normalize_format (matcher.py): known formats
+# rewrite to `pattern` before flattening; unknown ones are annotations.
 
 _EMPTY_NODE = {"type_mask": T_ANY, "items": -1, "min": 0, "max": -1,
                "additional": 1, "props": [], "enum": [], "alts": [],
@@ -69,7 +71,13 @@ def flatten_schema(schema) -> tuple[np.ndarray, list[str], np.ndarray]:
     flattens to a memoized 1-alt indirection node, so recursive schemas
     terminate. Raises SchemaUnsupported for features only the Python
     matcher handles."""
-    from .matcher import _alternatives, _collect_defs, _resolve, GrammarError
+    from .matcher import (
+        GrammarError,
+        _alternatives,
+        _collect_defs,
+        _normalize_format,
+        _resolve,
+    )
 
     defs = _collect_defs(schema)
     nodes: list[dict] = []
@@ -93,6 +101,7 @@ def flatten_schema(schema) -> tuple[np.ndarray, list[str], np.ndarray]:
             return len(nodes) - 1
         if not isinstance(s, dict):
             raise SchemaUnsupported(f"schema node {type(s)}")
+        s = _normalize_format(s)
 
         if "$ref" in s:
             extras = {k: v for k, v in s.items() if k != "$ref"}

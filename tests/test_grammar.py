@@ -502,6 +502,45 @@ def test_matcher_format_strings(fmt, ok, bad):
         assert not JsonMatcher(s).feed_text(json.dumps(t)), (fmt, t)
 
 
+def test_matcher_string_length_bounds():
+    s = {"type": "string", "minLength": 2, "maxLength": 4}
+    assert JsonMatcher(s).feed_text('"ab"')
+    assert JsonMatcher(s).feed_text('"abcd"')
+    assert JsonMatcher(s).feed_text('"a\\nb"')  # escapes count as one char
+    assert not JsonMatcher(s).feed_text('"a"')
+    assert not JsonMatcher(s).feed_text('"abcde"')
+    # one-sided bounds
+    assert JsonMatcher({"type": "string", "minLength": 3}).feed_text('"abc"')
+    assert not JsonMatcher({"type": "string", "minLength": 3}).feed_text('"ab"')
+    assert JsonMatcher({"type": "string", "maxLength": 1}).feed_text('""')
+    assert not JsonMatcher({"type": "string", "maxLength": 1}).feed_text('"xy"')
+    # bounds apply to strings only; other branches unaffected
+    s = {"type": ["string", "integer"], "maxLength": 2}
+    assert JsonMatcher(s).feed_text("12345")
+
+
+def test_native_matches_python_length_bounds(chat_dir):
+    from uzu_tpu.grammar.native_backend import NativeGrammar  # noqa: F401
+
+    tok = Tokenizer(chat_dir)
+    schema = {"type": "object",
+              "properties": {"tag": {"type": "string", "minLength": 1,
+                                     "maxLength": 6}},
+              "required": ["tag"], "additionalProperties": False}
+    g_py = GrammarSession(tok, schema=schema, backend="python")
+    g_nat = GrammarSession(tok, schema=schema, backend="native")
+    assert g_nat.backend == "native"
+    ids = tok.encode('{"tag": "abc"}')
+    for i, tid in enumerate(ids):
+        np.testing.assert_array_equal(
+            g_nat.current_mask(), g_py.current_mask(),
+            err_msg=f"diverged at step {i}")
+        if not g_py.current_mask()[tid]:
+            break
+        g_py.observe(tid)
+        g_nat.observe(tid)
+
+
 def test_matcher_format_precedence():
     # explicit sibling pattern wins over format
     s = {"type": "string", "format": "uuid", "pattern": "^ok$"}

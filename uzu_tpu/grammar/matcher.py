@@ -21,7 +21,8 @@ anchors honored, otherwise unanchored containment per JSON Schema), and
 string `format` (date/time/date-time/duration/uuid/email/hostname/ipv4/
 ipv6/uri, normalized to anchored patterns the way xgrammar compiles
 formats to regexes; unknown formats are annotations per the JSON-Schema
-spec and stay ignored). Enough for real tool-call argument schemas.
+spec and stay ignored) plus string minLength/maxLength (normalized the
+same way). Enough for real tool-call argument schemas.
 
 Combinators make the matcher a BRANCH SET (GLR-style): every branch is a
 deterministic pushdown stack; a "value" frame whose schema is an anyOf
@@ -142,16 +143,27 @@ _FORMAT_PATTERNS = {
 
 
 def _normalize_format(schema):
-    """Rewrite a known string `format` into its `pattern` (no-op otherwise);
-    shared by the Python matcher and the native flattener so the two engines
-    stay in lockstep."""
-    if (isinstance(schema, dict) and "pattern" not in schema
-            and "enum" not in schema and "const" not in schema
-            and isinstance(schema.get("format"), str)):
-        pat = _FORMAT_PATTERNS.get(schema["format"])
-        if pat is not None:
-            schema = dict(schema)
-            schema["pattern"] = pat
+    """Rewrite a known string `format` — or minLength/maxLength bounds —
+    into a `pattern` (no-op otherwise); shared by the Python matcher and
+    the native flattener so the two engines stay in lockstep. An explicit
+    `pattern` wins (the DFA subset cannot intersect languages); formats
+    win over length bounds (every format pattern already pins lengths)."""
+    if (not isinstance(schema, dict) or "pattern" in schema
+            or "enum" in schema or "const" in schema):
+        return schema
+    pat = (_FORMAT_PATTERNS.get(schema["format"])
+           if isinstance(schema.get("format"), str) else None)
+    if pat is None:
+        lo, hi = schema.get("minLength"), schema.get("maxLength")
+        if isinstance(lo, int) or isinstance(hi, int):
+            lo = lo if isinstance(lo, int) and lo > 0 else 0
+            # (.|\n) = any char: `.` excludes newline in the DFA subset
+            pat = (f"^(.|\\n){{{lo},{hi}}}$" if isinstance(hi, int)
+                   else f"^(.|\\n){{{lo},}}$")
+    if pat is not None:
+        schema = {k: v for k, v in schema.items()
+                  if k not in ("minLength", "maxLength")}
+        schema["pattern"] = pat
     return schema
 
 

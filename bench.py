@@ -381,6 +381,16 @@ def main() -> None:
             pair_ratios.append(
                 metrics.decode_tokens_per_second / (bw_now / (wbytes + kv_bytes)))
     decode_tok_s = float(np.median(decode_runs))
+    # reference bench contract parity (runner.rs:112 reports allocator
+    # peak): live device buffer bytes at serving steady state
+    try:
+        from uzu_tpu.tools.telemetry import device_memory
+
+        dm = device_memory()
+        if dm is not None:
+            RESULTS["memory_used"] = dm.live_buffer_bytes
+    except Exception:  # noqa: BLE001
+        pass
     RESULTS["value"] = round(decode_tok_s, 2)
     RESULTS["vs_baseline"] = round(decode_tok_s / sol_tok_s, 4)
     RESULTS["ttft_s"] = round(float(np.median(ttft_runs)), 4)

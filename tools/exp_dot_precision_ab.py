@@ -89,7 +89,9 @@ print(json.dumps(out), flush=True)
 
 
 def main() -> None:
-    for mode in ("default", "high", "highest"):
+    # HIGH is not in the sweep: Mosaic's lowering rejects it outright
+    # ("Unsupported dot precision: HIGH", CHIP_JOBS_r4)
+    for mode in ("default", "highest"):
         env = dict(os.environ)
         env["UZU_TPU_DECODE_DOT"] = mode
         env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"

@@ -27,8 +27,10 @@ read at TRACE time — set it before the first forward, or run in a fresh
 process, e.g. tools/exp_dot_precision_ab.py's subprocess arms):
 
   default   single-pass bf16 operands, f32 accumulate   (production)
-  high      3 MXU passes (~f32 significand coverage)
   highest   6 MXU passes, true f32                      (diagnostics)
+
+(Precision.HIGH is NOT offered: Mosaic's lowering rejects it —
+"Unsupported dot precision: HIGH", CHIP_JOBS_r4 dot_precision_ab.)
 """
 
 from __future__ import annotations
@@ -40,7 +42,6 @@ import jax.numpy as jnp
 
 _MAP = {
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
 }
 
@@ -52,7 +53,7 @@ def decode_dot_precision() -> jax.lax.Precision:
         return _MAP[name]
     except KeyError:
         raise ValueError(
-            f"UZU_TPU_DECODE_DOT={name!r}: want default|high|highest"
+            f"UZU_TPU_DECODE_DOT={name!r}: want default|highest"
         ) from None
 
 

@@ -541,6 +541,53 @@ def test_native_matches_python_length_bounds(chat_dir):
         g_nat.observe(tid)
 
 
+def test_matcher_integer_bounds():
+    """Integer minimum/maximum (xgrammar numeric-bounds scope): brute-force
+    value sweep + per-char viability (prefixes that cannot reach the range
+    are rejected at the first dead character, not at close)."""
+    def sweep(lo, hi, schema):
+        for v in list(range(-130, 130)) + [999, -999, 10**12, -(10**12)]:
+            want = (lo is None or v >= lo) and (hi is None or v <= hi)
+            assert JsonMatcher(schema).feed_text(f"{v} ") == want, (schema, v)
+
+    sweep(0, 100, {"type": "integer", "minimum": 0, "maximum": 100})
+    sweep(-5, 5, {"type": "integer", "minimum": -5, "maximum": 5})
+    sweep(None, -3, {"type": "integer", "maximum": -3})
+    sweep(7, None, {"type": "integer", "minimum": 7})
+    sweep(1, 9, {"type": "integer",
+                 "exclusiveMinimum": 0, "exclusiveMaximum": 10})
+    sweep(6, 6, {"type": "integer", "minimum": 5, "exclusiveMinimum": True,
+                 "maximum": 6})
+    sweep(1, 2, {"type": "integer", "minimum": 0.5, "maximum": 2.5})
+    # prefix viability: first digit already out of range masks off
+    s = {"type": "integer", "minimum": 20, "maximum": 29}
+    assert not JsonMatcher(s).advance("3")
+    m = JsonMatcher(s)
+    assert m.feed_text("25")
+    assert not m.advance("5")  # 255 would overshoot: digits mask off
+    # number-typed bounds are out of scope (annotations)
+    assert JsonMatcher({"type": "number", "minimum": 5}).feed_text("1.5 ")
+    # inside an object property
+    s = {"type": "object",
+         "properties": {"n": {"type": "integer", "minimum": 10, "maximum": 99}},
+         "required": ["n"], "additionalProperties": False}
+    assert JsonMatcher(s).feed_text('{"n": 42}')
+    assert not JsonMatcher(s).feed_text('{"n": 7}')
+    assert not JsonMatcher(s).feed_text('{"n": 420')
+
+
+def test_integer_bounds_native_fallback(chat_dir):
+    """Bounded-integer schemas are served by the Python engine (the native
+    flattener refuses them) — backend='auto' must still constrain."""
+    tok = Tokenizer(chat_dir)
+    schema = {"type": "object",
+              "properties": {"n": {"type": "integer", "minimum": 1,
+                                   "exclusiveMaximum": 100}},
+              "required": ["n"], "additionalProperties": False}
+    g = GrammarSession(tok, schema=schema)
+    assert g.backend == "python"
+
+
 def test_matcher_format_precedence():
     # explicit sibling pattern wins over format
     s = {"type": "string", "format": "uuid", "pattern": "^ok$"}

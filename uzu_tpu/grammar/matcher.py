@@ -22,7 +22,11 @@ string `format` (date/time/date-time/duration/uuid/email/hostname/ipv4/
 ipv6/uri, normalized to anchored patterns the way xgrammar compiles
 formats to regexes; unknown formats are annotations per the JSON-Schema
 spec and stay ignored) plus string minLength/maxLength (normalized the
-same way). Enough for real tool-call argument schemas.
+same way) and integer minimum/maximum/exclusive* (enforced arithmetically
+on the number frame: digits mask off once no suffix can land in range,
+and the number can close only in range; number-typed bounds stay
+annotations — fractional boundary semantics don't fit a char mask).
+Enough for real tool-call argument schemas.
 
 Combinators make the matcher a BRANCH SET (GLR-style): every branch is a
 deterministic pushdown stack; a "value" frame whose schema is an anyOf
@@ -519,6 +523,9 @@ def _value_start(m: JsonMatcher, ch: str, schema) -> bool:
         m.stack.append(("arr_open", schema, 0))
         return True
     if (ch in DIGITS or ch == "-") and allow("number"):
+        bounds = _int_bounds(schema)
+        if bounds is not None and not _int_prefix_viable(ch, *bounds):
+            return False
         m.stack.append(("number", schema, ch))
         return True
     if ch == "t" and allow("boolean"):
@@ -659,6 +666,90 @@ def _num_ok(schema, acc: str) -> bool:
     return True
 
 
+# -- integer minimum/maximum ---------------------------------------------------
+# (xgrammar compiles numeric bounds into its schema grammar; here the number
+# frame keeps the accumulated text, so bounds are enforced arithmetically:
+# a digit is viable iff SOME suffix lands the value in range, and the number
+# may close only when the parsed value is in range. Scope: type "integer" —
+# fractional/exponent forms are already rejected for it by _num_ok.)
+
+_KMAX = 40  # appended-digit horizon; bounds beyond 10^40 are treated as open
+
+
+def _int_bounds(schema):
+    """(lo, hi) with None = unbounded, from minimum/maximum and both the
+    draft-4 boolean and the 2020-12 numeric exclusive forms; None if the
+    schema is not integer-typed or carries no bounds."""
+    if not isinstance(schema, dict) or schema.get("type") != "integer":
+        return None
+
+    def _num(x, name):
+        if isinstance(x, bool) or not isinstance(x, (int, float)):
+            raise GrammarError(f"{name} must be a number")
+        return x
+
+    lo, hi = schema.get("minimum"), schema.get("maximum")
+    elo, ehi = schema.get("exclusiveMinimum"), schema.get("exclusiveMaximum")
+    if isinstance(elo, bool):  # draft-4: modifies minimum
+        elo = _num(lo, "minimum") if elo and lo is not None else None
+        lo = None if elo is not None else lo
+    if isinstance(ehi, bool):
+        ehi = _num(hi, "maximum") if ehi and hi is not None else None
+        hi = None if ehi is not None else hi
+    import math
+
+    lo = math.ceil(_num(lo, "minimum")) if lo is not None else None
+    hi = math.floor(_num(hi, "maximum")) if hi is not None else None
+    if elo is not None:
+        e = math.floor(_num(elo, "exclusiveMinimum")) + 1
+        lo = e if lo is None else max(lo, e)
+    if ehi is not None:
+        e = math.ceil(_num(ehi, "exclusiveMaximum")) - 1
+        hi = e if hi is None else min(hi, e)
+    if lo is None and hi is None:
+        return None
+    return (lo, hi)
+
+
+def _int_prefix_viable(acc: str, lo, hi) -> bool:
+    """Can `acc` (sign + digits so far) extend by >= 0 digits to an integer
+    in [lo, hi]? Leading-zero rule: '0'/'-0' cannot take more digits."""
+    if acc == "-":
+        return (lo is None or lo <= -1) and (hi is None or hi >= (lo if lo is not None else -(10 ** _KMAX)))
+    v = int(acc)
+    neg = acc.startswith("-")
+    if lo is None or lo <= v:
+        if hi is None or v <= hi:
+            return True  # the prefix itself is in range
+    if acc.lstrip("-") == "0":
+        return False  # cannot extend; k=0 failed above
+    mag = abs(v)
+    p = 1
+    for _ in range(_KMAX):
+        p *= 10
+        if neg:
+            a, b = -(mag * p + p - 1), -mag * p
+        else:
+            a, b = mag * p, mag * p + p - 1
+        if (lo is None or lo <= b) and (hi is None or a <= hi):
+            return True
+        # monotone: positives grow, negatives sink — stop when past range
+        if not neg and hi is not None and a > hi:
+            return False
+        if neg and lo is not None and b < lo:
+            return False
+    return False
+
+
+def _int_close_ok(schema, acc: str) -> bool:
+    bounds = _int_bounds(schema)
+    if bounds is None:
+        return True
+    lo, hi = bounds
+    v = int(acc)
+    return (lo is None or lo <= v) and (hi is None or v <= hi)
+
+
 def _num_prefix_ok(acc: str) -> bool:
     """acc extends to SOME valid JSON number: -?(0|[1-9]d*)(.d+)?([eE][+-]?d+)?
     Positional checks matter — accepting a misplaced sign/exponent ('1-',
@@ -705,11 +796,16 @@ def _h_number(m, ch):
         acc2 = acc + ch
         if not _num_prefix_ok(acc2) or not _num_ok(schema, acc2):
             return False
+        bounds = _int_bounds(schema)
+        if bounds is not None and not _int_prefix_viable(acc2, *bounds):
+            return False
         m.stack[-1] = ("number", schema, acc2)
         return True
     # number ended; re-dispatch ch to parent. Prefix validity is enforced
-    # per char, so completeness == ends in a digit.
+    # per char, so completeness == ends in a digit (plus integer bounds).
     if not acc or not acc[-1].isdigit():
+        return False
+    if not _int_close_ok(schema, acc):
         return False
     m.stack.pop()
     return m.advance(ch)

@@ -25,11 +25,16 @@ _TYPE_BITS = {
 
 _UNSUPPORTED_KEYS = {
     "allOf", "not", "patternProperties",
-    "minimum", "maximum", "minLength", "maxLength",
+    "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
+    "minLength", "maxLength",
     "prefixItems", "additionalItems", "dependencies", "if", "then", "else",
 }
 # `format` is handled by _normalize_format (matcher.py): known formats
 # rewrite to `pattern` before flattening; unknown ones are annotations.
+# minLength/maxLength likewise normalize away; the keys above reach the
+# walk only when NOT consumed (e.g. an explicit pattern sibling), and the
+# Python matcher — which enforces integer minimum/maximum arithmetically —
+# serves those schemas instead.
 
 _EMPTY_NODE = {"type_mask": T_ANY, "items": -1, "min": 0, "max": -1,
                "additional": 1, "props": [], "enum": [], "alts": [],

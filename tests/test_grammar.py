@@ -576,16 +576,43 @@ def test_matcher_integer_bounds():
     assert not JsonMatcher(s).feed_text('{"n": 420')
 
 
-def test_integer_bounds_native_fallback(chat_dir):
-    """Bounded-integer schemas are served by the Python engine (the native
-    flattener refuses them) — backend='auto' must still constrain."""
+def test_integer_bounds_native_lockstep(chat_dir):
+    """The C++ engine enforces integer bounds natively (int64 node bounds,
+    same digit-viability arithmetic): masks identical to Python at every
+    step, and value acceptance agrees over a brute-force sweep."""
+    from uzu_tpu.grammar.native_backend import NativeGrammar
+
     tok = Tokenizer(chat_dir)
     schema = {"type": "object",
               "properties": {"n": {"type": "integer", "minimum": 1,
                                    "exclusiveMaximum": 100}},
               "required": ["n"], "additionalProperties": False}
-    g = GrammarSession(tok, schema=schema)
-    assert g.backend == "python"
+    g_py = GrammarSession(tok, schema=schema, backend="python")
+    g_nat = GrammarSession(tok, schema=schema, backend="native")
+    assert g_nat.backend == "native"
+    ids = tok.encode('{"n": 42}')
+    for i, tid in enumerate(ids):
+        np.testing.assert_array_equal(
+            g_nat.current_mask(), g_py.current_mask(),
+            err_msg=f"diverged at step {i}")
+        if not g_py.current_mask()[tid]:
+            break
+        g_py.observe(tid)
+        g_nat.observe(tid)
+
+    # value-acceptance sweep: C++ advance agrees with the Python matcher
+    for lo, hi in [(0, 100), (-37, -3), (20, 29), (None, 5), (7, None)]:
+        s = {"type": "integer"}
+        if lo is not None:
+            s["minimum"] = lo
+        if hi is not None:
+            s["maximum"] = hi
+        nat = NativeGrammar(s, [None])
+        for v in list(range(-150, 150)) + [10**10, -(10**10)]:
+            want = JsonMatcher(s).feed_text(f"{v} ")
+            nat.reset()
+            got = nat.feed_text(f"{v} ")
+            assert got == want, (s, v, got, want)
 
 
 def test_matcher_format_precedence():

@@ -25,7 +25,6 @@ _TYPE_BITS = {
 
 _UNSUPPORTED_KEYS = {
     "allOf", "not", "patternProperties",
-    "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
     "minLength", "maxLength",
     "prefixItems", "additionalItems", "dependencies", "if", "then", "else",
 }
@@ -33,12 +32,18 @@ _UNSUPPORTED_KEYS = {
 # rewrite to `pattern` before flattening; unknown ones are annotations.
 # minLength/maxLength likewise normalize away; the keys above reach the
 # walk only when NOT consumed (e.g. an explicit pattern sibling), and the
-# Python matcher — which enforces integer minimum/maximum arithmetically —
-# serves those schemas instead.
+# Python matcher serves those schemas instead. Integer minimum/maximum/
+# exclusive* flatten into int64 node bounds (matcher._int_bounds does the
+# draft-4/float normalization); on non-integer types they are annotations,
+# exactly like the Python matcher treats them.
+
+# |bound| above this flattens to SchemaUnsupported: the C++ viability walk
+# saturates parsed magnitudes at ~4.6e18, which must exceed every bound
+_BOUND_CAP = 1 << 61
 
 _EMPTY_NODE = {"type_mask": T_ANY, "items": -1, "min": 0, "max": -1,
                "additional": 1, "props": [], "enum": [], "alts": [],
-               "pattern": -1}
+               "pattern": -1, "bflags": 0, "blo": 0, "bhi": 0}
 
 
 class SchemaUnsupported(Exception):
@@ -80,6 +85,7 @@ def flatten_schema(schema) -> tuple[np.ndarray, list[str], np.ndarray]:
         GrammarError,
         _alternatives,
         _collect_defs,
+        _int_bounds,
         _normalize_format,
         _resolve,
     )
@@ -167,6 +173,21 @@ def flatten_schema(schema) -> tuple[np.ndarray, list[str], np.ndarray]:
         if "pattern" in s and not enum_sids:
             pattern = _flatten_pattern(s["pattern"], dfas, dfa_ids)
 
+        bflags, blo, bhi = 0, 0, 0
+        try:
+            bounds = _int_bounds(s)
+        except GrammarError as exc:
+            raise SchemaUnsupported(str(exc)) from exc
+        if bounds is not None:
+            lo, hi = bounds
+            for v in (lo, hi):
+                if v is not None and abs(v) > _BOUND_CAP:
+                    raise SchemaUnsupported("integer bound beyond 2^61")
+            if lo is not None:
+                bflags, blo = bflags | 1, lo
+            if hi is not None:
+                bflags, bhi = bflags | 2, hi
+
         props = []
         if "properties" in s:
             required = set(s.get("required", ()))
@@ -189,18 +210,27 @@ def flatten_schema(schema) -> tuple[np.ndarray, list[str], np.ndarray]:
             "enum": enum_sids,
             "alts": [],
             "pattern": pattern,
+            "bflags": bflags, "blo": blo, "bhi": bhi,
         }
         return idx
+
+    def _i64_halves(v: int) -> list[int]:
+        u = v & 0xFFFFFFFFFFFFFFFF
+        return [u & 0xFFFFFFFF, (u >> 32) & 0xFFFFFFFF]
 
     walk(schema)
     buf = [len(nodes)]
     for n in nodes:
         buf += [n["type_mask"], n["items"], n["min"], n["max"], n["additional"],
-                len(n["props"]), len(n["enum"]), len(n["alts"]), n["pattern"]]
+                len(n["props"]), len(n["enum"]), len(n["alts"]), n["pattern"],
+                n["bflags"]]
+        buf += _i64_halves(n["blo"]) + _i64_halves(n["bhi"])
         for p in n["props"]:
             buf += list(p)
         buf += n["enum"]
         buf += n["alts"]
+    # int64-bound halves are unsigned 32-bit values: wrap to signed int32
+    buf = [v - 2**32 if v >= 2**31 else v for v in buf]
 
     # DFA buffer: n_dfas, then per DFA:
     #   [n_states, n_classes, anchored_start, anchored_end,

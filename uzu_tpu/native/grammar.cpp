@@ -58,6 +58,8 @@ struct Node {
     int32_t max_items = -1; // -1 = unbounded
     int32_t additional = 1; // additionalProperties allowed
     int32_t pattern = -1;   // DFA index for string `pattern` (-1 = none)
+    int32_t bflags = 0;     // integer bounds: bit0 = has lo, bit1 = has hi
+    int64_t blo = 0, bhi = 0;
     std::vector<Prop> props;
     std::vector<int32_t> enum_sids;  // string enum values
     std::vector<int32_t> alts;       // anyOf/oneOf / $ref indirection
@@ -109,6 +111,12 @@ struct Frame {
 };
 
 using Branch = std::vector<Frame>;
+
+static bool int_prefix_viable(const Node* n, const std::string& acc);
+static bool parse_mag(const std::string& acc, bool& neg,
+                      unsigned __int128& mag, bool& sat);
+static bool int_in_range(const Node* n, bool neg, unsigned __int128 mag,
+                         bool sat);
 
 struct Engine {
     std::vector<Node> nodes;
@@ -295,6 +303,7 @@ bool value_start(Engine& e, Branch& b, char ch, int32_t node_idx) {
     if ((is_digit(ch) || ch == '-') && allow_type(n, T_NUMBER)) {
         f.kind = F_NUMBER;
         f.acc.push_back(ch);
+        if (n && n->bflags && !int_prefix_viable(n, f.acc)) return false;
         b.push_back(std::move(f));
         return true;
     }
@@ -312,6 +321,71 @@ bool value_start(Engine& e, Branch& b, char ch, int32_t node_idx) {
         f.kind = F_LITERAL; f.lit = "ull";
         b.push_back(std::move(f));
         return true;
+    }
+    return false;
+}
+
+// -- integer minimum/maximum (mirrors matcher.py _int_prefix_viable /
+// _int_close_ok). Bounds are capped at 2^61 by the flattener; parsed
+// magnitudes saturate at > 2^62, which therefore exceeds every bound.
+static const unsigned __int128 SAT = ((unsigned __int128)1) << 62;
+
+static bool parse_mag(const std::string& acc, bool& neg,
+                      unsigned __int128& mag, bool& sat) {
+    neg = !acc.empty() && acc[0] == '-';
+    mag = 0;
+    sat = false;
+    for (size_t i = neg ? 1 : 0; i < acc.size(); ++i) {
+        mag = mag * 10 + (unsigned)(acc[i] - '0');
+        if (mag > SAT) { sat = true; return true; }
+    }
+    return acc.size() > (neg ? 1u : 0u);
+}
+
+static bool int_in_range(const Node* n, bool neg, unsigned __int128 mag,
+                         bool sat) {
+    bool has_lo = n->bflags & 1, has_hi = n->bflags & 2;
+    if (sat)  // |value| > every bound
+        return neg ? !has_lo : !has_hi;
+    __int128 v = neg ? -(__int128)mag : (__int128)mag;
+    if (has_lo && v < (__int128)n->blo) return false;
+    if (has_hi && v > (__int128)n->bhi) return false;
+    return true;
+}
+
+static bool int_prefix_viable(const Node* n, const std::string& acc) {
+    bool has_lo = n->bflags & 1, has_hi = n->bflags & 2;
+    if (acc == "-") {
+        // exists x <= -1 in range (mirrors the Python expression; any
+        // int64 hi clears the -10^40 floor there)
+        if (has_lo && n->blo > -1) return false;
+        if (has_hi && has_lo && n->bhi < n->blo) return false;
+        return true;
+    }
+    bool neg, sat;
+    unsigned __int128 mag;
+    if (!parse_mag(acc, neg, mag, sat)) return true;  // bare sign handled above
+    if (int_in_range(n, neg, mag, sat)) return true;  // k = 0
+    if (mag == 0) return false;  // "0"/"-0" take no more digits
+    if (sat)  // extensions only move further out of range
+        return false;
+    unsigned __int128 p10 = 1;
+    for (int k = 0; k < 40 && p10 <= SAT; ++k) {
+        p10 *= 10;
+        __int128 a, b;  // value interval from appending k+1 digits
+        if (neg) {
+            a = -(__int128)(mag * p10 + p10 - 1);
+            b = -(__int128)(mag * p10);
+        } else {
+            a = (__int128)(mag * p10);
+            b = (__int128)(mag * p10 + p10 - 1);
+        }
+        bool lo_ok = !has_lo || (__int128)n->blo <= b;
+        bool hi_ok = !has_hi || a <= (__int128)n->bhi;
+        if (lo_ok && hi_ok) return true;
+        // monotone: positives grow, negatives sink — stop once past range
+        if (!neg && has_hi && a > (__int128)n->bhi) return false;
+        if (neg && has_lo && b < (__int128)n->blo) return false;
     }
     return false;
 }
@@ -480,10 +554,21 @@ bool badvance(Engine& e, Branch& b, char ch, std::vector<Branch>* spawned) {
                     return false;
                 f.acc.push_back(ch);
                 if (!num_prefix_ok(f.acc)) { f.acc.pop_back(); return false; }
+                if (n && n->bflags && !int_prefix_viable(n, f.acc)) {
+                    f.acc.pop_back();
+                    return false;
+                }
                 return true;
             }
             // prefix validity is enforced per char: complete == digit-final
+            // (plus integer bounds)
             if (f.acc.empty() || !is_digit(f.acc.back())) return false;
+            if (n && n->bflags) {
+                bool neg, sat;
+                unsigned __int128 mag;
+                parse_mag(f.acc, neg, mag, sat);
+                if (!int_in_range(n, neg, mag, sat)) return false;
+            }
             b.pop_back();
             return badvance(e, b, ch, spawned);
         }
@@ -693,7 +778,9 @@ extern "C" {
 
 // schema_buf layout (int32): n_nodes, then per node:
 //   [type_mask, items, min_items, max_items, additional,
-//    n_props, n_enum, n_alts, pattern]
+//    n_props, n_enum, n_alts, pattern,
+//    bflags, blo_lo32, blo_hi32, bhi_lo32, bhi_hi32]
+//   (b* = integer minimum/maximum as two's-complement int64 halves)
 //   then n_props * [name_sid, node, required], n_enum * [sid],
 //   n_alts * [node]
 // strings: blob + (n_strs+1) offsets; tokens likewise.
@@ -727,6 +814,12 @@ void* ug_create(const int32_t* schema_buf, int32_t schema_len,
             int32_t n_enum = *p++;
             int32_t n_alts = *p++;
             n.pattern = *p++;
+            n.bflags = *p++;
+            uint64_t lo_u = (uint32_t)p[0] | ((uint64_t)(uint32_t)p[1] << 32);
+            uint64_t hi_u = (uint32_t)p[2] | ((uint64_t)(uint32_t)p[3] << 32);
+            p += 4;
+            n.blo = (int64_t)lo_u;
+            n.bhi = (int64_t)hi_u;
             for (int32_t j = 0; j < n_props; ++j) {
                 Prop pr{p[0], p[1], p[2]};
                 p += 3;

@@ -615,6 +615,65 @@ def test_integer_bounds_native_lockstep(chat_dir):
             assert got == want, (s, v, got, want)
 
 
+def test_matcher_allof_merge():
+    """allOf inlines by conservative key-merge: $ref + overlay, bound
+    tightening, property union (conflicting property schemas nest)."""
+    s = {"$defs": {"base": {"type": "object",
+                            "properties": {"a": {"type": "integer"}},
+                            "required": ["a"]}},
+         "allOf": [{"$ref": "#/$defs/base"},
+                   {"properties": {"b": {"type": "string"}},
+                    "required": ["b"], "additionalProperties": False}]}
+    assert JsonMatcher(s).feed_text('{"a": 1, "b": "x"}')
+    assert not JsonMatcher(s).feed_text('{"a": 1}')      # b required
+    assert not JsonMatcher(s).feed_text('{"c"')          # union closed
+    # bound tightening across members
+    s = {"allOf": [{"type": "integer", "minimum": 0, "maximum": 50},
+                   {"minimum": 10, "maximum": 99}]}
+    assert JsonMatcher(s).feed_text("10 ") and JsonMatcher(s).feed_text("50 ")
+    assert not JsonMatcher(s).feed_text("9 ")
+    assert not JsonMatcher(s).feed_text("51 ")
+    # conflicting property schemas nest and both apply
+    s = {"allOf": [
+        {"type": "object",
+         "properties": {"n": {"type": "integer", "minimum": 5}}},
+        {"properties": {"n": {"maximum": 9}}, "required": ["n"],
+         "additionalProperties": False},
+    ]}
+    assert JsonMatcher(s).feed_text('{"n": 7}')
+    assert not JsonMatcher(s).feed_text('{"n": 4}')
+    assert not JsonMatcher(s).feed_text('{"n": 12')
+    # irreconcilable members raise at use time
+    from uzu_tpu.grammar import GrammarError
+    with pytest.raises(GrammarError):
+        JsonMatcher({"allOf": [{"type": "string"},
+                               {"type": "integer"}]}).feed_text("1")
+
+
+def test_allof_native_lockstep(chat_dir):
+    from uzu_tpu.grammar.native_backend import NativeGrammar  # noqa: F401
+
+    tok = Tokenizer(chat_dir)
+    schema = {"allOf": [
+        {"type": "object", "properties": {"a": {"type": "integer"}},
+         "required": ["a"]},
+        {"properties": {"b": {"type": "string", "format": "date"}},
+         "additionalProperties": False},
+    ]}
+    g_py = GrammarSession(tok, schema=schema, backend="python")
+    g_nat = GrammarSession(tok, schema=schema, backend="native")
+    assert g_nat.backend == "native"
+    ids = tok.encode('{"a": 3, "b": "2026-08-20"}')
+    for i, tid in enumerate(ids):
+        np.testing.assert_array_equal(
+            g_nat.current_mask(), g_py.current_mask(),
+            err_msg=f"diverged at step {i}")
+        if not g_py.current_mask()[tid]:
+            break
+        g_py.observe(tid)
+        g_nat.observe(tid)
+
+
 def test_matcher_format_precedence():
     # explicit sibling pattern wins over format
     s = {"type": "string", "format": "uuid", "pattern": "^ok$"}

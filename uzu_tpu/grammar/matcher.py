@@ -25,8 +25,10 @@ spec and stay ignored) plus string minLength/maxLength (normalized the
 same way) and integer minimum/maximum/exclusive* (enforced arithmetically
 on the number frame: digits mask off once no suffix can land in range,
 and the number can close only in range; number-typed bounds stay
-annotations — fractional boundary semantics don't fit a char mask).
-Enough for real tool-call argument schemas.
+annotations — fractional boundary semantics don't fit a char mask), and
+allOf (conservative key-merge at resolve time: $ref + overlay, bound
+tightening, property union; irreconcilable members raise). Enough for
+real tool-call argument schemas.
 
 Combinators make the matcher a BRANCH SET (GLR-style): every branch is a
 deterministic pushdown stack; a "value" frame whose schema is an anyOf
@@ -171,9 +173,59 @@ def _normalize_format(schema):
     return schema
 
 
+def _merge_allof(schema, defs, _depth: int = 0):
+    """Conservative allOf intersection by key-merge (the cases real tool
+    schemas use: $ref + overlay, bound tightening, property union). Members
+    resolve first (so $ref/nested-allOf inline); conflicting property
+    schemas nest as allOf and merge when reached; numeric/length/item
+    bounds tighten; anything else that conflicts raises (xgrammar's
+    general intersection is out of scope)."""
+    members = schema.get("allOf")
+    if not isinstance(members, list) or not members:
+        raise GrammarError("allOf must be a non-empty list")
+    out = {k: v for k, v in schema.items() if k != "allOf"}
+    for member in members:
+        member = _resolve(member, defs, _depth + 1)
+        if member is True or member == {}:
+            continue
+        if not isinstance(member, dict):
+            raise GrammarError("allOf member must be an object schema")
+        for k, v in member.items():
+            if k in _ANNOTATIONS:
+                continue
+            if k not in out or out[k] == v:
+                out[k] = v
+            elif k == "required":
+                out[k] = sorted(set(out[k]) | set(v))
+            elif k == "properties":
+                merged = dict(out[k])
+                for pk, pv in v.items():
+                    if pk in merged and merged[pk] != pv:
+                        merged[pk] = {"allOf": [merged[pk], pv]}
+                    else:
+                        merged[pk] = pv
+                out[k] = merged
+            elif k in ("minimum", "minLength", "minItems") or (
+                    k == "exclusiveMinimum"
+                    and not isinstance(v, bool)
+                    and not isinstance(out[k], bool)):
+                out[k] = max(out[k], v)
+            elif k in ("maximum", "maxLength", "maxItems") or (
+                    k == "exclusiveMaximum"
+                    and not isinstance(v, bool)
+                    and not isinstance(out[k], bool)):
+                out[k] = min(out[k], v)
+            elif k in ("anyOf", "oneOf"):
+                raise GrammarError("allOf of multiple combinators")
+            else:
+                raise GrammarError(f"allOf members conflict on {k!r}")
+    return out
+
+
 def _resolve(schema, defs, _depth: int = 0):
     """Follow $ref chains; merge non-annotation sibling keys (siblings win —
-    they are the more-local constraint, e.g. a $ref plus a narrowing enum)."""
+    they are the more-local constraint, e.g. a $ref plus a narrowing enum);
+    inline allOf by conservative key-merge."""
     while isinstance(schema, dict) and "$ref" in schema:
         if _depth > 64:
             raise GrammarError("$ref chain too deep / cyclic")
@@ -185,6 +237,10 @@ def _resolve(schema, defs, _depth: int = 0):
                   if k != "$ref" and k not in _ANNOTATIONS}
         schema = {**target, **extras} if extras else target
         _depth += 1
+    if isinstance(schema, dict) and "allOf" in schema:
+        if _depth > 64:
+            raise GrammarError("allOf nesting too deep / cyclic")
+        schema = _merge_allof(schema, defs, _depth)
     return _normalize_format(schema)
 
 

@@ -24,7 +24,7 @@ _TYPE_BITS = {
 }
 
 _UNSUPPORTED_KEYS = {
-    "allOf", "not", "patternProperties",
+    "not", "patternProperties",
     "minLength", "maxLength",
     "prefixItems", "additionalItems", "dependencies", "if", "then", "else",
 }
@@ -86,6 +86,7 @@ def flatten_schema(schema) -> tuple[np.ndarray, list[str], np.ndarray]:
         _alternatives,
         _collect_defs,
         _int_bounds,
+        _merge_allof,
         _normalize_format,
         _resolve,
     )
@@ -135,6 +136,13 @@ def flatten_schema(schema) -> tuple[np.ndarray, list[str], np.ndarray]:
             # through such refs is unsupported; the depth guard catches it)
             try:
                 s = _resolve(s, defs)
+            except GrammarError as exc:
+                raise SchemaUnsupported(str(exc)) from exc
+
+        if isinstance(s, dict) and "allOf" in s:
+            # same conservative key-merge the Python matcher applies
+            try:
+                s = _normalize_format(_merge_allof(s, defs))
             except GrammarError as exc:
                 raise SchemaUnsupported(str(exc)) from exc
 

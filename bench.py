@@ -432,14 +432,37 @@ def main() -> None:
 
     _guarded("quant matmul probe", 120, stage_qm)
 
+    # Heavy-model stages run in SUBPROCESSES: the r4 bench_warm run OOMed
+    # loading the 8B next to the resident 1B+MoE buffers on the shared
+    # chip, and the failed load's buffers then cascade-failed EVERY later
+    # stage with RESOURCE_EXHAUSTED. A child process owns its device
+    # memory outright and releases all of it at exit, success or not.
+    def _sub_bench(module: str, budget_s: float) -> dict:
+        import subprocess
+
+        env = dict(os.environ)
+        env["PYTHONPATH"] = f"{REPO}:/root/.axon_site:" + env.get("PYTHONPATH", "")
+        r = subprocess.run(
+            [sys.executable, "-m", module, REPO],
+            capture_output=True, text=True, env=env,
+            timeout=max(budget_s - 5, 30))
+        for line in r.stderr.splitlines():
+            print(f"  {line}", file=sys.stderr, flush=True)
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if r.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"{module} rc={r.returncode}: {r.stderr[-300:]!r}")
+        res = json.loads(lines[-1])
+        res.pop("metric", None)
+        return res
+
     # MoE flagship (gpt-oss-small composed model): decode reads only the
     # K active experts — the serving economics a dense entry cannot show.
     # BASELINE config — runs FIRST among the optional stages.
     if tpu:
         def stage_moe():
-            from uzu_tpu.tools.benchmoe import bench_moe
-
-            RESULTS["gptoss_small"] = bench_moe(repo=REPO, stage=_stage)
+            RESULTS["gptoss_small"] = _sub_bench(
+                "uzu_tpu.tools.benchmoe", min(360, _remaining()))
 
         _guarded("moe bench", 300, stage_moe)
 
@@ -447,9 +470,8 @@ def main() -> None:
     # v5e. The synth model is disk-cached under .bench_cache/llama8b_int4.
     if tpu:
         def stage_8b():
-            from uzu_tpu.tools.bench8b import bench_8b
-
-            RESULTS["llama8b"] = bench_8b(repo=REPO, stage=_stage)
+            RESULTS["llama8b"] = _sub_bench(
+                "uzu_tpu.tools.bench8b", min(540, _remaining()))
 
         _guarded("llama8b bench", 420, stage_8b)
 

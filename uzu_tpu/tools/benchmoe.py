@@ -87,7 +87,12 @@ def active_bytes_per_step(lm, ctx: int) -> int:
     return total
 
 
-def bench_moe(repo: str, stage=None, *, gen_len: int = 96) -> dict:
+def bench_moe(repo: str, stage=None, *, gen_len: int = 320) -> dict:
+    # gen_len 96 -> 320 (r4): with the fast post-revert step (~0.6-1.2 ms)
+    # the 8/16/32-step ramp chunks each stall on the ~25 ms tunnel
+    # roundtrip, and a 96-token gen never amortizes them — the measured
+    # 568 tok/s was ramp, not step. 320 tokens spend >75% of steps in
+    # 64-step chunks whose compute hides the fetch.
     from uzu_tpu import LanguageModel
     from uzu_tpu.engine.engine import StreamMetrics
     from uzu_tpu.engine.sampling import SamplingParams

@@ -89,7 +89,7 @@ def attention_reference(
 
     if (
         suffix_mask is None
-        and c >= ONLINE_ATTENTION_MIN_C
+        and (c >= ONLINE_ATTENTION_MIN_C or runtime.force_online())
         and s >= ONLINE_MIN_S
         and c % ONLINE_CHUNK == 0
     ):

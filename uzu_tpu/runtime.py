@@ -96,3 +96,11 @@ def force_flash() -> bool:
     engages the Pallas flash-attention kernel ON TPU (A/B experiments at
     context lengths the default policy was not measured at)."""
     return os.environ.get("UZU_TPU_FLASH", "") == "1"
+
+
+def force_online() -> bool:
+    """UZU_TPU_ONLINE=1 engages the chunked online-softmax attention at
+    EVERY context length for prefill widths (default policy gates it at
+    C >= 4096) — A/B hook for the short-context prefill score-traffic
+    question (r4 prefill_attrib: attention is ~44% of a 512-chunk)."""
+    return os.environ.get("UZU_TPU_ONLINE", "") == "1"

@@ -442,10 +442,17 @@ def main() -> None:
 
         env = dict(os.environ)
         env["PYTHONPATH"] = f"{REPO}:/root/.axon_site:" + env.get("PYTHONPATH", "")
-        r = subprocess.run(
-            [sys.executable, "-m", module, REPO],
-            capture_output=True, text=True, env=env,
-            timeout=max(budget_s - 5, 30))
+        try:
+            r = subprocess.run(
+                [sys.executable, "-m", module, REPO],
+                capture_output=True, text=True, env=env,
+                timeout=max(budget_s - 5, 30))
+        except subprocess.TimeoutExpired as exc:
+            tail = (exc.stderr or b"")
+            tail = tail.decode(errors="replace") if isinstance(tail, bytes) else tail
+            for line in tail.splitlines()[-8:]:
+                print(f"  {line}", file=sys.stderr, flush=True)
+            raise
         for line in r.stderr.splitlines():
             print(f"  {line}", file=sys.stderr, flush=True)
         lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]

@@ -53,7 +53,11 @@ HBM_BW = {
 }
 
 _T0 = time.perf_counter()
-DEADLINE_S = float(os.environ.get("UZU_TPU_BENCH_DEADLINE", "1080"))
+DEADLINE_S = float(os.environ.get("UZU_TPU_BENCH_DEADLINE", "1380"))
+# 1080 -> 1380 (r4): warmup executable loads through the tunnel swing
+# 200-700 s with congestion; the extra 5 min is what lets the 8B and
+# paged stages fit in a driver run. SIGTERM/watchdog partial-emit still
+# guarantees a parsed JSON line if the external budget is tighter.
 
 # Incrementally-filled result fields; emit() snapshots this at any moment.
 RESULTS: dict = {}

@@ -473,7 +473,7 @@ def main() -> None:
     if tpu:
         def stage_moe():
             RESULTS["gptoss_small"] = _sub_bench(
-                "uzu_tpu.tools.benchmoe", min(360, _remaining()))
+                "uzu_tpu.tools.benchmoe", min(420, _remaining() - 120))
 
         _guarded("moe bench", 300, stage_moe)
 

@@ -89,17 +89,21 @@ def attention_reference(
 
     if (
         suffix_mask is None
-        and (c >= ONLINE_ATTENTION_MIN_C or runtime.force_online())
         and s >= ONLINE_MIN_S
         and c % ONLINE_CHUNK == 0
     ):
-        # long contexts at PREFILL widths: chunked online softmax avoids the
-        # O(S*C) score materialization (reference two-pass core selection,
-        # core/mod.rs:89). Decode/verify widths (s < ONLINE_MIN_S) stay on
-        # the single fused einsum at every context: their score block is
-        # tiny, and the scan's 8-16 sequential chunk steps per layer are
-        # pure latency (measured on v5e flagship: decode 118 -> 138 tok/s
-        # at ctx 8k, 102 -> 118 at 14k, from this dispatch change alone)
+        # PREFILL widths take the chunked online softmax at EVERY context
+        # that chunks evenly (r4 prefill_attn_ab, v5e flagship, interleaved
+        # arms at C<=2048: online 10.79 ms / einsum 14.78 / Pallas flash
+        # 13.57 per 512-chunk — the einsum path materializes [H, S, C] f32
+        # scores through HBM, ~6.6 ms of the chunk by ablation, and unlike
+        # decode widths that traffic cannot hide under the weight stream;
+        # reference two-pass core selection, core/mod.rs:89). Decode/verify
+        # widths (s < ONLINE_MIN_S) stay on the single fused einsum at
+        # every context: their score block is tiny, and the scan's 8-16
+        # sequential chunk steps per layer are pure latency (measured on
+        # v5e flagship: decode 118 -> 138 tok/s at ctx 8k, 102 -> 118 at
+        # 14k, from this dispatch change alone)
         return attention_online(
             q, k_cache, v_cache, q_positions, scale=scale, is_causal=is_causal,
             sliding_window_size=sliding_window_size, logit_soft_cap=logit_soft_cap,
@@ -155,9 +159,11 @@ def attention_reference(
 # Chunked online-softmax attention (long-context path)
 # --------------------------------------------------------------------------
 
-ONLINE_ATTENTION_MIN_C = 4096
 ONLINE_CHUNK = 1024
 ONLINE_MIN_S = 64  # below this many query rows the fused einsum wins
+# (r4: the former C >= 4096 gate is gone — prefill widths take the online
+# path at every context that chunks evenly; C < ONLINE_CHUNK stays einsum,
+# where the score block is one chunk anyway)
 
 
 def attention_online(

@@ -99,8 +99,8 @@ def force_flash() -> bool:
 
 
 def force_online() -> bool:
-    """UZU_TPU_ONLINE=1 engages the chunked online-softmax attention at
-    EVERY context length for prefill widths (default policy gates it at
-    C >= 4096) — A/B hook for the short-context prefill score-traffic
-    question (r4 prefill_attrib: attention is ~44% of a 512-chunk)."""
+    """UZU_TPU_ONLINE=1 — historical A/B hook; the r4 prefill_attn_ab
+    verdict (online 10.79 ms vs einsum 14.78 per 512-chunk) made online
+    at every evenly-chunking context the DEFAULT for prefill widths, so
+    this is now a no-op kept for script compatibility."""
     return os.environ.get("UZU_TPU_ONLINE", "") == "1"

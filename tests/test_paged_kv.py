@@ -531,3 +531,29 @@ def test_share_prefix_self_share_accounting():
     # the shared pages are NOT on the free list
     grabbed = pool.ensure(1, 24)  # takes all 6 free pages
     assert not set(grabbed) & set(pages[:2])
+
+
+def test_paged_ctx_bucket_crossing(tmp_path):
+    """Decode across a ctx-bucket boundary (r4: dispatch tables slice to
+    the live ctx bucket's pages + a trash column — the executable SWITCHES
+    width mid-request when positions cross CTX_BUCKET_MIN; output must
+    stay identical to single-stream greedy)."""
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.paged_batch import PagedBatchEngine
+    from uzu_tpu.tools.synth import llama_config, synthesize
+
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160, num_heads=4,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    d = synthesize(cfg, str(tmp_path / "paged_cross"), seed=21,
+                   dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=2048, prefill_buckets=(64,))
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, 256, 1000)
+    want = lm.generate_list(prompt, 48, stop_token_ids=[])
+
+    eng = PagedBatchEngine(lm, batch_size=2, decode_chunk=8, num_pages=40,
+                           page_size=64, stop_token_ids=[], apc_max_entries=0)
+    req = eng.submit(prompt, 48)
+    eng.run()
+    assert req.finished
+    assert req.tokens == want

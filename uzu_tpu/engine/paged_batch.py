@@ -606,10 +606,29 @@ class PagedBatchEngine:
             extra += (jnp.asarray(self._samp),)
         if penalized:
             extra += (self._ensure_counts(),)
+        # Ctx-bucketed tables (r4): the paged-attention grid scales with
+        # the table width, so a max_context-sized table burns per-grid-
+        # step floor on dead pages — at max_context 8192 / page 64
+        # (maxp 128) with ~4 live pages per slot the fused chunk measured
+        # 533 ms vs 131 ms right-sized (CHIP_JOBS_r4 paged_e2e vs
+        # paged_step_v4). Slice to the live ctx bucket's pages + one
+        # guaranteed-trash column (halted-slot write redirect reads the
+        # LAST entry), the same shape discipline the speculative paged
+        # verify already uses (batch_spec.py tables_s); jit retraces per
+        # width, bucketing executables exactly like dense ctx buckets.
+        # the host pos mirror lags the in-flight chunk by <= k, and this
+        # chunk advances <= k more: cover pos + 2k (the ensure() margin)
+        max_pos = max((s.pos for s in self.slots if not s.free), default=0)
+        ctx_pages = self._ctx_pages(max_pos + 2 * k + 1)
+        th = self._tables_host()
+        tables = jnp.asarray(np.concatenate(
+            [th[:, :ctx_pages],
+             np.full((self.batch_size, 1), self._trash_page, np.int32)],
+            axis=1))
         (self.pools, self._tokens, self._positions, self._halted,
          self._remaining, counts, emitted) = decode(
             self.lm.params, self.pools, self._tokens, self._positions,
-            self._halted, self._remaining, self._tables(), jnp.asarray(keys),
+            self._halted, self._remaining, tables, jnp.asarray(keys),
             *extra)
         if penalized:
             self._counts = counts

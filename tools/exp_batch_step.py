@@ -34,8 +34,10 @@ def main() -> None:
     from uzu_tpu.engine.sampling import SamplingParams
 
     model_dir, _ = bench.flagship_dir(True)
-    lm = LanguageModel.from_dir(model_dir, max_context=2048,
+    max_ctx = int(os.environ.get("UZU_EXP_CTX", "2048"))
+    lm = LanguageModel.from_dir(model_dir, max_context=max_ctx,
                                 prefill_buckets=(32, 512))
+    print(json.dumps({"max_context": max_ctx}), flush=True)
     rng = np.random.default_rng(0)
     for bsz in (1, 2, 4, 8):
         eng = BatchEngine(lm, batch_size=bsz, decode_chunk=16,

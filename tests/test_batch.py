@@ -616,3 +616,35 @@ def test_prefix_cache_eviction_spares_the_donor(lm):
     assert eng.pool.pages(slot_b)[:4] == retired_pages  # donor survived
     eng.run()
     assert b.tokens[:8] == solo[:8]
+
+
+def test_batch_ctx_capacity_growth(tmp_path):
+    """Dense batched KV starts at one ctx bucket and grows on crossing
+    (r4): the capacity switch mid-request must keep output identical to
+    single-stream greedy, including a long-prompt admission that forces
+    growth before insert."""
+    import numpy as np
+
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.batch import BatchEngine
+    from uzu_tpu.tools.synth import llama_config, synthesize
+
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160,
+                       num_heads=4, num_groups=2, head_dim=16,
+                       vocab_size=256)
+    d = synthesize(cfg, str(tmp_path / "bgrow"), seed=9, dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=4096, prefill_buckets=(64,))
+    rng = np.random.default_rng(3)
+    short = rng.integers(0, 256, 40)
+    longp = rng.integers(0, 256, 1200)  # > initial 1024 capacity
+    want_short = lm.generate_list(short, 48, stop_token_ids=[])
+    want_long = lm.generate_list(longp, 16, stop_token_ids=[])
+
+    eng = BatchEngine(lm, batch_size=2, decode_chunk=8, stop_token_ids=[])
+    assert eng._ctx_cap == 1024
+    r1 = eng.submit(short, 48)
+    r2 = eng.submit(longp, 16)  # admission must grow capacity to 2048
+    eng.run()
+    assert eng._ctx_cap == 2048
+    assert r1.tokens == want_short
+    assert r2.tokens == want_long

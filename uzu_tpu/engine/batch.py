@@ -143,7 +143,16 @@ class BatchEngine:
         self.slots = [_Slot() for _ in range(batch_size)]
         self.queue: deque[Request] = deque()
         self._ids = itertools.count()
-        self._state = lm.new_state(batch_size=batch_size)
+        # KV capacity starts at one ctx bucket and GROWS on crossing (r4):
+        # a max_context-sized batched cache measured +3.5 ms per B=4 step
+        # over a right-sized one at identical read buckets (CHIP_JOBS_r4
+        # batch_step 82.7 -> 138.5 ms per fused chunk at 8k max_context).
+        # ring_windows layouts are position-modulo and cannot be row-copied
+        # across capacities, so they pin capacity at max_context.
+        self._ctx_cap = (lm.max_context if lm.ring_windows
+                         else (lm._ctx_bucket(1) or lm.max_context))
+        self._state = lm.new_state(batch_size=batch_size,
+                                   ctx_capacity=self._ctx_cap)
         self._tokens = jnp.zeros((batch_size,), jnp.int32)  # next input per slot
         self._halted = jnp.ones((batch_size,), bool)  # empty slots are halted
         # per-slot device-side token budget: lets the scheduler keep a decode
@@ -246,6 +255,44 @@ class BatchEngine:
 
     # -- jitted pieces -----------------------------------------------------
 
+    def _ensure_ctx(self, needed: int) -> None:
+        """Grow the batched KV capacity to the ctx bucket covering `needed`
+        positions. One fresh-build + one donated copy per crossing (rare,
+        amortized); executables re-specialize per capacity exactly like
+        ctx-bucketed reads do."""
+        cap = self.lm._ctx_bucket(needed) or self.lm.max_context
+        if cap <= self._ctx_cap:
+            return
+        old_cap, self._ctx_cap = self._ctx_cap, cap
+        self._state = self._grown(self._state, cap, batch=True)
+        if self._admitting is not None:
+            # the in-progress long-prompt admission's single-slot state must
+            # insert into the grown batch later: grow it in lockstep
+            self._admitting[1] = self._grown(self._admitting[1], cap,
+                                             batch=False)
+
+    def _grown(self, state, new_cap: int, *, batch: bool):
+        import jax
+
+        fresh = self.lm.new_state(
+            batch_size=self.batch_size if batch else 0, ctx_capacity=new_cap)
+        axis = 1 if batch else 0
+        cache = self.lm.__dict__.setdefault("_state_grow_jit", {})
+        if axis not in cache:
+
+            @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(2,))
+            def copy(fresh_s, old_s, ax):
+                def cp(f, o):
+                    if f.shape == o.shape:
+                        return o
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        f, o.astype(f.dtype), 0, axis=ax)
+
+                return jax.tree.map(cp, fresh_s, old_s)
+
+            cache[axis] = copy
+        return cache[axis](fresh, state, axis)
+
     def _insert_fn(self):
         if "fn" not in self._insert_cache:
 
@@ -266,7 +313,7 @@ class BatchEngine:
         return self._insert_cache["fn"]
 
     def _admit_fn(self, bucket: int, ctx_bucket=None, masked: bool = False,
-                  dynamic: bool = False, logprobs: int = 0):
+                  dynamic: bool = False, logprobs: int = 0, cap: int = 0):
         """Fused admission: fresh state + prefill chunk + first-token sample
         + slot insert in ONE donated dispatch (the multi-dispatch path costs
         ~50 ms of launch overhead per admission on a remote-tunnel chip).
@@ -275,8 +322,9 @@ class BatchEngine:
         over the first sample and `dynamic` a per-request sampling-parameter
         row (separate cache keys, so default serving keeps its existing
         executables byte-identical)."""
+        cap = cap or self.lm.max_context
         key = (self.sampling, bucket, self.batch_size, ctx_bucket, masked,
-               dynamic, logprobs)
+               dynamic, logprobs, cap)
         cache = self.lm.__dict__.setdefault("_batch_admit_jit", {})
         if key not in cache:
             lm = self.lm
@@ -291,7 +339,7 @@ class BatchEngine:
                 mask = extra[0] if masked else None
                 samp = extra[1 if masked else 0] if dynamic else None
                 fresh = init_state(
-                    cfg, lm.max_context, kv_quant=lm.kv_quant,
+                    cfg, cap, kv_quant=lm.kv_quant,
                     ring_windows=lm.ring_windows, ring_extra=max(lm.prefill_buckets),
                 )
                 logits, fresh = decoder_forward(
@@ -510,7 +558,8 @@ class BatchEngine:
         every cache — more HBM traffic than the prefill it saves whenever
         L << max_context."""
         cache = self.lm.__dict__.setdefault("_batch_prefix_jit", {})
-        key = (self.batch_size, bucket)
+        cap = self._ctx_cap
+        key = (self.batch_size, bucket, cap)
         if key not in cache:
             lm = self.lm
             cfg = lm.decoder_config
@@ -520,7 +569,7 @@ class BatchEngine:
                 from ..models.state import init_state
 
                 fresh = init_state(
-                    cfg, lm.max_context, kv_quant=lm.kv_quant,
+                    cfg, cap, kv_quant=lm.kv_quant,
                     ring_windows=lm.ring_windows,
                     ring_extra=max(lm.prefill_buckets),
                 )
@@ -603,6 +652,8 @@ class BatchEngine:
         req = self.queue.popleft()
 
         n = len(req.prompt)
+        # capacity before anything touches the batched state this admission
+        self._ensure_ctx(n + 2 * self.decode_chunk + 1)
         if self.prefix_min:
             src, pl = self._best_prefix(req.prompt)
             if src is not None and pl >= self.prefix_min:
@@ -615,7 +666,8 @@ class BatchEngine:
                 self._admitting = [req, state, pl, slot_i]
                 return self._admit_advance_long()
         if n > self.lm.prefill_buckets[-1]:
-            self._admitting = [req, self.lm.new_state(), 0, slot_i]
+            self._admitting = [req, self.lm.new_state(
+                ctx_capacity=self._ctx_cap), 0, slot_i]
             return self._admit_advance_long()
         remaining0 = np.int32(max(0, req.max_new_tokens - 1))
         bucket = next(b for b in self.lm.prefill_buckets if b >= n)
@@ -625,7 +677,7 @@ class BatchEngine:
         admit = self._admit_fn(bucket, self.lm._ctx_bucket(bucket),
                                masked=mask is not None,
                                dynamic=req.sampling is not None,
-                               logprobs=req.logprobs)
+                               logprobs=req.logprobs, cap=self._ctx_cap)
         extra = () if mask is None else (jnp.asarray(mask),)
         if req.sampling is not None:
             extra += (jnp.asarray(pack_dynamic(req.sampling), jnp.float32),)
@@ -719,6 +771,7 @@ class BatchEngine:
         # context bucket from the host position mirror; +2k margin covers
         # the in-flight chunk the mirror has not processed yet (pipelining)
         max_pos = max((s.pos for s in self.slots if not s.free), default=0)
+        self._ensure_ctx(max_pos + 2 * k + 1)
         dynamic = self._dynamic_now()
         penalized = self._penalized_now()
         n_lp = max((s.request.logprobs for s in self.slots if not s.free),

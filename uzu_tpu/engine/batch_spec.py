@@ -463,6 +463,9 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
         drafts, draft_len, tracked, masks, host_draft = self._build_drafts(m)
         keys = self._spec_keys(tracked, m)
         max_pos = max((s.pos for s in self.slots if not s.free), default=0)
+        # grow the batched KV capacity before the round (see BatchEngine
+        # _ensure_ctx; the verify advances <= m+1 positions per round)
+        self._ensure_ctx(max_pos + 2 * (m + 2))
         dynamic = self._dynamic_now()
         penalties = self._penalized_now()
         n_lp = max((s.request.logprobs for s in self.slots if not s.free),

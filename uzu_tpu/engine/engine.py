@@ -147,20 +147,25 @@ class LanguageModel:
 
     # -- state -----------------------------------------------------------
 
-    def new_state(self, ring_size: int = 0, batch_size: int = 0) -> dict:
+    def new_state(self, ring_size: int = 0, batch_size: int = 0,
+                  ctx_capacity: int | None = None) -> dict:
         """Fresh decoding state. One jitted executable builds the whole
         pytree (a naive per-buffer construction is ~35 tiny dispatches — tens
         of ms of pure launch overhead on a remote-tunnel chip). batch_size>0
         returns the batched state with a leading [B] dim on every leaf (the
-        continuous-batching engine's slot stack)."""
-        key = (ring_size, batch_size)
+        continuous-batching engine's slot stack). ctx_capacity < max_context
+        allocates a SHORTER KV (the batch engines grow capacity by ctx
+        bucket — r4: a max_context-sized batched cache measured +3.5 ms per
+        B=4 decode step vs a right-sized one, CHIP_JOBS_r4 batch_step_8k)."""
+        cap = ctx_capacity or self.max_context
+        key = (ring_size, batch_size, cap)
         cache = self.__dict__.setdefault("_state_init_jit", {})
         if key not in cache:
 
             def build():
                 state = init_state(
                     self.decoder_config,
-                    self.max_context,
+                    cap,
                     kv_quant=self.kv_quant,
                     ring_windows=self.ring_windows,
                     ring_extra=max(self.prefill_buckets),

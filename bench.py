@@ -52,6 +52,18 @@ HBM_BW = {
     "cpu": 100e9,
 }
 
+# bf16 peak (FLOP/s) by TPU generation, for prefill MFU (prefill is
+# compute-bound: bandwidth SoL is the wrong yardstick there — VERDICT r4 #3)
+PEAK_BF16 = {
+    "v4": 275e12,
+    "v5 lite": 197e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v6 lite": 918e12,
+    "v6e": 918e12,
+    "cpu": 1e11,
+}
+
 _T0 = time.perf_counter()
 DEADLINE_S = float(os.environ.get("UZU_TPU_BENCH_DEADLINE", "1380"))
 # 1080 -> 1380 (r4): warmup executable loads through the tunnel swing
@@ -133,6 +145,43 @@ def device_bandwidth() -> tuple[str, float]:
         if key in kind:
             return kind, bw
     return kind, 819e9
+
+
+def device_peak_bf16(kind: str) -> float:
+    for key, pk in PEAK_BF16.items():
+        if key in kind:
+            return pk
+    return 197e12
+
+
+def flops_per_token(cfg, avg_ctx: float) -> float:
+    """Dense-equivalent matmul FLOPs per token (2*N*K per weight matrix;
+    MoE counts ACTIVE experts) + attention score/value FLOPs at the given
+    average causal context. The numerator of prefill MFU."""
+    from uzu_tpu.config.model import (
+        AttentionConfig,
+        DenseMLPConfig,
+        MixtureOfExpertsConfig,
+    )
+
+    tc = cfg.transformer_config
+    d = tc.model_dim
+    total = 2.0 * d * cfg.vocab_size  # readout
+    for lc in tc.layer_configs:
+        mc = lc.mixer_config
+        if isinstance(mc, AttentionConfig):
+            h, g, dh = mc.num_heads, mc.num_groups, mc.head_dim
+            total += 2.0 * d * (h + 2 * g) * dh + 2.0 * h * dh * d
+            total += 4.0 * avg_ctx * h * dh  # QK^T + AV
+        ml = lc.mlp_config
+        ff = lc.hidden_dim or tc.hidden_dim
+        if isinstance(ml, MixtureOfExpertsConfig):
+            k_act = ml.num_active_routed_experts + ml.num_shared_experts
+            total += 2.0 * d * ml.num_routed_experts  # router
+            total += k_act * 3.0 * 2.0 * d * ml.expert_hidden_dim
+        elif isinstance(ml, DenseMLPConfig):
+            total += 3.0 * 2.0 * d * ff
+    return total
 
 
 def flagship_dir(on_tpu: bool) -> tuple[str, dict]:
@@ -426,6 +475,9 @@ def main() -> None:
             rate = sustain / (time.perf_counter() - t0)
         RESULTS["prefill_tok_s"] = round(rate, 2)
         RESULTS["micro"]["prefill_chunk512_ms"] = round(512e3 / rate, 3)
+        # prefill is compute-bound: report achieved/peak bf16 FLOP rate
+        fpt = flops_per_token(lm.decoder_config, avg_ctx=sustain / 2)
+        RESULTS["prefill_mfu"] = round(rate * fpt / device_peak_bf16(kind), 4)
 
     _guarded("sustained prefill", 120, stage_prefill)
 
@@ -548,6 +600,34 @@ def main() -> None:
         RESULTS["batch4_tok_s"] = round(max(batch_run(4, gen_b) for _ in range(2)), 2)
 
     _guarded("batch4 warmup (compiles)", 180, stage_batch4)
+
+    def dense_steady(bsz, n=10):
+        """Post-admission dense decode capacity (tok/s aggregate over
+        eng.step() cycles only) — the number the e2e aggregate should
+        approach once admission ramp amortizes."""
+        eng = BatchEngine(lm, batch_size=bsz, decode_chunk=16,
+                          sampling=sampling, stop_token_ids=[])
+        for _ in range(bsz):
+            eng.submit(rng.integers(0, lm.decoder_config.vocab_size, 32), 10_000)
+        for _ in range(6):  # admit all + warm
+            eng.step()
+        t0 = time.perf_counter()
+        for _ in range(n):
+            eng.step()
+        return bsz * 16 * n / (time.perf_counter() - t0)
+
+    # B=8 dense continuous batching (VERDICT r4 #2: the probe-proven 1456
+    # aggregate was invisible to the driver artifact)
+    def stage_batch8():
+        batch_run(8, 32 if tpu else 16)  # warmup (compiles B=8 executables)
+        _stage("batch8 measure")
+        RESULTS["batch8_tok_s"] = round(
+            max(batch_run(8, 256 if tpu else 32) for _ in range(2)), 2)
+        RESULTS["batch8_steady_tok_s"] = round(dense_steady(8), 2)
+        RESULTS["batch4_steady_tok_s"] = round(dense_steady(4), 2)
+
+    if tpu:
+        _guarded("batch8 warmup (compiles)", 240, stage_batch8)
 
     # paged engine at B=8 (the width where it becomes the default):
     # per-token KV pools + paged prefill + pipelined dispatch

@@ -156,16 +156,18 @@ def test_batched_server_concurrent_requests(tmp_path_factory):
 
 
 def test_long_admission_does_not_stall_decode(lm):
-    """Head-of-line fix: admitting a long (multi-chunk) prompt interleaves
-    its prefill chunks with decode chunks, so an active stream keeps
-    producing tokens throughout the admission window instead of freezing
-    for the whole prefill."""
+    """Head-of-line property of admit_greedy=False: admitting a long
+    (multi-chunk) prompt interleaves its prefill chunks with decode chunks,
+    so an active stream keeps producing tokens throughout the admission
+    window instead of freezing for the whole prefill. (The r5 default is
+    greedy-fill — throughput-optimal; this pins the opt-out policy.)"""
     # long prompt: 96 tokens through 16-token buckets = 6 prefill chunks
     long_prompt = [(i * 11) % 256 for i in range(96)]
     want_a = lm.generate_list(np.asarray([1, 2, 3]), 40, stop_token_ids=[])
     want_b = lm.generate_list(np.asarray(long_prompt), 8, stop_token_ids=[])
 
-    eng = BatchEngine(lm, batch_size=2, decode_chunk=4, stop_token_ids=[])
+    eng = BatchEngine(lm, batch_size=2, decode_chunk=4, stop_token_ids=[],
+                      admit_greedy=False)
     ra = eng.submit([1, 2, 3], 40)
     eng.step()  # ra admitted + first decode chunk in flight
     rb = eng.submit(long_prompt, 8)
@@ -199,7 +201,8 @@ def test_long_admission_paged_engine_interleaves(model_dir):
     want_b = lm.generate_list(np.asarray(long_prompt), 8, stop_token_ids=[])
 
     eng = PagedBatchEngine(lm, batch_size=2, decode_chunk=4, num_pages=33,
-                           page_size=8, stop_token_ids=[])
+                           page_size=8, stop_token_ids=[],
+                           admit_greedy=False)
     ra = eng.submit([1, 2, 3], 40)
     eng.step()
     rb = eng.submit(long_prompt, 8)
@@ -217,6 +220,38 @@ def test_long_admission_paged_engine_interleaves(model_dir):
     assert sum(gains) >= (admit_steps - 2) * 4, (gains, admit_steps)
     eng.run()
     assert ra.tokens == want_a and rb.tokens == want_b
+
+
+def test_greedy_admission_fills_slots_first(lm, model_dir):
+    """r5 default policy: step() fills every free slot (including multi-
+    chunk long admissions, run to completion) before dispatching a decode
+    chunk — a decode chunk costs the same at occupancy 1 as at occupancy B,
+    so admitting first is throughput-optimal. Streams are unchanged."""
+    from uzu_tpu.engine.paged_batch import PagedBatchEngine
+
+    long_prompt = [(i * 11) % 256 for i in range(96)]
+    prompts = [[1, 2, 3], long_prompt, [7, 8], [9]]
+    want = [lm.generate_list(np.asarray(p), 8, stop_token_ids=[])
+            for p in prompts]
+
+    eng = BatchEngine(lm, batch_size=4, decode_chunk=4, stop_token_ids=[])
+    reqs = [eng.submit(p, 8) for p in prompts]
+    eng.step()
+    assert eng.num_active == 4 and eng._admitting is None
+    eng.run()
+    assert [r.tokens for r in reqs] == want
+
+    lmp = LanguageModel.from_dir(model_dir, max_context=256,
+                                 prefill_buckets=(16,))
+    wantp = [lmp.generate_list(np.asarray(p), 8, stop_token_ids=[])
+             for p in prompts]
+    engp = PagedBatchEngine(lmp, batch_size=4, decode_chunk=4, num_pages=65,
+                            page_size=16, stop_token_ids=[])
+    reqsp = [engp.submit(p, 8) for p in prompts]
+    engp.step()
+    assert engp.num_active == 4 and engp._admitting is None
+    engp.run()
+    assert [r.tokens for r in reqsp] == wantp
 
 
 # -- speculative continuous batching -----------------------------------------

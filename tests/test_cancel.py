@@ -67,8 +67,10 @@ def test_cancel_midstream_isolates_neighbor_and_reuses_slot(lm, cls, kw):
 def test_cancel_during_long_admission(lm, cls, kw):
     """A prompt longer than the largest prefill bucket cancels mid-chunked
     admission (interleaved with an active stream); the reserved slot (and
-    its pages) free up for the queue."""
-    eng = cls(lm, batch_size=2, stop_token_ids=[], **kw)
+    its pages) free up for the queue. admit_greedy=False keeps the
+    admission spanning scheduler steps so a cancel can land mid-way (under
+    greedy-fill an admission completes within one step())."""
+    eng = cls(lm, batch_size=2, stop_token_ids=[], admit_greedy=False, **kw)
     active = eng.submit([1, 2, 3], 24)
     eng.step()  # active stream goes live: admissions now interleave
     long_req = eng.submit(list((np.arange(48) * 7) % 250), 8)

@@ -137,6 +137,52 @@ def run_quant_matmul(results, quick: bool):
             results.append((f"{name}_{type(exc).__name__}", float("inf"), tol))
 
 
+def run_quant_matmul_f32scale(results, quick: bool):
+    """f32-STORED-scale cells (VERDICT r4 #4): checkpoints may store f32
+    scales (the loader keeps on-disk dtype, models/loader.py:117), and the
+    exp_qmm_matrix postfix probe measured rel-err 7.83/4.35 at kg16/kg32
+    f32 m64 BEFORE the r4 precision commits — this region was never
+    re-proven. exp_dtype=f32 escalates the expansion dot to HIGHEST
+    (precision.py); these cells prove (or indict) that path at prefill M.
+    kgN names K/group at g=32."""
+    import jax.numpy as jnp
+
+    from uzu_tpu.quant.format import from_disk_tensors, quantize_reference
+    from uzu_tpu.ops.pallas.quant_matmul import _quant_matmul_p
+
+    rng = np.random.default_rng(23)
+    cells = [
+        ("qmm_i4_f32s_kg16_m64", 256, 512, 32, 4, 64),
+        ("qmm_i4_f32s_kg32_m64", 256, 1024, 32, 4, 64),
+    ]
+    if not quick:
+        cells += [
+            ("qmm_i4_f32s_kg64_m64", 256, 2048, 32, 4, 64),
+            ("qmm_i4_f32s_kg16_m128", 256, 512, 32, 4, 128),
+            ("qmm_i4_f32s_1b_upgate_m128", 16384, 2048, 32, 4, 128),
+            ("qmm_i4_f32s_kg64_m1", 256, 2048, 32, 4, 1),
+            ("qmm_i8_f32s_kg32_m64", 256, 2048, 64, 8, 64),
+        ]
+    for name, n, k, g, bits, m in cells:
+        w = rng.standard_normal((n, k)).astype(np.float32) * 0.02
+        pack = quantize_reference(w, bits, g, "scale_symmetric",
+                                  dtype=np.float32)
+        qt = from_disk_tensors(
+            "scale_symmetric", pack["weights"], pack["scales"], bits, g,
+            dtype=jnp.float32)
+        x = rng.standard_normal((m, k)).astype(np.float32)
+        want = np.asarray(x, np.float64) @ _host_dequant(pack, n, k, bits, g).T
+        tol = BF16_TOL if m >= 32 else F32_TOL
+        try:
+            got = _quant_matmul_p(
+                jnp.asarray(x), qt.codes, qt.scales, qt.qbias,
+                bits=bits, group_size=g, qbias_coeff=qt.qbias_coeff)
+            got = np.asarray(got)[:m]
+            results.append((name, _nerr(got, want), tol))
+        except Exception as exc:  # noqa: BLE001
+            results.append((f"{name}_{type(exc).__name__}", float("inf"), tol))
+
+
 def run_moe_gemv(results, quick: bool):
     import jax.numpy as jnp
 
@@ -353,6 +399,7 @@ def main():
 
     suites = {
         "qmm": run_quant_matmul,
+        "qmm_f32s": run_quant_matmul_f32scale,
         "moe": run_moe_gemv,
         "grouped": run_grouped,
         "paged": run_paged_attention,

@@ -117,13 +117,18 @@ class BatchEngine:
         sampling: SamplingParams | None = None,
         stop_token_ids=None,
         prefix_min: int = 64,
+        admit_greedy: bool = True,
     ):
         """prefix_min: shortest shared prompt prefix worth admitting via the
         KV-copy path (below it the copy dispatch costs more than the saved
-        prefill; 0 disables sharing)."""
+        prefill; 0 disables sharing).
+        admit_greedy: fill every free slot before dispatching a decode chunk
+        (throughput-optimal; see step()); False restores the old one-
+        admission-per-cycle interleave (minimum jitter for live streams)."""
         self.lm = lm
         self.batch_size = batch_size
         self.decode_chunk = decode_chunk
+        self.admit_greedy = admit_greedy
         if lm.mesh is not None:
             from ..parallel.mesh import dp_size
 
@@ -873,16 +878,23 @@ class BatchEngine:
 
     def step(self) -> bool:
         """One scheduling action; returns False when fully idle."""
-        # Admission budget: while any stream is active, at most ONE
-        # admission dispatch (a fused short admit or a single long-prompt
-        # prefill chunk) runs between decode chunks, so a max_context
-        # admission cannot stall in-flight streams (head-of-line blocking
-        # fix). With nothing decoding there is nobody to starve — keep
-        # admitting until a stream goes live.
+        # Admission policy (r5): GREEDY-FILL — keep admitting until every
+        # slot is live (or the backlog can't progress) BEFORE dispatching a
+        # decode chunk. A decode chunk costs the same at occupancy 1 as at
+        # occupancy B but produces B/L fewer tokens, so running it while
+        # free slots + backlog exist wastes capacity; at the 8k-prompt
+        # paged shape the old one-admission-per-cycle interleave serialized
+        # ~112 prefill chunks against ~112 mostly-idle decode chunks and
+        # read 43 tok/s e2e vs 475 steady (VERDICT r4 #1). The cost is
+        # bounded latency jitter for in-flight streams (one admission's
+        # prefill chunks between decode chunks — the vLLM prefill-priority
+        # trade). `admit_greedy=False` restores the old interleave.
         admitted = False
         while self._admit():
             admitted = True
-            if self.num_active:
+            if self.num_active and not getattr(self, "admit_greedy", True):
+                break
+            if self.num_active >= self.batch_size:
                 break
         pending, self._pending = self._pending, None
         # drain-first: if the in-flight chunk provably finishes every active

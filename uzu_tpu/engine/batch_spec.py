@@ -235,10 +235,14 @@ class _SpecScheduling:
                 self._finish(b, "length")
 
     def step(self) -> bool:
+        # greedy-fill admission (see BatchEngine.step): a verify round costs
+        # the same at any occupancy, so fill slots before paying one
         admitted = False
         while self._admit():
             admitted = True
-            if self.num_active:
+            if self.num_active and not getattr(self, "admit_greedy", True):
+                break
+            if self.num_active >= self.batch_size:
                 break
         if self.num_active or any(
             not s.free and s.pending_first is not None for s in self.slots

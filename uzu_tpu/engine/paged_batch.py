@@ -52,6 +52,7 @@ class PagedBatchEngine:
         sampling: SamplingParams | None = None,
         stop_token_ids=None,
         apc_max_entries: int = 16,
+        admit_greedy: bool = True,
     ):
         """apc_max_entries: automatic prefix cache — finished requests'
         full KV pages are RETAINED (refcounted, LRU-capped at this many
@@ -82,6 +83,7 @@ class PagedBatchEngine:
         self.lm = lm
         self.batch_size = batch_size
         self.decode_chunk = decode_chunk
+        self.admit_greedy = admit_greedy
         self.page_size = page_size
         self.max_pages = -(-lm.max_context // page_size)
         # last page is the scratch target for masked admission writes
@@ -709,13 +711,17 @@ class PagedBatchEngine:
     def step(self) -> bool:
         """One scheduling action (the BatchedChatServer scheduler-thread
         contract); returns False when fully idle."""
-        # admission budget mirrors BatchEngine.step: ONE admission dispatch
-        # between decode chunks while streams are active, greedy until the
-        # first stream goes live otherwise
+        # admission policy mirrors BatchEngine.step (r5 greedy-fill): admit
+        # until every slot is live before paying a decode chunk — at the
+        # 8k-prompt shape the old one-chunk-per-cycle interleave serialized
+        # ~112 admission chunks against ~112 mostly-idle ~150-270 ms fused
+        # decode chunks (43 tok/s e2e vs 475 steady, VERDICT r4 #1)
         admitted = False
         while self._admit():
             admitted = True
-            if self.num_active:
+            if self.num_active and not getattr(self, "admit_greedy", True):
+                break
+            if self.num_active >= self.batch_size:
                 break
         pending, self._pending = self._pending, None
         if pending is not None and not self.queue and self._drains_all(pending[1]):

@@ -82,7 +82,12 @@ def attention_micro(lm, ctx: int = 512) -> float:
         qs = rng.standard_normal((k, 1, h, dh))
         return jnp.asarray(qs, jnp.bfloat16)
 
-    return scan_diff_ms(one, (k_cache, v_cache), make_xs)
+    # a single C=512 read is ~8 us (1 MB of KV): the default 64-rep
+    # differential sits under the pair noise floor and the clamp reported
+    # 0.0 — no regression signal (VERDICT r4 weak#6). 1024 reps put the
+    # differential at ~8 ms, an order above the floor.
+    return scan_diff_ms(one, (k_cache, v_cache), make_xs,
+                        k_small=64, k_big=1088)
 
 
 def paged_attention_micro(lm, *, bsz: int = 8, pages: int = 128,

@@ -332,8 +332,8 @@ def test_paged_prefill_skips_shared_prefix(tmp_path):
     calls = []
     orig = eng._prefill_fn
 
-    def spy(bucket, ctx_pages):
-        fn = orig(bucket, ctx_pages)
+    def spy(bucket, ctx_pages, aligned=False):
+        fn = orig(bucket, ctx_pages, aligned)
 
         def wrapped(params, pools, tokens, table, pos0, take):
             calls.append((int(pos0), int(take)))

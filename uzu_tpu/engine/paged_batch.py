@@ -160,10 +160,13 @@ class PagedBatchEngine:
         ctx = b if b is not None else self.lm.max_context
         return min(-(-ctx // self.page_size), self.max_pages)
 
-    def _prefill_fn(self, bucket: int, ctx_pages: int):
+    def _prefill_fn(self, bucket: int, ctx_pages: int, aligned: bool = False):
         """One slot's prefill chunk written directly into the pools (v2:
-        no dense-prefill + copy-in detour, no dense state allocation)."""
-        key = ("prefill", bucket, ctx_pages, self._geom)
+        no dense-prefill + copy-in detour, no dense state allocation).
+        `aligned` (pos0 and bucket both page multiples — every chunk of a
+        non-prefix-shared admission at the serving page sizes) takes the
+        page-granular write path (r5, exp_paged_prefill)."""
+        key = ("prefill", bucket, ctx_pages, aligned, self._geom)
         if key not in self._jit:
             from ..models.paged_decode import paged_prefill_chunk
 
@@ -173,7 +176,7 @@ class PagedBatchEngine:
             def prefill(params, pools, tokens, table, pos0, true_length):
                 return paged_prefill_chunk(
                     cfg, params, pools, tokens, table, pos0, true_length,
-                    ctx_pages,
+                    ctx_pages, aligned=aligned,
                 )
 
             self._jit[key] = prefill
@@ -404,7 +407,8 @@ class PagedBatchEngine:
         bucket = next(b for b in self.lm.prefill_buckets if b >= take)
         chunk = np.zeros(bucket, np.int32)
         chunk[:take] = prompt[i : i + take]
-        fn = self._prefill_fn(bucket, self._ctx_pages(i + bucket))
+        aligned = i % self.page_size == 0 and bucket % self.page_size == 0
+        fn = self._prefill_fn(bucket, self._ctx_pages(i + bucket), aligned)
         logits, self.pools = fn(
             self.lm.params, self.pools, jnp.asarray(chunk), table_row,
             jnp.asarray(i, jnp.int32), jnp.asarray(take, jnp.int32),

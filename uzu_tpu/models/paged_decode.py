@@ -181,7 +181,8 @@ def _attention_paged(cfg, layer_cfg, params, x, positions, pool_kv,
 
 
 def _attention_paged_prefill(cfg, layer_cfg, params, x, positions, pool_kv,
-                             table, ctx_pages, true_length, shared_kv=None):
+                             table, ctx_pages, true_length, shared_kv=None,
+                             aligned=False):
     """Prefill S rows of ONE slot straight into its pages (no dense
     detour): K/V rows scatter at (table[pos // page], pos %% page), the
     read gathers the slot's first `ctx_pages` pages into a dense
@@ -243,7 +244,41 @@ def _attention_paged_prefill(cfg, layer_cfg, params, x, positions, pool_kv,
             valid, table[jnp.clip(positions // page, 0, maxp - 1)], table[maxp]
         )
         off = positions % page
-        if quantized:
+        if aligned:
+            # PAGE-ALIGNED fast path (r5): when pos0 and the chunk width are
+            # both page multiples (every non-shared admission chunk at the
+            # serving page sizes), whole pages write with contiguous
+            # dynamic_update_index_in_dim instead of a 512-row advanced-
+            # index scatter — the scatter lowering measured ~16 ms of the
+            # 43.9 ms 8k admission chunk (exp_paged_prefill: paged 43.9 /
+            # 36.6 at ctx_pages 2 vs dense 20.9). Rows >= true_length land
+            # in the slot's own future in-page offsets (decode overwrites,
+            # causal mask hides) or — via the table's trash-filled tail —
+            # in the trash page, exactly like the scatter's redirect.
+            npg = s // page
+            first_page = positions[0] // page
+
+            def _write(pool, rows):  # rows [S, G, ...] -> [G, npg, page, ...]
+                r = jnp.swapaxes(rows, 0, 1).astype(pool.dtype)
+                r = r.reshape(r.shape[0], npg, page, *r.shape[2:])
+                for j in range(npg):
+                    tgt = table[jnp.clip(first_page + j, 0, maxp)]
+                    pool = jax.lax.dynamic_update_index_in_dim(
+                        pool, r[:, j], tgt, axis=1)
+                return pool
+
+            if quantized:
+                from .kv_cache import _quantize_rows
+
+                k_q, k_sc = _quantize_rows(k_new)
+                v_q, v_sc = _quantize_rows(v_new)
+                k_pool, k_s = _write(k_pool, k_q), _write(k_s, k_sc)
+                v_pool, v_s = _write(v_pool, v_q), _write(v_s, v_sc)
+                new_pool = (k_pool, k_s, v_pool, v_s)
+            else:
+                k_pool, v_pool = _write(k_pool, k_new), _write(v_pool, v_new)
+                new_pool = (k_pool, v_pool)
+        elif quantized:
             from .kv_cache import _quantize_rows
 
             k_q, k_sc = _quantize_rows(k_new)  # [S, G, Dh] i8 / [S, G] f32
@@ -300,6 +335,9 @@ def paged_prefill_chunk(
     pos0: jax.Array,  # scalar i32 — absolute position of row 0
     true_length: jax.Array,  # scalar i32 — real rows in the chunk
     ctx_pages: int,  # static: pages of context visible to this chunk
+    aligned: bool = False,  # static: pos0 % page == 0 and S % page == 0
+                            # (page-granular pool writes, see
+                            # _attention_paged_prefill)
 ):
     """One prefill chunk of one slot written directly into the paged pools;
     returns (last-real-row logits [V], new pools). Replaces the v1
@@ -330,6 +368,7 @@ def paged_prefill_chunk(
             layer_cfg.mixer_config, layer_cfg, p["mixer"], h, positions,
             pools[i], table, ctx_pages, true_length,
             shared_kv=new_pools[src] if src is not None else None,
+            aligned=aligned,
         )
         new_pools.append(pool_kv)
         if layer_cfg.post_mixer_norm_config is not None:

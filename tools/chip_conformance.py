@@ -107,6 +107,11 @@ def _cells_quant_matmul(quick: bool):
             ("qmm_i4_1b_readout_m1", 32768, 2048, 32, 4, 1, "scale_symmetric"),
             ("qmm_i4_1b_down_m128", 2048, 8192, 32, 4, 128, "scale_symmetric"),
             ("qmm_i8_m128", 2048, 2048, 64, 8, 128, "scale_symmetric"),
+            # tiny-real model shapes (K/2 not divisible by 128 — the whole-K
+            # block fallback; the old kc=64 pick rejected on real Mosaic)
+            ("qmm_i4_tiny_qkv_m1", 640, 384, 32, 4, 1, "scale_symmetric"),
+            ("qmm_i4_tiny_qkv_m256", 640, 384, 32, 4, 256, "scale_symmetric"),
+            ("qmm_i4_tiny_down_m64", 384, 1536, 32, 4, 64, "scale_symmetric"),
         ]
     return cells
 

@@ -54,6 +54,14 @@ def _pick_block(n: int, candidates) -> int:
     return 0
 
 
+def _kc_valid(c: int, k_packed: int) -> bool:
+    """Mosaic lane constraint on REAL TPUs: a block's last dim must be
+    128-divisible or equal the whole array dim (interpret mode accepts
+    anything — the r5 tiny-model K/2=192 kc=64 pick compiled on CPU and
+    rejected on chip). Applies to the x/codes K-chunk."""
+    return c % 128 == 0 or c == k_packed
+
+
 # Mosaic stack-allocates the kernel's vector temporaries in scoped VMEM
 # (16 MB on v5e). The dominant live set is the expansion matrix e[rows, kc]
 # f32 plus ~2 concurrent [tn, kc] f32 temporaries (scale_exp + one of
@@ -118,10 +126,15 @@ def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int,
         tn_pref, kc_pref = (256, 512, 128), (1024, 512, 256, 128, 64, 32, 16)
     tn = _pick_block(n, tn_pref)
     kg_all = k_packed // gsub
-    fits = [c for c in kc_pref if c % gsub == 0
+    fits = [c for c in kc_pref if c % gsub == 0 and _kc_valid(c, k_packed)
             and _kernel_stack_bytes(tn or n, c, kg_all, gsub)
             <= _VMEM_STACK_BUDGET]
-    kc = _pick_block(k_packed, fits or [gsub])
+    # whole-K block is always lane-legal: the fallback for K dims not
+    # divisible by any 128-multiple candidate (small/odd models)
+    whole_ok = (k_packed % gsub == 0
+                and _kernel_stack_bytes(tn or n, k_packed, kg_all, gsub)
+                <= _VMEM_STACK_BUDGET)
+    kc = _pick_block(k_packed, fits or ([k_packed] if whole_ok else []))
     # Deep-K decode GEMVs (kg > 128): widen the K chunk so each grid step's
     # scale block covers exactly 128 groups — the lane-dim blocking minimum —
     # and the expansion dot contracts over 128 rows instead of the whole kg
@@ -379,21 +392,29 @@ def _quant_matmul_p(x, codes, scales, qbias, *, bits, group_size,
 
 
 def supported(qt, x_2d) -> bool:
-    """Static check: shapes divisible by available tile sizes."""
+    """Static check: the tile policy yields a Mosaic-legal (tn, kc) for this
+    shape (delegating keeps this gate exactly in sync with the policy — the
+    old duplicated check admitted kc=64 blocks interpret mode accepts but
+    real Mosaic rejects)."""
     n, kdim = qt.shape
     g = qt.group_size
     if qt.bits not in (4, 8):
         return False
     if kdim % g:
         return False
-    if not _pick_block(n, (512, 256, 128)):
-        return False
     if qt.bits == 4:
-        k2 = kdim // 2
-        kc = _pick_block(k2, (512, 256, 128, 64, 32, 16))
-        return bool(kc) and kc % (g // 2) == 0 and g >= 2
-    kc = _pick_block(kdim, (512, 256, 128, 64, 32))
-    return bool(kc) and kc % g == 0
+        if g < 2 or (g // 2) == 0:
+            return False
+        k_packed, gsub = kdim // 2, g // 2
+    else:
+        k_packed, gsub = kdim, g
+    if k_packed % gsub:
+        return False
+    rows = int(np.prod(x_2d.shape[:-1])) if x_2d.ndim > 1 else 1
+    m_pad = max(8, -(-rows // 8) * 8)
+    tn, kc = _tile_policy(n, k_packed, gsub, m_pad, bits=qt.bits, kdim=kdim,
+                          symmetric=qt.qbias_coeff is not None)
+    return bool(tn) and bool(kc)
 
 
 def _quant_matmul_flat(w, x, *, interpret):

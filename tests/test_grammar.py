@@ -565,8 +565,8 @@ def test_matcher_integer_bounds():
     m = JsonMatcher(s)
     assert m.feed_text("25")
     assert not m.advance("5")  # 255 would overshoot: digits mask off
-    # number-typed bounds are out of scope (annotations)
-    assert JsonMatcher({"type": "number", "minimum": 5}).feed_text("1.5 ")
+    # number-typed bounds are ENFORCED too as of r5 (test_number_bounds_*)
+    assert not JsonMatcher({"type": "number", "minimum": 5}).feed_text("1.5 ")
     # inside an object property
     s = {"type": "object",
          "properties": {"n": {"type": "integer", "minimum": 10, "maximum": 99}},
@@ -749,3 +749,186 @@ def test_server_response_format_anyof_pattern(chat_dir):
         assert re.fullmatch(r"[A-Z]{3}", val["code"]), val
     else:
         assert isinstance(val["num"], int), val
+
+
+# -- formatting / strictness knobs (ref grammar/config.rs:5-12) ----------------
+
+
+FMT_SCHEMA = {"type": "object",
+              "properties": {"city": {"enum": ["Paris", "Rome"]},
+                             "days": {"type": "integer"},
+                             "tags": {"type": "array",
+                                      "items": {"type": "string"}}},
+              "required": ["city"]}
+FMT_VAL = {"city": "Paris", "days": 3, "tags": ["a", "bb"]}
+
+
+def _accepts(m, text):
+    m = m.clone()
+    for ch in text:
+        if not m.advance(ch):
+            return False
+    return m.is_complete()
+
+
+@pytest.mark.parametrize("kw,dumps_kw", [
+    (dict(any_whitespace=False), dict(separators=(", ", ": "))),
+    (dict(any_whitespace=False, separators=(",", ":")),
+     dict(separators=(",", ":"))),
+    (dict(any_whitespace=False, indent=2), dict(indent=2)),
+    (dict(any_whitespace=False, indent=4, separators=(",", ": ")),
+     dict(indent=4)),
+])
+def test_matcher_exact_formatting(kw, dumps_kw):
+    """any_whitespace=False admits EXACTLY the json.dumps serialization of
+    the matching (indent, separators) config — and rejects every other
+    formatting of the same value."""
+    from uzu_tpu.grammar.matcher import _Fmt
+
+    m = JsonMatcher(FMT_SCHEMA, fmt=_Fmt(**kw))
+    text = json.dumps(FMT_VAL, **dumps_kw)
+    assert _accepts(m, text), (kw, text)
+    # any whitespace deviation rejects
+    assert not _accepts(m, text.replace('"city"', ' "city"', 1))
+    assert not _accepts(m, text + " ")
+    alt = json.dumps(FMT_VAL, separators=(",", ":"))
+    if alt != text:
+        assert not _accepts(m, alt)
+    # empty containers serialize as {} / [] in every mode
+    m2 = JsonMatcher({"type": "object"}, fmt=_Fmt(**kw))
+    assert _accepts(m2, "{}")
+    m3 = JsonMatcher({"type": "array"}, fmt=_Fmt(**kw))
+    assert _accepts(m3, "[]")
+
+
+def test_matcher_flexible_mode_unchanged():
+    m = JsonMatcher(FMT_SCHEMA)
+    assert _accepts(m, json.dumps(FMT_VAL, indent=3))
+    assert _accepts(m, json.dumps(FMT_VAL, separators=(",", ":")))
+
+
+def test_strict_mode_knob():
+    """strict_mode=False flips the additionalProperties default open (the
+    xgrammar strictness semantic); default stays closed."""
+    from uzu_tpu.grammar.matcher import _Fmt
+
+    extra = {**FMT_VAL, "extra": 1}
+    assert not _accepts(JsonMatcher(FMT_SCHEMA), json.dumps(extra))
+    m = JsonMatcher(FMT_SCHEMA, fmt=_Fmt(strict_mode=False))
+    assert _accepts(m, json.dumps(extra))
+
+
+def test_exact_format_native_lockstep(chat_dir):
+    """C++ engine under ug_set_fmt == Python matcher masks at every step of
+    the exact serialization, for compact and indent modes."""
+    tok = Tokenizer(chat_dir)
+    for kw, dumps_kw in [
+        (dict(any_whitespace=False), dict(separators=(", ", ": "))),
+        (dict(any_whitespace=False, indent=2), dict(indent=2)),
+        (dict(any_whitespace=False, separators=(",", ":")),
+         dict(separators=(",", ":"))),
+    ]:
+        g_py = GrammarSession(tok, schema=FMT_SCHEMA, backend="python", **kw)
+        g_nat = GrammarSession(tok, schema=FMT_SCHEMA, backend="native", **kw)
+        assert g_nat.backend == "native"
+        ids = tok.encode(json.dumps(FMT_VAL, **dumps_kw))
+        for i, tid in enumerate(ids):
+            np.testing.assert_array_equal(
+                g_nat.current_mask(), g_py.current_mask(),
+                err_msg=f"{kw} diverged at step {i}")
+            if not g_py.current_mask()[tid]:
+                break
+            g_py.observe(tid)
+            g_nat.observe(tid)
+
+
+def test_exact_format_constrained_generate(chat_dir):
+    """End-to-end: a constrained stream under indent=2 IS valid
+    pretty-printed JSON (round-trips through json.loads and re-dumps
+    identically)."""
+    lm = LanguageModel.from_dir(chat_dir, max_context=256,
+                                prefill_buckets=(16,))
+    tok = Tokenizer(chat_dir)
+    # finite value space so the random model must terminate within budget
+    # (an unbounded integer lets it spam digits forever)
+    schema = {"type": "object",
+              "properties": {"city": {"enum": ["Paris", "Rome"]},
+                             "days": {"type": "integer", "minimum": 0,
+                                      "maximum": 99},
+                             "tags": {"type": "array",
+                                      "items": {"enum": ["a", "b"]},
+                                      "maxItems": 2}},
+              "required": ["city"]}
+    g = GrammarSession(tok, schema=schema,
+                       stop_token_ids=tok.eos_token_ids,
+                       any_whitespace=False, indent=2)
+    toks = list(constrained_generate(
+        lm, np.asarray(tok.encode("<|user|>json<|end|><|assistant|>")),
+        96, g, stop_token_ids=list(tok.eos_token_ids)))
+    text = tok.decode([t for t in toks if t not in tok.eos_token_ids])
+    obj = json.loads(text)
+    assert json.dumps(obj, indent=2) == text
+    assert obj.get("city") in ("Paris", "Rome")
+
+
+def test_number_bounds_matcher():
+    """number-typed minimum/maximum enforced by fractional digit-viability
+    arithmetic (was: annotations); exponents masked under bounds."""
+    def ok(s, t):
+        return JsonMatcher(s).feed_text(t + " ") and True
+
+    S = {"type": "number", "minimum": 0.5, "maximum": 0.6}
+    assert ok(S, "0.55") and ok(S, "0.5") and ok(S, "0.6")
+    for bad in ("0.7", "1", "0.49", "-0.55"):
+        assert not JsonMatcher(S).feed_text(bad + " "), bad
+    S2 = {"type": "number", "exclusiveMinimum": 0, "maximum": 100}
+    assert ok(S2, "0.001") and ok(S2, "100") and ok(S2, "99.9")
+    for bad in ("0", "100.5", "-1", "1e2"):
+        assert not JsonMatcher(S2).feed_text(bad + " "), bad
+    S3 = {"type": "number", "minimum": -2.5, "maximum": -1.5}
+    assert ok(S3, "-2.0") and ok(S3, "-1.5") and ok(S3, "-2.5")
+    for bad in ("-1", "-3", "2"):
+        assert not JsonMatcher(S3).feed_text(bad + " "), bad
+    # digit-viability: after "2" under minimum=25, '.' is masked (2.x can
+    # never reach range) but digits stay viable (25, 2xx)
+    S4 = {"type": "number", "minimum": 25}
+    m = JsonMatcher(S4)
+    assert m.advance("2")
+    assert not m.clone().advance(".")
+    assert m.advance("5")
+    # unbounded numbers keep exponent forms
+    assert JsonMatcher({"type": "number"}).feed_text("1e5 ")
+
+
+def test_number_bounds_native_falls_back(chat_dir):
+    """The C++ walk has no fractional arithmetic: number-typed bounds must
+    route to the Python matcher (never silently unenforced natively)."""
+    tok = Tokenizer(chat_dir)
+    s = {"type": "object",
+         "properties": {"score": {"type": "number", "minimum": 0,
+                                  "maximum": 1}}}
+    g = GrammarSession(tok, schema=s)
+    assert g.backend == "python"
+    with pytest.raises(Exception):
+        GrammarSession(tok, schema=s, backend="native")
+
+
+def test_server_response_format_knobs(chat_dir):
+    """grammar_from_request threads the formatting knobs (both nesting
+    levels) and 400s on malformed separators."""
+    from uzu_tpu.server.common import grammar_from_request
+
+    tok = Tokenizer(chat_dir)
+    g = grammar_from_request(tok, {"response_format": {
+        "type": "json_schema",
+        "json_schema": {"schema": FMT_SCHEMA, "indent": 2,
+                        "any_whitespace": False}}})
+    assert g.fmt is not None and g.fmt.indent == 2 and not g.fmt.any_ws
+    g2 = grammar_from_request(tok, {"response_format": {
+        "type": "json_object", "any_whitespace": False,
+        "separators": [",", ":"]}})
+    assert g2.fmt is not None and g2.fmt.item_tail == ""
+    with pytest.raises(ValueError):
+        grammar_from_request(tok, {"response_format": {
+            "type": "json_object", "any_whitespace": False,
+            "separators": ["x", ":"]}})

@@ -91,6 +91,73 @@ class _Fork(Exception):
         self.alternatives = alternatives
 
 
+class _Fmt:
+    """JSON formatting/strictness contract (reference: backend-uzu
+    grammar/config.rs:5-12 — any_whitespace / indent / separators /
+    strict_mode, the knobs real clients use to force compact or pretty
+    JSON out of a constrained model).
+
+    any_whitespace=True keeps the flexible-whitespace matcher (indent and
+    separators are ignored, like xgrammar). With it False the matcher
+    admits EXACTLY one serialization: `indent=N` produces json.dumps-style
+    pretty printing (newline + N-space-per-level indentation, members on
+    their own lines, `{}`/`[]` for empty containers), indent=None the
+    compact form; `separators=(item, key)` override the defaults
+    ((', ', ': ') compact, (',', ': ') with indent — json.dumps parity).
+    strict_mode (default True) keeps objects closed when the schema
+    doesn't set additionalProperties; False flips that default open."""
+
+    __slots__ = ("any_ws", "item_tail", "key_tail", "indent", "strict")
+
+    def __init__(self, any_whitespace=True, indent=None, separators=None,
+                 strict_mode=True):
+        if separators is None:
+            separators = (",", ": ") if indent is not None else (", ", ": ")
+        item, key = separators
+        if not item or item[0] != "," or item[1:].strip(" \t\n"):
+            raise GrammarError(
+                f"separators[0] must be ',' plus optional whitespace: {item!r}")
+        if not key or key[0] != ":" or key[1:].strip(" \t\n"):
+            raise GrammarError(
+                f"separators[1] must be ':' plus optional whitespace: {key!r}")
+        if indent is not None and (not isinstance(indent, int) or indent < 0):
+            raise GrammarError(f"indent must be a non-negative int: {indent!r}")
+        self.any_ws = bool(any_whitespace)
+        self.item_tail = item[1:]
+        self.key_tail = key[1:]
+        self.indent = indent
+        self.strict = bool(strict_mode)
+
+    @property
+    def default(self) -> bool:
+        return self.any_ws and self.strict
+
+    def member_ws(self, depth: int) -> str:
+        """Required whitespace before a member at container depth `depth`
+        (the container itself counts): newline + depth*indent spaces in
+        pretty mode, nothing in compact mode."""
+        if self.indent is None:
+            return ""
+        return "\n" + " " * (self.indent * depth)
+
+    def close_ws(self, depth: int) -> str:
+        if self.indent is None:
+            return ""
+        return "\n" + " " * (self.indent * (depth - 1))
+
+
+_CONTAINER_KINDS = frozenset((
+    "obj_open", "obj_key_body", "obj_value_colon", "obj_next",
+    "obj_key_start", "obj_close_ws", "arr_open", "arr_next", "arr_close_ws",
+))
+
+
+def _depth(branch) -> int:
+    """Container nesting depth: each open container owns exactly one frame
+    on the stack at any time."""
+    return sum(1 for f in branch.stack if f[0] in _CONTAINER_KINDS)
+
+
 # annotation keys that never constrain matching and are dropped when
 # merging combinator/ref siblings
 _ANNOTATIONS = ("description", "title", "default", "examples", "$schema",
@@ -267,18 +334,20 @@ def _alternatives(schema):
 class _Branch:
     """One deterministic pushdown stack (the pre-combinator JsonMatcher)."""
 
-    __slots__ = ("stack", "finished", "defs")
+    __slots__ = ("stack", "finished", "defs", "fmt")
 
-    def __init__(self, schema, defs):
+    def __init__(self, schema, defs, fmt=None):
         self.stack: list[tuple] = [("value", schema)]
         self.finished = False
         self.defs = defs
+        self.fmt = fmt
 
     def clone(self) -> "_Branch":
         b = _Branch.__new__(_Branch)
         b.stack = list(self.stack)
         b.finished = self.finished
         b.defs = self.defs
+        b.fmt = self.fmt
         return b
 
     def signature(self) -> tuple:
@@ -291,7 +360,7 @@ class _Branch:
         the combinator frame has already validly consumed the char."""
         if not self.stack:
             self.finished = True
-            return ch in WS
+            return ch in WS and (self.fmt is None or self.fmt.any_ws)
         top = self.stack[-1]
         if top[0] == "value":
             schema = _resolve(top[1], self.defs)
@@ -314,16 +383,18 @@ class JsonMatcher:
     the single-stack version: advance/feed_text/accepts_text/is_complete/
     clone/signature."""
 
-    def __init__(self, schema: Optional[dict] = None):
+    def __init__(self, schema: Optional[dict] = None, fmt: "_Fmt" = None):
         self.schema = schema
+        self.fmt = fmt if fmt is not None and not fmt.default else None
         defs = _collect_defs(schema)
-        self.branches: list[_Branch] = [_Branch(schema, defs)]
+        self.branches: list[_Branch] = [_Branch(schema, defs, self.fmt)]
 
     # -- core transition ---------------------------------------------------
 
     def clone(self) -> "JsonMatcher":
         m = JsonMatcher.__new__(JsonMatcher)
         m.schema = self.schema
+        m.fmt = self.fmt
         m.branches = [b.clone() for b in self.branches]
         return m
 
@@ -533,8 +604,10 @@ def _pat_close_ok(pat: str, states: int, matched: bool) -> bool:
 
 
 def _value_start(m: JsonMatcher, ch: str, schema) -> bool:
+    fmt = m.fmt
+    exact = fmt is not None and not fmt.any_ws
     if ch in WS:
-        return True
+        return not exact
     types = None
     if isinstance(schema, dict):
         if "enum" in schema or "const" in schema:
@@ -573,14 +646,25 @@ def _value_start(m: JsonMatcher, ch: str, schema) -> bool:
             m.stack.append(("string_body", allowed, ""))
         return True
     if ch == "{" and allow("object"):
-        m.stack.append(("obj_open", schema))
+        if exact:
+            m.stack.append(("obj_open", schema,
+                            fmt.member_ws(_depth(m) + 1), True))
+        else:
+            m.stack.append(("obj_open", schema))
         return True
     if ch == "[" and allow("array"):
-        m.stack.append(("arr_open", schema, 0))
+        if exact:
+            m.stack.append(("arr_open", schema, 0,
+                            fmt.member_ws(_depth(m) + 1), True))
+        else:
+            m.stack.append(("arr_open", schema, 0))
         return True
     if (ch in DIGITS or ch == "-") and allow("number"):
         bounds = _int_bounds(schema)
         if bounds is not None and not _int_prefix_viable(ch, *bounds):
+            return False
+        fb = _float_bounds(schema)
+        if fb is not None and not _float_prefix_viable(ch, *fb):
             return False
         m.stack.append(("number", schema, ch))
         return True
@@ -609,6 +693,16 @@ def _h_string_body(m, ch):
         m.stack.pop()
         return True
     if ch == "\\":
+        # allowed-set strings match escapes literally only for " \ / (the
+        # others map to a placeholder that can never match): refuse the
+        # escape entry when no candidate's next char is one of those —
+        # otherwise the branch walks into a dead end ('\u' ate 3 more
+        # chars before the guaranteed reject; observed as a truncated
+        # enum under exact-format generation)
+        if allowed is not None and not any(
+            len(s) > len(acc) and s[len(acc)] in '"\\/' for s in allowed
+        ):
+            return False
         m.stack[-1] = ("string_esc", allowed, acc)
         return True
     if ch < " ":  # JSON forbids ALL raw control chars in strings
@@ -623,6 +717,8 @@ def _h_string_body(m, ch):
 def _h_string_esc(m, ch):
     _, allowed, acc = m.stack[-1]
     if ch == "u":
+        if allowed is not None:
+            return False  # \uXXXX can never literal-match an allowed set
         # \uXXXX: exactly 4 hex digits must follow
         m.stack[-1] = ("string_u", allowed, acc + "￿", 4)
         return True
@@ -806,6 +902,113 @@ def _int_close_ok(schema, acc: str) -> bool:
     return (lo is None or lo <= v) and (hi is None or v <= hi)
 
 
+# -- number (fractional) minimum/maximum --------------------------------------
+# (VERDICT r4 #6: number-typed bounds were annotations. Enforced by the same
+# digit-viability arithmetic the integer path uses, extended to fractions:
+# appending fraction digits to a parsed value v with f fraction digits keeps
+# it in [v, v + 10^-f) for positives (mirrored for negatives), and k appended
+# integer digits land in [m*10^k, (m+1)*10^k). Exponent forms are masked off
+# whenever fractional bounds are present — their reachable set is unbounded
+# in both directions, which would make every digit viable forever.)
+
+
+def _float_bounds(schema):
+    """(lo, hi, lo_excl, hi_excl) for a number-typed (non-integer) schema
+    with bounds; None otherwise. Floats; exclusivity per draft-4 booleans
+    and 2020-12 numeric forms."""
+    if not isinstance(schema, dict):
+        return None
+    t = schema.get("type")
+    if t is None:
+        return None
+    types = set(t if isinstance(t, list) else [t])
+    if "number" not in types or "integer" in types:
+        return None
+
+    def _num(x, name):
+        if isinstance(x, bool) or not isinstance(x, (int, float)):
+            raise GrammarError(f"{name} must be a number")
+        return float(x)
+
+    lo, hi = schema.get("minimum"), schema.get("maximum")
+    elo, ehi = schema.get("exclusiveMinimum"), schema.get("exclusiveMaximum")
+    lo_x = hi_x = False
+    if isinstance(elo, bool):  # draft-4: modifies minimum
+        lo_x, elo = elo and lo is not None, None
+    if isinstance(ehi, bool):
+        hi_x, ehi = ehi and hi is not None, None
+    lo = _num(lo, "minimum") if lo is not None else None
+    hi = _num(hi, "maximum") if hi is not None else None
+    if elo is not None:
+        e = _num(elo, "exclusiveMinimum")
+        if lo is None or e >= lo:
+            lo, lo_x = e, True
+    if ehi is not None:
+        e = _num(ehi, "exclusiveMaximum")
+        if hi is None or e <= hi:
+            hi, hi_x = e, True
+    if lo is None and hi is None:
+        return None
+    return (lo, hi, lo_x, hi_x)
+
+
+def _float_prefix_viable(acc: str, lo, hi, lo_x, hi_x) -> bool:
+    """Can `acc` (sign, digits, optional '.', fraction digits — no exponent)
+    extend by >= 0 characters to a number in range?"""
+
+    def isect(a, b, a_open=False, b_open=True) -> bool:
+        # reachable interval {a..b} vs the bounds
+        if lo is not None and (b < lo or (b == lo and (b_open or lo_x))):
+            return False
+        if hi is not None and (a > hi or (a == hi and (a_open or hi_x))):
+            return False
+        return True
+
+    if acc == "-":
+        return isect(-1e308, 0.0, b_open=False)
+    neg = acc.startswith("-")
+    body = acc.lstrip("-")
+    if "." in body:
+        ip, fp = body.split(".")
+        v = float(body) if fp else float(ip)
+        step = 10.0 ** -len(fp) if fp else 1.0
+        if neg:
+            return isect(-(v + step), -v, a_open=True, b_open=False)
+        return isect(v, v + step)
+    v = int(body)
+    if neg:
+        if isect(-(v + 1.0), -float(v), a_open=True, b_open=False):
+            return True
+    elif isect(float(v), v + 1.0):
+        return True
+    if v == 0:
+        return False  # leading-zero rule: only '.' may follow
+    p = 1.0
+    for _ in range(_KMAX):
+        p *= 10.0
+        a, b = v * p, (v + 1) * p
+        if neg:
+            ok = isect(-b, -a, a_open=True, b_open=False)
+        else:
+            ok = isect(a, b)
+        if ok:
+            return True
+        if not neg and hi is not None and a > hi:
+            return False
+        if neg and lo is not None and -b < lo:
+            return False
+    return False
+
+
+def _float_close_ok(acc: str, lo, hi, lo_x, hi_x) -> bool:
+    v = float(acc)
+    if lo is not None and (v < lo or (v == lo and lo_x)):
+        return False
+    if hi is not None and (v > hi or (v == hi and hi_x)):
+        return False
+    return True
+
+
 def _num_prefix_ok(acc: str) -> bool:
     """acc extends to SOME valid JSON number: -?(0|[1-9]d*)(.d+)?([eE][+-]?d+)?
     Positional checks matter — accepting a misplaced sign/exponent ('1-',
@@ -855,13 +1058,22 @@ def _h_number(m, ch):
         bounds = _int_bounds(schema)
         if bounds is not None and not _int_prefix_viable(acc2, *bounds):
             return False
+        fb = _float_bounds(schema)
+        if fb is not None:
+            if ch in "eE":
+                return False  # exponent reach is unbounded under bounds
+            if not _float_prefix_viable(acc2, *fb):
+                return False
         m.stack[-1] = ("number", schema, acc2)
         return True
     # number ended; re-dispatch ch to parent. Prefix validity is enforced
-    # per char, so completeness == ends in a digit (plus integer bounds).
+    # per char, so completeness == ends in a digit (plus numeric bounds).
     if not acc or not acc[-1].isdigit():
         return False
     if not _int_close_ok(schema, acc):
+        return False
+    fb = _float_bounds(schema)
+    if fb is not None and not _float_close_ok(acc, *fb):
         return False
     m.stack.pop()
     return m.advance(ch)
@@ -884,8 +1096,14 @@ def _props(schema):
     return None
 
 
-def _additional(schema) -> bool:
-    return bool(schema.get("additionalProperties", False)) if isinstance(schema, dict) else True
+def _additional(schema, fmt=None) -> bool:
+    if not isinstance(schema, dict):
+        return True
+    # strict_mode (ref grammar/config.rs strict_mode; xgrammar semantics):
+    # strict (default) keeps objects closed unless the schema opts out;
+    # non-strict flips the default open
+    default = not (fmt is None or fmt.strict)
+    return bool(schema.get("additionalProperties", default))
 
 
 def _h_obj_key_body(m, ch):
@@ -906,46 +1124,108 @@ def _h_obj_key_body(m, ch):
     return True
 
 
+def _obj_close_ok(schema, seen) -> bool:
+    if isinstance(schema, dict):
+        return not (set(schema.get("required", ())) - set(seen))
+    return True
+
+
 def _h_obj_value_colon(m, ch):
     _, schema, seen, key = m.stack[-1]
+    fmt = m.fmt
+    exact = fmt is not None and not fmt.any_ws
     if ch in WS:
-        return True
+        return not exact
     if ch == ":":
         props = _props(schema)
         sub = props.get(key) if props else None
         m.stack[-1] = ("obj_next", schema, seen | {key})
         m.stack.append(("value", sub))
+        if exact and fmt.key_tail:
+            m.stack.append(("literal", fmt.key_tail))
         return True
     return False
 
 
+def _obj_comma_allowed(m, schema, seen):
+    props = _props(schema)
+    if props is not None and not _additional(schema, m.fmt):
+        remaining = set(props) - seen
+        if not remaining:
+            return False, None
+        return True, remaining
+    return True, None
+
+
 def _h_obj_next(m, ch):
     _, schema, seen = m.stack[-1]
+    fmt = m.fmt
+    exact = fmt is not None and not fmt.any_ws
+    if exact:
+        d = _depth(m)
+        close = fmt.close_ws(d)
+        if ch == ",":
+            ok, allowed = _obj_comma_allowed(m, schema, seen)
+            if not ok:
+                return False
+            m.stack[-1] = ("obj_key_start", schema, seen, allowed,
+                           fmt.item_tail + fmt.member_ws(d))
+            return True
+        if close:
+            # entering the close-ws walk commits to '}': gate on required
+            # keys NOW or the branch walks into a dead end the mask can
+            # never terminate
+            if ch != close[0] or not _obj_close_ok(schema, seen):
+                return False
+            m.stack[-1] = ("obj_close_ws", schema, seen, close[1:])
+            return True
+        if ch == "}" and _obj_close_ok(schema, seen):
+            m.stack.pop()
+            return True
+        return False
     if ch in WS:
         return True
     if ch == "}":
-        if isinstance(schema, dict):
-            missing = set(schema.get("required", ())) - seen
-            if missing:
-                return False
+        if not _obj_close_ok(schema, seen):
+            return False
         m.stack.pop()
         return True
     if ch == ",":
-        props = _props(schema)
-        if props is not None and not _additional(schema):
-            remaining = set(props) - seen
-            if not remaining:
-                return False
-            allowed = remaining
-        else:
-            allowed = None
+        ok, allowed = _obj_comma_allowed(m, schema, seen)
+        if not ok:
+            return False
         m.stack[-1] = ("obj_key_start", schema, seen, allowed)
         return True
     return False
 
 
+def _h_obj_close_ws(m, ch):
+    _, schema, seen, rest = m.stack[-1]
+    if rest:
+        if ch != rest[0]:
+            return False
+        m.stack[-1] = ("obj_close_ws", schema, seen, rest[1:])
+        return True
+    if ch == "}" and _obj_close_ok(schema, seen):
+        m.stack.pop()
+        return True
+    return False
+
+
 def _h_obj_key_start(m, ch):
-    _, schema, seen, allowed = m.stack[-1]
+    frame = m.stack[-1]
+    if len(frame) == 5:  # exact-format: pending whitespace before the key
+        _, schema, seen, allowed, pending = frame
+        if pending:
+            if ch != pending[0]:
+                return False
+            m.stack[-1] = ("obj_key_start", schema, seen, allowed, pending[1:])
+            return True
+        if ch == '"':
+            m.stack[-1] = ("obj_key_body", schema, seen, allowed, "")
+            return True
+        return False
+    _, schema, seen, allowed = frame
     if ch in WS:
         return True
     if ch == '"':
@@ -955,7 +1235,26 @@ def _h_obj_key_start(m, ch):
 
 
 def _h_arr_open(m, ch):
-    _, schema, n = m.stack[-1]
+    frame = m.stack[-1]
+    if len(frame) == 5:  # exact-format
+        _, schema, n, pending, virgin = frame
+        if ch == "]":
+            if not virgin:
+                return False
+            if isinstance(schema, dict) and n < schema.get("minItems", 0):
+                return False
+            m.stack.pop()
+            return True
+        if pending:
+            if ch != pending[0]:
+                return False
+            m.stack[-1] = ("arr_open", schema, n, pending[1:], False)
+            return True
+        items = schema.get("items") if isinstance(schema, dict) else None
+        m.stack[-1] = ("arr_next", schema, n + 1)
+        m.stack.append(("value", items))
+        return m.advance(ch)
+    _, schema, n = frame
     if ch in WS:
         return True
     if ch == "]":
@@ -971,6 +1270,34 @@ def _h_arr_open(m, ch):
 
 def _h_arr_next(m, ch):
     _, schema, n = m.stack[-1]
+    fmt = m.fmt
+    exact = fmt is not None and not fmt.any_ws
+    if exact:
+        d = _depth(m)
+        close = fmt.close_ws(d)
+        if ch == ",":
+            if isinstance(schema, dict) and "maxItems" in schema and n >= schema["maxItems"]:
+                return False
+            items = schema.get("items") if isinstance(schema, dict) else None
+            m.stack[-1] = ("arr_next", schema, n + 1)
+            m.stack.append(("value", items))
+            lit = fmt.item_tail + fmt.member_ws(d)
+            if lit:
+                m.stack.append(("literal", lit))
+            return True
+        if close:
+            if ch != close[0]:
+                return False
+            if isinstance(schema, dict) and n < schema.get("minItems", 0):
+                return False  # committing to ']' must be legal now
+            m.stack[-1] = ("arr_close_ws", schema, n, close[1:])
+            return True
+        if ch == "]":
+            if isinstance(schema, dict) and n < schema.get("minItems", 0):
+                return False
+            m.stack.pop()
+            return True
+        return False
     if ch in WS:
         return True
     if ch == "]":
@@ -988,8 +1315,45 @@ def _h_arr_next(m, ch):
     return False
 
 
+def _h_arr_close_ws(m, ch):
+    _, schema, n, rest = m.stack[-1]
+    if rest:
+        if ch != rest[0]:
+            return False
+        m.stack[-1] = ("arr_close_ws", schema, n, rest[1:])
+        return True
+    if ch == "]":
+        if isinstance(schema, dict) and n < schema.get("minItems", 0):
+            return False
+        m.stack.pop()
+        return True
+    return False
+
+
 def _h_obj_open(m, ch):
-    _, schema = m.stack[-1]
+    frame = m.stack[-1]
+    if len(frame) == 4:  # exact-format
+        _, schema, pending, virgin = frame
+        if ch == "}":
+            if not virgin:
+                return False
+            if isinstance(schema, dict) and schema.get("required"):
+                return False
+            m.stack.pop()
+            return True
+        if pending:
+            if ch != pending[0]:
+                return False
+            m.stack[-1] = ("obj_open", schema, pending[1:], False)
+            return True
+        if ch == '"':
+            props = _props(schema)
+            allowed = (set(props) if props is not None
+                       and not _additional(schema, m.fmt) else None)
+            m.stack[-1] = ("obj_key_body", schema, frozenset(), allowed, "")
+            return True
+        return False
+    _, schema = frame
     if ch in WS:
         return True
     if ch == "}":
@@ -999,7 +1363,8 @@ def _h_obj_open(m, ch):
         return True
     if ch == '"':
         props = _props(schema)
-        allowed = set(props) if props is not None and not _additional(schema) else None
+        allowed = (set(props) if props is not None
+                   and not _additional(schema, m.fmt) else None)
         m.stack[-1] = ("obj_key_body", schema, frozenset(), allowed, "")
         return True
     return False
@@ -1020,8 +1385,10 @@ _HANDLERS = {
     "obj_value_colon": _h_obj_value_colon,
     "obj_next": _h_obj_next,
     "obj_key_start": _h_obj_key_start,
+    "obj_close_ws": _h_obj_close_ws,
     "arr_open": _h_arr_open,
     "arr_next": _h_arr_next,
+    "arr_close_ws": _h_arr_close_ws,
 }
 
 
@@ -1060,10 +1427,20 @@ class GrammarSession:
 
     def __init__(self, tokenizer, schema: Optional[dict] = None,
                  stop_token_ids=(), trigger: str | None = None,
-                 backend: str = "auto", regex: str | None = None):
+                 backend: str = "auto", regex: str | None = None,
+                 any_whitespace: bool = True, indent: int | None = None,
+                 separators: tuple | None = None, strict_mode: bool = True):
         """Exactly one constraint kind: a JSON `schema` (None = any JSON) or
-        a `regex` pattern (reference Grammar::Regex, grammar/mod.rs:65-68)."""
+        a `regex` pattern (reference Grammar::Regex, grammar/mod.rs:65-68).
+        any_whitespace/indent/separators/strict_mode mirror the reference's
+        JSON grammar config (grammar/config.rs:5-12) — see _Fmt."""
         self.tokenizer = tokenizer
+        self.fmt = _Fmt(any_whitespace=any_whitespace, indent=indent,
+                        separators=separators, strict_mode=strict_mode)
+        if self.fmt.default:
+            self.fmt = None
+        if self.fmt is not None and regex is not None:
+            raise GrammarError("formatting knobs apply to JSON grammars only")
         # per-tokenizer cache: a server builds one session per constrained
         # request, and the vocab-wide decode loop dominates construction
         strings = getattr(tokenizer, "_grammar_token_strings", None)
@@ -1112,13 +1489,13 @@ class GrammarSession:
             try:
                 from .native_backend import NativeGrammar, SchemaUnsupported
 
-                self.native = NativeGrammar(schema, strings)
+                self.native = NativeGrammar(schema, strings, fmt=self.fmt)
             except Exception:
                 if backend == "native":
                     raise
         if self.native is None:
             self.mask_cache = TokenMaskCache(strings)
-            self.matcher = JsonMatcher(schema)
+            self.matcher = JsonMatcher(schema, fmt=self.fmt)
 
     @property
     def backend(self) -> str:
@@ -1134,7 +1511,7 @@ class GrammarSession:
 
             self.matcher = RegexMatcher(self.matcher.dfa)
         else:
-            self.matcher = JsonMatcher(self.schema)
+            self.matcher = JsonMatcher(self.schema, fmt=self.fmt)
         self.engaged = self.trigger is None
         self._text_tail = ""
 

@@ -74,7 +74,7 @@ def _flatten_pattern(pattern: str, dfas: list, dfa_ids: dict) -> int:
     return idx
 
 
-def flatten_schema(schema) -> tuple[np.ndarray, list[str], np.ndarray]:
+def flatten_schema(schema, strict: bool = True) -> tuple[np.ndarray, list[str], np.ndarray]:
     """Flatten a schema tree into the int32 tables grammar.cpp consumes:
     (node table, string pool, pattern-DFA table). anyOf/oneOf flatten to
     alternative-node lists (the C++ branch set forks on them); local $ref
@@ -182,7 +182,15 @@ def flatten_schema(schema) -> tuple[np.ndarray, list[str], np.ndarray]:
             pattern = _flatten_pattern(s["pattern"], dfas, dfa_ids)
 
         bflags, blo, bhi = 0, 0, 0
+        from .matcher import _float_bounds
+
         try:
+            if _float_bounds(s) is not None:
+                # number-typed (fractional) bounds: the C++ walk has no
+                # fractional viability arithmetic — the Python matcher
+                # serves these (dual-engine invariant: native never takes
+                # a schema it cannot enforce)
+                raise SchemaUnsupported("number-typed bounds")
             bounds = _int_bounds(s)
         except GrammarError as exc:
             raise SchemaUnsupported(str(exc)) from exc
@@ -213,7 +221,8 @@ def flatten_schema(schema) -> tuple[np.ndarray, list[str], np.ndarray]:
             "items": items,
             "min": int(s.get("minItems", 0)),
             "max": int(s.get("maxItems", -1)),
-            "additional": 0 if (props and not s.get("additionalProperties", False)) else 1,
+            "additional": 0 if (props and not s.get("additionalProperties",
+                                                     not strict)) else 1,
             "props": props,
             "enum": enum_sids,
             "alts": [],
@@ -279,7 +288,7 @@ def _pack_strings(strs: list[str]) -> tuple[bytes, np.ndarray]:
 class NativeGrammar:
     """One matcher instance over a fixed token vocabulary."""
 
-    def __init__(self, schema, token_strings: list[Optional[str]]):
+    def __init__(self, schema, token_strings: list[Optional[str]], fmt=None):
         from ..native import load
 
         lib = load("grammar")
@@ -288,12 +297,14 @@ class NativeGrammar:
         self._lib = lib
         self._configure(lib)
 
+        strict = fmt.strict if fmt is not None else True
+        exact = fmt is not None and not fmt.any_ws
         if schema is None:
             sbuf = np.zeros(0, np.int32)
             strings: list[str] = []
             dbuf = np.zeros(1, np.int32)
         else:
-            sbuf, strings, dbuf = flatten_schema(schema)
+            sbuf, strings, dbuf = flatten_schema(schema, strict=strict)
         str_blob, str_offs = _pack_strings(strings)
         tok_blob, tok_offs = _pack_strings([t or "" for t in token_strings])
         self.n_tokens = len(token_strings)
@@ -307,6 +318,13 @@ class NativeGrammar:
             self.n_tokens,
             dbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(dbuf),
         )
+        if exact:
+            # exact-format mode (any_whitespace=False): indent/separators
+            # become literal whitespace requirements inside the C++ walk
+            lib.ug_set_fmt(
+                ctypes.c_void_p(self._h), 1,
+                -1 if fmt.indent is None else fmt.indent,
+                fmt.item_tail.encode(), fmt.key_tail.encode())
 
     @staticmethod
     def _configure(lib):
@@ -322,6 +340,10 @@ class NativeGrammar:
         for name in ("ug_reset", "ug_destroy"):
             getattr(lib, name).restype = None
             getattr(lib, name).argtypes = [ctypes.c_void_p]
+        lib.ug_set_fmt.restype = None
+        lib.ug_set_fmt.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                   ctypes.c_int, ctypes.c_char_p,
+                                   ctypes.c_char_p]
         lib.ug_observe.restype = ctypes.c_int
         lib.ug_observe.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.ug_is_complete.restype = ctypes.c_int

@@ -93,6 +93,8 @@ enum FrameKind : uint8_t {
     F_STRING_PAT,      // pattern-constrained string body
     F_STRING_PAT_ESC,  // after backslash in a pattern string
     F_STRING_PAT_U,    // \uXXXX in a pattern string; hex value in `key`
+    F_OBJ_CLOSE_WS,    // exact-format: consuming ws before '}' (rest in lit)
+    F_ARR_CLOSE_WS,    // exact-format: consuming ws before ']' (rest in lit)
 };
 
 struct Frame {
@@ -106,8 +108,10 @@ struct Frame {
     int32_t pat = -1;         // pattern DFA index
     uint64_t pstates = 0;     // pattern containment-walk state bitmask
     uint8_t pmatched = 0;     // pattern: a match has been seen (sticky)
+    uint8_t virgin = 0;       // exact-format containers: no member ws/char
+                              // consumed yet (empty {} / [] still legal)
     std::string acc;          // string/number accumulator
-    std::string lit;          // literal remainder
+    std::string lit;          // literal remainder / exact-format pending ws
 };
 
 using Branch = std::vector<Frame>;
@@ -126,7 +130,40 @@ struct Engine {
     std::vector<Branch> branches;
     std::unordered_map<std::string, std::vector<uint8_t>> mask_cache;
     int32_t root = -1;
+    // exact-format mode (mirrors matcher.py _Fmt; ug_set_fmt): the matcher
+    // admits exactly one serialization (json.dumps-compatible)
+    bool fx_exact = false;
+    int32_t fx_indent = -1;   // -1 = compact
+    std::string fx_item_tail; // separators[0] past the ','
+    std::string fx_key_tail;  // separators[1] past the ':'
 };
+
+// container depth: each open container owns exactly one frame at any time
+static bool is_container(FrameKind k) {
+    return k == F_OBJ_OPEN || k == F_OBJ_KEY_BODY || k == F_OBJ_VALUE_COLON ||
+           k == F_OBJ_NEXT || k == F_OBJ_KEY_START || k == F_OBJ_CLOSE_WS ||
+           k == F_ARR_OPEN || k == F_ARR_NEXT || k == F_ARR_CLOSE_WS;
+}
+
+static int depth_of(const std::vector<Frame>& b) {
+    int d = 0;
+    for (const Frame& f : b) d += is_container(f.kind) ? 1 : 0;
+    return d;
+}
+
+static std::string member_ws(const Engine& e, int depth) {
+    if (e.fx_indent < 0) return std::string();
+    std::string s = "\n";
+    s.append((size_t)(e.fx_indent * depth), ' ');
+    return s;
+}
+
+static std::string close_ws(const Engine& e, int depth) {
+    if (e.fx_indent < 0) return std::string();
+    std::string s = "\n";
+    s.append((size_t)(e.fx_indent * (depth - 1)), ' ');
+    return s;
+}
 
 const Node* node_of(const Engine& e, int32_t idx) {
     return idx >= 0 ? &e.nodes[idx] : nullptr;
@@ -268,7 +305,7 @@ bool range_viable(const Dfa& d, const Frame& f, uint32_t lo, uint32_t hi) {
 bool badvance(Engine& e, Branch& b, char ch, std::vector<Branch>* spawned);
 
 bool value_start(Engine& e, Branch& b, char ch, int32_t node_idx) {
-    if (is_ws(ch)) return true;
+    if (is_ws(ch)) return !e.fx_exact;
     const Node* n = node_of(e, node_idx);
     b.pop_back();
     Frame f;
@@ -291,12 +328,20 @@ bool value_start(Engine& e, Branch& b, char ch, int32_t node_idx) {
     }
     if (ch == '{' && allow_type(n, T_OBJECT)) {
         f.kind = F_OBJ_OPEN;
+        if (e.fx_exact) {
+            f.lit = member_ws(e, depth_of(b) + 1);
+            f.virgin = 1;
+        }
         b.push_back(std::move(f));
         return true;
     }
     if (ch == '[' && allow_type(n, T_ARRAY)) {
         f.kind = F_ARR_OPEN;
         f.count = 0;
+        if (e.fx_exact) {
+            f.lit = member_ws(e, depth_of(b) + 1);
+            f.virgin = 1;
+        }
         b.push_back(std::move(f));
         return true;
     }
@@ -440,7 +485,7 @@ bool badvance(Engine& e, Branch& b, char ch, std::vector<Branch>* spawned) {
         }
         b.back().node = n->alts[0];
     }
-    if (b.empty()) return is_ws(ch);
+    if (b.empty()) return is_ws(ch) && !e.fx_exact;
     Frame& f = b.back();
     const Node* n = node_of(e, f.node);
     switch (f.kind) {
@@ -452,7 +497,28 @@ bool badvance(Engine& e, Branch& b, char ch, std::vector<Branch>* spawned) {
                 b.pop_back();
                 return true;
             }
-            if (ch == '\\') { f.kind = F_STRING_ESC; return true; }
+            if (ch == '\\') {
+                // enum strings literal-match escapes only for " \ /:
+                // refuse the escape entry when no candidate's next char is
+                // one of those (dead-end prevention; mirrors matcher.py)
+                if (f.enum_str) {
+                    bool viable = false;
+                    for (int32_t sid : n->enum_sids) {
+                        const std::string& c = e.strings[sid];
+                        if (c.size() > f.acc.size() &&
+                            std::memcmp(c.data(), f.acc.data(), f.acc.size()) == 0) {
+                            char nx = c[f.acc.size()];
+                            if (nx == '"' || nx == '\\' || nx == '/') {
+                                viable = true;
+                                break;
+                            }
+                        }
+                    }
+                    if (!viable) return false;
+                }
+                f.kind = F_STRING_ESC;
+                return true;
+            }
             if ((unsigned char)ch < 0x20) return false;  // raw controls
             f.acc.push_back(ch);
             if (f.enum_str && !enum_viable(e, n, f.acc, false)) return false;
@@ -460,6 +526,7 @@ bool badvance(Engine& e, Branch& b, char ch, std::vector<Branch>* spawned) {
         }
         case F_STRING_ESC: {
             if (ch == 'u') {  // \uXXXX: exactly 4 hex digits must follow
+                if (f.enum_str) return false;  // placeholder never matches
                 f.acc.push_back('\x7f');
                 f.kind = F_STRING_U;
                 f.count = 4;
@@ -581,8 +648,26 @@ bool badvance(Engine& e, Branch& b, char ch, std::vector<Branch>* spawned) {
             return false;
         }
         case F_OBJ_OPEN: {
-            if (is_ws(ch)) return true;
-            if (ch == '}') {
+            if (e.fx_exact) {
+                if (ch == '}') {
+                    if (!f.virgin) return false;
+                    if (n) {
+                        for (size_t i = 0; i < n->props.size(); ++i)
+                            if (n->props[i].required) return false;
+                    }
+                    b.pop_back();
+                    return true;
+                }
+                if (!f.lit.empty()) {
+                    if (ch != f.lit[0]) return false;
+                    f.lit.erase(0, 1);
+                    f.virgin = 0;
+                    return true;
+                }
+            } else if (is_ws(ch)) {
+                return true;
+            }
+            if (!e.fx_exact && ch == '}') {
                 if (n) {
                     for (size_t i = 0; i < n->props.size(); ++i)
                         if (n->props[i].required) return false;
@@ -600,6 +685,8 @@ bool badvance(Engine& e, Branch& b, char ch, std::vector<Branch>* spawned) {
                 f.seen = 0;
                 f.allowed = allowed;
                 f.acc.clear();
+                f.lit.clear();
+                f.virgin = 0;
                 return true;
             }
             return false;
@@ -621,7 +708,7 @@ bool badvance(Engine& e, Branch& b, char ch, std::vector<Branch>* spawned) {
             return true;
         }
         case F_OBJ_VALUE_COLON: {
-            if (is_ws(ch)) return true;
+            if (is_ws(ch)) return !e.fx_exact;
             if (ch == ':') {
                 int32_t sub = -1;
                 if (f.key >= 0 && n) {
@@ -634,12 +721,49 @@ bool badvance(Engine& e, Branch& b, char ch, std::vector<Branch>* spawned) {
                 v.kind = F_VALUE;
                 v.node = sub;
                 b.push_back(std::move(v));
+                if (e.fx_exact && !e.fx_key_tail.empty()) {
+                    Frame l;
+                    l.kind = F_LITERAL;
+                    l.lit = e.fx_key_tail;
+                    b.push_back(std::move(l));
+                }
                 return true;
             }
             return false;
         }
         case F_OBJ_NEXT: {
-            if (is_ws(ch)) return true;
+            if (e.fx_exact) {
+                int d = depth_of(b);
+                std::string close = close_ws(e, d);
+                if (ch == ',') {
+                    if (n && !n->additional) {
+                        uint64_t all = 0;
+                        for (size_t i = 0; i < n->props.size(); ++i) all |= 1ull << i;
+                        uint64_t remaining = all & ~f.seen;
+                        if (!remaining) return false;
+                        f.allowed = remaining;
+                    }
+                    f.kind = F_OBJ_KEY_START;
+                    f.lit = e.fx_item_tail + member_ws(e, d);
+                    return true;
+                }
+                if (!close.empty()) {
+                    // committing to '}' must be legal NOW (required keys)
+                    // or the branch walks into a dead end
+                    if (ch != close[0]) return false;
+                    if (n) {
+                        for (size_t i = 0; i < n->props.size(); ++i)
+                            if (n->props[i].required && !(f.seen & (1ull << i)))
+                                return false;
+                    }
+                    f.kind = F_OBJ_CLOSE_WS;
+                    f.lit = close.substr(1);
+                    return true;
+                }
+                // compact: fall through to the direct '}' below
+            } else if (is_ws(ch)) {
+                return true;
+            }
             if (ch == '}') {
                 if (n) {
                     for (size_t i = 0; i < n->props.size(); ++i)
@@ -648,7 +772,7 @@ bool badvance(Engine& e, Branch& b, char ch, std::vector<Branch>* spawned) {
                 b.pop_back();
                 return true;
             }
-            if (ch == ',') {
+            if (!e.fx_exact && ch == ',') {
                 if (n && !n->additional) {
                     uint64_t all = 0;
                     for (size_t i = 0; i < n->props.size(); ++i) all |= 1ull << i;
@@ -661,8 +785,32 @@ bool badvance(Engine& e, Branch& b, char ch, std::vector<Branch>* spawned) {
             }
             return false;
         }
+        case F_OBJ_CLOSE_WS: {
+            if (!f.lit.empty()) {
+                if (ch != f.lit[0]) return false;
+                f.lit.erase(0, 1);
+                return true;
+            }
+            if (ch == '}') {
+                if (n) {
+                    for (size_t i = 0; i < n->props.size(); ++i)
+                        if (n->props[i].required && !(f.seen & (1ull << i))) return false;
+                }
+                b.pop_back();
+                return true;
+            }
+            return false;
+        }
         case F_OBJ_KEY_START: {
-            if (is_ws(ch)) return true;
+            if (e.fx_exact) {
+                if (!f.lit.empty()) {
+                    if (ch != f.lit[0]) return false;
+                    f.lit.erase(0, 1);
+                    return true;
+                }
+            } else if (is_ws(ch)) {
+                return true;
+            }
             if (ch == '"') {
                 f.kind = F_OBJ_KEY_BODY;
                 f.acc.clear();
@@ -671,15 +819,32 @@ bool badvance(Engine& e, Branch& b, char ch, std::vector<Branch>* spawned) {
             return false;
         }
         case F_ARR_OPEN: {
-            if (is_ws(ch)) return true;
-            if (ch == ']') {
-                if (n && f.count < n->min_items) return false;
-                b.pop_back();
-                return true;
+            if (e.fx_exact) {
+                if (ch == ']') {
+                    if (!f.virgin) return false;
+                    if (n && f.count < n->min_items) return false;
+                    b.pop_back();
+                    return true;
+                }
+                if (!f.lit.empty()) {
+                    if (ch != f.lit[0]) return false;
+                    f.lit.erase(0, 1);
+                    f.virgin = 0;
+                    return true;
+                }
+            } else {
+                if (is_ws(ch)) return true;
+                if (ch == ']') {
+                    if (n && f.count < n->min_items) return false;
+                    b.pop_back();
+                    return true;
+                }
             }
             int32_t items = n ? n->items : -1;
             f.kind = F_ARR_NEXT;
             f.count += 1;
+            f.lit.clear();
+            f.virgin = 0;
             Frame v;
             v.kind = F_VALUE;
             v.node = items;
@@ -687,6 +852,40 @@ bool badvance(Engine& e, Branch& b, char ch, std::vector<Branch>* spawned) {
             return badvance(e, b, ch, spawned);
         }
         case F_ARR_NEXT: {
+            if (e.fx_exact) {
+                int d = depth_of(b);
+                std::string close = close_ws(e, d);
+                if (ch == ',') {
+                    if (n && n->max_items >= 0 && f.count >= n->max_items) return false;
+                    int32_t items = n ? n->items : -1;
+                    f.count += 1;
+                    Frame v;
+                    v.kind = F_VALUE;
+                    v.node = items;
+                    b.push_back(std::move(v));
+                    std::string lit = e.fx_item_tail + member_ws(e, d);
+                    if (!lit.empty()) {
+                        Frame l;
+                        l.kind = F_LITERAL;
+                        l.lit = lit;
+                        b.push_back(std::move(l));
+                    }
+                    return true;
+                }
+                if (!close.empty()) {
+                    if (ch != close[0]) return false;
+                    if (n && f.count < n->min_items) return false;
+                    f.kind = F_ARR_CLOSE_WS;
+                    f.lit = close.substr(1);
+                    return true;
+                }
+                if (ch == ']') {
+                    if (n && f.count < n->min_items) return false;
+                    b.pop_back();
+                    return true;
+                }
+                return false;
+            }
             if (is_ws(ch)) return true;
             if (ch == ']') {
                 if (n && f.count < n->min_items) return false;
@@ -701,6 +900,19 @@ bool badvance(Engine& e, Branch& b, char ch, std::vector<Branch>* spawned) {
                 v.kind = F_VALUE;
                 v.node = items;
                 b.push_back(std::move(v));
+                return true;
+            }
+            return false;
+        }
+        case F_ARR_CLOSE_WS: {
+            if (!f.lit.empty()) {
+                if (ch != f.lit[0]) return false;
+                f.lit.erase(0, 1);
+                return true;
+            }
+            if (ch == ']') {
+                if (n && f.count < n->min_items) return false;
+                b.pop_back();
                 return true;
             }
             return false;
@@ -730,13 +942,13 @@ bool engine_advance(Engine& e, char ch) {
             char buf[96];
             for (const Frame& f : b) {
                 int len = std::snprintf(buf, sizeof buf,
-                                        "%d:%d:%llu:%llu:%d:%d:%d:%d:%llu:%d|",
+                                        "%d:%d:%llu:%llu:%d:%d:%d:%d:%llu:%d:%d|",
                                         (int)f.kind, f.node,
                                         (unsigned long long)f.seen,
                                         (unsigned long long)f.allowed, f.count,
                                         f.key, (int)f.enum_str, f.pat,
                                         (unsigned long long)f.pstates,
-                                        (int)f.pmatched);
+                                        (int)f.pmatched, (int)f.virgin);
                 sig.append(buf, len);
                 sig.append(f.acc);
                 sig.push_back(';');
@@ -755,13 +967,13 @@ void signature(const Engine& e, std::string* out) {
     for (const Branch& b : e.branches) {
         for (const Frame& f : b) {
             int len = std::snprintf(buf, sizeof buf,
-                                    "%d:%d:%llu:%llu:%d:%d:%d:%d:%llu:%d|",
+                                    "%d:%d:%llu:%llu:%d:%d:%d:%d:%llu:%d:%d|",
                                     (int)f.kind, f.node,
                                     (unsigned long long)f.seen,
                                     (unsigned long long)f.allowed, f.count,
                                     f.key, (int)f.enum_str, f.pat,
                                     (unsigned long long)f.pstates,
-                                    (int)f.pmatched);
+                                    (int)f.pmatched, (int)f.virgin);
             out->append(buf, len);
             out->append(f.acc);
             out->push_back(';');
@@ -871,6 +1083,19 @@ void ug_reset(void* h) {
     v.kind = F_VALUE;
     v.node = e->root;
     e->branches.push_back(Branch{v});
+}
+
+// exact-format mode (matcher.py _Fmt / ref grammar/config.rs knobs); call
+// once right after ug_create, before any observe — the root branch carries
+// no formatting state, so no rebuild is needed, and ug_reset preserves it
+void ug_set_fmt(void* h, int exact, int indent, const char* item_tail,
+                const char* key_tail) {
+    Engine* e = static_cast<Engine*>(h);
+    e->fx_exact = exact != 0;
+    e->fx_indent = indent;
+    e->fx_item_tail = item_tail ? item_tail : "";
+    e->fx_key_tail = key_tail ? key_tail : "";
+    e->mask_cache.clear();
 }
 
 int ug_advance_text(void* h, const char* s, int len) {

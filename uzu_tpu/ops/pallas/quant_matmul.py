@@ -129,12 +129,14 @@ def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int,
     fits = [c for c in kc_pref if c % gsub == 0 and _kc_valid(c, k_packed)
             and _kernel_stack_bytes(tn or n, c, kg_all, gsub)
             <= _VMEM_STACK_BUDGET]
-    # whole-K block is always lane-legal: the fallback for K dims not
-    # divisible by any 128-multiple candidate (small/odd models)
-    whole_ok = (k_packed % gsub == 0
+    kc = _pick_block(k_packed, fits)
+    if not kc:
+        # whole-K block is always lane-legal: the fallback for K dims not
+        # divisible by any 128-multiple candidate (small/odd models)
+        if (k_packed % gsub == 0
                 and _kernel_stack_bytes(tn or n, k_packed, kg_all, gsub)
-                <= _VMEM_STACK_BUDGET)
-    kc = _pick_block(k_packed, fits or ([k_packed] if whole_ok else []))
+                <= _VMEM_STACK_BUDGET):
+            kc = k_packed
     # Deep-K decode GEMVs (kg > 128): widen the K chunk so each grid step's
     # scale block covers exactly 128 groups — the lane-dim blocking minimum —
     # and the expansion dot contracts over 128 rows instead of the whole kg

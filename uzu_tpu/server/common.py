@@ -137,8 +137,12 @@ def grammar_from_request(tokenizer, body: dict):
 
     Accepts the OpenAI shapes ``{"type": "json_object"}`` and
     ``{"type": "json_schema", "json_schema": {"schema": ...}}`` plus the
-    common extension ``{"type": "regex", "pattern": ...}``. Raises
-    ValueError (mapped to HTTP 400 by the handlers) on anything else.
+    common extension ``{"type": "regex", "pattern": ...}``. JSON grammars
+    additionally honor the reference's formatting/strictness knobs
+    (grammar/config.rs:5-12) at either nesting level:
+    ``any_whitespace`` (bool), ``indent`` (int), ``separators``
+    ([item, key]), ``strict_mode`` (bool). Raises ValueError (mapped to
+    HTTP 400 by the handlers) on anything else.
     """
     rf = body.get("response_format")
     if not rf:
@@ -148,17 +152,36 @@ def grammar_from_request(tokenizer, body: dict):
     typ = rf.get("type")
     if typ in (None, "text"):
         return None
-    from ..grammar import GrammarSession
+    from ..grammar import GrammarError, GrammarSession
 
-    if typ == "json_object":
-        return GrammarSession(tokenizer, schema=None)
-    if typ == "json_schema":
-        js = rf.get("json_schema") or {}
-        schema = js.get("schema") if isinstance(js, dict) else None
-        return GrammarSession(tokenizer, schema=schema)
-    if typ == "regex":
-        pattern = rf.get("pattern") or rf.get("regex")
-        if not pattern:
-            raise ValueError("response_format regex needs a 'pattern'")
-        return GrammarSession(tokenizer, regex=pattern)
+    def fmt_kw(*sources):
+        kw = {}
+        for src in sources:
+            if not isinstance(src, dict):
+                continue
+            for key in ("any_whitespace", "indent", "separators",
+                        "strict_mode"):
+                if key in src and key not in kw:
+                    kw[key] = src[key]
+        if "separators" in kw and kw["separators"] is not None:
+            seps = kw["separators"]
+            if not (isinstance(seps, (list, tuple)) and len(seps) == 2):
+                raise ValueError("separators must be a [item, key] pair")
+            kw["separators"] = (str(seps[0]), str(seps[1]))
+        return kw
+
+    try:
+        if typ == "json_object":
+            return GrammarSession(tokenizer, schema=None, **fmt_kw(rf))
+        if typ == "json_schema":
+            js = rf.get("json_schema") or {}
+            schema = js.get("schema") if isinstance(js, dict) else None
+            return GrammarSession(tokenizer, schema=schema, **fmt_kw(js, rf))
+        if typ == "regex":
+            pattern = rf.get("pattern") or rf.get("regex")
+            if not pattern:
+                raise ValueError("response_format regex needs a 'pattern'")
+            return GrammarSession(tokenizer, regex=pattern)
+    except GrammarError as exc:
+        raise ValueError(str(exc)) from exc
     raise ValueError(f"unsupported response_format type {typ!r}")

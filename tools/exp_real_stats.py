@@ -30,7 +30,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def ppl(lm, n_seqs=8, seq=1023) -> float:
+def ppl(lm, n_seqs=16, seq=511) -> float:
+    # eval at the TRAINED context (seq 512): positions past the training
+    # length extrapolate badly (1.57 vs 0.29 nats at 1024 vs 256, r5)
     from uzu_tpu.tools.corpus import generate_tokens
     from uzu_tpu.tools.quality import sequence_nll
 

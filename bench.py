@@ -474,10 +474,31 @@ def main() -> None:
             jax.device_get(logits[:1])
             rate = sustain / (time.perf_counter() - t0)
         RESULTS["prefill_tok_s"] = round(rate, 2)
-        RESULTS["micro"]["prefill_chunk512_ms"] = round(512e3 / rate, 3)
-        # prefill is compute-bound: report achieved/peak bf16 FLOP rate
+        # MARGINAL chunk cost by differential (7 vs 3 chunks): the e2e rate
+        # above folds in ~60 ms of fixed per-call overhead (one ~25 ms
+        # tunnel fetch + per-chunk launches + state init) that amortizes
+        # with context — r5 exp_prefill_sustained measured the marginal
+        # chunk at 10-14 ms while the rate-derived figure read ~20.
+        chunk_w = lm.prefill_buckets[-1]
+
+        def pf(nc):
+            st = lm.new_state()
+            logits, _ = lm.prefill(st, long_prompt[: nc * chunk_w])
+            jax.device_get(logits[:1])
+
+        n_hi = sustain // chunk_w
+        n_lo = max(1, n_hi - 4)
+        diffs = [
+            _timeit(lambda: pf(n_hi)) - _timeit(lambda: pf(n_lo))
+            for _ in range(3)
+        ]
+        marg_ms = max(float(np.median(diffs)) / (n_hi - n_lo), 1e-9) * 1e3
+        RESULTS["micro"]["prefill_chunk512_ms"] = round(marg_ms, 3)
+        # prefill is compute-bound: report achieved/peak bf16 FLOP rate of
+        # the MARGINAL chunk (the e2e rate answers a different question)
         fpt = flops_per_token(lm.decoder_config, avg_ctx=sustain / 2)
-        RESULTS["prefill_mfu"] = round(rate * fpt / device_peak_bf16(kind), 4)
+        RESULTS["prefill_mfu"] = round(
+            (chunk_w / (marg_ms * 1e-3)) * fpt / device_peak_bf16(kind), 4)
 
     _guarded("sustained prefill", 120, stage_prefill)
 

@@ -161,7 +161,12 @@ def cmd_chat(args) -> int:
         if args.json_schema != "-":  # "-" = any JSON value
             with open(args.json_schema) as f:
                 schema = json.load(f)
-        return GrammarSession(session.tokenizer, schema=schema)
+        kw = {}
+        if args.json_indent is not None:
+            kw = dict(any_whitespace=False, indent=args.json_indent)
+        elif args.json_compact:
+            kw = dict(any_whitespace=False, separators=(",", ":"))
+        return GrammarSession(session.tokenizer, schema=schema, **kw)
 
     print("(interactive chat; empty line or Ctrl-D to exit)")
     while True:
@@ -339,6 +344,10 @@ def main(argv=None) -> int:
     c.add_argument("--max-context", type=int, default=4096, dest="max_context")
     c.add_argument("--json-schema", default=None, dest="json_schema",
                    help="constrain replies to a JSON schema file ('-' = any JSON)")
+    c.add_argument("--json-indent", type=int, default=None, dest="json_indent",
+                   help="force exact pretty-printed JSON at this indent")
+    c.add_argument("--json-compact", action="store_true", dest="json_compact",
+                   help="force exact compact JSON (no whitespace)")
     c.add_argument("--regex", default=None,
                    help="constrain replies to a regex pattern")
     _mesh_flags(c)

@@ -17,7 +17,7 @@ path. Training runs on the TPU chip (scan-folded steps, params as jit
 arguments per the remote-AOT rules) or CPU for the test-sized config.
 
     python -m uzu_tpu.tools.train_tiny .bench_cache/tiny_real \
-        --steps 1500 --batch 32 --seq 256
+        --steps 1500   # defaults: batch 16, seq 512, 30M-token corpus
 
 Reference role: the closest offline analogue of validating against real
 model traces (uzu/src/storage/download_contents.rs:5-33).

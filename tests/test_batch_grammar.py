@@ -133,6 +133,26 @@ def test_paged_spec_grammar_equals_dense(lm, tok):
     assert rp.finished
 
 
+def test_spec_batched_grammar_formatting_knobs(lm, tok):
+    """Exact-format grammars (any_whitespace=False, indent) ride the
+    speculative batched path unchanged: the constrained slot's stream ==
+    the single-stream constrained loop with the same knobs, and the
+    emitted text IS the exact indent-2 serialization."""
+    gp = tok.encode("<|user|>json<|end|><|assistant|>")
+    stop = list(tok.eos_token_ids)
+    kw = dict(any_whitespace=False, indent=2)
+    want = _single_constrained(lm, tok, gp, 32, **kw)
+    eng = SpeculativeBatchEngine(lm, batch_size=2, draft_block=4,
+                                 stop_token_ids=stop)
+    rg = eng.submit(gp, 32, grammar=_grammar(tok, **kw))
+    eng.run()
+    assert rg.tokens[:32] == want[:32]
+    if want[-1] in stop:
+        text = tok.decode([t for t in want if t not in stop])
+        obj = json.loads(text)
+        assert json.dumps(obj, indent=2) == text
+
+
 def test_self_draft_engine_grammar_overrides_device_chain(lm, tok):
     """In draft_layers mode a grammar slot falls back to HOST drafting (its
     masks must be known pre-dispatch) while plain slots keep the device

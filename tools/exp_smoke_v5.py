@@ -10,8 +10,7 @@ steps), so a real cross-variant regression (order 0.5+) cannot hide and
 ordinary contract rounding cannot flake. B (variant flip) and C (matched
 precision) stay at their v4 bounds (bit-exact / 2.5e-3 measured).
 
-
-smoke_v3 weakened the serving invariants to "shared prefix across executable
+Background (from v4): smoke_v3 weakened the serving invariants to "shared prefix across executable
 variants" after observing that a different executable VARIANT (e.g. logprobs
 on, or a sampled neighbor flipping the verify to the dynamic-sampling
 program) can move logits by low bits and flip argmax on random-weight
@@ -45,7 +44,7 @@ contract.
 Reference parity: stream.rs accept path (speculation exact by construction);
 here exactness is per-executable and the CROSS-executable gap is bounded.
 
-    PYTHONPATH=/root/.axon_site JAX_PLATFORMS=axon python tools/exp_smoke_v4.py
+    PYTHONPATH=/root/.axon_site JAX_PLATFORMS=axon python tools/exp_smoke_v5.py
 """
 
 import json

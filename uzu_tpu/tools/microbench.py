@@ -82,12 +82,15 @@ def attention_micro(lm, ctx: int = 512) -> float:
         qs = rng.standard_normal((k, 1, h, dh))
         return jnp.asarray(qs, jnp.bfloat16)
 
-    # a single C=512 read is ~8 us (1 MB of KV): the default 64-rep
-    # differential sits under the pair noise floor and the clamp reported
-    # 0.0 — no regression signal (VERDICT r4 weak#6). 1024 reps put the
-    # differential at ~8 ms, an order above the floor.
+    # a single C=512 read measures sub-us on chip (the scan keeps the 1 MB
+    # KV resident, so the marginal read is near-free): a 64-rep
+    # differential sat under the pair noise floor and clamped to 0.0 — no
+    # regression signal (VERDICT r4 weak#6). 1024 reps still flipped sign
+    # in some windows (true diff ~0.6 ms vs ~1 ms pair noise); 4096 reps
+    # put it at ~2-3 ms, reliably above the floor. Scan length is a loop
+    # bound — compile cost is unchanged.
     return scan_diff_ms(one, (k_cache, v_cache), make_xs,
-                        k_small=64, k_big=1088)
+                        k_small=64, k_big=4160, pairs=7)
 
 
 def paged_attention_micro(lm, *, bsz: int = 8, pages: int = 128,

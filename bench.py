@@ -495,8 +495,10 @@ def main() -> None:
         marg_ms = max(float(np.median(diffs)) / (n_hi - n_lo), 1e-9) * 1e3
         RESULTS["micro"]["prefill_chunk512_ms"] = round(marg_ms, 3)
         # prefill is compute-bound: report achieved/peak bf16 FLOP rate of
-        # the MARGINAL chunk (the e2e rate answers a different question)
-        fpt = flops_per_token(lm.decoder_config, avg_ctx=sustain / 2)
+        # the MARGINAL chunk — FLOPs evaluated at the measured region's
+        # mean context (chunks n_lo+1..n_hi), not the whole prefill's
+        fpt = flops_per_token(lm.decoder_config,
+                              avg_ctx=(n_lo + n_hi) / 2 * chunk_w)
         RESULTS["prefill_mfu"] = round(
             (chunk_w / (marg_ms * 1e-3)) * fpt / device_peak_bf16(kind), 4)
 

@@ -932,3 +932,11 @@ def test_server_response_format_knobs(chat_dir):
         grammar_from_request(tok, {"response_format": {
             "type": "json_object", "any_whitespace": False,
             "separators": ["x", ":"]}})
+    # JSON `"indent": true` passes isinstance(True, int) — must 400, not
+    # silently pretty-print at True*depth spaces
+    with pytest.raises(ValueError):
+        grammar_from_request(tok, {"response_format": {
+            "type": "json_object", "indent": True}})
+    with pytest.raises(ValueError):
+        grammar_from_request(tok, {"response_format": {
+            "type": "json_object", "any_whitespace": "false"}})

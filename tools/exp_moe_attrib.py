@@ -152,7 +152,9 @@ def main() -> None:
                     setattr(mod, attr, repl)
             return step_ms(lm)
         finally:
-            for mod, attr, orig in saved:
+            # reversed: if two variants ever patch the same attribute the
+            # forward order would re-install the newer patch after orig
+            for mod, attr, orig in reversed(saved):
                 setattr(mod, attr, orig)
 
     # v3 (VERDICT r4 weak#7): WATERFALL — patches applied CUMULATIVELY in

@@ -123,8 +123,9 @@ class BatchEngine:
         KV-copy path (below it the copy dispatch costs more than the saved
         prefill; 0 disables sharing).
         admit_greedy: fill every free slot before dispatching a decode chunk
-        (throughput-optimal; see step()); False restores the old one-
-        admission-per-cycle interleave (minimum jitter for live streams)."""
+        (throughput-optimal; live-stream stall grows with backlog depth x
+        prompt length — see step()); False restores the one-admission-per-
+        cycle interleave (minimum jitter for live streams)."""
         self.lm = lm
         self.batch_size = batch_size
         self.decode_chunk = decode_chunk
@@ -885,10 +886,13 @@ class BatchEngine:
         # free slots + backlog exist wastes capacity; at the 8k-prompt
         # paged shape the old one-admission-per-cycle interleave serialized
         # ~112 prefill chunks against ~112 mostly-idle decode chunks and
-        # read 43 tok/s e2e vs 475 steady (VERDICT r4 #1). The cost is
-        # bounded latency jitter for in-flight streams (one admission's
-        # prefill chunks between decode chunks — the vLLM prefill-priority
-        # trade). `admit_greedy=False` restores the old interleave.
+        # read 43 tok/s e2e vs 475 steady (VERDICT r4 #1). The latency
+        # cost to live streams is UNBOUNDED in backlog depth x prompt
+        # length (filling 7 free slots with 8k prompts stalls a live
+        # stream for the full ~112-chunk prefill burst) — the same trade
+        # vLLM's prefill-priority default makes; latency-sensitive
+        # deployments set `admit_greedy=False` for the old interleave
+        # (at most one admission dispatch between decode chunks).
         admitted = False
         while self._admit():
             admitted = True

@@ -120,8 +120,18 @@ class _Fmt:
         if not key or key[0] != ":" or key[1:].strip(" \t\n"):
             raise GrammarError(
                 f"separators[1] must be ':' plus optional whitespace: {key!r}")
-        if indent is not None and (not isinstance(indent, int) or indent < 0):
+        if indent is not None and (isinstance(indent, bool)
+                                   or not isinstance(indent, int)
+                                   or indent < 0):
+            # isinstance(True, int) is True — a JSON `"indent": true` must
+            # 400, not silently pretty-print at True*depth spaces
             raise GrammarError(f"indent must be a non-negative int: {indent!r}")
+        if not isinstance(any_whitespace, bool):
+            raise GrammarError(
+                f"any_whitespace must be a boolean: {any_whitespace!r}")
+        if not isinstance(strict_mode, bool):
+            raise GrammarError(
+                f"strict_mode must be a boolean: {strict_mode!r}")
         self.any_ws = bool(any_whitespace)
         self.item_tail = item[1:]
         self.key_tail = key[1:]

@@ -221,7 +221,5 @@ def main(argv=None) -> int:
     return 0
 
 
-if __name__ == "__main__":
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))))
+if __name__ == "__main__":  # run as `python -m uzu_tpu.tools.train_tiny`
     raise SystemExit(main())

@@ -1,0 +1,116 @@
+"""Grammar-constrained SPECULATION on the real-statistics model: the
+measured tok/s win (VERDICT r4 #5 tail).
+
+Plain grammar-constrained decoding pays one host<->device roundtrip per
+token (the host must observe each token to compute the next bitmask) —
+~25 ms on this tunnel, so the constrained loop runs at ~30-40 tok/s no
+matter how fast the model is. Grammar SPECULATION (lookahead masks +
+fused masked verify, grammar/decode.py) yields 1 + accepted tokens per
+roundtrip. With the trained byte model's REAL acceptance (draft model
+0.95, ngram 0.48) this is where speculation's wall-clock win lives on
+this hardware — measured here, constrained to the corpus's own record
+schema via the identity byte tokenizer.
+
+Arms (interleaved, 2 rounds, best-of):
+  plain      constrained_generate, no speculator
+  ngram      NgramSpeculator(k=8)
+  draft      DraftModelSpeculator(trained 2-layer draft, k=8)
+
+    python tools/exp_grammar_spec_real.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.speculation import (
+        DraftModelSpeculator,
+        NgramSpeculator,
+        SpeculationMetrics,
+    )
+    from uzu_tpu.grammar import GrammarSession, constrained_generate
+    from uzu_tpu.sessions import Tokenizer
+    from uzu_tpu.tools.corpus import (
+        generate_tokens,
+        record_schema,
+        write_byte_tokenizer,
+    )
+
+    mdir = os.path.join(REPO, ".bench_cache", "tiny_real_int4")
+    write_byte_tokenizer(mdir)
+    tok = Tokenizer(mdir)
+    lm = LanguageModel.from_dir(mdir, max_context=1024,
+                                prefill_buckets=(32, 256))
+    ddir = os.path.join(REPO, ".bench_cache", "tiny_draft_bf16")
+    draft_lm = (LanguageModel.from_dir(ddir, max_context=1024,
+                                       prefill_buckets=(32, 256))
+                if os.path.exists(os.path.join(ddir, "model.safetensors"))
+                else None)
+
+    # prompt: held-out corpus text ending at a line break — the model
+    # continues in-distribution; the grammar pins the output to a record
+    ho = generate_tokens(4000, seed=77777)
+    nl = np.where(ho[:400] == ord("\n"))[0][-1]
+    prompt = ho[: nl + 1].tolist()
+    gen = 160
+    stop = [0]  # NUL: never generated; the grammar forces it at completion
+
+    def run(spec):
+        g = GrammarSession(tok, schema=record_schema(), stop_token_ids=stop)
+        sm = SpeculationMetrics() if spec is not None else None
+        t0 = time.perf_counter()
+        toks = list(constrained_generate(
+            lm, np.asarray(prompt, np.int32), gen, g, stop_token_ids=stop,
+            speculator=spec, metrics=sm))
+        dt = time.perf_counter() - t0
+        body = [t for t in toks if t not in stop]
+        text = bytes(body).decode("ascii", "replace")
+        return len(toks) / dt, text, (sm.acceptance_rate if sm else None)
+
+    def arms():
+        out = {"plain": run(None)}
+        out["ngram"] = run(NgramSpeculator(max_ngram=3, k=8))
+        if draft_lm is not None:
+            out["draft"] = run(DraftModelSpeculator(draft_lm, k=8))
+        return out
+
+    arms()  # warm/compile every executable
+    best = {}
+    sample_text = {}
+    for _ in range(2):
+        for name, (rate, text, acc) in arms().items():
+            if name not in best or rate > best[name][0]:
+                best[name] = (rate, acc)
+                sample_text[name] = text
+    out = {}
+    for name, (rate, acc) in best.items():
+        out[f"{name}_tok_s"] = round(rate, 1)
+        if acc is not None:
+            out[f"{name}_acceptance"] = round(acc, 4)
+    for name in best:
+        if name != "plain":
+            out[f"{name}_speedup"] = round(
+                best[name][0] / best["plain"][0], 2)
+    # validity: every arm emitted a parseable record under the schema
+    for name, text in sample_text.items():
+        try:
+            rec = json.loads(text)
+            out[f"{name}_valid_json"] = isinstance(rec, dict)
+        except Exception:
+            out[f"{name}_valid_json"] = False
+    print(json.dumps(out), flush=True)
+    print(json.dumps({"sample": sample_text.get("draft")
+                      or sample_text.get("ngram")}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -176,3 +176,56 @@ def heldout_prompts(k: int = 8, length: int = 64, seed: int = 9999) -> list:
     """Prompt token lists from a held-out seed (never used in training)."""
     toks = generate_tokens(k * (length + 1) + 64, seed)
     return [toks[i * length:(i + 1) * length].tolist() for i in range(k)]
+
+
+def record_schema() -> dict:
+    """JSON schema of the corpus's record blocks (_json_record) — lets the
+    grammar layer constrain a byte-trained model to its own record
+    distribution (the grammar-speculation measurement uses this)."""
+    return {
+        "type": "object",
+        "properties": {
+            "name": {"enum": list(_NAMES)},
+            "age": {"type": "integer", "minimum": 18, "maximum": 79},
+            "city": {"enum": list(_CITIES)},
+            "active": {"type": "boolean"},
+            "tags": {"type": "array", "items": {"enum": list(_TAGS)},
+                     "maxItems": 3},
+            "score": {"type": "number", "minimum": 0, "maximum": 10},
+        },
+        "required": ["name", "age", "city", "active", "tags", "score"],
+    }
+
+
+def write_byte_tokenizer(out_dir: str) -> str:
+    """Identity byte-level tokenizer artifact (token id i == byte i) for
+    byte-trained models: gives the sessions/grammar layers a Tokenizer
+    over the model's native vocabulary. Uses the ByteLevel byte<->unicode
+    convention so encode/decode round-trip exactly."""
+    import os
+
+    from tokenizers import Tokenizer as HFTokenizer
+    from tokenizers import decoders, models, pre_tokenizers
+
+    # the GPT-2 bytes-to-unicode table (what ByteLevel pre/decoders use)
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(0xA1, 0xAD)) + list(range(0xAE, 0x100)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    byte2char = {b: chr(c) for b, c in zip(bs, cs)}
+    vocab = {byte2char[i]: i for i in range(256)}
+    tok = HFTokenizer(models.BPE(vocab=vocab, merges=[], unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    os.makedirs(out_dir, exist_ok=True)
+    tok.save(os.path.join(out_dir, "tokenizer.json"))
+    import json as _json
+
+    with open(os.path.join(out_dir, "tokenizer_config.json"), "w") as f:
+        _json.dump({}, f)
+    return out_dir

@@ -900,6 +900,27 @@ def test_number_bounds_matcher():
     assert JsonMatcher({"type": "number"}).feed_text("1e5 ")
 
 
+def test_fmt_persists_across_reset(chat_dir):
+    """GrammarSession.reset() (paged preempt replay path) must keep the
+    exact-format contract on BOTH backends — the C++ engine stores the
+    knobs on the engine, the Python matcher rebuilds with session.fmt."""
+    tok = Tokenizer(chat_dir)
+    for backend in ("python", "native"):
+        g = GrammarSession(tok, schema={"type": "object"},
+                           backend=backend,
+                           any_whitespace=False, indent=2)
+        g.observe_text("{")
+        g.reset()
+        g.observe_text("{")
+        m = g.current_mask()
+        nl = tok.encode("\n")
+        assert m[nl[0]], backend  # indent newline required
+        sp = tok.encode(" ")
+        # a quote cannot start the key before the indent whitespace
+        q = tok.encode('"')
+        assert not m[q[0]], backend
+
+
 def test_number_bounds_native_falls_back(chat_dir):
     """The C++ walk has no fractional arithmetic: number-typed bounds must
     route to the Python matcher (never silently unenforced natively)."""

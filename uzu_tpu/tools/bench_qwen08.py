@@ -1,0 +1,133 @@
+"""Qwen3.5-0.8B-class bench (BASELINE.md targets row 1).
+
+The BASELINE north-star names "Decode tok/s/chip, Qwen3.5-0.8B INT4" —
+a HYBRID model (Gated DeltaNet mixers with periodic GQA attention,
+tools/synth.qwen35_config), so its decode step streams weights plus the
+recurrent state instead of a growing KV cache. Synthesized at 0.8B-class
+dims with seeded random weights, INT4 g32 symmetric linears, cached under
+.bench_cache/qwen08_int4.
+
+SoL accounting: bytes touched per step = weight bytes + decode-state
+bytes (the GDN [H, dh, vdh] state + conv tails + the few attention
+layers' KV at mid-context) — taken exactly from the state pytree.
+
+    python -m uzu_tpu.tools.bench_qwen08 /root/repo
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+# 0.8B-class hybrid: 24 layers (attention every 4th), D=1280, ff=4608,
+# GDN H=8/G=4 dh=128 vdh=128, vocab 128k tied (~0.75B params)
+DIMS = dict(
+    num_layers=24, model_dim=1280, hidden_dim=4608, vocab_size=128256,
+    num_heads=8, num_groups=4, head_dim=128, value_head_dim=128,
+    kernel_size=4, attn_every=4,
+)
+
+
+def model_dir(repo: str) -> str:
+    from uzu_tpu.config.model import IntSpec, Layout
+    from uzu_tpu.tools.synth import qwen35_config, synthesize
+
+    out = os.path.join(repo, ".bench_cache", "qwen08_int4")
+    if not os.path.exists(os.path.join(out, "model.safetensors")):
+        spec = IntSpec(bits=4, group_size=32, is_symmetric=True,
+                       layout=Layout.OUTPUT_INPUT)
+        synthesize(qwen35_config(**DIMS), out, seed=2, linear_spec=spec,
+                   embedding_spec=spec, fill="fast")
+    return out
+
+
+def bench_qwen08(repo: str, stage=None, *, gen_len: int = 64) -> dict:
+    import jax
+
+    from uzu_tpu import LanguageModel
+    from uzu_tpu.engine.engine import StreamMetrics
+    from uzu_tpu.engine.sampling import SamplingParams
+
+    stage = stage or (lambda s: None)
+    out: dict = {}
+
+    stage("qwen08: synth/load")
+    mdir = model_dir(repo)
+    t0 = time.perf_counter()
+    lm = LanguageModel.from_dir(mdir, max_context=1024,
+                                prefill_buckets=(32, 512))
+    out["load_s"] = round(time.perf_counter() - t0, 2)
+    wbytes = sum(x.nbytes for x in jax.tree.leaves(lm.params))
+    out["weight_bytes"] = wbytes
+    # per-step streamed state: every leaf of the decode state (GDN state,
+    # conv tails, attention KV read up to mid-context)
+    state_bytes = sum(x.nbytes for x in jax.tree.leaves(lm.new_state()))
+    out["state_bytes"] = state_bytes
+
+    prompt_len = 128
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, lm.decoder_config.vocab_size, prompt_len)
+    sampling = SamplingParams()
+
+    from bench import HbmProbe, device_bandwidth  # repo-root module
+
+    stage("qwen08: warmup (compiles)")
+    list(lm.generate(prompt, gen_len, sampling=sampling, stop_token_ids=[]))
+    probe = None
+    try:
+        probe = HbmProbe(True)
+    except Exception:  # noqa: BLE001
+        pass
+    stage("qwen08: decode x2 (probe-interleaved)")
+    runs, ratios, bws = [], [], []
+    for _ in range(2):
+        metrics = StreamMetrics()
+        toks = list(lm.generate(prompt, gen_len, sampling=sampling,
+                                stop_token_ids=[], metrics=metrics))
+        assert len(toks) == gen_len
+        runs.append(metrics.decode_tokens_per_second)
+        if probe is not None:
+            bw_now = probe.measure()
+            bws.append(bw_now)
+            ratios.append(metrics.decode_tokens_per_second
+                          / (bw_now / (wbytes + state_bytes)))
+    decode_tok_s = float(np.max(runs))
+    out["decode_tok_s"] = round(decode_tok_s, 2)
+    _, bw = device_bandwidth()
+    out["sol_tok_s"] = round(bw / (wbytes + state_bytes), 2)
+    out["vs_baseline"] = round(decode_tok_s / out["sol_tok_s"], 4)
+    if ratios:
+        out["practical_bw_gbs"] = round(float(np.median(bws)) / 1e9, 1)
+        out["vs_practical"] = round(float(np.median(ratios)), 4)
+
+    stage("qwen08: prefill")
+    sustain = 2048
+    lp = rng.integers(0, lm.decoder_config.vocab_size, sustain)
+    for _ in range(2):
+        st = lm.new_state()
+        t0 = time.perf_counter()
+        logits, st = lm.prefill(st, lp)
+        jax.device_get(logits[:1])
+        out["prefill_tok_s"] = round(sustain / (time.perf_counter() - t0), 2)
+    return out
+
+
+def main() -> None:
+    import sys
+
+    repo = sys.argv[1] if len(sys.argv) > 1 else os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.path.insert(0, repo)
+
+    def stage(s):
+        print(f"[qwen08] {s}", file=sys.stderr, flush=True)
+
+    res = bench_qwen08(repo, stage)
+    print(json.dumps({"metric": "qwen08_decode_tok_s", **res}))
+
+
+if __name__ == "__main__":
+    main()

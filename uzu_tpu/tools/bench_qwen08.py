@@ -57,7 +57,7 @@ def bench_qwen08(repo: str, stage=None, *, gen_len: int = 64) -> dict:
     stage("qwen08: synth/load")
     mdir = model_dir(repo)
     t0 = time.perf_counter()
-    lm = LanguageModel.from_dir(mdir, max_context=1024,
+    lm = LanguageModel.from_dir(mdir, max_context=4096,
                                 prefill_buckets=(32, 512))
     out["load_s"] = round(time.perf_counter() - t0, 2)
     wbytes = sum(x.nbytes for x in jax.tree.leaves(lm.params))

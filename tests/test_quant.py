@@ -119,3 +119,25 @@ def test_banned_tokens_masked(tmp_path):
                            sampling=SamplingParams(banned_tokens=banned),
                            stop_token_ids=[])
     assert not (set(out) & set(banned))
+
+
+def test_split_n_routing_matches_dequant():
+    """N not tile-divisible (e.g. a GDN fused in_proj, N = 128k + tail):
+    the wrapper runs the Pallas kernel on the 128-multiple row prefix and
+    the XLA fallback on the tail — result matches the full dequant matmul
+    (r5; previously the whole matrix fell back)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from uzu_tpu.ops.linear import quant_matmul
+    from uzu_tpu.quant.format import dequantize, from_disk_tensors, quantize_reference
+
+    rng = np.random.default_rng(3)
+    n, k = 272, 512  # 256 kernel rows + 16 fallback rows
+    w = rng.standard_normal((n, k)).astype(np.float32) * 0.02
+    pack = quantize_reference(w, 4, 32, "scale_symmetric")
+    qt = from_disk_tensors("scale_symmetric", pack["weights"], pack["scales"], 4, 32)
+    x = jnp.asarray(rng.standard_normal((2, k)).astype(np.float32))
+    got = np.asarray(quant_matmul(qt, x))
+    want = np.asarray(x) @ np.asarray(dequantize(qt, dtype=jnp.float32)).T
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

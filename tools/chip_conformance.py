@@ -188,6 +188,35 @@ def run_quant_matmul_f32scale(results, quick: bool):
             results.append((f"{name}_{type(exc).__name__}", float("inf"), tol))
 
 
+def run_quant_matmul_split(results, quick: bool):
+    """Split-N wrapper route (r5): N not tile-divisible runs the kernel on
+    the 128-multiple prefix + XLA fallback tail (ops/linear.quant_matmul).
+    Value-checked at the qwen08 GDN in_proj shape."""
+    import jax.numpy as jnp
+
+    from uzu_tpu.ops.linear import quant_matmul
+    from uzu_tpu.quant.format import from_disk_tensors, quantize_reference
+
+    rng = np.random.default_rng(29)
+    cells = [("qmm_split_n3088_m1", 3088, 1280, 32, 4, 1),
+             ("qmm_split_n272_m8", 272, 512, 32, 4, 8)]
+    if quick:
+        cells = cells[:1]
+    for name, n, k, g, bits, m in cells:
+        w = rng.standard_normal((n, k)).astype(np.float32) * 0.02
+        pack = quantize_reference(w, bits, g, "scale_symmetric")
+        qt = from_disk_tensors("scale_symmetric", pack["weights"],
+                               pack["scales"], bits, g)
+        x = rng.standard_normal((m, k)).astype(np.float32)
+        want = np.asarray(x, np.float64) @ _host_dequant(pack, n, k, bits, g).T
+        tol = BF16_TOL if m >= 32 else F32_TOL
+        try:
+            got = np.asarray(quant_matmul(qt, jnp.asarray(x)))
+            results.append((name, _nerr(got, want), tol))
+        except Exception as exc:  # noqa: BLE001
+            results.append((f"{name}_{type(exc).__name__}", float("inf"), tol))
+
+
 def run_moe_gemv(results, quick: bool):
     import jax.numpy as jnp
 
@@ -405,6 +434,7 @@ def main():
     suites = {
         "qmm": run_quant_matmul,
         "qmm_f32s": run_quant_matmul_f32scale,
+        "qmm_split": run_quant_matmul_split,
         "moe": run_moe_gemv,
         "grouped": run_grouped,
         "paged": run_paged_attention,

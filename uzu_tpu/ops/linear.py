@@ -33,6 +33,13 @@ def linear_apply(w, x: jax.Array, bias=None) -> jax.Array:
     return y
 
 
+def _rows(w: QuantizedTensor, lo: int, hi: int) -> QuantizedTensor:
+    return QuantizedTensor(
+        codes=w.codes[lo:hi], scales=w.scales[lo:hi],
+        qbias=None if w.qbias is None else w.qbias[lo:hi],
+        bits=w.bits, group_size=w.group_size, qbias_coeff=w.qbias_coeff)
+
+
 def quant_matmul(w: QuantizedTensor, x: jax.Array) -> jax.Array:
     """Fused dequant matmul: y[m, n] = sum_k x[m,k] * dq(w)[n,k]."""
     if runtime.use_pallas():
@@ -41,7 +48,27 @@ def quant_matmul(w: QuantizedTensor, x: jax.Array) -> jax.Array:
         try:
             return quant_matmul_pallas(w, x, interpret=not runtime.on_tpu())
         except NotImplementedError:
-            pass
+            # SPLIT-N route (r5): weights whose N is not tile-divisible
+            # (e.g. a GDN fused in_proj's N = 2*key + 2*value + 2H = 3088)
+            # previously dropped the WHOLE matrix to the XLA dequant
+            # fallback (~2.5x the bytes: codes + bf16 materialize + read
+            # back). Run the kernel on the largest 128-multiple row prefix
+            # and fall back only for the tail rows — on the qwen08 hybrid
+            # that keeps 99.5% of the in_proj bytes on the fused path.
+            n = w.codes.shape[0]
+            n0 = (n // 128) * 128
+            if 0 < n0 < n:
+                try:
+                    head = quant_matmul_pallas(
+                        _rows(w, 0, n0), x, interpret=not runtime.on_tpu())
+                    tail = _xla_quant_matmul(_rows(w, n0, n), x)
+                    return jnp.concatenate([head, tail], axis=-1)
+                except NotImplementedError:
+                    pass  # head unsupported for another reason (K tiling)
+    return _xla_quant_matmul(w, x)
+
+
+def _xla_quant_matmul(w: QuantizedTensor, x: jax.Array) -> jax.Array:
     wd = dequantize(w, dtype=x.dtype)
     return jax.lax.dot_general(
         x,

@@ -564,6 +564,16 @@ def main() -> None:
 
         _guarded("llama8b bench", 300, stage_8b)
 
+    # Qwen3.5-0.8B-class hybrid (BASELINE config[0]): GDN + periodic GQA —
+    # the recurrent-mixer serving economics (weights + fixed state, no
+    # growing KV). ~100 s warm-cached.
+    if tpu:
+        def stage_qwen08():
+            RESULTS["qwen08"] = _sub_bench(
+                "uzu_tpu.tools.bench_qwen08", min(360, _remaining() - 90))
+
+        _guarded("qwen08 bench", 240, stage_qwen08)
+
     # per-kernel baselines (VERDICT r2 #4: attention / paged attention /
     # MoE / sampling get tracked numbers so regressions are visible between
     # rounds — ref BENCHMARKS.md:30-44). First chip run pays remote-AOT

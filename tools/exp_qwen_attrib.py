@@ -66,12 +66,21 @@ def _patches(variant: str, cfg):
     if variant == "sample_const":
         def const_sample(logits, sampling, key=None, ring=None, counts=None,
                          **kw):
-            return jnp.asarray(7, jnp.int32)
+            # keep the logits LIVE (sum is ~free): a plain constant severs
+            # the dataflow and XLA dead-code-eliminates the readout AND
+            # every upstream op not reached by a state carry — the later
+            # waterfall arms then measure DCE boundaries, not components
+            # (observed: the post-attention arm read 0.0074 ms while 175
+            # MB of MLP weights should still stream)
+            return (jnp.sum(logits) * 0).astype(jnp.int32) + 7
 
         return [(eng, "sample", const_sample)]
     if variant == "readout_zero":
         def zero_readout(table, x, soft_cap=None):
-            return jnp.zeros((x.shape[0], cfg.vocab_size), jnp.float32)
+            # consume x (cheap) so the backbone stays live; only the [V]
+            # readout GEMV is removed
+            return (jnp.zeros((x.shape[0], cfg.vocab_size), jnp.float32)
+                    + jnp.sum(x.astype(jnp.float32)) * 0)
 
         return [(dec, "embedding_readout", zero_readout)]
     if variant == "gdn_identity":

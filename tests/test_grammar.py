@@ -913,12 +913,9 @@ def test_fmt_persists_across_reset(chat_dir):
         g.reset()
         g.observe_text("{")
         m = g.current_mask()
-        nl = tok.encode("\n")
-        assert m[nl[0]], backend  # indent newline required
-        sp = tok.encode(" ")
+        assert m[tok.encode("\n")[-1]], backend  # indent newline required
         # a quote cannot start the key before the indent whitespace
-        q = tok.encode('"')
-        assert not m[q[0]], backend
+        assert not m[tok.encode('"')[-1]], backend
 
 
 def test_number_bounds_native_falls_back(chat_dir):

@@ -121,17 +121,21 @@ def test_banned_tokens_masked(tmp_path):
     assert not (set(out) & set(banned))
 
 
-def test_split_n_routing_matches_dequant():
+def test_split_n_routing_matches_dequant(monkeypatch):
     """N not tile-divisible (e.g. a GDN fused in_proj, N = 128k + tail):
-    the wrapper runs the Pallas kernel on the 128-multiple row prefix and
-    the XLA fallback on the tail — result matches the full dequant matmul
-    (r5; previously the whole matrix fell back)."""
+    the wrapper runs the Pallas kernel (interpret mode here — forced on
+    via UZU_TPU_KERNELS, else use_pallas() is False on the CPU mesh and
+    this test would compare the fallback against itself) on the
+    128-multiple row prefix and the XLA fallback on the tail — result
+    matches the full dequant matmul (r5; previously the whole matrix
+    fell back)."""
     import numpy as np
     import jax.numpy as jnp
 
     from uzu_tpu.ops.linear import quant_matmul
     from uzu_tpu.quant.format import dequantize, from_disk_tensors, quantize_reference
 
+    monkeypatch.setenv("UZU_TPU_KERNELS", "pallas")
     rng = np.random.default_rng(3)
     n, k = 272, 512  # 256 kernel rows + 16 fallback rows
     w = rng.standard_normal((n, k)).astype(np.float32) * 0.02

@@ -46,6 +46,12 @@ def main() -> None:
     )
 
     mdir = os.path.join(REPO, ".bench_cache", "tiny_real_int4")
+    if not os.path.exists(os.path.join(mdir, "model.safetensors")):
+        raise SystemExit(
+            "trained model missing — run `python -m uzu_tpu.tools.train_tiny "
+            ".bench_cache/tiny_real --steps 1500` first (writing the byte "
+            "tokenizer into an absent model dir would leave a half-"
+            "populated cache)")
     write_byte_tokenizer(mdir)
     tok = Tokenizer(mdir)
     lm = LanguageModel.from_dir(mdir, max_context=1024,

@@ -45,6 +45,11 @@ def model_dir(repo: str) -> str:
 
 
 def bench_qwen08(repo: str, stage=None, *, gen_len: int = 64) -> dict:
+    # NOTE: the probe-interleaved decode measurement below intentionally
+    # mirrors bench8b.py / benchmoe.py rather than sharing a helper — the
+    # three stages are driver-critical and frozen late in r5; fold them
+    # into one bench.measure_decode() when next touched (known debt: the
+    # r3 #7 probe-drift fix had to be applied to each copy).
     import jax
 
     from uzu_tpu import LanguageModel
@@ -62,15 +67,31 @@ def bench_qwen08(repo: str, stage=None, *, gen_len: int = 64) -> dict:
     out["load_s"] = round(time.perf_counter() - t0, 2)
     wbytes = sum(x.nbytes for x in jax.tree.leaves(lm.params))
     out["weight_bytes"] = wbytes
-    # per-step streamed state: every leaf of the decode state (GDN state,
-    # conv tails, attention KV read up to mid-context)
-    state_bytes = sum(x.nbytes for x in jax.tree.leaves(lm.new_state()))
-    out["state_bytes"] = state_bytes
 
     prompt_len = 128
+    gen_mid = gen_len // 2
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, lm.decoder_config.vocab_size, prompt_len)
     sampling = SamplingParams()
+
+    # per-step STREAMED state, not state-pytree capacity (new_state()
+    # allocates attention KV at full max_context; a decode step reads
+    # only ~mid-context rows — the bench8b convention): recurrent leaves
+    # (GDN [H, dh, vdh] states + conv tails — fully read+written each
+    # step) + attention KV at mid-context.
+    from uzu_tpu.config.model import AttentionConfig
+
+    attn_cfgs = [lc.mixer_config
+                 for lc in lm.decoder_config.transformer_config.layer_configs
+                 if isinstance(lc.mixer_config, AttentionConfig)]
+    kv_cap_bytes = sum(2 * lm.max_context * mc.num_groups * mc.head_dim * 2
+                       for mc in attn_cfgs)
+    mid_ctx = prompt_len + gen_mid
+    kv_mid_bytes = sum(2 * mid_ctx * mc.num_groups * mc.head_dim * 2
+                       for mc in attn_cfgs)
+    total_state = sum(x.nbytes for x in jax.tree.leaves(lm.new_state()))
+    state_bytes = total_state - kv_cap_bytes + kv_mid_bytes
+    out["state_bytes"] = state_bytes
 
     from bench import HbmProbe, device_bandwidth  # repo-root module
 

@@ -48,7 +48,6 @@ def bench_8b(repo: str, stage=None, *, gen_len: int = 64,
 
     from uzu_tpu import LanguageModel
     from uzu_tpu.config.model import AttentionConfig
-    from uzu_tpu.engine.engine import StreamMetrics
     from uzu_tpu.engine.sampling import SamplingParams
 
     stage = stage or (lambda s: None)
@@ -77,37 +76,13 @@ def bench_8b(repo: str, stage=None, *, gen_len: int = 64,
         for lc in lm.decoder_config.transformer_config.layer_configs
         if isinstance(lc.mixer_config, AttentionConfig)
     )
-    from bench import HbmProbe, device_bandwidth  # repo-root module
+    from bench import probe_interleaved_decode  # repo-root module
 
     stage("8b: warmup (compiles)")
     list(lm.generate(prompt, gen_len, sampling=sampling, stop_token_ids=[]))
-    probe = None
-    try:
-        probe = HbmProbe(True)
-    except Exception:  # noqa: BLE001
-        pass
     stage("8b: decode x2 (probe-interleaved)")
-    runs, ratios, bws = [], [], []
-    for _ in range(2):
-        metrics = StreamMetrics()
-        toks = list(lm.generate(prompt, gen_len, sampling=sampling,
-                                stop_token_ids=[], metrics=metrics))
-        assert len(toks) == gen_len
-        runs.append(metrics.decode_tokens_per_second)
-        if probe is not None:
-            bw_now = probe.measure()
-            bws.append(bw_now)
-            ratios.append(metrics.decode_tokens_per_second
-                          / (bw_now / (wbytes + kv_bytes)))
-    decode_tok_s = float(np.max(runs))
-    out["decode_tok_s"] = round(decode_tok_s, 2)
-
-    _, bw = device_bandwidth()
-    out["sol_tok_s"] = round(bw / (wbytes + kv_bytes), 2)
-    out["vs_baseline"] = round(decode_tok_s / out["sol_tok_s"], 4)
-    if ratios:
-        out["practical_bw_gbs"] = round(float(np.median(bws)) / 1e9, 1)
-        out["vs_practical"] = round(float(np.median(ratios)), 4)
+    out.update(probe_interleaved_decode(lm, prompt, gen_len, sampling,
+                                        wbytes + kv_bytes))
 
     if paged and (remaining is None or remaining() > 420):
         stage("8b: paged B=8 (compiles)")

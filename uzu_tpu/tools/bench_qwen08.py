@@ -9,7 +9,7 @@ dims with seeded random weights, INT4 g32 symmetric linears, cached under
 
 SoL accounting: bytes touched per step = weight bytes + decode-state
 bytes (the GDN [H, dh, vdh] state + conv tails + the few attention
-layers' KV at mid-context) — taken exactly from the state pytree.
+layers' KV at mid-context — NOT the state-pytree capacity).
 
     python -m uzu_tpu.tools.bench_qwen08 /root/repo
 """
@@ -45,15 +45,9 @@ def model_dir(repo: str) -> str:
 
 
 def bench_qwen08(repo: str, stage=None, *, gen_len: int = 64) -> dict:
-    # NOTE: the probe-interleaved decode measurement below intentionally
-    # mirrors bench8b.py / benchmoe.py rather than sharing a helper — the
-    # three stages are driver-critical and frozen late in r5; fold them
-    # into one bench.measure_decode() when next touched (known debt: the
-    # r3 #7 probe-drift fix had to be applied to each copy).
     import jax
 
     from uzu_tpu import LanguageModel
-    from uzu_tpu.engine.engine import StreamMetrics
     from uzu_tpu.engine.sampling import SamplingParams
 
     stage = stage or (lambda s: None)
@@ -93,36 +87,13 @@ def bench_qwen08(repo: str, stage=None, *, gen_len: int = 64) -> dict:
     state_bytes = total_state - kv_cap_bytes + kv_mid_bytes
     out["state_bytes"] = state_bytes
 
-    from bench import HbmProbe, device_bandwidth  # repo-root module
+    from bench import probe_interleaved_decode  # repo-root module
 
     stage("qwen08: warmup (compiles)")
     list(lm.generate(prompt, gen_len, sampling=sampling, stop_token_ids=[]))
-    probe = None
-    try:
-        probe = HbmProbe(True)
-    except Exception:  # noqa: BLE001
-        pass
     stage("qwen08: decode x2 (probe-interleaved)")
-    runs, ratios, bws = [], [], []
-    for _ in range(2):
-        metrics = StreamMetrics()
-        toks = list(lm.generate(prompt, gen_len, sampling=sampling,
-                                stop_token_ids=[], metrics=metrics))
-        assert len(toks) == gen_len
-        runs.append(metrics.decode_tokens_per_second)
-        if probe is not None:
-            bw_now = probe.measure()
-            bws.append(bw_now)
-            ratios.append(metrics.decode_tokens_per_second
-                          / (bw_now / (wbytes + state_bytes)))
-    decode_tok_s = float(np.max(runs))
-    out["decode_tok_s"] = round(decode_tok_s, 2)
-    _, bw = device_bandwidth()
-    out["sol_tok_s"] = round(bw / (wbytes + state_bytes), 2)
-    out["vs_baseline"] = round(decode_tok_s / out["sol_tok_s"], 4)
-    if ratios:
-        out["practical_bw_gbs"] = round(float(np.median(bws)) / 1e9, 1)
-        out["vs_practical"] = round(float(np.median(ratios)), 4)
+    out.update(probe_interleaved_decode(lm, prompt, gen_len, sampling,
+                                        wbytes + state_bytes))
 
     stage("qwen08: prefill")
     sustain = 2048

@@ -94,7 +94,6 @@ def bench_moe(repo: str, stage=None, *, gen_len: int = 320) -> dict:
     # 568 tok/s was ramp, not step. 320 tokens spend >75% of steps in
     # 64-step chunks whose compute hides the fetch.
     from uzu_tpu import LanguageModel
-    from uzu_tpu.engine.engine import StreamMetrics
     from uzu_tpu.engine.sampling import SamplingParams
 
     stage = stage or (lambda s: None)
@@ -112,29 +111,12 @@ def bench_moe(repo: str, stage=None, *, gen_len: int = 320) -> dict:
 
     stage("moe: warmup (compiles)")
     list(lm.generate(prompt, gen_len, sampling=sampling, stop_token_ids=[]))
-    from bench import HbmProbe  # repo-root module
+    from bench import probe_interleaved_decode  # repo-root module
 
-    probe = None
-    try:
-        probe = HbmProbe(True)
-    except Exception:  # noqa: BLE001
-        pass
     active = active_bytes_per_step(lm, 128 + gen_len // 2)
     stage("moe: decode x2 (probe-interleaved)")
-    runs, ttft, ratios, bws = [], [], [], []
-    for _ in range(2):
-        metrics = StreamMetrics()
-        toks = list(lm.generate(prompt, gen_len, sampling=sampling,
-                                stop_token_ids=[], metrics=metrics))
-        assert len(toks) == gen_len
-        runs.append(metrics.decode_tokens_per_second)
-        ttft.append(metrics.prefill_seconds)
-        if probe is not None:
-            bw_now = probe.measure()
-            bws.append(bw_now)
-            ratios.append(metrics.decode_tokens_per_second / (bw_now / active))
-    out["decode_tok_s"] = round(float(np.max(runs)), 2)
-    out["ttft_s"] = round(float(np.median(ttft)), 4)
+    out.update(probe_interleaved_decode(lm, prompt, gen_len, sampling,
+                                        active, record_ttft=True))
 
     stage("moe: prefill")
     # 7 chunks amortize the per-sync tunnel roundtrip (see bench.py
@@ -152,18 +134,7 @@ def bench_moe(repo: str, stage=None, *, gen_len: int = 320) -> dict:
         rate = n_sust / (time.perf_counter() - t0)
     out["prefill_tok_s"] = round(rate, 2)
 
-    out["active_bytes"] = active
-    try:
-        from bench import device_bandwidth
-
-        _, bw = device_bandwidth()
-        out["sol_tok_s"] = round(bw / active, 2)
-        out["vs_baseline"] = round(out["decode_tok_s"] / out["sol_tok_s"], 4)
-    except Exception:  # noqa: BLE001
-        pass
-    if ratios:
-        out["practical_bw_gbs"] = round(float(np.median(bws)) / 1e9, 1)
-        out["vs_practical"] = round(float(np.median(ratios)), 4)
+    out["active_bytes"] = active  # sol/vs_* come from the shared helper
     return out
 
 

@@ -145,3 +145,13 @@ def test_split_n_routing_matches_dequant(monkeypatch):
     got = np.asarray(quant_matmul(qt, x))
     want = np.asarray(x) @ np.asarray(dequantize(qt, dtype=jnp.float32)).T
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    # asymmetric weights carry a qbias TENSOR — _rows must slice it too
+    pack_a = quantize_reference(w, 4, 32, "scale_bias")
+    qt_a = from_disk_tensors("scale_bias", pack_a["weights"],
+                             pack_a["scales"], 4, 32,
+                             biases=pack_a["biases"])
+    assert qt_a.qbias is not None
+    got_a = np.asarray(quant_matmul(qt_a, x))
+    want_a = np.asarray(x) @ np.asarray(dequantize(qt_a, dtype=jnp.float32)).T
+    np.testing.assert_allclose(got_a, want_a, rtol=2e-4, atol=2e-4)

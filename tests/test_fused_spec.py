@@ -1,0 +1,180 @@
+"""Fused multi-round speculative decoding tests.
+
+Same load-bearing invariant as test_speculation.py (reference: trie.rs
+accept-path semantics): speculation changes latency, never output. The
+fused decoder runs R draft+verify rounds inside ONE dispatch
+(engine/fused_spec.py), so these tests additionally cross the
+round-boundary edges that only exist fused: stop tokens mid-scan, budget
+exhaustion mid-scan, context exhaustion mid-scan, and the draft-state
+replay between in-scan rounds (separate drafts) / the committed-view
+re-read (self drafts).
+"""
+
+import numpy as np
+import pytest
+
+from uzu_tpu import LanguageModel
+from uzu_tpu.engine.fused_spec import (
+    FusedSpeculativeDecoder,
+    fused_self_speculative_decoder,
+)
+from uzu_tpu.engine.speculation import SpeculationMetrics
+from uzu_tpu.tools.synth import llama_config, qwen35_config, synthesize
+
+
+@pytest.fixture(scope="module")
+def target_dir(tmp_path_factory):
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160, num_heads=4,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    return synthesize(cfg, str(tmp_path_factory.mktemp("fspec_target")),
+                      seed=7, dtype=np.float32)
+
+
+@pytest.fixture(scope="module")
+def target(target_dir):
+    return LanguageModel.from_dir(target_dir, max_context=128,
+                                  prefill_buckets=(16,))
+
+
+@pytest.fixture(scope="module")
+def disagreeing_draft(tmp_path_factory):
+    # synth models are root-token repeaters, so a chain draft trivially
+    # matches a chain target and acceptance saturates; rolling the UNTIED
+    # readout table shifts every proposal by one token id, forcing
+    # rejection — exercising the commit=1 rounds and the block[:commit]
+    # draft replay between fused rounds
+    import jax.numpy as jnp
+
+    cfg = llama_config(num_layers=1, model_dim=32, hidden_dim=64, num_heads=2,
+                       num_groups=1, head_dim=16, vocab_size=256, tied=False)
+    d = synthesize(cfg, str(tmp_path_factory.mktemp("fspec_draft")),
+                   seed=23, dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(16,))
+    lm.params["embedding"]["output"] = jnp.roll(
+        lm.params["embedding"]["output"], 1, axis=0)
+    return lm
+
+
+def test_fused_self_equals_plain_greedy(target):
+    prompt = np.array([1, 2, 3, 4, 1, 2, 3])
+    want = target.generate_list(prompt, 24, stop_token_ids=[])
+    dec = fused_self_speculative_decoder(target, draft_layers=1, k=3, rounds=4)
+    m = SpeculationMetrics()
+    got = list(dec.generate(prompt, 24, stop_token_ids=[], metrics=m))
+    assert got == want
+    assert m.num_verify_passes > 0
+    assert m.num_tokens_accepted <= m.num_tokens_proposed
+
+
+def test_fused_separate_draft_partial_acceptance(target, disagreeing_draft):
+    prompt = np.array([9, 3, 57, 12, 88, 41, 7])
+    want = target.generate_list(prompt, 24, stop_token_ids=[])
+    dec = FusedSpeculativeDecoder(target, draft_lm=disagreeing_draft,
+                                  k=3, rounds=4)
+    m = SpeculationMetrics()
+    got = list(dec.generate(prompt, 24, stop_token_ids=[], metrics=m))
+    assert got == want
+    # the rolled readout must actually get rejected — otherwise this test
+    # isn't covering the rejected-commit replay path
+    assert m.num_tokens_accepted < m.num_tokens_proposed
+    assert m.num_verify_passes >= 4  # full rejection ⇒ ≥1 round per token-ish
+
+
+def test_fused_stop_token_mid_scan(target):
+    prompt = np.array([1, 2, 3, 4, 1, 2, 3])
+    plain = target.generate_list(prompt, 24, stop_token_ids=[])
+    stop = plain[5]
+    want = target.generate_list(prompt, 24, stop_token_ids=[stop])
+    dec = fused_self_speculative_decoder(target, draft_layers=1, k=3, rounds=4)
+    got = list(dec.generate(prompt, 24, stop_token_ids=[stop]))
+    assert got == want
+    assert got[-1] == stop
+
+
+@pytest.mark.parametrize("budget", [1, 2, 5, 7])
+def test_fused_budget_clips_mid_scan(target, budget):
+    """Budgets that end inside a round / inside the scan must clip the
+    on-device commit exactly like the per-round decoder."""
+    prompt = np.array([1, 2, 3, 4, 1, 2, 3])
+    want = target.generate_list(prompt, budget, stop_token_ids=[])
+    dec = fused_self_speculative_decoder(target, draft_layers=1, k=3, rounds=4)
+    got = list(dec.generate(prompt, budget, stop_token_ids=[]))
+    assert got == want
+    assert len(got) == budget
+
+
+def test_fused_context_exhaustion(target_dir):
+    """A context too small for the full budget: fused output must be a
+    prefix of plain and stop within one block of the capacity wall."""
+    lm = LanguageModel.from_dir(target_dir, max_context=32,
+                                prefill_buckets=(16,))
+    prompt = np.array([1, 2, 3, 4, 1, 2, 3])
+    want = lm.generate_list(prompt, 64, stop_token_ids=[])
+    dec = fused_self_speculative_decoder(lm, draft_layers=1, k=3, rounds=4)
+    got = list(dec.generate(prompt, 64, stop_token_ids=[]))
+    assert got == want[: len(got)]
+    assert len(got) >= 32 - len(prompt) - 4 - 1  # within one (k+1)-block
+
+
+def test_fused_hybrid_recurrent_bit_exact(tmp_path):
+    """GDN-family hybrid target: in-scan deferred commits must replay the
+    recurrent state exactly across multiple fused rounds."""
+    d = synthesize(qwen35_config(), str(tmp_path / "hyb"), seed=3)
+    lm = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(16,))
+    prompt = np.array([1, 2, 3, 4, 1, 2, 3, 4, 1, 2])
+    want = lm.generate_list(prompt, 24, stop_token_ids=[])
+    dec = fused_self_speculative_decoder(lm, k=3, rounds=3)
+    m = SpeculationMetrics()
+    got = list(dec.generate(prompt, 24, stop_token_ids=[], metrics=m))
+    assert got == want
+    # stop + budget edges on the recurrent state
+    stop = want[7]
+    want_s = lm.generate_list(prompt, 24, stop_token_ids=[stop])
+    got_s = list(dec.generate(prompt, 24, stop_token_ids=[stop]))
+    assert got_s == want_s and got_s[-1] == stop
+    want5 = lm.generate_list(prompt, 5, stop_token_ids=[])
+    got5 = list(dec.generate(prompt, 5, stop_token_ids=[]))
+    assert got5 == want5 and len(got5) == 5
+
+
+def test_fused_matches_per_round_decoder(target, disagreeing_draft):
+    """Fused vs the existing per-round SpeculativeDecoder with the SAME
+    draft: identical output (both equal plain) and identical total
+    acceptance — the fusion moved the loop, not the math."""
+    from uzu_tpu.engine.speculation import (
+        DraftModelSpeculator,
+        SpeculativeDecoder,
+    )
+
+    prompt = np.array([9, 3, 57, 12, 88, 41, 7])
+    mf, mp = SpeculationMetrics(), SpeculationMetrics()
+    fused = FusedSpeculativeDecoder(target, draft_lm=disagreeing_draft,
+                                    k=3, rounds=4)
+    got_f = list(fused.generate(prompt, 20, stop_token_ids=[], metrics=mf))
+    per = SpeculativeDecoder(target,
+                             DraftModelSpeculator(disagreeing_draft, k=3))
+    got_p = list(per.generate(prompt, 20, stop_token_ids=[], metrics=mp))
+    assert got_f == got_p
+    # totals may differ by a final budget-clipped round's raw count
+    assert abs(mf.num_tokens_accepted - mp.num_tokens_accepted) <= 3
+
+
+def test_fused_state_contract(target):
+    """SpecStream.state covers every yielded token except the in-flight
+    last one (session prefix-cache contract)."""
+    prompt = np.array([1, 2, 3, 4, 1, 2, 3])
+    dec = fused_self_speculative_decoder(target, draft_layers=1, k=3, rounds=4)
+    s = dec.generate(prompt, 10, stop_token_ids=[])
+    toks = list(s)
+    assert s.state is not None
+    assert int(s.state["pos"]) == len(prompt) + len(toks) - 1
+
+
+def test_fused_rejects_invalid_config(target, disagreeing_draft):
+    with pytest.raises(ValueError):
+        FusedSpeculativeDecoder(target)  # neither draft
+    with pytest.raises(ValueError):
+        FusedSpeculativeDecoder(target, draft_lm=disagreeing_draft,
+                                draft_layers=1)  # both
+    with pytest.raises(ValueError):
+        FusedSpeculativeDecoder(target, draft_layers=1, k=0)

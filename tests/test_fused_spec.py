@@ -178,3 +178,62 @@ def test_fused_rejects_invalid_config(target, disagreeing_draft):
                                 draft_layers=1)  # both
     with pytest.raises(ValueError):
         FusedSpeculativeDecoder(target, draft_layers=1, k=0)
+
+
+def test_chat_session_fused_self_string(tmp_path):
+    """ChatSession(speculator="fused-self") — the zero-artifact string mode:
+    greedy reply text identical to plain, acceptance stats surface, and a
+    second turn reuses the session (fresh suffix through the fused path)."""
+    from uzu_tpu.engine.sampling import SamplingParams
+    from uzu_tpu.sessions import ChatSession, Tokenizer
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path / "fspec_chat"), num_layers=2,
+                         model_dim=64, hidden_dim=160, num_heads=4,
+                         num_groups=2, head_dim=16)
+    lm = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16, 64))
+    tok = Tokenizer(d)
+
+    plain = ChatSession(lm, tok)
+    r1 = plain.reply("hello there", sampling=SamplingParams(), max_new_tokens=24)
+    p2 = plain.reply("again", sampling=SamplingParams(), max_new_tokens=16)
+
+    spec = ChatSession(lm, tok, speculator="fused-self")
+    r2 = spec.reply("hello there", sampling=SamplingParams(), max_new_tokens=24)
+    assert r2.text == r1.text
+    assert r2.stats.tokens_count_output == r1.stats.tokens_count_output
+    s2 = spec.reply("again", sampling=SamplingParams(), max_new_tokens=16)
+    assert s2.text == p2.text
+
+    with pytest.raises(ValueError):
+        ChatSession(lm, tok, speculator="warp-speed")
+
+
+def test_chat_session_string_speculator_grammar_turn(tmp_path):
+    """A grammar-constrained turn with a string speculator downgrades to the
+    per-round self-draft proposer (masks need the host) and still matches
+    the plain constrained stream."""
+    from uzu_tpu.engine.sampling import SamplingParams
+    from uzu_tpu.grammar import GrammarSession
+    from uzu_tpu.sessions import ChatSession, Tokenizer
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    d = synth_chat_model(str(tmp_path / "fspec_gram"), num_layers=2,
+                         model_dim=64, hidden_dim=160, num_heads=4,
+                         num_groups=2, head_dim=16)
+    lm = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16, 64))
+    tok = Tokenizer(d)
+    schema = {"type": "object", "properties": {"a": {"type": "integer"}},
+              "required": ["a"]}
+
+    plain = ChatSession(lm, tok)
+    r1 = plain.reply("json please", sampling=SamplingParams(),
+                     max_new_tokens=32,
+                     grammar=GrammarSession(tok, schema=schema,
+                                            stop_token_ids=tok.eos_token_ids))
+    spec = ChatSession(lm, tok, speculator="fused-self")
+    r2 = spec.reply("json please", sampling=SamplingParams(),
+                    max_new_tokens=32,
+                    grammar=GrammarSession(tok, schema=schema,
+                                            stop_token_ids=tok.eos_token_ids))
+    assert r2.text == r1.text

@@ -24,6 +24,10 @@ from .engine.speculation import (  # noqa: F401
     NgramSpeculator,
     SpeculativeDecoder,
 )
+from .engine.fused_spec import (  # noqa: F401
+    FusedSpeculativeDecoder,
+    fused_self_speculative_decoder,
+)
 from .engine.remote import RemoteChatSession, RemoteConfig  # noqa: F401
 from .grammar.decode import constrained_generate  # noqa: F401
 from .grammar.matcher import GrammarSession  # noqa: F401

@@ -23,15 +23,16 @@ import sys
 import time
 
 
-def _load_chat(model_dir: str, max_context: int, tp=None, dp=None):
+def _load_chat(model_dir: str, max_context: int, tp=None, dp=None,
+               speculate=None):
     from uzu_tpu import LanguageModel
     from uzu_tpu.sessions import ChatSession, Tokenizer
 
     lm = LanguageModel.from_dir(model_dir, max_context=max_context, tp=tp, dp=dp)
     tok = Tokenizer(model_dir)
-    speculator = None
+    speculator = speculate  # "self" / "fused-self" strings pass through
     spec_cfg = os.path.join(model_dir, "speculator", "config.json")
-    if os.path.exists(spec_cfg):
+    if speculator is None and os.path.exists(spec_cfg):
         try:
             from uzu_tpu.engine.dflash import DFlashDraft
             from uzu_tpu.engine.speculation import (
@@ -144,7 +145,8 @@ def cmd_serve(args) -> int:
 def cmd_chat(args) -> int:
     from uzu_tpu.engine.sampling import SamplingParams
 
-    session = _load_chat(args.model_dir, args.max_context, args.tp, args.dp)
+    session = _load_chat(args.model_dir, args.max_context, args.tp, args.dp,
+                         speculate=args.speculate)
     sampling = SamplingParams(temperature=args.temperature, top_p=0.95) \
         if args.temperature else SamplingParams()
 
@@ -350,6 +352,11 @@ def main(argv=None) -> int:
                    help="force exact compact JSON (no whitespace)")
     c.add_argument("--regex", default=None,
                    help="constrain replies to a regex pattern")
+    c.add_argument("--speculate", default=None,
+                   choices=("self", "fused-self"),
+                   help="single-stream speculation: 'self' (per-round "
+                        "layer-truncated self-draft) or 'fused-self' "
+                        "(multi-round fused dispatches)")
     _mesh_flags(c)
     c.set_defaults(fn=cmd_chat)
 

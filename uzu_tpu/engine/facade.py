@@ -124,8 +124,9 @@ class Engine:
              speculate: str | bool = "auto", **kw):
         """speculate: "auto" engages a bundled speculator/ dir (DFlash
         block-draft decoder — the reference auto-loads it the same way,
-        engine/language_model/mod.rs:54-69); False disables; a proposer/
-        decoder object is used directly."""
+        engine/language_model/mod.rs:54-69); False disables; "self" /
+        "fused-self" engage zero-artifact self-speculation (per-round /
+        fused multi-round); a proposer/decoder object is used directly."""
         from ..sessions import ChatSession, Tokenizer
 
         info = self.model(model_id)

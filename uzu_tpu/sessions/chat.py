@@ -72,11 +72,20 @@ class ChatSession:
     ):
         """`speculator`: a proposer (object with .propose(history), e.g.
         NgramSpeculator / DraftModelSpeculator — wrapped in a chain
-        SpeculativeDecoder per sampling config) or a ready decoder (object
-        with .generate, e.g. DFlashSpeculativeDecoder). The reference
-        engages a model's bundled speculator in every stream the same way
-        (stream.rs:553-578). Speculative turns re-prefill the full prompt
-        (prefix-cache reuse under speculation is a later milestone)."""
+        SpeculativeDecoder per sampling config), a ready decoder (object
+        with .generate, e.g. DFlashSpeculativeDecoder), or one of the
+        zero-artifact strings:
+
+        - "self": per-round self-speculation (layer-truncated self-draft);
+        - "fused-self": fused multi-round self-speculation
+          (engine/fused_spec.py — R rounds per dispatch, the single-stream
+          config that amortizes the dispatch tax).
+
+        The reference engages a model's bundled speculator in every stream
+        the same way (stream.rs:553-578). Grammar-constrained turns need
+        host-side masks, so string speculators downgrade there to a
+        per-round self-draft proposer (lookahead masks still ride the
+        chain drafts)."""
         self.model = model
         self.tokenizer = tokenizer
         if encoding == "auto" and sections is None:
@@ -119,8 +128,12 @@ class ChatSession:
         self.messages: list[dict] = []
         self._state = None
         self._state_tokens: list[int] = []
+        if isinstance(speculator, str) and speculator not in ("self", "fused-self"):
+            raise ValueError(
+                f"unknown speculator {speculator!r} (use 'self'/'fused-self')")
         self.speculator = speculator
         self._spec_decoders: dict = {}
+        self._str_proposer = None  # grammar-turn proposer for string modes
 
     # -- state / prefix cache ---------------------------------------------
 
@@ -233,6 +246,23 @@ class ChatSession:
             from ..grammar.decode import constrained_generate
 
             spec = self.speculator
+            if isinstance(spec, str) and speculation_supported(
+                    self.model.decoder_config):
+                # grammar masks are host-side: downgrade string modes to a
+                # per-round self-draft PROPOSER so lookahead masks still
+                # ride the chain drafts (the measured grammar-speculation
+                # win, BASELINE grammar_spec_real)
+                if self._str_proposer is None:
+                    from ..engine.speculation import (
+                        DraftModelSpeculator,
+                        self_draft_model,
+                    )
+
+                    n = len(self.model.decoder_config
+                            .transformer_config.layer_configs)
+                    self._str_proposer = DraftModelSpeculator(
+                        self_draft_model(self.model, max(1, n // 2)), k=4)
+                spec = self._str_proposer
             if not (hasattr(spec, "propose")
                     and speculation_supported(self.model.decoder_config)):
                 spec = None  # ready decoders (DFlash) have no mask hook
@@ -348,6 +378,20 @@ class ChatSession:
 
     def _spec_generate(self, tokens, suffix, max_new_tokens, sampling,
                        stop_ids, seed, spec_metrics):
+        if isinstance(self.speculator, str):
+            if sampling not in self._spec_decoders:
+                from ..engine.fused_spec import fused_self_speculative_decoder
+                from ..engine.speculation import self_speculative_decoder
+
+                maker = {"self": self_speculative_decoder,
+                         "fused-self": fused_self_speculative_decoder}
+                self._spec_decoders[sampling] = maker[self.speculator](
+                    self.model, sampling=sampling)
+            return self._spec_decoders[sampling].generate(
+                np.asarray(suffix, np.int32), max_new_tokens,
+                stop_token_ids=stop_ids, seed=seed, metrics=spec_metrics,
+                state=self._state, history_tokens=tokens,
+            )
         if hasattr(self.speculator, "generate"):
             # ready decoder (DFlash): full-prompt generation, no prefix cache
             return self.speculator.generate(

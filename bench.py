@@ -250,23 +250,26 @@ def hbm_probe(on_tpu: bool) -> float:
 
 
 def probe_interleaved_decode(lm, prompt, gen_len, sampling, bytes_per_step,
-                             *, runs=2, record_ttft=False) -> dict:
+                             *, runs=2, record_ttft=False, agg="max",
+                             on_tpu=True, notes=None) -> dict:
     """Single-stream decode measured `runs` times with an achievable-HBM
     probe reading taken AFTER each run (VERDICT r3 #7: window drift on the
     shared chip cancels pair-wise instead of decoupling vs_practical).
-    Returns decode_tok_s (max of runs — best window), sol_tok_s /
-    vs_baseline against the device's spec bandwidth over `bytes_per_step`,
+    Returns decode_tok_s (`agg`="max" = best window, the secondary-stage
+    policy; "median" = the headline-stage policy), sol_tok_s / vs_baseline
+    against the device's spec bandwidth over `bytes_per_step`,
     practical_bw_gbs / vs_practical against the in-window probe, and
     ttft_s (median) when requested. The caller warms the executables
-    first. Shared by the 8B / MoE / qwen08 bench stages (previously three
-    drifting copies)."""
+    first. Shared by the 1B headline / 8B / MoE / qwen08 bench stages
+    (previously four drifting copies)."""
     from uzu_tpu.engine.engine import StreamMetrics
 
     probe = None
     try:
-        probe = HbmProbe(True)
-    except Exception:  # noqa: BLE001
-        pass
+        probe = HbmProbe(on_tpu)
+    except Exception as exc:  # noqa: BLE001
+        if notes is not None:
+            notes.append(f"hbm probe unavailable: {type(exc).__name__}")
     out: dict = {}
     rates, ttfts, ratios, bws = [], [], [], []
     for _ in range(runs):
@@ -281,7 +284,8 @@ def probe_interleaved_decode(lm, prompt, gen_len, sampling, bytes_per_step,
             bws.append(bw_now)
             ratios.append(metrics.decode_tokens_per_second
                           / (bw_now / bytes_per_step))
-    out["decode_tok_s"] = round(float(np.max(rates)), 2)
+    pick = np.max if agg == "max" else np.median
+    out["decode_tok_s"] = round(float(pick(rates)), 2)
     if record_ttft:
         out["ttft_s"] = round(float(np.median(ttfts)), 4)
     _, bw = device_bandwidth()
@@ -451,33 +455,13 @@ def main() -> None:
     _stage("warmup single-stream (compiles)")
     list(lm.generate(prompt, gen_len, sampling=sampling, stop_token_ids=[]))
 
-    # HBM probe interleaved with the decode runs (VERDICT r3 #7): each
-    # decode run is immediately followed by a probe of the SAME window, and
-    # vs_practical is the median of the per-pair ratios — window drift on
-    # the shared chip cancels pair-wise instead of decoupling the metric.
-    probe = None
-    try:
-        _stage("hbm probe warm (compiles)")
-        probe = HbmProbe(tpu)
-    except Exception as exc:  # noqa: BLE001
-        _NOTES.append(f"hbm probe unavailable: {type(exc).__name__}")
-
+    # HBM probe interleaved with the decode runs (VERDICT r3 #7) via the
+    # shared measurement helper — headline policy: median of 3 runs
     _stage("single-stream decode x3 (probe-interleaved)")
-    decode_runs, ttft_runs, pair_ratios, probe_bws = [], [], [], []
-    for _ in range(3):
-        metrics = StreamMetrics()
-        out = list(
-            lm.generate(prompt, gen_len, sampling=sampling, stop_token_ids=[], metrics=metrics)
-        )
-        assert len(out) == gen_len
-        decode_runs.append(metrics.decode_tokens_per_second)
-        ttft_runs.append(metrics.prefill_seconds)
-        if probe is not None:
-            bw_now = probe.measure()
-            probe_bws.append(bw_now)
-            pair_ratios.append(
-                metrics.decode_tokens_per_second / (bw_now / (wbytes + kv_bytes)))
-    decode_tok_s = float(np.median(decode_runs))
+    measured = probe_interleaved_decode(
+        lm, prompt, gen_len, sampling, wbytes + kv_bytes,
+        runs=3, record_ttft=True, agg="median", on_tpu=tpu, notes=_NOTES)
+    decode_tok_s = measured["decode_tok_s"]
     # reference bench contract parity (runner.rs:112 reports allocator
     # peak): live device buffer bytes at serving steady state
     try:
@@ -488,13 +472,13 @@ def main() -> None:
             RESULTS["memory_used"] = dm.live_buffer_bytes
     except Exception:  # noqa: BLE001
         pass
-    RESULTS["value"] = round(decode_tok_s, 2)
+    RESULTS["value"] = decode_tok_s
     RESULTS["vs_baseline"] = round(decode_tok_s / sol_tok_s, 4)
-    RESULTS["ttft_s"] = round(float(np.median(ttft_runs)), 4)
+    RESULTS["ttft_s"] = measured["ttft_s"]
     RESULTS.setdefault("micro", {})["decode_step_ms"] = round(1e3 / decode_tok_s, 3)
-    if pair_ratios:
-        RESULTS["practical_bw_gbs"] = round(float(np.median(probe_bws)) / 1e9, 1)
-        RESULTS["vs_practical"] = round(float(np.median(pair_ratios)), 4)
+    if "vs_practical" in measured:
+        RESULTS["practical_bw_gbs"] = measured["practical_bw_gbs"]
+        RESULTS["vs_practical"] = measured["vs_practical"]
 
     # From here on every stage is optional: guarded by remaining budget and
     # exception-proof. The headline number is already in RESULTS. Stage

@@ -23,6 +23,7 @@ All text is ASCII. Generation is deterministic per seed.
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 
@@ -167,9 +168,32 @@ def generate_text(n_bytes: int, seed: int = 0) -> str:
 
 
 def generate_tokens(n_tokens: int, seed: int = 0) -> np.ndarray:
-    """Byte-level token ids [n_tokens] int32."""
+    """Byte-level token ids [n_tokens] int32.
+
+    Disk-cached under .bench_cache for the large training corpora: pure-
+    Python generation runs ~1 MB/s, so the 30M-token default costs ~30 min
+    of host CPU per uncached training run on this 1-core box."""
+    cache = None
+    if n_tokens >= 1_000_000:
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        cache = os.path.join(root, ".bench_cache",
+                             f"corpus_{n_tokens}_{seed}.npy")
+        if os.path.exists(cache):
+            toks = np.load(cache)
+            if len(toks) == n_tokens:
+                return toks.astype(np.int32)
     text = generate_text(n_tokens, seed)
-    return np.frombuffer(text.encode("ascii"), np.uint8).astype(np.int32)
+    toks = np.frombuffer(text.encode("ascii"), np.uint8).astype(np.int32)
+    if cache is not None:
+        try:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            tmp = cache + f".tmp{os.getpid()}.npy"
+            np.save(tmp, toks)
+            os.replace(tmp, cache)
+        except OSError:
+            pass
+    return toks
 
 
 def heldout_prompts(k: int = 8, length: int = 64, seed: int = 9999) -> list:

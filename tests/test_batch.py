@@ -377,6 +377,8 @@ def test_spec_batched_server(tmp_path_factory):
     spec = run_server(True)
     plain = run_server(False)
     assert spec == plain
+    fused = run_server("fused-self")  # dense spec engine + spec_rounds=8
+    assert fused == plain
 
 
 def test_spec_batched_self_draft(lm):

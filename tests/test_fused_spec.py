@@ -237,3 +237,150 @@ def test_chat_session_string_speculator_grammar_turn(tmp_path):
                     grammar=GrammarSession(tok, schema=schema,
                                             stop_token_ids=tok.eos_token_ids))
     assert r2.text == r1.text
+
+
+# -- fused rounds on the BATCHED speculative engine --------------------------
+
+
+@pytest.fixture(scope="module")
+def batch_lm(tmp_path_factory):
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160, num_heads=4,
+                       num_groups=2, head_dim=16, vocab_size=256)
+    d = synthesize(cfg, str(tmp_path_factory.mktemp("fspec_batch")), seed=13,
+                   dtype=np.float32)
+    return LanguageModel.from_dir(d, max_context=128, prefill_buckets=(16,))
+
+
+def test_spec_batched_fused_rounds_equals_single(batch_lm):
+    """spec_rounds > 1: R whole rounds per dispatch, greedy output still ==
+    single-request plain greedy across slot reuse."""
+    from uzu_tpu.engine.batch_spec import SpeculativeBatchEngine
+
+    lm = batch_lm
+    prompts = [[5, 6, 5, 6, 5, 6, 5], [1, 2, 3], [9, 9, 9, 9],
+               [40, 41, 42, 40, 41, 42], [17, 23]]
+    singles = [lm.generate_list(np.asarray(p), 12, stop_token_ids=[])
+               for p in prompts]
+    eng = SpeculativeBatchEngine(lm, batch_size=2, draft_block=3,
+                                 draft_layers=1, spec_rounds=4,
+                                 stop_token_ids=[])
+    reqs = [eng.submit(p, 12) for p in prompts]
+    eng.run()
+    for i, (r, want) in enumerate(zip(reqs, singles)):
+        assert r.finished
+        assert r.tokens[:12] == want[:12], f"request {i} diverged"
+    assert eng.metrics.num_verify_passes > 0
+
+
+def test_spec_batched_fused_rounds_stop_tokens(batch_lm):
+    from uzu_tpu.engine.batch_spec import SpeculativeBatchEngine
+
+    lm = batch_lm
+    probe = lm.generate_list(np.asarray([5, 6, 5, 6, 5]), 12, stop_token_ids=[])
+    stop = probe[5]
+    prompts = [[5, 6, 5, 6, 5], [1, 2, 3]]
+    singles = [lm.generate_list(np.asarray(p), 12, stop_token_ids=[stop])
+               for p in prompts]
+    eng = SpeculativeBatchEngine(lm, batch_size=2, draft_block=3,
+                                 draft_layers=1, spec_rounds=4,
+                                 stop_token_ids=[stop])
+    reqs = [eng.submit(p, 12) for p in prompts]
+    eng.run()
+    for r, want in zip(reqs, singles):
+        assert r.finished
+        assert r.tokens == want
+
+
+def test_spec_batched_fused_rounds_sampled_identity(batch_lm):
+    """Fused rounds rebuild the produced-count key schedule IN-SCAN: sampled
+    streams (engine default + per-request dynamic override + a penalty
+    slot) are bit-identical to the per-round engine's."""
+    from uzu_tpu.engine.batch_spec import SpeculativeBatchEngine
+    from uzu_tpu.engine.sampling import SamplingParams
+
+    lm = batch_lm
+    prompts = [[5, 6, 5, 6, 5, 6, 5], [1, 2, 3], [9, 9, 9, 9]]
+    sampled = SamplingParams(temperature=0.9, top_k=40)
+    ov = SamplingParams(temperature=0.7, top_p=0.9)
+
+    def run(spec_rounds):
+        kw = {"spec_rounds": spec_rounds} if spec_rounds > 1 else {}
+        eng = SpeculativeBatchEngine(lm, batch_size=2, draft_block=3,
+                                     draft_layers=1, sampling=sampled,
+                                     stop_token_ids=[], **kw)
+        reqs = [eng.submit(p, 12, seed=i,
+                           sampling=(ov if i == 0 else None),
+                           **({"presence_penalty": 0.5} if i == 1 else {}))
+                for i, p in enumerate(prompts)]
+        eng.run()
+        return [r.tokens for r in reqs]
+
+    assert run(1) == run(4)
+
+
+def test_spec_batched_fused_rounds_hybrid(tmp_path):
+    """Fused rounds over a GDN hybrid: R chained deferred commits inside
+    one scan must keep batched speculative greedy == plain."""
+    from uzu_tpu.engine.batch_spec import SpeculativeBatchEngine
+
+    cfg = qwen35_config(num_layers=3, model_dim=64, hidden_dim=128,
+                        num_heads=4, num_groups=2, head_dim=16,
+                        value_head_dim=16, attn_every=3)
+    d = synthesize(cfg, str(tmp_path / "fspec_gdn"), seed=7, dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(16,))
+    prompts = [[5, 6, 5, 6, 5, 6], [1, 2, 3, 4]]
+    singles = [lm.generate_list(np.asarray(p), 10, stop_token_ids=[])
+               for p in prompts]
+    eng = SpeculativeBatchEngine(lm, batch_size=2, draft_block=3,
+                                 draft_layers=2, spec_rounds=4,
+                                 stop_token_ids=[])
+    reqs = [eng.submit(p, 10) for p in prompts]
+    eng.run()
+    for r, want in zip(reqs, singles):
+        assert r.finished
+        assert r.tokens[:10] == want[:10]
+
+
+def test_spec_batched_fused_rounds_grammar_fallback(tmp_path):
+    """A grammar slot forces the per-round path for that dispatch (host
+    lookahead masks can't ride the scan) — outputs still match the
+    single-stream constrained loop AND the plain neighbor stays exact."""
+    from uzu_tpu.engine.batch_spec import SpeculativeBatchEngine
+    from uzu_tpu.grammar import GrammarSession, constrained_generate
+    from uzu_tpu.sessions import Tokenizer
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    schema = {"type": "object",
+              "properties": {"city": {"enum": ["Paris", "Rome"]}},
+              "required": ["city"]}
+    d = synth_chat_model(str(tmp_path / "fspec_bg"), num_layers=2,
+                         model_dim=64, hidden_dim=160, num_heads=4,
+                         num_groups=2, head_dim=16)
+    lm = LanguageModel.from_dir(d, max_context=256, prefill_buckets=(16,))
+    tok = Tokenizer(d)
+    gp = tok.encode("<|user|>give me json<|end|><|assistant|>")
+    pp = [9, 8, 7, 6, 5]
+    stop = list(tok.eos_token_ids)
+
+    def g():
+        return GrammarSession(tok, schema=schema, stop_token_ids=stop)
+
+    want_g = list(constrained_generate(lm, np.asarray(gp), 24, g(),
+                                       stop_token_ids=stop))
+    want_p = lm.generate_list(np.asarray(pp), 24, stop_token_ids=stop)
+    eng = SpeculativeBatchEngine(lm, batch_size=2, draft_block=4,
+                                 draft_layers=1, spec_rounds=4,
+                                 stop_token_ids=stop)
+    rg = eng.submit(gp, 24, grammar=g())
+    rp = eng.submit(pp, 24)
+    eng.run()
+    assert rg.finished and rp.finished
+    assert rg.tokens[: len(want_g)] == want_g[: len(rg.tokens)]
+    assert rp.tokens[:24] == want_p[:24]
+
+
+def test_spec_rounds_requires_device_drafts(batch_lm):
+    from uzu_tpu.engine.batch_spec import SpeculativeBatchEngine
+
+    with pytest.raises(ValueError, match="draft_layers"):
+        SpeculativeBatchEngine(batch_lm, batch_size=2, spec_rounds=2)

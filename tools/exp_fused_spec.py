@@ -117,6 +117,43 @@ def main() -> None:
             if isinstance(v, float) and k.endswith("_tok_s")) / plain, 3)
     print(json.dumps(out), flush=True)
 
+    # batched: plain BatchEngine vs per-round vs fused-rounds self-draft
+    from uzu_tpu.engine.batch import BatchEngine
+    from uzu_tpu.engine.batch_spec import SpeculativeBatchEngine
+
+    def agg(engine_cls, **kw):
+        eng = engine_cls(lm, batch_size=4, stop_token_ids=[], **kw)
+        reqs = [eng.submit(p, GEN) for p in heldout_prompts(k=4, length=64)]
+        t0 = time.perf_counter()
+        eng.run()
+        return sum(len(r.tokens) for r in reqs) / (time.perf_counter() - t0)
+
+    barms = {
+        "bplain": (BatchEngine, {"decode_chunk": 8}),
+        "bspec_r1": (SpeculativeBatchEngine,
+                     {"draft_block": 4, "draft_layers": 6}),
+        "bspec_r8": (SpeculativeBatchEngine,
+                     {"draft_block": 4, "draft_layers": 6, "spec_rounds": 8}),
+    }
+    for name, (cls, kw) in barms.items():  # warm (compiles)
+        t0 = time.perf_counter()
+        agg(cls, **kw)
+        print(json.dumps({"stage": "warm", "arm": name,
+                          "s": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+    bout = {"stage": "fused_spec_batched", "b": 4, "gen": GEN}
+    bres = {n: [] for n in barms}
+    for _ in range(3):
+        for name, (cls, kw) in barms.items():
+            bres[name].append(agg(cls, **kw))
+    for name, rates in bres.items():
+        bout[f"{name}_tok_s"] = round(float(np.median(rates)), 1)
+    bout["fused_vs_per_round"] = round(
+        bout["bspec_r8_tok_s"] / bout["bspec_r1_tok_s"], 3)
+    bout["fused_vs_plain"] = round(
+        bout["bspec_r8_tok_s"] / bout["bplain_tok_s"], 3)
+    print(json.dumps(bout), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -332,10 +332,11 @@ def main(argv=None) -> int:
                    help="continuous batching (concurrent requests share the chip)")
     s.add_argument("--batch-size", type=int, default=4, dest="batch_size")
     s.add_argument("--speculate", nargs="?", const="ngram", default=False,
-                   choices=("ngram", "self"),
+                   choices=("ngram", "self", "fused-self"),
                    help="batched chain speculation: 'ngram' (per-slot host "
-                        "drafts) or 'self' (fused device-side layer-"
-                        "truncated self-draft)")
+                        "drafts), 'self' (fused device-side layer-"
+                        "truncated self-draft), or 'fused-self' (self-"
+                        "draft + 8 rounds per dispatch)")
     _mesh_flags(s)
     s.set_defaults(fn=cmd_serve)
 

@@ -263,18 +263,22 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
     supports_count_penalties = True
 
     def __init__(self, lm, *, draft_block: int = 8, make_speculator=None,
-                 draft_layers: int | None = None, **kw):
+                 draft_layers: int | None = None, spec_rounds: int = 1, **kw):
         if not speculation_supported(lm.decoder_config):
             raise ValueError("chain speculation unsupported (KV-shared attention)")
+        if spec_rounds > 1 and draft_layers is None:
+            raise ValueError("spec_rounds > 1 requires draft_layers "
+                             "(host ngram drafts re-plan every round)")
         super().__init__(lm, **kw)
         self._init_spec(lm, draft_block, make_speculator, draft_layers)
+        self.spec_rounds = spec_rounds
         self._verify_jit = lm.__dict__.setdefault("_batch_verify_jit", {})
 
     # -- jitted verify ------------------------------------------------------
 
     def _verify_fn(self, m: int, ctx_bucket=None, masked: bool = False,
                    dynamic: bool = False, logprobs: int = 0,
-                   penalties: bool = False):
+                   penalties: bool = False, rounds: int = 1):
         """m draft rows + 1 root row per slot, one donated dispatch.
         `masked` adds per-row grammar bitmasks [B, m+1, V] and a per-slot
         host-draft override flag (grammar slots keep host chains even in
@@ -285,10 +289,21 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
         penalized with base counts + the chain prefix drafts[0..i-1] — exact,
         because row i's sample only commits when every earlier draft was
         accepted, and then those drafts ARE the generated tokens. The default
-        executable is untouched."""
+        executable is untouched.
+
+        `rounds` > 1 (device-draft mode only, no grammar/logprob slots):
+        the WHOLE round — self-draft chains, verify, acceptance, commit —
+        scans R times inside one executable, fetching once per dispatch
+        instead of once per round (the batched form of
+        engine/fused_spec.py). Sampling keys are built IN-SCAN from the
+        same produced-count schedule the host builds, so emitted streams
+        are identical to the per-round engine's."""
         assert not penalties or dynamic
+        assert rounds == 1 or (self.draft_layers is not None and not masked
+                               and not logprobs)
         key = (self.sampling, m, self.stop_ids, self.batch_size, ctx_bucket,
-               self.draft_layers, masked, dynamic, logprobs, penalties)
+               self.draft_layers, masked, dynamic, logprobs, penalties,
+               rounds)
         if key not in self._verify_jit:
             cfg = self.lm.decoder_config
             sampling = self.sampling
@@ -449,7 +464,90 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
                     state, tokens, drafts, draft_len, halted, remaining,
                     keys, *xs)
 
-            self._verify_jit[key] = verify_b
+            if rounds == 1:
+                self._verify_jit[key] = verify_b
+                return self._verify_jit[key]
+
+            bsz = self.batch_size
+            horizon = ctx_last - (m + 1)  # _finish_horizon, in-scan
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def verify_rounds(params, state, tokens, halted, remaining,
+                              produced, seeds, *extra):
+                # extras in order: samp [B, 6] when dynamic, counts [B, V]
+                # when penalties (both carried through the scan)
+                i = 0
+                samp = extra[i] if dynamic else None
+                if dynamic:
+                    i += 1
+                counts0 = extra[i] if penalties else jnp.zeros((), jnp.int32)
+                zero_d = jnp.zeros((bsz, m), jnp.int32)
+                zero_l = jnp.zeros((bsz,), jnp.int32)
+                hd_off = jnp.zeros((bsz,), bool)
+
+                def round_active(carry, _):
+                    state, tokens, halted, remaining, produced, counts = carry
+                    halted = halted | (state["pos"] >= horizon)
+                    # the host key schedule (_spec_keys), rebuilt in-scan:
+                    # row i samples the slot's (produced + i)-th token
+                    keys = jnp.stack([
+                        jnp.broadcast_to(seeds[:, None], (bsz, m + 1)),
+                        (produced[:, None]
+                         + jnp.arange(m + 1, dtype=jnp.int32)
+                         ).astype(jnp.uint32),
+                    ], axis=-1)
+                    proposed = jnp.where(
+                        halted, 0,
+                        jnp.minimum(jnp.asarray(m, jnp.int32),
+                                    jnp.maximum(remaining - 1, 0)
+                                    .astype(jnp.int32)))
+
+                    def per_slot(s, t, h, r, kk, *xs):
+                        j = 0
+                        sp = cn = None
+                        if dynamic:
+                            sp = xs[j]
+                            j += 1
+                        if penalties:
+                            cn = xs[j]
+                        return one(params, s, t, zero_d[0], zero_l[0], h, r,
+                                   kk, None, jnp.asarray(False), sp, cn)
+
+                    xs = ()
+                    if dynamic:
+                        xs += (samp,)
+                    if penalties:
+                        xs += (counts,)
+                    out = jax.vmap(per_slot)(
+                        state, tokens, halted, remaining, keys, *xs)
+                    state, tokens, halted, remaining, sampled, commit = out[:6]
+                    if penalties:
+                        counts = out[6]
+                    produced = produced + commit
+                    return ((state, tokens, halted, remaining, produced,
+                             counts),
+                            (sampled, commit, proposed, jnp.asarray(True)))
+
+                def round_body(carry, x):
+                    all_halted = jnp.all(carry[2] | (carry[0]["pos"]
+                                                     >= horizon))
+                    return jax.lax.cond(
+                        all_halted,
+                        lambda c, _: (c, (jnp.zeros((bsz, m + 1), jnp.int32),
+                                          jnp.zeros((bsz,), jnp.int32),
+                                          jnp.zeros((bsz,), jnp.int32),
+                                          jnp.asarray(False))),
+                        round_active, carry, x)
+
+                init = (state, tokens, halted, remaining, produced, counts0)
+                carry, ys = jax.lax.scan(round_body, init, None, length=rounds)
+                state, tokens, halted, remaining, produced, counts = carry
+                out = (state, tokens, halted, remaining, produced) + ys
+                if penalties:
+                    out += (counts,)
+                return out
+
+            self._verify_jit[key] = verify_rounds
         return self._verify_jit[key]
 
     # -- scheduling ---------------------------------------------------------
@@ -464,6 +562,12 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
         self._finish_horizon(m)
         if not self.num_active:
             return
+        if self.spec_rounds > 1 and not any(
+            not s.free and (s.request.grammar is not None
+                            or s.request.logprobs)
+            for s in self.slots
+        ):
+            return self._verify_round_fused(m)
         drafts, draft_len, tracked, masks, host_draft = self._build_drafts(m)
         keys = self._spec_keys(tracked, m)
         max_pos = max((s.pos for s in self.slots if not s.free), default=0)
@@ -499,6 +603,49 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
             (sampled, commit, tuple(rest) or None))
         self._route_round(tracked, np.asarray(vals), commits, draft_len,
                           lp_pack)
+
+    def _verify_round_fused(self, m):
+        """R whole rounds in ONE dispatch (spec_rounds > 1): the scan form
+        of _verify_round for the all-device configuration — self-drafts
+        only, no grammar masks or logprob fetches in flight. Streams are
+        identical to the per-round path (same per-slot `one` body, same
+        produced-count key schedule, rebuilt in-scan)."""
+        rounds = self.spec_rounds
+        tracked = {b: s.request for b, s in enumerate(self.slots)
+                   if not s.free}
+        max_pos = max((s.pos for s in self.slots if not s.free), default=0)
+        # capacity for the worst case: R rounds x (m+1) rows each
+        self._ensure_ctx(max_pos + (rounds + 1) * (m + 2))
+        dynamic = self._dynamic_now()
+        penalties = self._penalized_now()
+        verify = self._verify_fn(
+            m, self.lm._ctx_bucket(max_pos + rounds * (m + 1) + 1),
+            dynamic=dynamic, penalties=penalties, rounds=rounds)
+        seeds = np.asarray(
+            [self._seeds[b] & 0xFFFFFFFF for b in range(self.batch_size)],
+            np.uint32)
+        produced = np.asarray(
+            [0 if s.free else s.produced for s in self.slots], np.int32)
+        extra = ()
+        if dynamic:
+            extra += (jnp.asarray(self._samp),)
+        if penalties:
+            extra += (self._ensure_counts(),)
+        (self._state, self._tokens, self._halted, self._remaining, _,
+         sampled_r, commit_r, prop_r, active_r, *rest) = verify(
+            self.lm.params, self._state, self._tokens, self._halted,
+            self._remaining, jnp.asarray(produced), jnp.asarray(seeds),
+            *extra,
+        )
+        if penalties:
+            self._counts = rest[0]
+        vals, commits, props, actives = jax.device_get(
+            (sampled_r, commit_r, prop_r, active_r))
+        vals = np.asarray(vals)
+        for r in range(rounds):
+            if not actives[r]:
+                break
+            self._route_round(tracked, vals[r], commits[r], props[r])
 
 
 class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):

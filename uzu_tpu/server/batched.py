@@ -43,7 +43,10 @@ class BatchedChatServer:
         speculate: True/"ngram" = per-slot host ngram drafts + one fused
         batched verify per round; "self" = fused device-side self-draft
         (layer-truncated, half the stack) — zero host drafting, realistic
-        acceptance on non-repetitive text. Overrides paged."""
+        acceptance on non-repetitive text; "fused-self" = "self" plus
+        spec_rounds=8 multi-round scans per dispatch (engine/batch_spec.py
+        — one fetch per 8 rounds; dense slot-cache engine, grammar/logprob
+        dispatches fall back per-round). Overrides paged."""
         self.lm = lm
         self.tokenizer = tokenizer
         self.template = ChatTemplate(tokenizer.chat_template)
@@ -73,11 +76,16 @@ class BatchedChatServer:
 
             engine_cls = (SpeculativePagedBatchEngine if paged
                           else SpeculativeBatchEngine)
-            if speculate == "self":
+            if speculate == "fused-self":
+                # the multi-round scan lives on the dense spec engine
+                engine_cls = SpeculativeBatchEngine
+            if speculate in ("self", "fused-self"):
                 n = len(lm.decoder_config.transformer_config.layer_configs)
                 if n >= 2:  # a 1-layer model has nothing to truncate;
                     # fall back to ngram drafts rather than rejecting
                     engine_kw.setdefault("draft_layers", n // 2)
+                    if speculate == "fused-self":
+                        engine_kw.setdefault("spec_rounds", 8)
         self.engine = engine_cls(
             lm,
             batch_size=batch_size,

@@ -384,3 +384,58 @@ def test_spec_rounds_requires_device_drafts(batch_lm):
 
     with pytest.raises(ValueError, match="draft_layers"):
         SpeculativeBatchEngine(batch_lm, batch_size=2, spec_rounds=2)
+
+
+def test_spec_paged_fused_rounds_equals_single(batch_lm):
+    """Paged engine fused rounds: pages pre-ensured for the R-round worst
+    case, tables static across the scan — greedy output == plain."""
+    from uzu_tpu.engine.batch_spec import SpeculativePagedBatchEngine
+
+    lm = batch_lm
+    prompts = [[5, 6, 5, 6, 5, 6, 5], [1, 2, 3], [5, 6, 5, 6, 5, 6, 9],
+               [9, 9, 9, 9], [17, 23]]
+    singles = [lm.generate_list(np.asarray(p), 12, stop_token_ids=[])
+               for p in prompts]
+    eng = SpeculativePagedBatchEngine(
+        lm, batch_size=2, draft_block=3, draft_layers=1, spec_rounds=4,
+        num_pages=33, page_size=8, stop_token_ids=[])
+    reqs = [eng.submit(p, 12) for p in prompts]
+    eng.run()
+    for i, (r, want) in enumerate(zip(reqs, singles)):
+        assert r.finished
+        assert r.tokens[:12] == want[:12], f"request {i} diverged"
+    assert eng.metrics.num_verify_passes > 0
+
+
+def test_spec_paged_fused_rounds_sampled_and_pressure(batch_lm):
+    """Sampled streams identical per-round vs fused (in-scan key schedule
+    survives the paged recompute-preemption contract), and a pool small
+    enough to force preemption mid-run still replays exactly."""
+    from uzu_tpu.engine.batch_spec import SpeculativePagedBatchEngine
+    from uzu_tpu.engine.sampling import SamplingParams
+
+    lm = batch_lm
+    prompts = [[5, 6, 5, 6, 5, 6, 5], [1, 2, 3], [9, 9, 9, 9]]
+    sampled = SamplingParams(temperature=0.9, top_k=40)
+
+    def run(rounds):
+        kw = {"spec_rounds": rounds} if rounds > 1 else {}
+        eng = SpeculativePagedBatchEngine(
+            lm, batch_size=2, draft_block=3, draft_layers=1, sampling=sampled,
+            num_pages=33, page_size=8, stop_token_ids=[], **kw)
+        reqs = [eng.submit(p, 12, seed=i) for i, p in enumerate(prompts)]
+        eng.run()
+        return [r.tokens for r in reqs]
+
+    assert run(1) == run(4)
+
+    singles = [lm.generate_list(np.asarray(p), 12, stop_token_ids=[])
+               for p in prompts]
+    eng = SpeculativePagedBatchEngine(
+        lm, batch_size=3, draft_block=3, draft_layers=1, spec_rounds=3,
+        num_pages=14, page_size=8, stop_token_ids=[])
+    reqs = [eng.submit(p, 12) for p in prompts]
+    eng.run()
+    for r, want in zip(reqs, singles):
+        assert r.finished
+        assert r.tokens[:12] == want[:12]

@@ -661,17 +661,23 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
     supports_count_penalties = True
 
     def __init__(self, lm, *, draft_block: int = 8, make_speculator=None,
-                 draft_layers: int | None = None, **kw):
+                 draft_layers: int | None = None, spec_rounds: int = 1, **kw):
+        if spec_rounds > 1 and draft_layers is None:
+            raise ValueError("spec_rounds > 1 requires draft_layers "
+                             "(host ngram drafts re-plan every round)")
         super().__init__(lm, **kw)
         self._init_spec(lm, draft_block, make_speculator, draft_layers)
+        self.spec_rounds = spec_rounds
 
     def _verify_fn(self, m: int, ctx_pages: int, masked: bool = False,
                    dynamic: bool = False, logprobs: int = 0,
-                   penalties: bool = False):
+                   penalties: bool = False, rounds: int = 1):
         assert not penalties or dynamic
+        assert rounds == 1 or (self.draft_layers is not None and not masked
+                               and not logprobs)
         key = ("spec_verify", m, self.sampling, self.stop_ids, self._geom,
                ctx_pages, self.draft_layers, masked, dynamic, logprobs,
-               penalties)
+               penalties, rounds)
         if key not in self._jit:
             from ..models.paged_decode import paged_decode_step, paged_verify_step
 
@@ -682,28 +688,10 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
             nd = self.draft_layers
             draft_cfg = self._draft_cfg if nd is not None else None
 
-            @partial(jax.jit, donate_argnums=(1,))
-            def verify(params, pools, tokens, drafts, draft_len, positions,
-                       halted, remaining, tables_s, keys, *extra):
-                # extras in order: hd [B] when draft_layers (own cheap lane
-                # — an unengaged grammar trigger must not force a V-wide
-                # all-ones mask upload), masks when masked, samp when
-                # dynamic, counts [B, V] when penalties
+            def core(params, pools, tokens, drafts, draft_len, positions,
+                     halted, remaining, tables_s, keys, hd, masks_in,
+                     samp_rows, counts):
                 b = tokens.shape[0]
-                i = 0
-                hd = masks_in = counts = None
-                if nd is not None:
-                    hd = extra[i]
-                    i += 1
-                if masked:
-                    masks_in = extra[i]
-                    i += 1
-                samp_rows = (extra[i] if dynamic
-                             else jnp.zeros((b, 6), jnp.float32))
-                if dynamic:
-                    i += 1
-                if penalties:
-                    counts = extra[i]
                 if nd is not None:
                     # device-side self-draft over a functional VIEW of the
                     # first nd layers' pools; chain writes are discarded —
@@ -815,7 +803,106 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
                     out += (tok_lp, top_v, top_i)
                 return out
 
-            self._jit[key] = verify
+            @partial(jax.jit, donate_argnums=(1,))
+            def verify(params, pools, tokens, drafts, draft_len, positions,
+                       halted, remaining, tables_s, keys, *extra):
+                # extras in order: hd [B] when draft_layers (own cheap lane
+                # — an unengaged grammar trigger must not force a V-wide
+                # all-ones mask upload), masks when masked, samp when
+                # dynamic, counts [B, V] when penalties
+                b = tokens.shape[0]
+                i = 0
+                hd = masks_in = counts = None
+                if nd is not None:
+                    hd = extra[i]
+                    i += 1
+                if masked:
+                    masks_in = extra[i]
+                    i += 1
+                samp_rows = (extra[i] if dynamic
+                             else jnp.zeros((b, 6), jnp.float32))
+                if dynamic:
+                    i += 1
+                if penalties:
+                    counts = extra[i]
+                return core(params, pools, tokens, drafts, draft_len,
+                            positions, halted, remaining, tables_s, keys,
+                            hd, masks_in, samp_rows, counts)
+
+            if rounds == 1:
+                self._jit[key] = verify
+                return self._jit[key]
+
+            horizon = self.lm.max_context - (m + 2)  # _finish_horizon
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def verify_rounds(params, pools, tokens, positions, halted,
+                              remaining, produced, seeds, tables_s, *extra):
+                # fused R rounds over STATIC tables (pages pre-ensured for
+                # the worst case by the host); extras: samp [B, 6] when
+                # dynamic, counts [B, V] when penalties
+                i = 0
+                samp = extra[i] if dynamic else None
+                if dynamic:
+                    i += 1
+                counts0 = extra[i] if penalties else jnp.zeros((), jnp.int32)
+                b = tokens.shape[0]
+                zero_d = jnp.zeros((b, m), jnp.int32)
+                zero_l = jnp.zeros((b,), jnp.int32)
+                hd_off = jnp.zeros((b,), bool)
+
+                def round_active(carry, _):
+                    (pools, tokens, positions, halted, remaining, produced,
+                     counts) = carry
+                    halted = halted | (positions >= horizon)
+                    keys = jnp.stack([
+                        jnp.broadcast_to(seeds[:, None], (b, m + 1)),
+                        (produced[:, None]
+                         + jnp.arange(m + 1, dtype=jnp.int32)
+                         ).astype(jnp.uint32),
+                    ], axis=-1)
+                    proposed = jnp.where(
+                        halted, 0,
+                        jnp.minimum(jnp.asarray(m, jnp.int32),
+                                    jnp.maximum(remaining - 1, 0)
+                                    .astype(jnp.int32)))
+                    samp_rows = (samp if dynamic
+                                 else jnp.zeros((b, 6), jnp.float32))
+                    out = core(params, pools, tokens, zero_d, zero_l,
+                               positions, halted, remaining, tables_s, keys,
+                               hd_off, None, samp_rows,
+                               counts if penalties else None)
+                    (pools, tokens, positions, halted, remaining, sampled,
+                     commit) = out[:7]
+                    if penalties:
+                        counts = out[7]
+                    produced = produced + commit
+                    return ((pools, tokens, positions, halted, remaining,
+                             produced, counts),
+                            (sampled, commit, proposed, jnp.asarray(True)))
+
+                def round_body(carry, x):
+                    all_halted = jnp.all(carry[3] | (carry[2] >= horizon))
+                    return jax.lax.cond(
+                        all_halted,
+                        lambda c, _: (c, (jnp.zeros((b, m + 1), jnp.int32),
+                                          jnp.zeros((b,), jnp.int32),
+                                          jnp.zeros((b,), jnp.int32),
+                                          jnp.asarray(False))),
+                        round_active, carry, x)
+
+                init = (pools, tokens, positions, halted, remaining,
+                        produced, counts0)
+                carry, ys = jax.lax.scan(round_body, init, None,
+                                         length=rounds)
+                pools, tokens, positions, halted, remaining, produced, \
+                    counts = carry
+                out = (pools, tokens, positions, halted, remaining) + ys
+                if penalties:
+                    out += (counts,)
+                return out
+
+            self._jit[key] = verify_rounds
         return self._jit[key]
 
     # admission bookkeeping: per-slot speculator instances
@@ -826,17 +913,12 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
             self._new_slot_spec(done_before[2])
         return out
 
-    def _verify_round(self):
-        m = self.draft_block
-        self._fetch_first_tokens()
-        self._finish_horizon(m)
-        if not self.num_active:
-            return
-        # page growth for the m+1 verify rows (+1 margin), with the decode
-        # path's preemption/backpressure discipline
+    def _ensure_verify_pages(self, rows: int):
+        """Page growth for `rows` upcoming verify rows per slot, with the
+        decode path's preemption/backpressure discipline."""
         for i, slot in enumerate(self.slots):
             while not slot.free:
-                want = min(slot.pos + m + 2, self.lm.max_context)
+                want = min(slot.pos + rows, self.lm.max_context)
                 try:
                     self.pool.ensure(i, want)
                     break
@@ -852,6 +934,21 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
                         self._finish(i, "length")
                     else:
                         self._preempt(youngest)
+
+    def _verify_round(self):
+        m = self.draft_block
+        self._fetch_first_tokens()
+        self._finish_horizon(m)
+        if not self.num_active:
+            return
+        if self.spec_rounds > 1 and not any(
+            not s.free and (s.request.grammar is not None
+                            or s.request.logprobs)
+            for s in self.slots
+        ):
+            return self._verify_round_fused(m)
+        # page growth for the m+1 verify rows (+1 margin)
+        self._ensure_verify_pages(m + 2)
         if not self.num_active:
             return
         drafts, draft_len, tracked, masks, host_draft = self._build_drafts(m)
@@ -891,3 +988,53 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
             (sampled, commit, tuple(rest) or None))
         self._route_round(tracked, np.asarray(vals), commits, draft_len,
                           lp_pack)
+
+    def _verify_round_fused(self, m):
+        """R whole rounds in one dispatch over the page pools
+        (spec_rounds > 1): pages are pre-ensured for the R-round worst
+        case so the tables stay static across the scan; preemption /
+        prefix-cache eviction keep the decode path's discipline at the
+        (larger) reservation. Streams identical to per-round (same core,
+        same in-scan produced-count key schedule)."""
+        rounds = self.spec_rounds
+        self._ensure_verify_pages(rounds * (m + 1) + 2)
+        if not self.num_active:
+            return
+        tracked = {b: s.request for b, s in enumerate(self.slots)
+                   if not s.free}
+        tables = self._tables_host()
+        tables_s = np.concatenate(
+            [tables, np.full((self.batch_size, 1), self._trash_page,
+                             np.int32)], axis=1)
+        max_pos = max((s.pos for s in self.slots if not s.free), default=0)
+        dynamic = self._dynamic_now()
+        penalties = self._penalized_now()
+        verify = self._verify_fn(
+            m, self._ctx_pages(max_pos + rounds * (m + 1) + 2),
+            dynamic=dynamic, penalties=penalties, rounds=rounds)
+        seeds = np.asarray(
+            [self._seeds[b] & 0xFFFFFFFF for b in range(self.batch_size)],
+            np.uint32)
+        produced = np.asarray(
+            [0 if s.free else s.produced for s in self.slots], np.int32)
+        extra = ()
+        if dynamic:
+            extra += (jnp.asarray(self._samp),)
+        if penalties:
+            extra += (self._ensure_counts(),)
+        (self.pools, self._tokens, self._positions, self._halted,
+         self._remaining, sampled_r, commit_r, prop_r, active_r,
+         *rest) = verify(
+            self.lm.params, self.pools, self._tokens, self._positions,
+            self._halted, self._remaining, jnp.asarray(produced),
+            jnp.asarray(seeds), jnp.asarray(tables_s), *extra,
+        )
+        if penalties:
+            self._counts = rest[0]
+        vals, commits, props, actives = jax.device_get(
+            (sampled_r, commit_r, prop_r, active_r))
+        vals = np.asarray(vals)
+        for r in range(rounds):
+            if not actives[r]:
+                break
+            self._route_round(tracked, vals[r], commits[r], props[r])

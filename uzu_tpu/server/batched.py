@@ -45,7 +45,7 @@ class BatchedChatServer:
         (layer-truncated, half the stack) — zero host drafting, realistic
         acceptance on non-repetitive text; "fused-self" = "self" plus
         spec_rounds=8 multi-round scans per dispatch (engine/batch_spec.py
-        — one fetch per 8 rounds; dense slot-cache engine, grammar/logprob
+        — one fetch per 8 rounds, dense or paged; grammar/logprob
         dispatches fall back per-round). Overrides paged."""
         self.lm = lm
         self.tokenizer = tokenizer
@@ -76,9 +76,6 @@ class BatchedChatServer:
 
             engine_cls = (SpeculativePagedBatchEngine if paged
                           else SpeculativeBatchEngine)
-            if speculate == "fused-self":
-                # the multi-round scan lives on the dense spec engine
-                engine_cls = SpeculativeBatchEngine
             if speculate in ("self", "fused-self"):
                 n = len(lm.decoder_config.transformer_config.layer_configs)
                 if n >= 2:  # a 1-layer model has nothing to truncate;

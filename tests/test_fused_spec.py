@@ -439,3 +439,95 @@ def test_spec_paged_fused_rounds_sampled_and_pressure(batch_lm):
     for r, want in zip(reqs, singles):
         assert r.finished
         assert r.tokens[:12] == want[:12]
+
+
+# -- device n-gram drafts (fused prompt-lookup) ------------------------------
+
+
+def test_device_ngram_matches_host_oracle():
+    """ops/ngram.ngram_propose == NgramSpeculator.propose over random
+    histories (the device matcher is the host rule, vectorized)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uzu_tpu.engine.speculation import NgramSpeculator
+    from uzu_tpu.ops.ngram import ngram_propose
+
+    rng = np.random.default_rng(0)
+    f = jax.jit(lambda h, l: ngram_propose(h, l, 4, 3))
+    spec = NgramSpeculator(max_ngram=3, k=4)
+    for _ in range(120):
+        n = int(rng.integers(5, 64))
+        hist = rng.integers(0, 6, n).tolist()
+        buf = np.zeros(64 + 4, np.int32)
+        buf[:n] = hist
+        d, dl = f(jnp.asarray(buf), jnp.asarray(n))
+        assert [int(x) for x in np.asarray(d)[: int(dl)]] == spec.propose(hist)
+
+
+def test_fused_ngram_single_stream(target):
+    """FusedSpeculativeDecoder(ngram=True): prompt-lookup drafts computed
+    in-scan, output == plain greedy across stop/budget edges."""
+    prompt = np.array([1, 2, 3, 4, 1, 2, 3])
+    want = target.generate_list(prompt, 24, stop_token_ids=[])
+    dec = FusedSpeculativeDecoder(target, ngram=True, k=4, rounds=4)
+    m = SpeculationMetrics()
+    got = list(dec.generate(prompt, 24, stop_token_ids=[], metrics=m))
+    assert got == want
+    assert m.num_tokens_accepted > 0  # repetitive prompt: lookups hit
+    stop = want[5]
+    want_s = target.generate_list(prompt, 24, stop_token_ids=[stop])
+    got_s = list(dec.generate(prompt, 24, stop_token_ids=[stop]))
+    assert got_s == want_s and got_s[-1] == stop
+    for budget in (1, 5):
+        assert list(dec.generate(prompt, budget, stop_token_ids=[])) == \
+            target.generate_list(prompt, budget, stop_token_ids=[])
+
+
+def test_batched_device_ngram_fused(batch_lm):
+    """Both batch engines with device_ngram fused rounds == plain singles;
+    sampled streams identical to the HOST-ngram per-round engine
+    (committed rows are draft-independent + the produced-count keys)."""
+    from uzu_tpu.engine.batch_spec import (
+        SpeculativeBatchEngine,
+        SpeculativePagedBatchEngine,
+    )
+    from uzu_tpu.engine.sampling import SamplingParams
+
+    lm = batch_lm
+    prompts = [[5, 6, 5, 6, 5, 6, 5], [1, 2, 3], [9, 9, 9, 9],
+               [40, 41, 42, 40, 41, 42], [17, 23]]
+    singles = [lm.generate_list(np.asarray(p), 12, stop_token_ids=[])
+               for p in prompts]
+    for cls, kw in ((SpeculativeBatchEngine, {}),
+                    (SpeculativePagedBatchEngine,
+                     {"num_pages": 40, "page_size": 8})):
+        eng = cls(lm, batch_size=2, draft_block=4, device_ngram=True,
+                  spec_rounds=4, stop_token_ids=[], **kw)
+        reqs = [eng.submit(p, 12) for p in prompts]
+        eng.run()
+        for i, (r, want) in enumerate(zip(reqs, singles)):
+            assert r.finished
+            assert r.tokens[:12] == want[:12], (cls.__name__, i)
+
+    sampled = SamplingParams(temperature=0.9, top_k=40)
+    e1 = SpeculativeBatchEngine(lm, batch_size=2, draft_block=4,
+                                sampling=sampled, stop_token_ids=[])
+    r1 = [e1.submit(p, 12, seed=i) for i, p in enumerate(prompts[:3])]
+    e1.run()
+    e2 = SpeculativeBatchEngine(lm, batch_size=2, draft_block=4,
+                                sampling=sampled, device_ngram=True,
+                                spec_rounds=4, stop_token_ids=[])
+    r2 = [e2.submit(p, 12, seed=i) for i, p in enumerate(prompts[:3])]
+    e2.run()
+    assert [r.tokens for r in r1] == [r.tokens for r in r2]
+
+
+def test_device_ngram_validation(batch_lm):
+    from uzu_tpu.engine.batch_spec import SpeculativeBatchEngine
+
+    with pytest.raises(ValueError, match="fused rounds"):
+        SpeculativeBatchEngine(batch_lm, batch_size=2, device_ngram=True)
+    with pytest.raises(ValueError, match="exclusive"):
+        SpeculativeBatchEngine(batch_lm, batch_size=2, device_ngram=True,
+                               spec_rounds=2, draft_layers=1)

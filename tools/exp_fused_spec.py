@@ -74,6 +74,8 @@ def main() -> None:
             FusedSpeculativeDecoder(lm, draft_lm=draft, k=4, rounds=rounds))
     arms["fused_self"] = spec_arm(
         FusedSpeculativeDecoder(lm, draft_layers=7, k=2, rounds=8))
+    arms["fused_ngram"] = spec_arm(
+        FusedSpeculativeDecoder(lm, ngram=True, k=8, rounds=16))
 
     # warm every executable BEFORE any timing (remote AOT compiles are
     # minutes; a cold arm inside the timed loop poisons the window)
@@ -134,6 +136,9 @@ def main() -> None:
                      {"draft_block": 4, "draft_layers": 6}),
         "bspec_r8": (SpeculativeBatchEngine,
                      {"draft_block": 4, "draft_layers": 6, "spec_rounds": 8}),
+        "bngram_r8": (SpeculativeBatchEngine,
+                      {"draft_block": 8, "device_ngram": True,
+                       "spec_rounds": 8}),
     }
     for name, (cls, kw) in barms.items():  # warm (compiles)
         t0 = time.perf_counter()

@@ -332,7 +332,7 @@ def main(argv=None) -> int:
                    help="continuous batching (concurrent requests share the chip)")
     s.add_argument("--batch-size", type=int, default=4, dest="batch_size")
     s.add_argument("--speculate", nargs="?", const="ngram", default=False,
-                   choices=("ngram", "self", "fused-self"),
+                   choices=("ngram", "self", "fused-self", "fused-ngram"),
                    help="batched chain speculation: 'ngram' (per-slot host "
                         "drafts), 'self' (fused device-side layer-"
                         "truncated self-draft), or 'fused-self' (self-"
@@ -354,10 +354,11 @@ def main(argv=None) -> int:
     c.add_argument("--regex", default=None,
                    help="constrain replies to a regex pattern")
     c.add_argument("--speculate", default=None,
-                   choices=("self", "fused-self"),
+                   choices=("self", "fused-self", "fused-ngram"),
                    help="single-stream speculation: 'self' (per-round "
-                        "layer-truncated self-draft) or 'fused-self' "
-                        "(multi-round fused dispatches)")
+                        "layer-truncated self-draft), 'fused-self' "
+                        "(multi-round fused dispatches), or 'fused-ngram' "
+                        "(fused prompt-lookup, zero draft compute)")
     _mesh_flags(c)
     c.set_defaults(fn=cmd_chat)
 

@@ -52,6 +52,21 @@ from .sampling import apply_count_penalties, sample, sample_dynamic
 from .speculation import NgramSpeculator, SpeculationMetrics, speculation_supported
 
 
+def _check_spec_rounds(spec_rounds, draft_layers, device_ngram):
+    """Fused rounds need an IN-SCAN draft source: a layer-truncated
+    self-draft or the device n-gram matcher (ops/ngram.py). Host ngram
+    proposals re-plan between rounds and cannot ride the scan."""
+    if spec_rounds > 1 and draft_layers is None and not device_ngram:
+        raise ValueError("spec_rounds > 1 requires draft_layers or "
+                         "device_ngram (host drafts re-plan every round)")
+    if device_ngram and spec_rounds <= 1:
+        raise ValueError("device_ngram rides the fused rounds; per-round "
+                         "engines already draft on host (make_speculator)")
+    if device_ngram and draft_layers is not None:
+        raise ValueError("device_ngram and draft_layers are exclusive "
+                         "draft sources")
+
+
 class _SpecScheduling:
     """Host-side round scheduling shared by the dense and paged speculative
     engines (they differ only in device plumbing: state dict vs pools +
@@ -75,6 +90,24 @@ class _SpecScheduling:
         )
         self._slot_spec = [None] * self.batch_size
         self.metrics = SpeculationMetrics()
+
+
+    def _ngram_hist(self, m, rounds):
+        """(hist [B, W + rounds*(m+1)], hlen [B]) — each live slot's token
+        -history tail for the in-scan device n-gram matcher, rebuilt from
+        the host's request bookkeeping at every dispatch (256 KB-order
+        upload riding the dispatch args)."""
+        w = self.ngram_window
+        cbuf = w + rounds * (m + 1)
+        hist = np.zeros((self.batch_size, cbuf), np.int32)
+        hlen = np.zeros(self.batch_size, np.int32)
+        for b, slot in enumerate(self.slots):
+            if slot.free:
+                continue
+            tail = (slot.request.prompt + slot.request.tokens)[-w:]
+            hist[b, : len(tail)] = tail
+            hlen[b] = len(tail)
+        return jnp.asarray(hist), jnp.asarray(hlen)
 
     def _new_slot_spec(self, slot_i):
         self._slot_spec[slot_i] = self._make_spec()
@@ -263,15 +296,16 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
     supports_count_penalties = True
 
     def __init__(self, lm, *, draft_block: int = 8, make_speculator=None,
-                 draft_layers: int | None = None, spec_rounds: int = 1, **kw):
+                 draft_layers: int | None = None, spec_rounds: int = 1,
+                 device_ngram: bool = False, ngram_window: int = 512, **kw):
         if not speculation_supported(lm.decoder_config):
             raise ValueError("chain speculation unsupported (KV-shared attention)")
-        if spec_rounds > 1 and draft_layers is None:
-            raise ValueError("spec_rounds > 1 requires draft_layers "
-                             "(host ngram drafts re-plan every round)")
+        _check_spec_rounds(spec_rounds, draft_layers, device_ngram)
         super().__init__(lm, **kw)
         self._init_spec(lm, draft_block, make_speculator, draft_layers)
         self.spec_rounds = spec_rounds
+        self.device_ngram = device_ngram
+        self.ngram_window = ngram_window
         self._verify_jit = lm.__dict__.setdefault("_batch_verify_jit", {})
 
     # -- jitted verify ------------------------------------------------------
@@ -299,11 +333,12 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
         same produced-count schedule the host builds, so emitted streams
         are identical to the per-round engine's."""
         assert not penalties or dynamic
-        assert rounds == 1 or (self.draft_layers is not None and not masked
-                               and not logprobs)
+        assert rounds == 1 or ((self.draft_layers is not None
+                                or self.device_ngram)
+                               and not masked and not logprobs)
         key = (self.sampling, m, self.stop_ids, self.batch_size, ctx_bucket,
                self.draft_layers, masked, dynamic, logprobs, penalties,
-               rounds)
+               rounds, self.device_ngram and rounds > 1)
         if key not in self._verify_jit:
             cfg = self.lm.decoder_config
             sampling = self.sampling
@@ -470,23 +505,29 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
 
             bsz = self.batch_size
             horizon = ctx_last - (m + 1)  # _finish_horizon, in-scan
+            ngram = self.device_ngram
 
             @partial(jax.jit, donate_argnums=(1,))
             def verify_rounds(params, state, tokens, halted, remaining,
                               produced, seeds, *extra):
-                # extras in order: samp [B, 6] when dynamic, counts [B, V]
-                # when penalties (both carried through the scan)
+                # extras in order: hist [B, C] + hlen [B] when device_ngram,
+                # samp [B, 6] when dynamic, counts [B, V] when penalties
+                # (all carried through the scan)
                 i = 0
+                hist0 = hlen0 = jnp.zeros((), jnp.int32)
+                if ngram:
+                    hist0, hlen0 = extra[i], extra[i + 1]
+                    i += 2
                 samp = extra[i] if dynamic else None
                 if dynamic:
                     i += 1
                 counts0 = extra[i] if penalties else jnp.zeros((), jnp.int32)
                 zero_d = jnp.zeros((bsz, m), jnp.int32)
                 zero_l = jnp.zeros((bsz,), jnp.int32)
-                hd_off = jnp.zeros((bsz,), bool)
 
                 def round_active(carry, _):
-                    state, tokens, halted, remaining, produced, counts = carry
+                    (state, tokens, halted, remaining, produced, counts,
+                     hist, hlen) = carry
                     halted = halted | (state["pos"] >= horizon)
                     # the host key schedule (_spec_keys), rebuilt in-scan:
                     # row i samples the slot's (produced + i)-th token
@@ -496,13 +537,22 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
                          + jnp.arange(m + 1, dtype=jnp.int32)
                          ).astype(jnp.uint32),
                     ], axis=-1)
+                    budget = jnp.maximum(remaining - 1, 0).astype(jnp.int32)
+                    if ngram:
+                        from ..ops.ngram import ngram_propose
+
+                        drafts, dlen = jax.vmap(
+                            lambda hb, hl: ngram_propose(hb, hl, m))(
+                            hist, hlen)
+                        dlen = jnp.minimum(dlen, budget)
+                    else:
+                        drafts, dlen = zero_d, zero_l
                     proposed = jnp.where(
                         halted, 0,
-                        jnp.minimum(jnp.asarray(m, jnp.int32),
-                                    jnp.maximum(remaining - 1, 0)
-                                    .astype(jnp.int32)))
+                        dlen if ngram
+                        else jnp.minimum(jnp.asarray(m, jnp.int32), budget))
 
-                    def per_slot(s, t, h, r, kk, *xs):
+                    def per_slot(s, t, d, dl, h, r, kk, *xs):
                         j = 0
                         sp = cn = None
                         if dynamic:
@@ -510,7 +560,7 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
                             j += 1
                         if penalties:
                             cn = xs[j]
-                        return one(params, s, t, zero_d[0], zero_l[0], h, r,
+                        return one(params, s, t, d, dl, h, r,
                                    kk, None, jnp.asarray(False), sp, cn)
 
                     xs = ()
@@ -519,13 +569,20 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
                     if penalties:
                         xs += (counts,)
                     out = jax.vmap(per_slot)(
-                        state, tokens, halted, remaining, keys, *xs)
+                        state, tokens, drafts, dlen, halted, remaining,
+                        keys, *xs)
                     state, tokens, halted, remaining, sampled, commit = out[:6]
                     if penalties:
                         counts = out[6]
+                    if ngram:
+                        hist = jax.vmap(
+                            lambda hb, s_row, hl:
+                            jax.lax.dynamic_update_slice(hb, s_row, (hl,)))(
+                            hist, sampled, hlen)
+                        hlen = hlen + commit
                     produced = produced + commit
                     return ((state, tokens, halted, remaining, produced,
-                             counts),
+                             counts, hist, hlen),
                             (sampled, commit, proposed, jnp.asarray(True)))
 
                 def round_body(carry, x):
@@ -539,9 +596,10 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
                                           jnp.asarray(False))),
                         round_active, carry, x)
 
-                init = (state, tokens, halted, remaining, produced, counts0)
+                init = (state, tokens, halted, remaining, produced, counts0,
+                        hist0, hlen0)
                 carry, ys = jax.lax.scan(round_body, init, None, length=rounds)
-                state, tokens, halted, remaining, produced, counts = carry
+                state, tokens, halted, remaining, produced, counts = carry[:6]
                 out = (state, tokens, halted, remaining, produced) + ys
                 if penalties:
                     out += (counts,)
@@ -555,6 +613,7 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
     def _finish_admission(self, slot_i, req, first):
         super()._finish_admission(slot_i, req, first)
         self._new_slot_spec(slot_i)
+
 
     def _verify_round(self):
         m = self.draft_block
@@ -627,6 +686,8 @@ class SpeculativeBatchEngine(_SpecScheduling, BatchEngine):
         produced = np.asarray(
             [0 if s.free else s.produced for s in self.slots], np.int32)
         extra = ()
+        if self.device_ngram:
+            extra += self._ngram_hist(m, rounds)
         if dynamic:
             extra += (jnp.asarray(self._samp),)
         if penalties:
@@ -661,23 +722,25 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
     supports_count_penalties = True
 
     def __init__(self, lm, *, draft_block: int = 8, make_speculator=None,
-                 draft_layers: int | None = None, spec_rounds: int = 1, **kw):
-        if spec_rounds > 1 and draft_layers is None:
-            raise ValueError("spec_rounds > 1 requires draft_layers "
-                             "(host ngram drafts re-plan every round)")
+                 draft_layers: int | None = None, spec_rounds: int = 1,
+                 device_ngram: bool = False, ngram_window: int = 512, **kw):
+        _check_spec_rounds(spec_rounds, draft_layers, device_ngram)
         super().__init__(lm, **kw)
         self._init_spec(lm, draft_block, make_speculator, draft_layers)
         self.spec_rounds = spec_rounds
+        self.device_ngram = device_ngram
+        self.ngram_window = ngram_window
 
     def _verify_fn(self, m: int, ctx_pages: int, masked: bool = False,
                    dynamic: bool = False, logprobs: int = 0,
                    penalties: bool = False, rounds: int = 1):
         assert not penalties or dynamic
-        assert rounds == 1 or (self.draft_layers is not None and not masked
-                               and not logprobs)
+        assert rounds == 1 or ((self.draft_layers is not None
+                                or self.device_ngram)
+                               and not masked and not logprobs)
         key = ("spec_verify", m, self.sampling, self.stop_ids, self._geom,
                ctx_pages, self.draft_layers, masked, dynamic, logprobs,
-               penalties, rounds)
+               penalties, rounds, self.device_ngram and rounds > 1)
         if key not in self._jit:
             from ..models.paged_decode import paged_decode_step, paged_verify_step
 
@@ -834,14 +897,20 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
                 return self._jit[key]
 
             horizon = self.lm.max_context - (m + 2)  # _finish_horizon
+            ngram = self.device_ngram
 
             @partial(jax.jit, donate_argnums=(1,))
             def verify_rounds(params, pools, tokens, positions, halted,
                               remaining, produced, seeds, tables_s, *extra):
                 # fused R rounds over STATIC tables (pages pre-ensured for
-                # the worst case by the host); extras: samp [B, 6] when
-                # dynamic, counts [B, V] when penalties
+                # the worst case by the host); extras: hist [B, C] + hlen
+                # [B] when device_ngram, samp [B, 6] when dynamic, counts
+                # [B, V] when penalties
                 i = 0
+                hist0 = hlen0 = jnp.zeros((), jnp.int32)
+                if ngram:
+                    hist0, hlen0 = extra[i], extra[i + 1]
+                    i += 2
                 samp = extra[i] if dynamic else None
                 if dynamic:
                     i += 1
@@ -853,7 +922,7 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
 
                 def round_active(carry, _):
                     (pools, tokens, positions, halted, remaining, produced,
-                     counts) = carry
+                     counts, hist, hlen) = carry
                     halted = halted | (positions >= horizon)
                     keys = jnp.stack([
                         jnp.broadcast_to(seeds[:, None], (b, m + 1)),
@@ -861,14 +930,23 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
                          + jnp.arange(m + 1, dtype=jnp.int32)
                          ).astype(jnp.uint32),
                     ], axis=-1)
+                    budget = jnp.maximum(remaining - 1, 0).astype(jnp.int32)
+                    if ngram:
+                        from ..ops.ngram import ngram_propose
+
+                        drafts, dlen = jax.vmap(
+                            lambda hb, hl: ngram_propose(hb, hl, m))(
+                            hist, hlen)
+                        dlen = jnp.minimum(dlen, budget)
+                    else:
+                        drafts, dlen = zero_d, zero_l
                     proposed = jnp.where(
                         halted, 0,
-                        jnp.minimum(jnp.asarray(m, jnp.int32),
-                                    jnp.maximum(remaining - 1, 0)
-                                    .astype(jnp.int32)))
+                        dlen if ngram
+                        else jnp.minimum(jnp.asarray(m, jnp.int32), budget))
                     samp_rows = (samp if dynamic
                                  else jnp.zeros((b, 6), jnp.float32))
-                    out = core(params, pools, tokens, zero_d, zero_l,
+                    out = core(params, pools, tokens, drafts, dlen,
                                positions, halted, remaining, tables_s, keys,
                                hd_off, None, samp_rows,
                                counts if penalties else None)
@@ -876,9 +954,15 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
                      commit) = out[:7]
                     if penalties:
                         counts = out[7]
+                    if ngram:
+                        hist = jax.vmap(
+                            lambda hb, s_row, hl:
+                            jax.lax.dynamic_update_slice(hb, s_row, (hl,)))(
+                            hist, sampled, hlen)
+                        hlen = hlen + commit
                     produced = produced + commit
                     return ((pools, tokens, positions, halted, remaining,
-                             produced, counts),
+                             produced, counts, hist, hlen),
                             (sampled, commit, proposed, jnp.asarray(True)))
 
                 def round_body(carry, x):
@@ -892,11 +976,11 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
                         round_active, carry, x)
 
                 init = (pools, tokens, positions, halted, remaining,
-                        produced, counts0)
+                        produced, counts0, hist0, hlen0)
                 carry, ys = jax.lax.scan(round_body, init, None,
                                          length=rounds)
                 pools, tokens, positions, halted, remaining, produced, \
-                    counts = carry
+                    counts = carry[:7]
                 out = (pools, tokens, positions, halted, remaining) + ys
                 if penalties:
                     out += (counts,)
@@ -1018,6 +1102,8 @@ class SpeculativePagedBatchEngine(_SpecScheduling, PagedBatchEngine):
         produced = np.asarray(
             [0 if s.free else s.produced for s in self.slots], np.int32)
         extra = ()
+        if self.device_ngram:
+            extra += self._ngram_hist(m, rounds)
         if dynamic:
             extra += (jnp.asarray(self._samp),)
         if penalties:

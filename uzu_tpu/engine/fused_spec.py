@@ -77,30 +77,34 @@ class FusedSpeculativeDecoder:
     """
 
     def __init__(self, lm, *, draft_lm=None, draft_layers: int | None = None,
+                 ngram: bool = False, ngram_window: int = 512,
                  k: int = 4, rounds: int = 8,
                  sampling: SamplingParams | None = None):
         if not speculation_supported(lm.decoder_config):
             raise ValueError("chain speculation unsupported (KV-shared attention)")
-        if (draft_lm is None) == (draft_layers is None):
-            raise ValueError("exactly one of draft_lm / draft_layers required")
+        if (draft_lm is not None) + (draft_layers is not None) + ngram != 1:
+            raise ValueError(
+                "exactly one of draft_lm / draft_layers / ngram required")
         if k < 1 or rounds < 1:
             raise ValueError("k and rounds must be >= 1")
         self.lm = lm
         self.k = k
         self.rounds = rounds
         self.sampling = sampling or SamplingParams()
+        self.draft = None
+        self._self_layers = None
+        self._ngram_window = ngram_window if ngram else None
+        self._draft_ctx = lm.max_context
         if draft_lm is not None:
             if not speculation_supported(draft_lm.decoder_config):
                 raise ValueError("draft model has KV-shared attention")
             self.draft = draft_lm
-            self._self_layers = None
             self._draft_ctx = draft_lm.max_context
-        else:
+        elif draft_layers is not None:
             # config/params view only — the fused fn slices the target's own
             # params at trace time, so no second weight pytree exists
             self.draft = self_draft_model(lm, draft_layers)
             self._self_layers = draft_layers
-            self._draft_ctx = lm.max_context
         self._fused_jit = {}
 
     # -- fused executable ---------------------------------------------------
@@ -112,37 +116,44 @@ class FusedSpeculativeDecoder:
 
     def _build_fused(self, stop_ids: tuple):
         tcfg = self.lm.decoder_config
-        dcfg = self.draft.decoder_config
+        dcfg = self.draft.decoder_config if self.draft is not None else None
         k, rounds, n = self.k, self.rounds, self.k + 1
         sampling = self.sampling
         self_layers = self._self_layers
         ctx = min(self.lm.max_context, self._draft_ctx)
+        mode = ("ngram" if self._ngram_window is not None
+                else "self" if self_layers is not None else "model")
 
         def round_active(dparams, params, carry, rkeys):
-            tstate, dstate, token, remaining, produced, _, out = carry
+            (tstate, dstate, token, remaining, produced, _, out,
+             hist, hlen) = carry
 
-            if self_layers is not None:
-                dview = {"layers": tstate["layers"][:self_layers],
-                         "pos": tstate["pos"]}
+            if mode == "ngram":
+                from ..ops.ngram import ngram_propose
+
+                draft_toks, dlen = ngram_propose(hist, hlen, k)
             else:
-                dview = dstate
+                dview = ({"layers": tstate["layers"][:self_layers],
+                          "pos": tstate["pos"]}
+                         if mode == "self" else dstate)
 
-            def chain_step(c, _):
-                st, t = c
-                lg, st = decoder_forward(dcfg, dparams, t.reshape(1), st,
-                                         last_only=True)
-                nt = jnp.argmax(lg[0]).astype(jnp.int32)
-                return (st, nt), nt
+                def chain_step(c, _):
+                    st, t = c
+                    lg, st = decoder_forward(dcfg, dparams, t.reshape(1), st,
+                                             last_only=True)
+                    nt = jnp.argmax(lg[0]).astype(jnp.int32)
+                    return (st, nt), nt
 
-            (_, _), draft_toks = jax.lax.scan(
-                chain_step, (dview, token), None, length=k)
+                (_, _), draft_toks = jax.lax.scan(
+                    chain_step, (dview, token), None, length=k)
+                dlen = jnp.asarray(k, jnp.int32)
 
             block = jnp.concatenate([token.reshape(1), draft_toks])
             logits, pending = decoder_forward(
                 tcfg, params, block, tstate, last_only=False, defer_ssm=True)
             sampled = jax.vmap(lambda l, kk: sample(l, sampling, key=kk))(
                 logits, rkeys)
-            match = sampled[:-1] == block[1:]
+            match = (sampled[:-1] == block[1:]) & (jnp.arange(k) < dlen)
             accepted = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))
             commit = 1 + accepted
             rows = jnp.arange(n)
@@ -155,11 +166,14 @@ class FusedSpeculativeDecoder:
                 commit = jnp.minimum(commit, first_stop + 1)
             commit = jnp.minimum(commit, remaining)
             tstate = decoder_commit_deferred(tcfg, pending, commit)
-            if self_layers is None:
+            if mode == "model":
                 _, dpending = decoder_forward(
                     dcfg, dparams, block, dstate, last_only=True,
                     defer_ssm=True)
                 dstate = decoder_commit_deferred(dcfg, dpending, commit)
+            if mode == "ngram":
+                hist = jax.lax.dynamic_update_slice(hist, sampled, (hlen,))
+                hlen = hlen + commit
             out = jax.lax.dynamic_update_slice(out, sampled, (produced,))
             token = sampled[commit - 1]
             produced = produced + commit
@@ -169,46 +183,65 @@ class FusedSpeculativeDecoder:
             else:
                 stop_hit = jnp.asarray(False)
             done = stop_hit | (remaining <= 0) | (tstate["pos"] + n > ctx)
-            return ((tstate, dstate, token, remaining, produced, done, out),
-                    (accepted, jnp.asarray(True)))
+            return ((tstate, dstate, token, remaining, produced, done, out,
+                     hist, hlen),
+                    (accepted, dlen, jnp.asarray(True)))
 
         def round_body(dparams, params, carry, rkeys):
             done = carry[5]
             return jax.lax.cond(
                 done,
                 lambda c, _: (c, (jnp.asarray(0, jnp.int32),
+                                  jnp.asarray(0, jnp.int32),
                                   jnp.asarray(False))),
                 partial(round_active, dparams, params),
                 carry, rkeys,
             )
 
-        if self_layers is not None:
+        def scan_rounds(dparams, params, init, keys):
+            carry, (acc, prop, active) = jax.lax.scan(
+                partial(round_body, dparams, params), init, keys)
+            return carry, (jnp.sum(acc), jnp.sum(prop),
+                           jnp.sum(active.astype(jnp.int32)))
+
+        zero = jnp.asarray(0, jnp.int32)
+
+        if mode == "ngram":
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def fused(params, tstate, token, remaining, hist, hlen, keys):
+                out = jnp.zeros(rounds * n, jnp.int32)
+                init = (tstate, 0, token, remaining, zero,
+                        jnp.asarray(False), out, hist, hlen)
+                carry, sums = scan_rounds(None, params, init, keys)
+                tstate, _, token, _, produced, done, out = carry[:7]
+                return (tstate, token, out, produced, done) + sums
+
+            return fused
+
+        if mode == "self":
 
             @partial(jax.jit, donate_argnums=(1,))
             def fused(params, tstate, token, remaining, keys):
                 dparams = dict(params)
                 dparams["layers"] = list(params["layers"][:self_layers])
                 out = jnp.zeros(rounds * n, jnp.int32)
-                init = (tstate, 0, token, remaining,
-                        jnp.asarray(0, jnp.int32), jnp.asarray(False), out)
-                carry, (acc, active) = jax.lax.scan(
-                    partial(round_body, dparams, params), init, keys)
-                tstate, _, token, _, produced, done, out = carry
-                return (tstate, token, out, produced, done,
-                        jnp.sum(acc), jnp.sum(active.astype(jnp.int32)))
+                init = (tstate, 0, token, remaining, zero,
+                        jnp.asarray(False), out, zero, zero)
+                carry, sums = scan_rounds(dparams, params, init, keys)
+                tstate, _, token, _, produced, done, out = carry[:7]
+                return (tstate, token, out, produced, done) + sums
 
             return fused
 
         @partial(jax.jit, donate_argnums=(2, 3))
         def fused(params, dparams, tstate, dstate, token, remaining, keys):
             out = jnp.zeros(rounds * n, jnp.int32)
-            init = (tstate, dstate, token, remaining,
-                    jnp.asarray(0, jnp.int32), jnp.asarray(False), out)
-            carry, (acc, active) = jax.lax.scan(
-                partial(round_body, dparams, params), init, keys)
-            tstate, dstate, token, _, produced, done, out = carry
-            return (tstate, dstate, token, out, produced, done,
-                    jnp.sum(acc), jnp.sum(active.astype(jnp.int32)))
+            init = (tstate, dstate, token, remaining, zero,
+                    jnp.asarray(False), out, zero, zero)
+            carry, sums = scan_rounds(dparams, params, init, keys)
+            tstate, dstate, token, _, produced, done, out = carry[:7]
+            return (tstate, dstate, token, out, produced, done) + sums
 
         return fused
 
@@ -239,15 +272,20 @@ class FusedSpeculativeDecoder:
                                key=jax.random.PRNGKey(seed)))
         pos = base + len(prompt_tokens)
         dstate = None
-        if self._self_layers is None:
+        history = None
+        if self.draft is not None and self._self_layers is None:
             # the draft absorbs the full committed history; the root token
             # reaches it inside each round as block[0]
-            history = np.asarray(
+            hist0 = np.asarray(
                 history_tokens if history_tokens is not None else prompt_tokens,
                 np.int32)
             dstate = self.draft.new_state()
-            if len(history):
-                _, dstate = self.draft.prefill(dstate, history)
+            if len(hist0):
+                _, dstate = self.draft.prefill(dstate, hist0)
+        if self._ngram_window is not None:
+            history = [int(t) for t in (
+                history_tokens if history_tokens is not None else prompt_tokens
+            )] + [first]
 
         produced = 1
         token = first
@@ -262,23 +300,36 @@ class FusedSpeculativeDecoder:
                 self.rounds * n).reshape(self.rounds, n, -1)
             dispatch += 1
             remaining = jnp.asarray(max_new_tokens - produced, jnp.int32)
-            if self._self_layers is not None:
-                state, tok_d, buf, n_out, done, acc, rounds_run = fused(
+            if self._ngram_window is not None:
+                w = self._ngram_window
+                cbuf = w + self.rounds * n  # room for the in-scan appends
+                tail = history[-w:]
+                hbuf = np.zeros(cbuf, np.int32)
+                hbuf[: len(tail)] = tail
+                state, tok_d, buf, n_out, done, acc, prop, rounds_run = fused(
+                    lm.params, state, jnp.asarray(token, jnp.int32),
+                    remaining, jnp.asarray(hbuf),
+                    jnp.asarray(len(tail), jnp.int32), keys)
+            elif self._self_layers is not None:
+                state, tok_d, buf, n_out, done, acc, prop, rounds_run = fused(
                     lm.params, state, jnp.asarray(token, jnp.int32),
                     remaining, keys)
             else:
-                state, dstate, tok_d, buf, n_out, done, acc, rounds_run = fused(
+                (state, dstate, tok_d, buf, n_out, done, acc, prop,
+                 rounds_run) = fused(
                     lm.params, self.draft.params, state, dstate,
                     jnp.asarray(token, jnp.int32), remaining, keys)
-            buf, n_out, done, acc, rounds_run = jax.device_get(
-                (buf, n_out, done, acc, rounds_run))
+            buf, n_out, done, acc, prop, rounds_run = jax.device_get(
+                (buf, n_out, done, acc, prop, rounds_run))
             n_out = int(n_out)
             if metrics is not None:
                 metrics.num_verify_passes += int(rounds_run)
-                metrics.num_tokens_proposed += self.k * int(rounds_run)
+                metrics.num_tokens_proposed += int(prop)
                 metrics.num_tokens_accepted += int(acc)
             for v in buf[:n_out]:
                 yield int(v)
+            if history is not None:
+                history.extend(int(v) for v in buf[:n_out])
             produced += n_out
             pos += n_out
             token = int(buf[n_out - 1]) if n_out else token

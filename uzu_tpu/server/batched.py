@@ -46,7 +46,9 @@ class BatchedChatServer:
         acceptance on non-repetitive text; "fused-self" = "self" plus
         spec_rounds=8 multi-round scans per dispatch (engine/batch_spec.py
         — one fetch per 8 rounds, dense or paged; grammar/logprob
-        dispatches fall back per-round). Overrides paged."""
+        dispatches fall back per-round); "fused-ngram" = fused rounds
+        with the device n-gram matcher drafting in-scan (zero draft
+        compute). Overrides paged."""
         self.lm = lm
         self.tokenizer = tokenizer
         self.template = ChatTemplate(tokenizer.chat_template)
@@ -83,6 +85,9 @@ class BatchedChatServer:
                     engine_kw.setdefault("draft_layers", n // 2)
                     if speculate == "fused-self":
                         engine_kw.setdefault("spec_rounds", 8)
+            elif speculate == "fused-ngram":
+                engine_kw.setdefault("device_ngram", True)
+                engine_kw.setdefault("spec_rounds", 8)
         self.engine = engine_cls(
             lm,
             batch_size=batch_size,

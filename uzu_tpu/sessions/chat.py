@@ -79,7 +79,10 @@ class ChatSession:
         - "self": per-round self-speculation (layer-truncated self-draft);
         - "fused-self": fused multi-round self-speculation
           (engine/fused_spec.py — R rounds per dispatch, the single-stream
-          config that amortizes the dispatch tax).
+          config that amortizes the dispatch tax);
+        - "fused-ngram": fused multi-round prompt-lookup (the device
+          n-gram matcher proposes continuations of the history in-scan —
+          zero draft compute, best on repetitive/structured output).
 
         The reference engages a model's bundled speculator in every stream
         the same way (stream.rs:553-578). Grammar-constrained turns need
@@ -128,9 +131,11 @@ class ChatSession:
         self.messages: list[dict] = []
         self._state = None
         self._state_tokens: list[int] = []
-        if isinstance(speculator, str) and speculator not in ("self", "fused-self"):
+        if isinstance(speculator, str) and speculator not in (
+                "self", "fused-self", "fused-ngram"):
             raise ValueError(
-                f"unknown speculator {speculator!r} (use 'self'/'fused-self')")
+                f"unknown speculator {speculator!r} "
+                "(use 'self'/'fused-self'/'fused-ngram')")
         self.speculator = speculator
         self._spec_decoders: dict = {}
         self._str_proposer = None  # grammar-turn proposer for string modes
@@ -383,10 +388,16 @@ class ChatSession:
                 from ..engine.fused_spec import fused_self_speculative_decoder
                 from ..engine.speculation import self_speculative_decoder
 
-                maker = {"self": self_speculative_decoder,
-                         "fused-self": fused_self_speculative_decoder}
-                self._spec_decoders[sampling] = maker[self.speculator](
-                    self.model, sampling=sampling)
+                if self.speculator == "fused-ngram":
+                    from ..engine.fused_spec import FusedSpeculativeDecoder
+
+                    self._spec_decoders[sampling] = FusedSpeculativeDecoder(
+                        self.model, ngram=True, k=8, sampling=sampling)
+                else:
+                    maker = {"self": self_speculative_decoder,
+                             "fused-self": fused_self_speculative_decoder}
+                    self._spec_decoders[sampling] = maker[self.speculator](
+                        self.model, sampling=sampling)
             return self._spec_decoders[sampling].generate(
                 np.asarray(suffix, np.int32), max_new_tokens,
                 stop_token_ids=stop_ids, seed=seed, metrics=spec_metrics,

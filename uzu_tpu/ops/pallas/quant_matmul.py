@@ -72,10 +72,20 @@ def _kc_valid(c: int, k_packed: int) -> bool:
 _VMEM_STACK_BUDGET = 14 * 1024 * 1024
 
 
-def _kernel_stack_bytes(tn: int, kc: int, kg: int, gsub: int) -> int:
+def _kernel_stack_bytes(tn: int, kc: int, kg: int, gsub: int,
+                        m_pad: int = 8) -> int:
+    """Scoped-VMEM live-set estimate for one grid step: the dequant /
+    expansion temporaries (4*kc*(2*tn + e_rows), kc-dominated) PLUS the
+    M-dependent arrays — the even/odd x tiles in f32 plus one more kc-wide
+    temporary (~3*kc) and the f32 accumulator (tn). Calibrated against the
+    observed M=1024 reject (CHIP_JOBS_r5 exp_prefill_width: tn=512,
+    kc=1024 allocated 20.56M on real Mosaic vs this model's 19.9M; the
+    pre-fix kc-only estimate read 5.2M) while every production M<=512
+    tile still fits — the tightest, the 8B down-projection prefill tile,
+    models at 13.4M under the 14M budget."""
     kgc = kc // gsub
     e_rows = kgc if (kgc % 128 == 0 and kgc < kg) else kg
-    return 4 * kc * (2 * tn + e_rows)
+    return 4 * kc * (2 * tn + e_rows) + 4 * m_pad * (tn + 3 * kc)
 
 
 def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int,
@@ -127,14 +137,15 @@ def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int,
     tn = _pick_block(n, tn_pref)
     kg_all = k_packed // gsub
     fits = [c for c in kc_pref if c % gsub == 0 and _kc_valid(c, k_packed)
-            and _kernel_stack_bytes(tn or n, c, kg_all, gsub)
+            and _kernel_stack_bytes(tn or n, c, kg_all, gsub, m_pad)
             <= _VMEM_STACK_BUDGET]
     kc = _pick_block(k_packed, fits)
     if not kc:
         # whole-K block is always lane-legal: the fallback for K dims not
         # divisible by any 128-multiple candidate (small/odd models)
         if (k_packed % gsub == 0
-                and _kernel_stack_bytes(tn or n, k_packed, kg_all, gsub)
+                and _kernel_stack_bytes(tn or n, k_packed, kg_all, gsub,
+                                        m_pad)
                 <= _VMEM_STACK_BUDGET):
             kc = k_packed
     # Deep-K decode GEMVs (kg > 128): widen the K chunk so each grid step's
@@ -146,7 +157,7 @@ def _tile_policy(n: int, k_packed: int, gsub: int, m_pad: int,
     if (m_pad < 32 and kg > 128 and kg % 128 == 0
             and k_packed % (128 * gsub) == 0
             and _kernel_stack_bytes(128 if n % 128 == 0 else (tn or n),
-                                    128 * gsub, kg, gsub)
+                                    128 * gsub, kg, gsub, m_pad)
             <= _VMEM_STACK_BUDGET):
         kc = 128 * gsub
         # deep-K decode GEMVs also want the NARROW N tile: more grid steps

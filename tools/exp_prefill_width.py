@@ -51,11 +51,15 @@ def main() -> None:
         logits, _ = lm.prefill(st, prompt[:n_tokens])
         jax.device_get(logits[:1])
 
+    def lo_tokens(width):
+        # differential low arm: >= 1 chunk (w=2048: 4096-2*2048 would be 0)
+        return max(width, TOTAL - 2 * width)
+
     # warm every executable (compiles are minutes on the tunnel)
     for width, lm in lms.items():
         t0 = time.perf_counter()
         run(lm, TOTAL)
-        run(lm, TOTAL - 2 * width)  # the differential's low arm
+        run(lm, lo_tokens(width))
         print(json.dumps({"stage": "warm", "width": width,
                           "s": round(time.perf_counter() - t0, 1)}),
               flush=True)
@@ -66,9 +70,10 @@ def main() -> None:
     for rep in range(3):
         for width, lm in lms.items():
             e2e = TOTAL / _timeit(lambda: run(lm, TOTAL))
-            # marginal: last 2 chunks by differential
+            # marginal: trailing chunks by differential
+            lo = lo_tokens(width)
             d = (_timeit(lambda: run(lm, TOTAL))
-                 - _timeit(lambda: run(lm, TOTAL - 2 * width))) / 2
+                 - _timeit(lambda: run(lm, lo))) / ((TOTAL - lo) // width)
             out.setdefault(f"w{width}_e2e", []).append(round(e2e, 1))
             out.setdefault(f"w{width}_marginal_ms", []).append(
                 round(d * 1e3, 2))

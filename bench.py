@@ -782,8 +782,31 @@ def main() -> None:
         RESULTS["selfspec_tok_s"] = round(best, 2)
         RESULTS["selfspec_acceptance"] = round(sm.acceptance_rate, 4)
 
+    def stage_fused_ngram():
+        # fused multi-round prompt-lookup (engine/fused_spec.py + ops/
+        # ngram.py): R=16 rounds per dispatch, zero draft compute. On the
+        # synth flagship the greedy stream is repetitive, so lookups hit —
+        # a MECHANISM demo here; the real-statistics numbers live in
+        # BASELINE.md round-5b (exp_fused_spec: 1.29x single / 2.12x B=4)
+        from uzu_tpu.engine.fused_spec import FusedSpeculativeDecoder
+        from uzu_tpu.engine.speculation import SpeculationMetrics
+
+        dec = FusedSpeculativeDecoder(lm, ngram=True, k=8, rounds=16)
+        list(dec.generate(prompt, 32, stop_token_ids=[],
+                          metrics=SpeculationMetrics()))  # compile/warm
+        best, sm = 0.0, None
+        for _ in range(2):
+            sm = SpeculationMetrics()
+            t0 = time.perf_counter()
+            out_s = list(dec.generate(prompt, gen_len, stop_token_ids=[],
+                                      metrics=sm))
+            best = max(best, len(out_s) / (time.perf_counter() - t0))
+        RESULTS["fused_ngram_tok_s"] = round(best, 2)
+        RESULTS["fused_ngram_acceptance"] = round(sm.acceptance_rate, 4)
+
     if os.environ.get("UZU_BENCH_SPEC") and tpu:
         _guarded("self-spec warmup (compiles)", 180, stage_selfspec)
+        _guarded("fused-ngram spec warmup (compiles)", 240, stage_fused_ngram)
 
     # wider batch, opt-in only: the B=16 executables add many minutes of
     # remote-AOT compile under congestion (a guarded run still blew a 25 min

@@ -251,7 +251,7 @@ def hbm_probe(on_tpu: bool) -> float:
 
 def probe_interleaved_decode(lm, prompt, gen_len, sampling, bytes_per_step,
                              *, runs=2, record_ttft=False, agg="max",
-                             on_tpu=True, notes=None) -> dict:
+                             on_tpu=True, notes=None, stage=None) -> dict:
     """Single-stream decode measured `runs` times with an achievable-HBM
     probe reading taken AFTER each run (VERDICT r3 #7: window drift on the
     shared chip cancels pair-wise instead of decoupling vs_practical).
@@ -266,6 +266,9 @@ def probe_interleaved_decode(lm, prompt, gen_len, sampling, bytes_per_step,
 
     probe = None
     try:
+        if stage is not None:  # a remote-AOT compile worth minutes under
+            stage("hbm probe warm (compiles)")  # congestion — keep it
+            # attributable instead of folding into the decode stage
         probe = HbmProbe(on_tpu)
     except Exception as exc:  # noqa: BLE001
         if notes is not None:
@@ -460,7 +463,8 @@ def main() -> None:
     _stage("single-stream decode x3 (probe-interleaved)")
     measured = probe_interleaved_decode(
         lm, prompt, gen_len, sampling, wbytes + kv_bytes,
-        runs=3, record_ttft=True, agg="median", on_tpu=tpu, notes=_NOTES)
+        runs=3, record_ttft=True, agg="median", on_tpu=tpu, notes=_NOTES,
+        stage=_stage)
     decode_tok_s = measured["decode_tok_s"]
     # reference bench contract parity (runner.rs:112 reports allocator
     # peak): live device buffer bytes at serving steady state

@@ -531,3 +531,24 @@ def test_device_ngram_validation(batch_lm):
     with pytest.raises(ValueError, match="exclusive"):
         SpeculativeBatchEngine(batch_lm, batch_size=2, device_ngram=True,
                                spec_rounds=2, draft_layers=1)
+
+
+def test_string_speculator_rejected_at_construction(tmp_path):
+    """A string speculator on a KV-shared-attention model (speculation
+    unsupported) must fail at ChatSession CONSTRUCTION, not mid-reply
+    inside the stream."""
+    from uzu_tpu.sessions import ChatSession, Tokenizer
+    from uzu_tpu.tools.synth import windowed_config
+
+    cfg = windowed_config(num_layers=4, kv_share_last=1)
+    d = synthesize(cfg, str(tmp_path / "kvshare"), seed=13, dtype=np.float32)
+    # windowed_config models ship no tokenizer; reuse a chat model's
+    from uzu_tpu.tools.synth import synth_chat_model
+
+    cd = synth_chat_model(str(tmp_path / "tok_donor"), num_layers=2,
+                          model_dim=64, hidden_dim=160, num_heads=4,
+                          num_groups=2, head_dim=16)
+    lm = LanguageModel.from_dir(d, max_context=64, prefill_buckets=(16,))
+    tok = Tokenizer(cd)
+    with pytest.raises(ValueError, match="KV-shared"):
+        ChatSession(lm, tok, speculator="fused-self")

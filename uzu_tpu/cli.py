@@ -129,6 +129,9 @@ def cmd_serve(args) -> int:
                               batch_size=args.batch_size,
                               speculate=args.speculate)
     else:
+        if args.speculate:
+            print("warning: --speculate applies to the --batched server "
+                  "only; serving plain single-stream", file=sys.stderr)
         session = _load_chat(args.model_dir, args.max_context, args.tp, args.dp)
         from uzu_tpu.server import serve
 
@@ -335,8 +338,10 @@ def main(argv=None) -> int:
                    choices=("ngram", "self", "fused-self", "fused-ngram"),
                    help="batched chain speculation: 'ngram' (per-slot host "
                         "drafts), 'self' (fused device-side layer-"
-                        "truncated self-draft), or 'fused-self' (self-"
-                        "draft + 8 rounds per dispatch)")
+                        "truncated self-draft), 'fused-self' (self-draft "
+                        "+ 8 rounds per dispatch), or 'fused-ngram' "
+                        "(device prompt-lookup drafts + 8 rounds, zero "
+                        "draft compute); requires --batched")
     _mesh_flags(s)
     s.set_defaults(fn=cmd_serve)
 

@@ -148,6 +148,12 @@ class FusedSpeculativeDecoder:
                     chain_step, (dview, token), None, length=k)
                 dlen = jnp.asarray(k, jnp.int32)
 
+            # clip the acceptance window to the remaining budget BEFORE the
+            # match (the per-round decoder clips drafts[:remaining-1] before
+            # its verify) — keeps num_tokens_proposed honest at budget edges
+            # and the acceptance mask identical to per-round
+            dlen = jnp.minimum(dlen, jnp.maximum(remaining - 1, 0)
+                               .astype(jnp.int32))
             block = jnp.concatenate([token.reshape(1), draft_toks])
             logits, pending = decoder_forward(
                 tcfg, params, block, tstate, last_only=False, defer_ssm=True)

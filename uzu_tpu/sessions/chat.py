@@ -131,11 +131,18 @@ class ChatSession:
         self.messages: list[dict] = []
         self._state = None
         self._state_tokens: list[int] = []
-        if isinstance(speculator, str) and speculator not in (
-                "self", "fused-self", "fused-ngram"):
-            raise ValueError(
-                f"unknown speculator {speculator!r} "
-                "(use 'self'/'fused-self'/'fused-ngram')")
+        if isinstance(speculator, str):
+            if speculator not in ("self", "fused-self", "fused-ngram"):
+                raise ValueError(
+                    f"unknown speculator {speculator!r} "
+                    "(use 'self'/'fused-self'/'fused-ngram')")
+            from ..engine.speculation import speculation_supported
+
+            # fail at construction, not mid-reply inside the stream
+            if not speculation_supported(model.decoder_config):
+                raise ValueError(
+                    "chain speculation unsupported for this model "
+                    "(KV-shared attention)")
         self.speculator = speculator
         self._spec_decoders: dict = {}
         self._str_proposer = None  # grammar-turn proposer for string modes
@@ -254,19 +261,27 @@ class ChatSession:
             if isinstance(spec, str) and speculation_supported(
                     self.model.decoder_config):
                 # grammar masks are host-side: downgrade string modes to a
-                # per-round self-draft PROPOSER so lookahead masks still
-                # ride the chain drafts (the measured grammar-speculation
-                # win, BASELINE grammar_spec_real)
+                # host PROPOSER so lookahead masks still ride the chain
+                # drafts (the measured grammar-speculation win, BASELINE
+                # grammar_spec_real): the ngram mode keeps its zero-draft-
+                # compute character via the host NgramSpeculator; the self
+                # modes use a half-stack self-draft (needing >= 2 layers —
+                # a 1-layer "draft" would be the full model)
                 if self._str_proposer is None:
                     from ..engine.speculation import (
                         DraftModelSpeculator,
+                        NgramSpeculator,
                         self_draft_model,
                     )
 
                     n = len(self.model.decoder_config
                             .transformer_config.layer_configs)
-                    self._str_proposer = DraftModelSpeculator(
-                        self_draft_model(self.model, max(1, n // 2)), k=4)
+                    if self.speculator == "fused-ngram" or n < 2:
+                        self._str_proposer = NgramSpeculator(
+                            max_ngram=3, k=8)
+                    else:
+                        self._str_proposer = DraftModelSpeculator(
+                            self_draft_model(self.model, n // 2), k=4)
                 spec = self._str_proposer
             if not (hasattr(spec, "propose")
                     and speculation_supported(self.model.decoder_config)):

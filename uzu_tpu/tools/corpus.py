@@ -167,6 +167,11 @@ def generate_text(n_bytes: int, seed: int = 0) -> str:
     return "".join(out)[:n_bytes]
 
 
+# bump when generate_text's rules change — the disk cache key includes it,
+# so a stale corpus can never silently outlive its generator
+_GEN_VERSION = 1
+
+
 def generate_tokens(n_tokens: int, seed: int = 0) -> np.ndarray:
     """Byte-level token ids [n_tokens] int32.
 
@@ -178,7 +183,7 @@ def generate_tokens(n_tokens: int, seed: int = 0) -> np.ndarray:
         root = os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
         cache = os.path.join(root, ".bench_cache",
-                             f"corpus_{n_tokens}_{seed}.npy")
+                             f"corpus_v{_GEN_VERSION}_{n_tokens}_{seed}.npy")
         if os.path.exists(cache):
             toks = np.load(cache)
             if len(toks) == n_tokens:

@@ -552,3 +552,29 @@ def test_string_speculator_rejected_at_construction(tmp_path):
     tok = Tokenizer(cd)
     with pytest.raises(ValueError, match="KV-shared"):
         ChatSession(lm, tok, speculator="fused-self")
+
+
+def test_spec_paged_fused_rounds_int8_pools(tmp_path_factory):
+    """Fused rounds over INT8 page pools: the in-scan multi-row quantized
+    scatter + dequant reads keep the stream equal to the dense INT8-KV
+    stream (fused form of test_spec_paged_int8_pools)."""
+    from uzu_tpu.engine.batch_spec import SpeculativePagedBatchEngine
+
+    cfg = llama_config(num_layers=2, model_dim=64, hidden_dim=160,
+                       num_heads=4, num_groups=2, head_dim=16,
+                       vocab_size=256)
+    d = synthesize(cfg, str(tmp_path_factory.mktemp("fspec_i8")), seed=14,
+                   dtype=np.float32)
+    lm = LanguageModel.from_dir(d, max_context=128, prefill_buckets=(16,),
+                                kv_quant=True)
+    prompts = [[5, 6, 5, 6, 5], [1, 2, 3]]
+    singles = [lm.generate_list(np.asarray(p), 10, stop_token_ids=[])
+               for p in prompts]
+    eng = SpeculativePagedBatchEngine(
+        lm, batch_size=2, draft_block=3, draft_layers=1, spec_rounds=3,
+        num_pages=33, page_size=8, stop_token_ids=[])
+    reqs = [eng.submit(p, 10) for p in prompts]
+    eng.run()
+    for r, want in zip(reqs, singles):
+        assert r.finished
+        assert r.tokens[:10] == want[:10]
